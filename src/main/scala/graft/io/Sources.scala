@@ -1,0 +1,101 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Readers for the two table families the engine serves:
+  *
+  *  - the driver testdata (parquet, `/root/testdata/sf*`/), used by every
+  *    `SparkEntry.queries` entry and the bench;
+  *  - the NFL Big-Data-Bowl CSV layout the reference consumes
+  *    (`/root/reference/optimal_pursuit.py:132-135,149` reads them with
+  *    inferred schemas; we always pass an explicit [[StructType]] —
+  *    inference is nondeterministic and a full extra scan at 100 TB).
+  *
+  * All readers return plain DataFrames so Catalyst owns pushdown/pruning:
+  * a `table(dir, "lineitem").select(...).filter(...)` plan reaches the
+  * parquet scan as `PushedFilters` + a pruned `ReadSchema`.
+  */
+object Sources {
+
+  /** Testdata table names (TESTDATA.md). */
+  val testTables: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** One testdata parquet table. Schema comes from the parquet footer —
+    * authoritative and free (no inference scan). */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  // -------------------------------------------------------------------
+  // NFL reference-domain schemas (FIXTURES.md §A). Explicit StructTypes:
+  // the engine owns its schemas instead of re-inferring per read the way
+  // the reference does (optimal_pursuit.py:132-135).
+  // -------------------------------------------------------------------
+
+  val gamesSchema: StructType = StructType(Seq(
+    StructField("gameId", LongType),
+    StructField("season", IntegerType),
+    StructField("week", IntegerType)))
+
+  val playsSchema: StructType = StructType(Seq(
+    StructField("gameId", LongType),
+    StructField("playId", LongType),
+    StructField("ballCarrierId", LongType),
+    StructField("yardlineNumber", IntegerType),
+    StructField("yardsToGo", IntegerType),
+    StructField("yardlineSide", StringType),
+    StructField("possessionTeam", StringType),
+    StructField("defensiveTeam", StringType),
+    StructField("playResult", IntegerType),
+    StructField("prePenaltyPlayResult", IntegerType),
+    StructField("playNullifiedByPenalty", StringType)))
+
+  val playersSchema: StructType = StructType(Seq(
+    StructField("nflId", LongType),
+    StructField("displayName", StringType),
+    StructField("position", StringType)))
+
+  val tacklesSchema: StructType = StructType(Seq(
+    StructField("gameId", LongType),
+    StructField("playId", LongType),
+    StructField("nflId", LongType)))
+
+  /** 10 Hz tracking rows, key (gameId, playId, nflId, frameId); nflId is
+    * null for the football. The reference shards this by week into
+    * `tracking_week_{w}.csv` and prunes by building the filename
+    * (optimal_pursuit.py:143-149); at scale the equivalent layout is a
+    * parquet table partitioned by `week=N/` so Catalyst prunes
+    * partitions automatically. */
+  val trackingSchema: StructType = StructType(Seq(
+    StructField("gameId", LongType),
+    StructField("playId", LongType),
+    StructField("nflId", LongType),
+    StructField("frameId", IntegerType),
+    StructField("time", TimestampType),
+    StructField("club", StringType),
+    StructField("playDirection", StringType),
+    StructField("x", DoubleType),
+    StructField("y", DoubleType),
+    StructField("s", DoubleType),
+    StructField("a", DoubleType),
+    StructField("dis", DoubleType),
+    StructField("o", DoubleType),
+    StructField("dir", DoubleType),
+    StructField("event", StringType)))
+
+  /** CSV reader with the engine-owned schema (header row skipped). */
+  def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
+  /** Week-partitioned tracking reader. If `weeks` is given the filter is
+    * a partition-prune (directory-level skip) when the data is laid out
+    * as `week=N/`, never a row filter over the full table. */
+  def tracking(spark: SparkSession, dir: String, weeks: Seq[Int] = Nil): DataFrame = {
+    val all = spark.read.schema(trackingSchema.add(StructField("week", IntegerType)))
+      .parquet(dir)
+    if (weeks.isEmpty) all
+    else all.where(org.apache.spark.sql.functions.col("week").isin(weeks: _*))
+  }
+}
