@@ -1,13 +1,41 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the union of the per-module inventories; each SQL-
+  * expressible query has a DuckDB oracle twin in `oracleSql` with
+  * byte-identical column aliases (the driver's compare sorts columns by
+  * name before hashing). Queries without an oracle entry (MinHash,
+  * SimHash, sign-LSH ANN, the rolling-hash fingerprint) use engine-
+  * specific hash seeds and get the weaker rows-only check + ScalaTest
+  * coverage instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (SURVEY §7.2): the EP2 max-pursuit-params slice —
+    * scan → boundary aggs (W1/W2) → join back → range max (A7/W3) —
+    * over `events` at sf0.001. Mirrors optimal_pursuit.py:193-259. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("ep2_range_max")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    ops.Relational.queries ++
+      ops.Events.queries ++
+      pipelines.Report.queries ++
+      llm.TextOps.queries ++
+      llm.Dedup.queries ++
+      llm.Similarity.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    ops.Relational.oracle ++
+      ops.Events.oracle ++
+      pipelines.Report.oracle ++
+      llm.TextOps.oracle ++
+      llm.Dedup.oracle ++
+      llm.Similarity.oracle
 }

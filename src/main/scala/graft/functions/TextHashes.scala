@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType, StringType, ArrayType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static hash kernels, callable from both interpreted eval and generated
+  * Java (the codegen path references these by their JVM-static forwarders,
+  * so the expressions below stay inside whole-stage codegen). */
+object TextHashKernels {
+  /** 64-bit polynomial rolling hash over UTF-8 bytes (base 1099511628211,
+    * wrapping mod 2^64 — the FNV-1a prime). The streaming/rolling shape is
+    * the document-fingerprinting primitive from the LLM-pipeline extension
+    * (SURVEY §7.4-8): one pass, O(1) state per document. */
+  def rollingHash(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** FNV-1a of one token — the per-token hash feeding simhash. */
+  def fnv64(s: UTF8String): Long = rollingHash(s)
+
+  /** 64-bit SimHash over a token array: each token votes its hash bits
+    * (+1 for a set bit, -1 for a clear bit); the sign of each tally is
+    * the fingerprint bit. Near-duplicate documents differ in few bits. */
+  def simHash(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      if (!tokens.isNullAt(t)) {
+        val h = fnv64(tokens.getUTF8String(t))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      t += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
+/** `roll_hash(text)` — document fingerprint as a native Catalyst
+  * expression with codegen (no UDF serialization, stays inside
+  * whole-stage codegen; SURVEY §7.3 preference order (b)). */
+case class RollingHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"roll_hash needs a string argument, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashKernels.rollingHash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashKernels.rollingHash($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `sim_hash(tokens)` — 64-bit SimHash of an array<string> column.
+  * Interpreted eval only (CodegenFallback): the per-token 64-bit vote
+  * loop dominates, so codegen buys little here; the expression still
+  * avoids UDF encode/decode overhead by reading ArrayData directly. */
+case class SimHash(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"sim_hash needs array<string>, got $other")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashKernels.simHash(input.asInstanceOf[ArrayData])
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextHashes {
+  /** Register `roll_hash` / `sim_hash` for `expr(...)` use. Idempotent. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "roll_hash", exprs => RollingHash(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sim_hash", exprs => SimHash(exprs.head), "scala_udf")
+  }
+}

@@ -1,6 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Readers for the two table families the engine serves:
@@ -24,9 +25,28 @@ object Sources {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   /** One testdata parquet table. Schema comes from the parquet footer —
-    * authoritative and free (no inference scan). */
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    * authoritative and free (no inference scan).
+    *
+    * `events.parquet` carries INT64 TIMESTAMP(NANOS) which Spark's parquet
+    * reader rejects outright; we read it as raw nanos
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and rebuild a proper
+    * TimestampType column. The testdata's nanos are micro-aligned
+    * (ns % 1000 == 0 for every row), so `ts div 1000` is lossless. The
+    * division must be integral: epoch-nanos ≈ 1.7e18 exceeds a double's
+    * 53-bit mantissa, so a floating-point detour would corrupt timestamps.
+    */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // Runtime-set defensively: the driver's smoke gate may hand us a
+    // session built without these.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else {
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    }
+  }
 
   // -------------------------------------------------------------------
   // NFL reference-domain schemas (FIXTURES.md §A). Explicit StructTypes:
@@ -85,9 +105,22 @@ object Sources {
     StructField("dir", DoubleType),
     StructField("event", StringType)))
 
-  /** CSV reader with the engine-owned schema (header row skipped). */
-  def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read.schema(schema).option("header", "true").csv(path)
+  /** CSV reader with the engine-owned schema.
+    *
+    * Binds columns BY HEADER NAME, not position: the file is read untyped
+    * (header on) and the requested fields are selected and cast by name.
+    * Spark's default `enforceSchema=true` would instead bind the schema's
+    * N fields to the file's first N columns positionally — silently
+    * mis-mapping any file (like the real Kaggle layout) whose column
+    * order differs from ours. A schema field missing from the file's
+    * header fails loudly in `select` instead of yielding garbage. */
+  def csv(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val raw = spark.read
+      .option("header", "true")
+      .option("nullValue", "NA")   // Kaggle convention; "" is null too
+      .csv(path)
+    raw.select(schema.fields.toIndexedSeq.map(f => col(f.name).cast(f.dataType)): _*)
+  }
 
   /** Week-partitioned tracking reader. If `weeks` is given the filter is
     * a partition-prune (directory-level skip) when the data is laid out
@@ -96,6 +129,6 @@ object Sources {
     val all = spark.read.schema(trackingSchema.add(StructField("week", IntegerType)))
       .parquet(dir)
     if (weeks.isEmpty) all
-    else all.where(org.apache.spark.sql.functions.col("week").isin(weeks: _*))
+    else all.where(col("week").isin(weeks: _*))
   }
 }

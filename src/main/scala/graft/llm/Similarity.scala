@@ -1,0 +1,116 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.io.Sources.table
+import graft.functions.Numeric.dround
+
+/** Similarity search over the `embeddings` table (`Array[Float]`,
+  * 64-dim): brute-force cosine top-k as the exact baseline, and a
+  * sign-LSH bucketed variant as the 100 TB scale path.
+  *
+  * Scale shapes:
+  *  - brute force broadcasts the (small) probe set against the candidate
+  *    table — one scan of the big side, no shuffle of candidates; top-k
+  *    is a per-probe window over probe-partitioned data;
+  *  - sign-LSH hashes every vector to a bucket with a fixed set of
+  *    random hyperplanes; probes only join candidates in their own
+  *    bucket — the join key is the bucket id, so candidate work scales
+  *    with bucket size, not table size.
+  *
+  * The dot product is `aggregate(zip_with(...))` over doubles — a
+  * sequential left fold, bit-identical to the oracle's list_dot_product.
+  */
+object Similarity {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val asDouble: Column = transform(col("embedding"), _.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private val kNeighbors = 3
+  private val nProbes = 5
+
+  /** Brute-force cosine top-k: exact baseline. Probe side is tiny and
+    * broadcast; one pass over candidates; per-probe top-k via window. */
+  private val knnCosine: Q = (s, d) => {
+    val emb = table(s, d, "embeddings")
+    val probes = emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("qid"), asDouble.as("qe"))
+    val cands = emb.select(col("vec_id").as("cid"), asDouble.as("ce"))
+    val sims = cands.crossJoin(broadcast(probes))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("sim"))
+    sims.withColumn("rk",
+        row_number().over(Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))))
+      .filter(col("rk") <= kNeighbors)
+      .select(col("qid"), col("rk"), col("cid"), dround(col("sim"), 4).as("sim"))
+      .orderBy("qid", "rk")
+  }
+
+  private val nPlanes = 8
+  private val dim = 64
+
+  /** Deterministic ±1 hyperplane components via splitmix64 — fixed,
+    * engine-owned planes (no RNG state to ship to executors). */
+  private[llm] def planeSign(plane: Int, component: Int): Double = {
+    var z = plane.toLong * dim + component + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^= z >>> 31
+    if ((z & 1L) == 1L) 1.0 else -1.0
+  }
+
+  /** Bucket id = sign bits of the vector against `nPlanes` hyperplanes. */
+  private[llm] def bucketOf(vec: Column): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      val planeArr = array((0 until dim).map(i => lit(planeSign(p, i))): _*)
+      when(dot(vec, planeArr) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Sign-LSH approximate top-k: probes meet only same-bucket
+    * candidates. Recall vs the brute-force baseline is unit-tested;
+    * rows-only check here (bucket layout is engine-specific). */
+  private val annLsh: Q = (s, d) => {
+    val emb = table(s, d, "embeddings").select(col("vec_id"), asDouble.as("ve"))
+      .withColumn("bucket", bucketOf(col("ve")))
+    val probes = emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("qid"), col("ve").as("qe"), col("bucket"))
+    val cands = emb.select(col("vec_id").as("cid"), col("ve").as("ce"), col("bucket"))
+    val sims = cands.join(broadcast(probes), Seq("bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("sim"))
+    sims.withColumn("rk",
+        row_number().over(Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))))
+      .filter(col("rk") <= kNeighbors)
+      .select(col("qid"), col("rk"), col("cid"), dround(col("sim"), 4).as("sim"))
+      .orderBy("qid", "rk")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "knn_cosine" -> knnCosine,
+    "ann_lsh" -> annLsh)
+
+  val oracle: Map[String, String] = Map(
+    "knn_cosine" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < $nProbes),
+         | c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings),
+         | sims AS (
+         |  SELECT q.qid, c.cid,
+         |   list_dot_product(q.qe, c.ce)
+         |     / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.ce, c.ce))) AS sim
+         |  FROM q CROSS JOIN c WHERE q.qid <> c.cid),
+         | ranked AS (
+         |  SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+         |  FROM sims)
+         |SELECT qid, rk, cid, round(sim, 4) AS sim FROM ranked WHERE rk <= $kNeighbors
+         |ORDER BY qid, rk""".stripMargin)
+}

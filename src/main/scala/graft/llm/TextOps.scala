@@ -1,0 +1,131 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Sources.table
+import graft.functions.Numeric.dround
+import graft.functions.TextHashes
+
+/** Text-analysis operators for the LLM-data-pipeline extension
+  * (builder brief; VERDICT r1 §LLM): token/length stats, quality
+  * scoring, n-gram-marker language ID, and document fingerprinting over
+  * the `documents` table.
+  *
+  * All per-document columns are computed by codegen'd built-ins
+  * (`split`, `filter`, `length`) or native Catalyst expressions
+  * (`roll_hash`) — no Scala UDF crosses the serialization boundary, so
+  * every query here is a single parquet scan → project → (optional agg)
+  * pipeline with full column pruning at 100 TB.
+  */
+object TextOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val toks: Column = split(col("text"), " ")
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  private def countIn(set: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(set))).cast("long")
+
+  /** Token counting + length stats: whitespace tokens and a BPE-ish
+    * regex word count. */
+  private val tsStats: Q = (s, d) =>
+    table(s, d, "documents").select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_len"),
+      size(toks).cast("long").as("n_tokens"),
+      size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+"), lit(0))).cast("long").as("n_words_re"),
+      dround(length(col("text")).cast("double") / size(toks), 4).as("chars_per_token"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: stopword ratio + length-window flag — the
+    * heuristics a pretraining filter applies per document. */
+  private val tsQuality: Q = (s, d) =>
+    table(s, d, "documents").select(
+      col("doc_id"),
+      countIn(stopwords).as("n_stop"),
+      dround(countIn(stopwords).cast("double") / size(toks), 4).as("stop_ratio"),
+      when(col("n_chars").between(100, 2000) &&
+           (countIn(stopwords).cast("double") / size(toks)).between(0.05, 0.6), "ok")
+        .otherwise("suspect").as("quality_flag"))
+      .orderBy("doc_id")
+
+  /** Language ID by marker-token voting (n-gram heuristic): count hits
+    * per language marker set, argmax with a fixed precedence. */
+  private val markers = Seq(
+    "s_en" -> Seq("the", "and", "is"),
+    "s_es" -> Seq("el", "la", "y"),
+    "s_fr" -> Seq("le", "les", "et"),
+    "s_de" -> Seq("der", "und", "ist"))
+
+  private val tsLangId: Q = (s, d) => {
+    val scored = table(s, d, "documents").select(
+      col("doc_id") +: markers.map { case (n, set) => countIn(set).as(n) }: _*)
+    scored.select(
+      col("doc_id"), col("s_en"), col("s_es"), col("s_fr"), col("s_de"),
+      when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") && col("s_en") >= col("s_de"), "en")
+        .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_de"), "es")
+        .when(col("s_fr") >= col("s_de"), "fr")
+        .otherwise("de").as("lang_pred"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprint, oracle-checkable form: 64-bit hex prefix of
+    * the content md5. */
+  private val tsFingerprint: Q = (s, d) =>
+    table(s, d, "documents").select(
+      col("doc_id"),
+      substring(md5(col("text").cast("binary")), 1, 16).as("fp"))
+      .orderBy("doc_id")
+
+  /** Document fingerprint via the native rolling-hash Catalyst
+    * expression (codegen'd; graft.functions.RollingHash). Not
+    * SQL-expressible in the oracle → rows-only check + unit test. */
+  private val tsFingerprintRoll: Q = (s, d) => {
+    TextHashes.register(s)
+    table(s, d, "documents").select(
+      col("doc_id"), expr("roll_hash(text)").as("fp_roll"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "ts_stats" -> tsStats,
+    "ts_quality" -> tsQuality,
+    "ts_langid" -> tsLangId,
+    "ts_fingerprint" -> tsFingerprint,
+    "ts_fingerprint_roll" -> tsFingerprintRoll)
+
+  private def sqlCountIn(set: Seq[String]): String = {
+    val lits = set.map(w => s"'$w'").mkString(", ")
+    s"CAST(len(list_filter(string_split(text, ' '), x -> x IN ($lits))) AS BIGINT)"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "ts_stats" ->
+      """SELECT doc_id,
+        | CAST(length(text) AS BIGINT) AS n_len,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_words_re,
+        | round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 4) AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ts_quality" ->
+      s"""SELECT doc_id,
+         | ${sqlCountIn(stopwords)} AS n_stop,
+         | round(CAST(${sqlCountIn(stopwords)} AS DOUBLE) / len(string_split(text, ' ')), 4) AS stop_ratio,
+         | CASE WHEN n_chars BETWEEN 100 AND 2000
+         |       AND (CAST(${sqlCountIn(stopwords)} AS DOUBLE) / len(string_split(text, ' '))) BETWEEN 0.05 AND 0.6
+         |      THEN 'ok' ELSE 'suspect' END AS quality_flag
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "ts_langid" -> {
+      val cols = markers.map { case (n, set) => s" ${sqlCountIn(set)} AS $n" }.mkString(",\n")
+      s"""WITH scored AS (SELECT doc_id,\n$cols\nFROM documents)
+         |SELECT doc_id, s_en, s_es, s_fr, s_de,
+         | CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+         |      WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+         |      WHEN s_fr >= s_de THEN 'fr'
+         |      ELSE 'de' END AS lang_pred
+         |FROM scored ORDER BY doc_id""".stripMargin
+    },
+    "ts_fingerprint" ->
+      "SELECT doc_id, substr(md5(text), 1, 16) AS fp FROM documents ORDER BY doc_id")
+}

@@ -1,0 +1,213 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.io.Sources.table
+import graft.functions.Numeric.dround
+
+/** The reference's ordered/time-series operators (SURVEY.md §2.5) over the
+  * `events` table: event-boundary detection, first-crossing, time
+  * normalization, running prefixes, region splice, and the EP2
+  * "max params between boundaries" pipeline that is the flagship query.
+  *
+  * All of these are single-shuffle shapes: one `groupBy(user_id)` (or one
+  * window partitioned the same way) computes the per-entity boundaries as
+  * conditional aggregates — `min(when(...))` — instead of the reference's
+  * per-entity numpy index scans (optimal_pursuit.py:112-121,222-226).
+  * At 100 TB the boundary table is tiny relative to the fact table and the
+  * join back is on the same key the fact table already shuffled on, so AQE
+  * plans it as a broadcast or co-partitioned join.
+  */
+object Events {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val startTypes = Seq("signup", "click")
+  private val fallbackType = "view"
+  private val stopType = "error"
+
+  /** W1 start boundary with fallback — first frame with a start event,
+    * else first ball_snap (optimal_pursuit.py:112-117). */
+  private[graft] def startBoundaries(e: DataFrame): DataFrame =
+    e.groupBy("user_id").agg(
+      coalesce(
+        min(when(col("event_type").isin(startTypes: _*), col("event_id"))),
+        min(when(col("event_type") === fallbackType, col("event_id"))))
+        .as("start_id"))
+
+  private val w1Start: Q = (s, d) =>
+    startBoundaries(table(s, d, "events")).orderBy("user_id")
+
+  /** W2 stop boundary — first frame with a stop event
+    * (optimal_pursuit.py:119). */
+  private val w2Stop: Q = (s, d) =>
+    table(s, d, "events").groupBy("user_id")
+      .agg(min(when(col("event_type") === stopType, col("event_id"))).as("stop_id"))
+      .orderBy("user_id")
+
+  /** W3 first crossing after start — earliest frame with dist < R_t and
+    * frame > start (optimal_pursuit.py:222-226,495-499). Boundary agg,
+    * join back on the grouping key, then a second conditional agg. */
+  private val w3Crossing: Q = (s, d) => {
+    val e = table(s, d, "events")
+    e.join(startBoundaries(e), Seq("user_id"))
+      .filter(col("value") > 150 && col("event_id") > col("start_id"))
+      .groupBy("user_id")
+      .agg(min(col("event_id")).as("crossing_id"))
+      .orderBy("user_id")
+  }
+
+  /** W4 time normalization to the series origin — seconds since each
+    * entity's first frame (optimal_pursuit.py:290-291,446-447). */
+  private val w4TimeNorm: Q = (s, d) => {
+    val sec = col("ts").cast("double")
+    table(s, d, "events")
+      .select(col("event_id"), col("user_id"),
+        dround(sec - min(sec).over(Window.partitionBy("user_id")), 6).as("t_rel"))
+      .orderBy("event_id")
+  }
+
+  /** W6 running path prefix — cumulative trajectory per entity
+    * (optimal_pursuit.py:375,404). */
+  private val w6Prefix: Q = (s, d) =>
+    table(s, d, "events")
+      .select(col("event_id"), col("user_id"),
+        collect_list(col("value")).over(
+          Window.partitionBy("user_id").orderBy("event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("path"))
+      .orderBy("event_id")
+
+  /** P2 per-group ordered vector extract — `DF['x'].to_numpy()` per play
+    * (optimal_pursuit.py:195-196): the whole series as one array row. */
+  private val p2Series: Q = (s, d) =>
+    table(s, d, "events")
+      .groupBy("user_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("event_id"), col("value")))),
+        x => x.getField("value")).as("series"))
+      .orderBy("user_id")
+
+  /** W7 region overwrite — splice a computed segment over an ordered
+    * range, keep the original elsewhere (optimal_pursuit.py:532-552).
+    * Here: zero out the 10 frames after the start boundary. */
+  private val w7Splice: Q = (s, d) => {
+    val e = table(s, d, "events")
+    e.join(startBoundaries(e), Seq("user_id"))
+      .select(col("event_id"), col("user_id"),
+        when(col("event_id").between(col("start_id"), col("start_id") + 10), lit(0.0))
+          .otherwise(col("value")).as("value_patched"))
+      .orderBy("event_id")
+  }
+
+  /** A12 first-index-where reduction — `np.nonzero(cond)[0][0]`
+    * (optimal_pursuit.py:222-226) as `min(when(...))`. */
+  private val a12FirstWhere: Q = (s, d) =>
+    table(s, d, "events").groupBy("user_id")
+      .agg(min(when(col("event_type") === stopType, col("event_id"))).as("first_error_id"))
+      .orderBy("user_id")
+
+  /** EP2 flagship — max pursuit params between event boundaries
+    * (optimal_pursuit.py:193-259): per entity, start = first start-event
+    * time (fallback first view), stop = first error AFTER start; emit
+    * max(value) and the frame count over [start, stop). Three aggregates
+    * over the same key and two key-equi joins — a single shuffle family. */
+  private[graft] def rangeMax(e: DataFrame): DataFrame = {
+    val sec = col("ts").cast("double")
+    val starts = e.groupBy("user_id").agg(
+      coalesce(
+        min(when(col("event_type").isin(startTypes: _*), sec)),
+        min(when(col("event_type") === fallbackType, sec)))
+        .as("start_s"))
+    val stops = e.join(starts, Seq("user_id"))
+      .filter(col("event_type") === stopType && sec > col("start_s"))
+      .groupBy("user_id").agg(min(sec).as("stop_s"))
+    e.join(starts, Seq("user_id")).join(stops, Seq("user_id"))
+      .filter(sec >= col("start_s") && sec < col("stop_s"))
+      .groupBy("user_id")
+      .agg(dround(max(col("value")), 4).as("max_value"), count(lit(1)).as("n_between"))
+  }
+
+  private val ep2RangeMax: Q = (s, d) =>
+    rangeMax(table(s, d, "events")).orderBy("user_id")
+
+  /** S4 dead-letter — rows whose category has no entry in the bounds
+    * ladder (optimal_pursuit.py:458-477 has no else branch; unlisted
+    * positions raise and land in run_errors_*.csv). Expressed as an
+    * anti-join against the broadcast dim. */
+  private val s4DeadLetter: Q = (s, d) =>
+    table(s, d, "events")
+      .join(broadcast(Relational.boundsDim(s)), Seq("event_type"), "left_anti")
+      .select("event_id", "user_id", "event_type")
+      .orderBy("event_id")
+
+  val queries: Map[String, Q] = Map(
+    "w1_start" -> w1Start,
+    "w2_stop" -> w2Stop,
+    "w3_crossing" -> w3Crossing,
+    "w4_timenorm" -> w4TimeNorm,
+    "w6_prefix" -> w6Prefix,
+    "w7_splice" -> w7Splice,
+    "p2_series" -> p2Series,
+    "a12_first_where" -> a12FirstWhere,
+    "ep2_range_max" -> ep2RangeMax,
+    "s4_deadletter" -> s4DeadLetter)
+
+  private val startSql =
+    """SELECT user_id,
+      | coalesce(min(CASE WHEN event_type IN ('signup','click') THEN event_id END),
+      |          min(CASE WHEN event_type = 'view' THEN event_id END)) AS start_id
+      |FROM events GROUP BY user_id""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "w1_start" -> (startSql + " ORDER BY user_id"),
+    "w2_stop" ->
+      """SELECT user_id, min(CASE WHEN event_type = 'error' THEN event_id END) AS stop_id
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "w3_crossing" ->
+      s"""WITH s AS ($startSql)
+         |SELECT e.user_id, min(e.event_id) AS crossing_id
+         |FROM events e JOIN s ON e.user_id = s.user_id
+         |WHERE e.value > 150 AND e.event_id > s.start_id
+         |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin,
+    "w4_timenorm" ->
+      """SELECT event_id, user_id,
+        | round(epoch(ts) - min(epoch(ts)) OVER (PARTITION BY user_id), 6) AS t_rel
+        |FROM events ORDER BY event_id""".stripMargin,
+    "w6_prefix" ->
+      """SELECT event_id, user_id,
+        | list(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS path
+        |FROM events ORDER BY event_id""".stripMargin,
+    "w7_splice" ->
+      s"""WITH s AS ($startSql)
+         |SELECT e.event_id, e.user_id,
+         | CASE WHEN e.event_id BETWEEN s.start_id AND s.start_id + 10 THEN 0.0 ELSE e.value END AS value_patched
+         |FROM events e JOIN s ON e.user_id = s.user_id
+         |ORDER BY e.event_id""".stripMargin,
+    "p2_series" ->
+      """SELECT user_id, list(value ORDER BY event_id) AS series
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "a12_first_where" ->
+      """SELECT user_id, min(CASE WHEN event_type = 'error' THEN event_id END) AS first_error_id
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "ep2_range_max" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |   coalesce(min(CASE WHEN event_type IN ('signup','click') THEN epoch(ts) END),
+        |            min(CASE WHEN event_type = 'view' THEN epoch(ts) END)) AS start_s
+        |  FROM events GROUP BY user_id),
+        | t AS (
+        |  SELECT e.user_id, min(epoch(e.ts)) AS stop_s
+        |  FROM events e JOIN s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'error' AND epoch(e.ts) > s.start_s
+        |  GROUP BY e.user_id)
+        |SELECT e.user_id, round(max(e.value), 4) AS max_value, count(*) AS n_between
+        |FROM events e JOIN s ON e.user_id = s.user_id JOIN t ON e.user_id = t.user_id
+        |WHERE epoch(e.ts) >= s.start_s AND epoch(e.ts) < t.stop_s
+        |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin,
+    "s4_deadletter" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE event_type NOT IN ('click','view','purchase','signup')
+        |ORDER BY event_id""".stripMargin)
+}

@@ -1,0 +1,336 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Sources.table
+import graft.functions.Numeric.dround
+
+/** The reference's relational operator inventory (SURVEY.md §2.2–2.3,
+  * §2.6–2.8) re-expressed as declarative DataFrame plans over the driver
+  * testdata. Each query has a DuckDB oracle twin in [[oracle]]; column
+  * aliases match exactly (the driver's compare sorts columns by name).
+  *
+  * Scale notes (100 TB posture):
+  *  - every filter/projection here is expressible as parquet
+  *    pushdown/pruning — no query materializes columns it doesn't emit;
+  *  - dimension joins (part, nation, region, the bounds dim) are
+  *    explicitly `broadcast` — no shuffle of the fact side;
+  *  - the self-join (J6) keys on the join column only, so it shuffles
+  *    both sides once on `l_orderkey` and sort-merges.
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** P1 multi-column project — `DF_tackles[['gameId','playId']]`
+    * (calculate_YAP.py:20). */
+  private val p1Project: Q = (s, d) =>
+    table(s, d, "orders").select("o_orderkey", "o_custkey").orderBy("o_orderkey")
+
+  /** P3 rename — `rename(columns={...})` (plot_YAP.py:35). */
+  private val p3Rename: Q = (s, d) =>
+    table(s, d, "supplier")
+      .select(col("s_suppkey").as("supplier_id"), col("s_name").as("supplier_name"))
+      .orderBy("supplier_id")
+
+  /** P4 derived column — `delta_vel = max_vel_opt - max_vel`
+    * (plot_YAP.py:37-38); here the TPC-H net-price/charge arithmetic. */
+  private val p4Derived: Q = (s, d) =>
+    table(s, d, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      dround(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("net_price"),
+      dround(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 4).as("charge"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** F1 equality filter — `.loc[DF['gameId']==id]` (optimal_pursuit.py:138). */
+  private val f1Eq: Q = (s, d) =>
+    table(s, d, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+
+  /** F2 conjunctive filter — `(gameId==g) & (playId==p)`
+    * (optimal_pursuit.py:139-140). */
+  private val f2Conj: Q = (s, d) =>
+    table(s, d, "orders")
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 100000)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  /** F3 IN-list predicate — `event.eq('handoff') | ...`
+    * (optimal_pursuit.py:113-119). */
+  private val f3In: Q = (s, d) =>
+    table(s, d, "events")
+      .filter(col("event_type").isin("signup", "view", "click"))
+      .select("event_id", "event_type")
+      .orderBy("event_id")
+
+  /** F4 range filter — `delta_dist_i < R_t` / `count >= 50`
+    * (optimal_pursuit.py:222; plot_YAP.py:74). */
+  private val f4Range: Q = (s, d) =>
+    table(s, d, "lineitem")
+      .filter(col("l_quantity").between(10, 20))
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** F5 deterministic first-row — `.iloc[0]` made order-stable
+    * (optimal_pursuit.py:143-144; SURVEY §7.4 gotcha 4). */
+  private val f5First: Q = (s, d) =>
+    table(s, d, "orders")
+      .orderBy("o_orderdate", "o_orderkey")
+      .limit(1)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  /** J1 left broadcast equi-join — tracking ⋈ players dim
+    * (optimal_pursuit.py:150). Dim side broadcast: no fact shuffle. */
+  private val j1Enrich: Q = (s, d) =>
+    table(s, d, "lineitem")
+      .join(broadcast(table(s, d, "part").select("p_partkey", "p_brand", "p_type")),
+        col("l_partkey") === col("p_partkey"), "left")
+      .select("l_orderkey", "l_linenumber", "p_brand", "p_type")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** J2 left natural join on composite key — two metric tables joined on
+    * all shared columns (plot_YAP.py:36). */
+  private val j2Composite: Q = (s, d) => {
+    val e = table(s, d, "events")
+    val a = e.groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+    val b = e.groupBy("user_id", "event_type").agg(dround(avg("value"), 4).as("avg_value"))
+    a.join(b, Seq("user_id", "event_type"), "left")
+      .select("user_id", "event_type", "n", "avg_value")
+      .orderBy("user_id", "event_type")
+  }
+
+  /** J3 chained enrichment joins — supplier → nation → region, both dims
+    * broadcast (plot_YAP.py:41 shape). */
+  private val j3Chain: Q = (s, d) =>
+    table(s, d, "supplier")
+      .join(broadcast(table(s, d, "nation")), col("s_nationkey") === col("n_nationkey"), "left")
+      .join(broadcast(table(s, d, "region")), col("n_regionkey") === col("r_regionkey"), "left")
+      .select("s_suppkey", "s_name", "n_name", "r_name")
+      .orderBy("s_suppkey")
+
+  /** J4 dim lookup as join — the reference's per-row `.loc[nflId==id]`
+    * loop (optimal_pursuit.py:186-189) inverted into one semi-join. */
+  private val j4Semi: Q = (s, d) =>
+    table(s, d, "orders")
+      .join(table(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .select("o_orderkey", "o_custkey")
+      .orderBy("o_orderkey")
+
+  /** J5 per-category constant bounds — the hardcoded position CASE ladder
+    * (optimal_pursuit.py:458-477) as a broadcast dim join. 'error' is
+    * deliberately unmatched (the ladder has no else branch) → nulls,
+    * which feed the S4 dead-letter query in Events.scala. */
+  private[graft] def boundsDim(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(("click", 9.5, 2.0), ("view", 7.0, 1.5), ("purchase", 11.0, 3.0), ("signup", 8.5, 2.5))
+      .toDF("event_type", "v_max", "a_max")
+  }
+
+  private val j5CaseDim: Q = (s, d) =>
+    table(s, d, "events")
+      .join(broadcast(boundsDim(s)), Seq("event_type"), "left")
+      .select("event_id", "event_type", "v_max", "a_max")
+      .orderBy("event_id")
+
+  /** J6 frame-alignment self-join — carrier row ⋈ tackler rows on the
+    * shared ordering key (optimal_pursuit.py:217-219 done positionally;
+    * here an explicit equi-join, SURVEY §7.4 gotcha 3). Single shuffle
+    * on the join key for both sides. */
+  private val j6SelfAlign: Q = (s, d) => {
+    val li = table(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
+    val a = li.filter(col("l_linenumber") === 1)
+      .select(col("l_orderkey").as("okey"), col("l_extendedprice").as("base_price"))
+    val b = li.filter(col("l_linenumber") > 1)
+      .select(col("l_orderkey").as("okey"), col("l_linenumber").as("lineno"),
+        col("l_extendedprice").as("other_price"))
+    a.join(b, Seq("okey"))
+      .select(col("okey"), col("lineno"),
+        dround(abs(col("base_price") - col("other_price")), 4).as("price_gap"))
+      .orderBy("okey", "lineno")
+  }
+
+  /** A1 multi-column distinct — play worklist (calculate_YAP.py:21). */
+  private val a1DropDup: Q = (s, d) =>
+    table(s, d, "events").select("user_id", "event_type").dropDuplicates()
+      .orderBy("user_id", "event_type")
+
+  /** A2 single-column distinct — `DF['NFL_ID'].unique()` (plot_YAP.py:18). */
+  private val a2Distinct: Q = (s, d) =>
+    table(s, d, "events").select("event_type").distinct().orderBy("event_type")
+
+  /** O2 sort ascending by metric — bottom-k players (plot_YAP.py:79). */
+  private val o2BottomK: Q = (s, d) =>
+    table(s, d, "events").groupBy("user_id")
+      .agg(dround(avg("value"), 4).as("mean_value"))
+      .orderBy(asc("mean_value"), asc("user_id"))
+      .limit(10)
+
+  /** U1 union-all — `pd.concat([...])` (plot_YAP.py:25). */
+  private val u1Union: Q = (s, d) => {
+    val e = table(s, d, "events").select("event_id", "event_type")
+    e.filter(col("event_type") === "signup")
+      .unionByName(e.filter(col("event_type") === "error"))
+      .orderBy("event_id")
+  }
+
+  /** X1–X8 scalar math — hypot/pow/trig/atan2/deg-rad/angle-norm
+    * (optimal_pursuit.py:219,275-277,443-445). `value*value` instead of
+    * pow(x,2): multiplication is bit-identical across engines, pow is
+    * libm-dependent. */
+  private val xMath: Q = (s, d) =>
+    table(s, d, "events").select(
+      col("event_id"),
+      dround(sqrt(col("value")), 4).as("sq"),
+      dround(col("value") * col("value"), 4).as("p2"),
+      dround(sin(radians(col("value"))), 4).as("sv"),
+      dround(cos(radians(col("value"))), 4).as("cv"),
+      dround(degrees(atan2(sin(radians(col("value"))), cos(radians(col("value"))))), 4).as("ang_norm"),
+      dround(atan2(col("value"), lit(100.0)), 4).as("theta"))
+      .orderBy("event_id")
+
+  /** X12 conditional recode + clamp — position recode CB/SS/FS→DB etc and
+    * YAP<0→0 clamp (plot_YAP.py:42-46). */
+  private val xRecodeClamp: Q = (s, d) =>
+    table(s, d, "documents").select(
+      col("doc_id"),
+      when(col("lang").isin("es", "fr"), "romance")
+        .when(col("lang").isin("de", "en"), "germanic")
+        .otherwise(col("lang")).as("lang_family"),
+      greatest(col("n_chars") - 200, lit(0L)).as("excess_chars"),
+      when(col("n_chars") < 200, "short").otherwise("long").as("len_class"))
+      .orderBy("doc_id")
+
+  /** X13 string build — concat + zero-pad (optimal_pursuit.py:408 zfill →
+    * lpad). */
+  private val xStrings: Q = (s, d) =>
+    table(s, d, "documents").select(
+      col("doc_id"),
+      concat(col("source"), lit("_"), lpad(col("doc_id").cast("string"), 6, "0")).as("doc_key"),
+      upper(col("lang")).as("lang_uc"))
+      .orderBy("doc_id")
+
+  /** X9/X10 timestamp → date, day arithmetic (optimal_pursuit.py:290,446). */
+  private val xDatetime: Q = (s, d) =>
+    table(s, d, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"),
+      datediff(col("l_shipdate").cast("date"), lit("1995-01-01").cast("date"))
+        .cast("long").as("days_since"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val queries: Map[String, Q] = Map(
+    "p1_project" -> p1Project,
+    "p3_rename" -> p3Rename,
+    "p4_derived" -> p4Derived,
+    "f1_eq" -> f1Eq,
+    "f2_conj" -> f2Conj,
+    "f3_in" -> f3In,
+    "f4_range" -> f4Range,
+    "f5_first" -> f5First,
+    "j1_enrich_bcast" -> j1Enrich,
+    "j2_composite" -> j2Composite,
+    "j3_chain" -> j3Chain,
+    "j4_semi" -> j4Semi,
+    "j5_case_dim" -> j5CaseDim,
+    "j6_self_align" -> j6SelfAlign,
+    "a1_dropdup" -> a1DropDup,
+    "a2_distinct" -> a2Distinct,
+    "o2_bottomk" -> o2BottomK,
+    "u1_union" -> u1Union,
+    "x_math" -> xMath,
+    "x_recode_clamp" -> xRecodeClamp,
+    "x_strings" -> xStrings,
+    "x_datetime" -> xDatetime)
+
+  val oracle: Map[String, String] = Map(
+    "p1_project" ->
+      "SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey",
+    "p3_rename" ->
+      "SELECT s_suppkey AS supplier_id, s_name AS supplier_name FROM supplier ORDER BY supplier_id",
+    "p4_derived" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(l_extendedprice*(1-l_discount), 4) AS net_price,
+        | round(l_extendedprice*(1-l_discount)*(1+l_tax), 4) AS charge
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "f1_eq" ->
+      "SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey",
+    "f2_conj" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 100000 ORDER BY o_orderkey",
+    "f3_in" ->
+      "SELECT event_id, event_type FROM events WHERE event_type IN ('signup','view','click') ORDER BY event_id",
+    "f4_range" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity BETWEEN 10 AND 20 ORDER BY l_orderkey, l_linenumber",
+    "f5_first" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_orderdate, o_orderkey LIMIT 1",
+    "j1_enrich_bcast" ->
+      """SELECT l_orderkey, l_linenumber, p_brand, p_type
+        |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "j2_composite" ->
+      """WITH a AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY user_id, event_type),
+        | b AS (SELECT user_id, event_type, round(avg(value), 4) AS avg_value FROM events GROUP BY user_id, event_type)
+        |SELECT a.user_id, a.event_type, a.n, b.avg_value
+        |FROM a LEFT JOIN b ON a.user_id = b.user_id AND a.event_type = b.event_type
+        |ORDER BY a.user_id, a.event_type""".stripMargin,
+    "j3_chain" ->
+      """SELECT s_suppkey, s_name, n_name, r_name
+        |FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey
+        | LEFT JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY s_suppkey""".stripMargin,
+    "j4_semi" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin,
+    "j5_case_dim" ->
+      """SELECT event_id, event_type,
+        | CASE event_type WHEN 'click' THEN 9.5 WHEN 'view' THEN 7.0 WHEN 'purchase' THEN 11.0 WHEN 'signup' THEN 8.5 END AS v_max,
+        | CASE event_type WHEN 'click' THEN 2.0 WHEN 'view' THEN 1.5 WHEN 'purchase' THEN 3.0 WHEN 'signup' THEN 2.5 END AS a_max
+        |FROM events ORDER BY event_id""".stripMargin,
+    "j6_self_align" ->
+      """SELECT a.l_orderkey AS okey, b.l_linenumber AS lineno,
+        | round(abs(a.l_extendedprice - b.l_extendedprice), 4) AS price_gap
+        |FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = 1 AND b.l_linenumber > 1
+        |ORDER BY okey, lineno""".stripMargin,
+    "a1_dropdup" ->
+      "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
+    "a2_distinct" ->
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+    "o2_bottomk" ->
+      """SELECT user_id, round(avg(value), 4) AS mean_value FROM events
+        |GROUP BY user_id ORDER BY mean_value ASC, user_id LIMIT 10""".stripMargin,
+    "u1_union" ->
+      """SELECT event_id, event_type FROM events WHERE event_type = 'signup'
+        |UNION ALL
+        |SELECT event_id, event_type FROM events WHERE event_type = 'error'
+        |ORDER BY event_id""".stripMargin,
+    "x_math" ->
+      """SELECT event_id,
+        | round(sqrt(value), 4) AS sq,
+        | round(value*value, 4) AS p2,
+        | round(sin(radians(value)), 4) AS sv,
+        | round(cos(radians(value)), 4) AS cv,
+        | round(degrees(atan2(sin(radians(value)), cos(radians(value)))), 4) AS ang_norm,
+        | round(atan2(value, 100.0), 4) AS theta
+        |FROM events ORDER BY event_id""".stripMargin,
+    "x_recode_clamp" ->
+      """SELECT doc_id,
+        | CASE WHEN lang IN ('es','fr') THEN 'romance' WHEN lang IN ('de','en') THEN 'germanic' ELSE lang END AS lang_family,
+        | greatest(n_chars - 200, 0) AS excess_chars,
+        | CASE WHEN n_chars < 200 THEN 'short' ELSE 'long' END AS len_class
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_strings" ->
+      """SELECT doc_id,
+        | concat(source, '_', lpad(CAST(doc_id AS VARCHAR), 6, '0')) AS doc_key,
+        | upper(lang) AS lang_uc
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_datetime" ->
+      """SELECT l_orderkey, l_linenumber,
+        | strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS ship_day,
+        | CAST(CAST(l_shipdate AS DATE) - DATE '1995-01-01' AS BIGINT) AS days_since
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
+}

@@ -1,0 +1,159 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Sources.table
+import graft.functions.Numeric.dround
+
+/** EP3 reporting analytics (SURVEY.md §3 EP3; plot_YAP.py /
+  * plot_max_parameters.py): distribution stats, grouped player stats,
+  * correlation, histogram bins, KDE, and top-k tables. The engine returns
+  * the *aggregate tables* the plots are drawn from (S5 rendering is out of
+  * scope per SURVEY §2.1).
+  *
+  * Everything here is one hash-aggregate per query — partial (map-side)
+  * aggregation first, so at 100 TB the shuffle carries one row per group,
+  * not per input row. Percentiles use the exact `percentile` aggregate to
+  * match pandas' linear interpolation (SURVEY A3), not percentile_approx.
+  */
+object Report {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** A3 describe block — count/mean/std/min/quartiles/max per group
+    * (plot_YAP.py:61-69). */
+  private val a3Describe: Q = (s, d) =>
+    table(s, d, "lineitem").groupBy("l_returnflag").agg(
+      count(col("l_quantity")).as("n"),
+      dround(avg(col("l_quantity")), 4).as("mean_qty"),
+      dround(stddev(col("l_quantity")), 4).as("sd_qty"),
+      min(col("l_quantity")).as("min_qty"),
+      dround(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+      dround(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+      dround(expr("percentile(l_quantity, 0.75)"), 4).as("p75"),
+      max(col("l_quantity")).as("max_qty"))
+      .orderBy("l_returnflag")
+
+  /** A4 grouped multi-agg player stats — the reference's Python
+    * loop-over-unique-ids (plot_YAP.py:17-28) inverted into one
+    * hash aggregate. */
+  private val a4GroupStats: Q = (s, d) =>
+    table(s, d, "events").groupBy("user_id").agg(
+      count(col("value")).as("n"),
+      dround(avg(col("value")), 4).as("mean_value"),
+      dround(expr("percentile(value, 0.5)"), 4).as("median_value"),
+      max(col("value")).as("max_value"))
+      .orderBy("user_id")
+
+  /** A6 Pearson correlation per group (plot_max_parameters.py:37-40). */
+  private val a6Corr: Q = (s, d) =>
+    table(s, d, "lineitem").groupBy("l_returnflag")
+      .agg(dround(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"))
+      .orderBy("l_returnflag")
+
+  /** A8 min/max bounds + X8 grid snap — `np.floor(x/5)*5`
+    * (optimal_pursuit.py:295-298). */
+  private val a8Bounds: Q = (s, d) =>
+    table(s, d, "events").agg(
+      floor(min(col("value")) / 5).cast("long").multiply(5).as("grid_min"),
+      ceil(max(col("value")) / 5).cast("long").multiply(5).as("grid_max"),
+      dround(min(col("value")), 4).as("min_value"),
+      dround(max(col("value")), 4).as("max_value"))
+
+  /** A9 histogram binning per hue group (plot_YAP.py:50). */
+  private val a9Hist: Q = (s, d) =>
+    table(s, d, "events")
+      .groupBy(col("event_type"), floor(col("value") / 50).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "bin")
+
+  /** A10 gaussian KDE evaluated on a fixed grid (plot_YAP.py:56).
+    * density(p) = mean(K_h(p - x)) with h=25: a broadcast cross join of
+    * the 9-point grid against the fact table, then one aggregate —
+    * distributed, no collect. The squared term is written as z*z (not
+    * pow) so Spark and the oracle produce bit-identical doubles. */
+  private val a10Kde: Q = (s, d) => {
+    import s.implicits._
+    val grid = (0 to 400 by 50).toDF("pt")
+    val z = (col("pt") - col("value")) / 25.0
+    table(s, d, "events").crossJoin(broadcast(grid))
+      .groupBy("pt")
+      .agg(dround(avg(exp(z * z * -0.5)) / (25.0 * math.sqrt(2 * math.Pi)), 8).as("density"))
+      .orderBy("pt")
+  }
+
+  /** A11 group row counts (calculate_YAP.py:28). */
+  private val a11Counts: Q = (s, d) =>
+    table(s, d, "events").groupBy("event_type").agg(count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** O1 sort desc by count (plot_YAP.py:73). */
+  private val o1SortCounts: Q = (s, d) =>
+    table(s, d, "events").groupBy("event_type").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("event_type"))
+
+  /** O3 top-k by mean with a support filter — count>=k then rank
+    * (plot_YAP.py:74-79). HAVING = filter after agg. */
+  private val o3TopK: Q = (s, d) =>
+    table(s, d, "events").groupBy("user_id")
+      .agg(dround(avg(col("value")), 4).as("mean_value"), count(lit(1)).as("n"))
+      .filter(col("n") >= 20)
+      .orderBy(desc("mean_value"), asc("user_id"))
+      .limit(10)
+
+  val queries: Map[String, Q] = Map(
+    "a3_describe" -> a3Describe,
+    "a4_group_stats" -> a4GroupStats,
+    "a6_corr" -> a6Corr,
+    "a8_bounds" -> a8Bounds,
+    "a9_hist" -> a9Hist,
+    "a10_kde" -> a10Kde,
+    "a11_counts" -> a11Counts,
+    "o1_sort_counts" -> o1SortCounts,
+    "o3_topk" -> o3TopK)
+
+  val oracle: Map[String, String] = Map(
+    "a3_describe" ->
+      """SELECT l_returnflag,
+        | count(l_quantity) AS n,
+        | round(avg(l_quantity), 4) AS mean_qty,
+        | round(stddev(l_quantity), 4) AS sd_qty,
+        | min(l_quantity) AS min_qty,
+        | round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+        | round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        | round(quantile_cont(l_quantity, 0.75), 4) AS p75,
+        | max(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "a4_group_stats" ->
+      """SELECT user_id, count(value) AS n, round(avg(value), 4) AS mean_value,
+        | round(quantile_cont(value, 0.5), 4) AS median_value, max(value) AS max_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "a6_corr" ->
+      """SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "a8_bounds" ->
+      """SELECT CAST(floor(min(value)/5) AS BIGINT)*5 AS grid_min,
+        | CAST(ceil(max(value)/5) AS BIGINT)*5 AS grid_max,
+        | round(min(value), 4) AS min_value,
+        | round(max(value), 4) AS max_value
+        |FROM events""".stripMargin,
+    "a9_hist" ->
+      """SELECT event_type, CAST(floor(value/50) AS BIGINT) AS bin, count(*) AS n
+        |FROM events GROUP BY event_type, bin ORDER BY event_type, bin""".stripMargin,
+    "a10_kde" ->
+      """SELECT g.pt,
+        | round(avg(exp(((g.pt - e.value)/25.0) * ((g.pt - e.value)/25.0) * -0.5))
+        |       / (25.0 * sqrt(2*pi())), 8) AS density
+        |FROM (SELECT unnest([0,50,100,150,200,250,300,350,400]) AS pt) g
+        |CROSS JOIN events e
+        |GROUP BY g.pt ORDER BY g.pt""".stripMargin,
+    "a11_counts" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type",
+    "o1_sort_counts" ->
+      """SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+        |ORDER BY n DESC, event_type ASC""".stripMargin,
+    "o3_topk" ->
+      """SELECT user_id, round(avg(value), 4) AS mean_value, count(*) AS n
+        |FROM events GROUP BY user_id HAVING count(*) >= 20
+        |ORDER BY mean_value DESC, user_id ASC LIMIT 10""".stripMargin)
+}
