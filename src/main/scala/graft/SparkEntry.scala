@@ -25,6 +25,7 @@ object SparkEntry {
     ops.Relational.queries ++
       ops.Events.queries ++
       pipelines.Report.queries ++
+      pipelines.NflQueries.queries ++
       llm.TextOps.queries ++
       llm.Dedup.queries ++
       llm.Similarity.queries

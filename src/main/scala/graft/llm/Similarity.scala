@@ -54,7 +54,15 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
-  private val nPlanes = 8
+  // Multi-table sign-LSH: L independent tables of k hyperplanes each.
+  // One table of k bits has collision probability (1 − θ/π)^k for two
+  // vectors at angle θ — near zero for the moderate similarities real
+  // neighbor pairs have — so recall comes from the union over L tables:
+  // 1 − (1 − p^k)^L. Storage/shuffle cost is L rows per vector; probe
+  // cost is L bucket lookups, independent of table size. That is the
+  // 100 TB trade: candidates per probe ≈ L · n/2^k, tunable, never O(n).
+  private val nTables = 12
+  private val planesPerTable = 6
   private val dim = 64
 
   /** Deterministic ±1 hyperplane components via splitmix64 — fixed,
@@ -67,27 +75,33 @@ object Similarity {
     if ((z & 1L) == 1L) 1.0 else -1.0
   }
 
-  /** Bucket id = sign bits of the vector against `nPlanes` hyperplanes. */
-  private[llm] def bucketOf(vec: Column): Column = {
-    val bits = (0 until nPlanes).map { p =>
-      val planeArr = array((0 until dim).map(i => lit(planeSign(p, i))): _*)
-      when(dot(vec, planeArr) >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  /** array<struct<tb,key>> of this vector's bucket in every table. */
+  private[llm] def bucketKeys(vec: Column): Column =
+    array((0 until nTables).map { tb =>
+      val key = (0 until planesPerTable).map { p =>
+        val planeArr = array((0 until dim).map(i =>
+          lit(planeSign(tb * planesPerTable + p, i))): _*)
+        when(dot(vec, planeArr) >= 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(tb).as("tb"), key.as("key"))
+    }: _*)
 
-  /** Sign-LSH approximate top-k: probes meet only same-bucket
-    * candidates. Recall vs the brute-force baseline is unit-tested;
-    * rows-only check here (bucket layout is engine-specific). */
+  /** Sign-LSH approximate top-k: probes meet only candidates sharing a
+    * bucket in at least one of the L tables. Recall vs the brute-force
+    * baseline is unit-tested; rows-only check here (bucket layout is
+    * engine-specific). */
   private val annLsh: Q = (s, d) => {
     val emb = table(s, d, "embeddings").select(col("vec_id"), asDouble.as("ve"))
-      .withColumn("bucket", bucketOf(col("ve")))
+      .withColumn("bk", explode(bucketKeys(col("ve"))))
+      .select(col("vec_id"), col("ve"), col("bk.tb").as("tb"), col("bk.key").as("key"))
     val probes = emb.filter(col("vec_id") < nProbes)
-      .select(col("vec_id").as("qid"), col("ve").as("qe"), col("bucket"))
-    val cands = emb.select(col("vec_id").as("cid"), col("ve").as("ce"), col("bucket"))
-    val sims = cands.join(broadcast(probes), Seq("bucket"))
+      .select(col("vec_id").as("qid"), col("ve").as("qe"), col("tb"), col("key"))
+    val cands = emb.select(col("vec_id").as("cid"), col("ve").as("ce"), col("tb"), col("key"))
+    val pairs = cands.join(broadcast(probes), Seq("tb", "key"))
       .filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("sim"))
+      .select("qid", "cid", "qe", "ce")
+      .dropDuplicates("qid", "cid")
+    val sims = pairs.select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("sim"))
     sims.withColumn("rk",
         row_number().over(Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))))
       .filter(col("rk") <= kNeighbors)

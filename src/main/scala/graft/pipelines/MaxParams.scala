@@ -1,0 +1,79 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** EP2 — max pursuit parameters (K5/K6, optimal_pursuit.py:193-259;
+  * calculate_max_params.py): for each (game, play, tackler), the max
+  * observed speed and acceleration between the frame the ball carrier
+  * gets the ball and the frame the tackler is first within R_t of him.
+  *
+  * Fully relational (SURVEY §2.9 K5): scan → broadcast dim joins →
+  * boundary conditional-aggregates (W1) → carrier⋈tackler frame-aligned
+  * self-join (J6) → first-crossing (W3) → range max (A7). No UDF, no
+  * per-group kernel; every step is whole-stage-codegen'd and shuffles
+  * only on (gameId, playId[, nflId]) — the keys the data is already
+  * clustered by at 100 TB.
+  */
+object MaxParams {
+
+  private val startSet = Seq("handoff", "pass_outcome_caught", "run", "snap_direct")
+
+  /** @return (game_ID, play_ID, NFL_ID, name, position, max_vel,
+    *         max_accel) with nulls where the tackler never enters the
+    *         vicinity (the reference's NaN rows). */
+  def run(spark: SparkSession, tracking: DataFrame, plays: DataFrame,
+      players: DataFrame, tackles: DataFrame, rT: Double = 1.0): DataFrame = {
+
+    // carrier frames (K6 prelude, done once for all plays)
+    val carrier = tracking
+      .join(broadcast(plays.select(col("gameId"), col("playId"), col("ballCarrierId"))),
+        Seq("gameId", "playId"))
+      .filter(col("nflId") === col("ballCarrierId"))
+      .select(col("gameId"), col("playId"), col("frameId"),
+        col("x").as("xc"), col("y").as("yc"), col("event"))
+
+    // W1: start boundary per play, with ball_snap fallback
+    val boundaries = carrier.groupBy("gameId", "playId").agg(
+      coalesce(
+        min(when(col("event").isin(startSet: _*), col("frameId"))),
+        min(when(col("event") === "ball_snap", col("frameId"))))
+        .as("startFrame"))
+
+    // tackler frames: tackles fact ⋈ tracking, enriched from players dim
+    val tacklerFrames = tracking
+      .join(tackles.select("gameId", "playId", "nflId").dropDuplicates(),
+        Seq("gameId", "playId", "nflId"))
+      .select(col("gameId"), col("playId"), col("nflId"), col("frameId"),
+        col("x"), col("y"), col("s"), col("a"))
+
+    // J6: align tackler to carrier on the shared frame key, compute dist
+    val dist = tacklerFrames
+      .join(carrier.select("gameId", "playId", "frameId", "xc", "yc"),
+        Seq("gameId", "playId", "frameId"))
+      .withColumn("dist", hypot(col("xc") - col("x"), col("yc") - col("y")))
+
+    // W3: first crossing strictly after start
+    val crossing = dist
+      .join(broadcast(boundaries), Seq("gameId", "playId"))
+      .filter(col("dist") < rT && col("frameId") > col("startFrame"))
+      .groupBy("gameId", "playId", "nflId")
+      .agg(min(col("frameId")).as("vicFrame"))
+
+    // A7: range max over [startFrame, vicFrame)
+    val ranges = tacklerFrames
+      .join(broadcast(boundaries), Seq("gameId", "playId"))
+      .join(crossing, Seq("gameId", "playId", "nflId"))
+      .filter(col("frameId") >= col("startFrame") && col("frameId") < col("vicFrame"))
+      .groupBy("gameId", "playId", "nflId")
+      .agg(max(col("s")).as("max_vel"), max(col("a")).as("max_accel"))
+
+    // one row per (play, tackler); no-vicinity tacklers keep null metrics
+    tackles.select("gameId", "playId", "nflId").dropDuplicates()
+      .join(broadcast(players.select("nflId", "displayName", "position")), Seq("nflId"), "left")
+      .join(ranges, Seq("gameId", "playId", "nflId"), "left")
+      .select(col("gameId").as("game_ID"), col("playId").as("play_ID"),
+        col("nflId").as("NFL_ID"), col("displayName").as("name"),
+        col("position"), col("max_vel"), col("max_accel"))
+  }
+}

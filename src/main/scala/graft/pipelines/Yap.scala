@@ -1,0 +1,258 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.kernel.OptimalPursuit
+
+/** EP1 — the YAP ("Yards After Proximity") pipeline (K4/K6,
+  * optimal_pursuit.py:431-571; calculate_YAP.py): for every
+  * (game, play, tackler), find the earliest moment an optimally-pursuing
+  * tackler could have reached the ball carrier, and the yards the
+  * carrier gained after the moment he was actually first reached.
+  *
+  * Spark shape (SURVEY §3): the reference's per-play loop — which
+  * re-reads all five CSVs per play — inverts into set-at-a-time
+  * dataflow: dims broadcast-joined once, then ONE shuffle keyed on
+  * (gameId, playId) brings each play's carrier + tackler frames to a
+  * single `flatMapGroups` call. Groups are tiny (≤ ~20 rows/frame ×
+  * ~100 frames), so the growing-horizon LQR search (W5) runs as a local
+  * Scala loop inside the group — the only non-relational operator in
+  * the engine.
+  *
+  * Emissions are a tagged union (`kind`): one `yap` summary row and one
+  * `max_params_opt` row per tackler, `path` rows for the spliced
+  * optimal trajectory (W7), and `error` dead-letter rows (S4) for
+  * plays/tacklers the reference would crash on (unknown position — the
+  * CASE ladder at optimal_pursuit.py:458-477 has no else branch —
+  * or missing event boundaries).
+  */
+object Yap {
+
+  /** One tracking frame tagged with its role in the play. */
+  final case class PlayFrame(
+      gameId: Long, playId: Long, nflId: Long, frameId: Int, role: String,
+      timeSec: Double, x: Double, y: Double, s: Double, a: Double, dir: Double,
+      event: Option[String], playDirection: String,
+      displayName: Option[String], position: Option[String])
+
+  /** Tagged output row. */
+  final case class Emit(
+      kind: String, game_ID: Long, play_ID: Long, NFL_ID: Long,
+      name: String, position: String,
+      YAP: Option[Double], max_vel: Option[Double], max_accel: Option[Double],
+      frameId: Option[Int], x: Option[Double], y: Option[Double],
+      s: Option[Double], a: Option[Double], dir: Option[Double],
+      error: Option[String])
+
+  private val startEvents = Set("handoff", "pass_outcome_caught", "run", "snap_direct")
+  private val stopEvents = Set("tackle", "out_of_bounds", "fumble", "qb_slide",
+    "touchdown", "safety", "fumble_defense_recovered")
+
+  /** Position → (V_max_med, V_max_max, A_max_med, A_max_max)
+    * (optimal_pursuit.py:458-477). Deliberately partial: unlisted
+    * positions dead-letter, reproducing the reference's NameError
+    * semantics as data instead of a crash. */
+  private[pipelines] val positionBounds: Map[String, (Double, Double, Double, Double)] = Map(
+    "CB" -> (5.6, 10.9, 4.2, 9.1), "FS" -> (5.6, 10.9, 4.2, 9.1),
+    "SS" -> (5.6, 10.9, 4.2, 9.1), "DB" -> (5.6, 10.9, 4.2, 9.1),
+    "DE" -> (3.7, 9.7, 2.8, 6.2),
+    "MLB" -> (5.0, 10.7, 3.9, 9.4), "OLB" -> (5.0, 10.7, 3.9, 9.4),
+    "ILB" -> (5.0, 10.7, 3.9, 9.4),
+    "DT" -> (3.2, 8.8, 2.4, 7.1), "NT" -> (3.2, 8.8, 2.4, 7.1))
+
+  /** Assemble the per-play frame relation: carrier rows from
+    * plays.ballCarrierId, tackler rows from the tackles fact, both
+    * enriched from the (broadcast) players dim. One shuffle downstream. */
+  def playFrames(spark: SparkSession, tracking: DataFrame, plays: DataFrame,
+      players: DataFrame, tackles: DataFrame): Dataset[PlayFrame] = {
+    import spark.implicits._
+    val t = tracking.select(
+      col("gameId"), col("playId"), col("nflId"), col("frameId"),
+      col("time").cast("double").as("timeSec"),
+      col("x"), col("y"), col("s"), col("a"), col("dir"),
+      col("event"), col("playDirection"))
+    val carrier = t
+      .join(broadcast(plays.select(col("gameId"), col("playId"), col("ballCarrierId"))),
+        Seq("gameId", "playId"))
+      .filter(col("nflId") === col("ballCarrierId"))
+      .withColumn("role", lit("carrier"))
+      .withColumn("displayName", lit(null).cast("string"))
+      .withColumn("position", lit(null).cast("string"))
+    val tackler = t
+      .join(tackles.select("gameId", "playId", "nflId").dropDuplicates(),
+        Seq("gameId", "playId", "nflId"))
+      .join(broadcast(players.select("nflId", "displayName", "position")), Seq("nflId"), "left")
+      .withColumn("role", lit("tackler"))
+    carrier.select(tackler.columns.filter(_ != "ballCarrierId").map(c => col(c)): _*)
+      .unionByName(tackler)
+      .as[PlayFrame]
+  }
+
+  /** The full pipeline: frames → groupByKey(play) → per-group kernel. */
+  def run(spark: SparkSession, tracking: DataFrame, plays: DataFrame,
+      players: DataFrame, tackles: DataFrame, rT: Double = 1.0): Dataset[Emit] = {
+    import spark.implicits._
+    playFrames(spark, tracking, plays, players, tackles)
+      .groupByKey(f => (f.gameId, f.playId))
+      .flatMapGroups((key: (Long, Long), it: Iterator[PlayFrame]) =>
+        processPlay(key._1, key._2, it.toSeq, rT))
+  }
+
+  /** Split `run` output into the three sinks of the reference: results
+    * (S3), optimal-path splice, and dead-letters (S4). */
+  def sinks(emits: Dataset[Emit]): (DataFrame, DataFrame, DataFrame, DataFrame) = (
+    emits.filter(_.kind == "yap").toDF()
+      .select("game_ID", "play_ID", "NFL_ID", "name", "position", "YAP"),
+    emits.filter(_.kind == "max_params_opt").toDF()
+      .select("game_ID", "play_ID", "NFL_ID", "name", "position", "max_vel", "max_accel"),
+    emits.filter(_.kind == "path").toDF()
+      .select("game_ID", "play_ID", "NFL_ID", "frameId", "x", "y", "s", "a", "dir"),
+    emits.filter(_.kind == "error").toDF()
+      .select("game_ID", "play_ID", "NFL_ID", "error"))
+
+  /** K4 per-play kernel. Pure function of one play's frames — unit-
+    * testable without Spark. */
+  private[pipelines] def processPlay(gameId: Long, playId: Long,
+      frames: Seq[PlayFrame], rT: Double): Iterator[Emit] = {
+
+    def err(nflId: Long, msg: String) = Emit("error", gameId, playId, nflId, "", "",
+      None, None, None, None, None, None, None, None, None, Some(msg))
+
+    val carrier = frames.filter(_.role == "carrier").sortBy(_.frameId).toArray
+    if (carrier.isEmpty)
+      return Iterator.single(err(-1L, "no ball carrier frames"))
+    val tacklers = frames.filter(_.role == "tackler").groupBy(_.nflId)
+
+    // W1/W2 event boundaries on the carrier series (positional index)
+    val idxStartOpt = carrier.indexWhere(f => f.event.exists(startEvents)) match {
+      case -1 => carrier.indexWhere(_.event.contains("ball_snap")) match {
+        case -1 => None
+        case i => Some(i)
+      }
+      case i => Some(i)
+    }
+    val idxStart = idxStartOpt.getOrElse(
+      return Iterator.single(err(-1L, "no start event")))
+    if (!carrier.exists(f => f.event.exists(stopEvents)))
+      return Iterator.single(err(-1L, "no stop event"))
+
+    val playDirection = carrier.head.playDirection
+    val time = carrier.map(_.timeSec)
+    val t0All = time(0)
+    val timeRel = time.map(_ - t0All)
+    val time0 = timeRel(idxStart)
+    val xC = carrier.map(_.x)
+    val yC = carrier.map(_.y)
+    val frameById = carrier.map(_.frameId)
+
+    val out = Seq.newBuilder[Emit]
+
+    tacklers.toSeq.sortBy(_._1).foreach { case (tacklerId, rowsUnsorted) =>
+      val rows = rowsUnsorted.sortBy(_.frameId).toArray
+      val name = rows.head.displayName.getOrElse("")
+      val position = rows.head.position.getOrElse("")
+      positionBounds.get(position) match {
+        case None =>
+          out += err(tacklerId, s"unknown tackler position '$position'")
+        case Some((vMaxMed, vMaxMax, aMaxMed, aMaxMax)) =>
+          // align tackler to carrier frames explicitly by frameId
+          // (SURVEY §7.4 gotcha 3: the reference aligns positionally)
+          val byFrame = rows.map(r => r.frameId -> r).toMap
+          val aligned = frameById.map(byFrame.get)
+          val n = carrier.length
+
+          def uOf(r: PlayFrame) = r.s * math.sin(math.toRadians(r.dir))
+          def vOf(r: PlayFrame) = r.s * math.cos(math.toRadians(r.dir))
+
+          // W3 first vicinity crossing strictly after start
+          var idxVic = -1
+          var i = 0
+          while (i < n && idxVic < 0) {
+            aligned(i) match {
+              case Some(r) =>
+                val d = math.hypot(xC(i) - r.x, yC(i) - r.y)
+                if (d < rT && i > idxStart) idxVic = i
+              case None =>
+            }
+            i += 1
+          }
+
+          var yap: Option[Double] = None
+          var vMaxOpt: Option[Double] = None
+          var aMaxOpt: Option[Double] = None
+
+          if (idxVic >= 0) aligned(idxStart) match {
+            case Some(start) =>
+              val xCv = xC(idxVic)
+              val (x0t, y0t) = (start.x, start.y)
+              val (u0t, v0t) = (uOf(start), vOf(start))
+              // W5 growing-horizon search: first feasible candidate frame
+              var j = idxStart + 1
+              var done = false
+              while (j <= n - 2 && !done) {
+                val tj = timeRel.slice(idxStart, j + 1).map(_ - time0)
+                val path = OptimalPursuit.solveOptimalPath(
+                  x0t - xC(j), y0t - yC(j), u0t, v0t, tj, vMaxMed, aMaxMed, rT)
+                if (path.finalRadius <= rT && path.maxSpeed <= vMaxMax &&
+                    path.maxAccel <= aMaxMax) {
+                  done = true
+                  yap = Some(round2(
+                    if (playDirection == "left") xC(j) - xCv else xCv - xC(j)))
+                  // W7 splice: optimal segment over [idxStart, j], null tail
+                  val pn = path.x.length
+                  var k = 0
+                  while (k < pn) {
+                    val gi = idxStart + k
+                    val sp = math.hypot(path.u(k), path.v(k))
+                    val ac = math.hypot(path.ax(k), path.ay(k))
+                    out += Emit("path", gameId, playId, tacklerId, name, position,
+                      None, None, None, Some(frameById(gi)),
+                      Some(path.x(k) + xC(j)), Some(path.y(k) + yC(j)),
+                      Some(sp), Some(ac),
+                      Some(math.toDegrees(math.atan2(path.u(k), path.v(k)))), None)
+                    k += 1
+                  }
+                  // K5 on the optimal path: vicinity + range max
+                  val optX = path.x.map(_ + xC(j))
+                  val optY = path.y.map(_ + yC(j))
+                  var vicOpt = -1
+                  var m = 0
+                  while (m < pn && vicOpt < 0) {
+                    val gi = idxStart + m
+                    if (gi < n && math.hypot(xC(gi) - optX(m), yC(gi) - optY(m)) < rT
+                        && gi > idxStart) vicOpt = gi
+                    m += 1
+                  }
+                  if (vicOpt > idxStart) {
+                    var vm = Double.NegativeInfinity
+                    var am = Double.NegativeInfinity
+                    var q = idxStart
+                    while (q < vicOpt) {
+                      val k2 = q - idxStart
+                      if (k2 < pn) {
+                        vm = math.max(vm, math.hypot(path.u(k2), path.v(k2)))
+                        am = math.max(am, math.hypot(path.ax(k2), path.ay(k2)))
+                      }
+                      q += 1
+                    }
+                    if (vm > Double.NegativeInfinity) {
+                      vMaxOpt = Some(round2(vm)); aMaxOpt = Some(round2(am))
+                    }
+                  }
+                }
+                j += 1
+              }
+            case None =>
+          }
+
+          out += Emit("yap", gameId, playId, tacklerId, name, position,
+            yap, None, None, None, None, None, None, None, None, None)
+          out += Emit("max_params_opt", gameId, playId, tacklerId, name, position,
+            None, vMaxOpt, aMaxOpt, None, None, None, None, None, None, None)
+      }
+    }
+    out.result().iterator
+  }
+
+  private def round2(v: Double): Double = math.rint(v * 100.0) / 100.0
+}

@@ -1,0 +1,71 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.functions.{TextHashes, TextHashKernels}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** LLM-pipeline operators: hash determinism, near-dup recall on planted
+  * duplicates, and LSH-vs-brute-force recall. */
+class LlmOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("rolling hash is deterministic and order-sensitive") {
+    def h(s: String) = TextHashKernels.rollingHash(UTF8String.fromString(s))
+    assert(h("abc") == h("abc"))
+    assert(h("abc") != h("acb"))
+    assert(h("") != h(" "))
+  }
+
+  test("simhash of near-identical token sets differs in few bits") {
+    import spark.implicits._
+    TextHashes.register(spark)
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 60).map(i => if (i == 30) "CHANGED" else s"tok$i").mkString(" ")
+    val far = (100 to 160).map(i => s"other$i").mkString(" ")
+    val df = Seq((1, base), (2, near), (3, far)).toDF("id", "text")
+      .select(col("id"), expr("sim_hash(split(text, ' '))").as("fp"))
+    val fp = df.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(1), fp(2)) <= 8, s"near pair hamming ${ham(fp(1), fp(2))}")
+    assert(ham(fp(1), fp(3)) > 12, s"far pair hamming ${ham(fp(1), fp(3))}")
+  }
+
+  test("minhash LSH finds a planted near-duplicate pair") {
+    import spark.implicits._
+    val words = (1 to 40).map(i => s"w$i")
+    val a = words.mkString(" ")
+    val b = (words.dropRight(2) ++ Seq("x1", "x2")).mkString(" ") // ~0.9 jaccard
+    val others = (1 to 20).map(k => (100L + k, (1 to 40).map(i => s"u${k}_$i").mkString(" ")))
+    val docs = (Seq((1L, a), (2L, b)) ++ others).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs)
+    assert(sigs.count() == docs.count())
+    // planted pair collides in at least one band → candidate + verified
+    val pairs = Dedup.queries("dd_minhash")(spark, sf) // smoke on real table
+    assert(pairs.columns.toSeq == Seq("doc_a", "doc_b", "jaccard"))
+    // direct check on the planted corpus through the same signature logic:
+    val sigRows = sigs.collect().map(r => r.getLong(0) -> (1 to 16).map(i => r.getLong(i))).toMap
+    val bandsEqual = (0 until 4).exists(b4 =>
+      (0 until 4).forall(i => sigRows(1L)(b4 * 4 + i) == sigRows(2L)(b4 * 4 + i)))
+    assert(bandsEqual, "planted near-dup pair should share at least one LSH band")
+  }
+
+  test("sign-LSH ANN recalls most brute-force top-3 neighbors") {
+    val knn = Similarity.queries("knn_cosine")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ann = Similarity.queries("ann_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (knn & ann).size.toDouble / knn.size
+    assert(recall >= 0.2, s"ANN recall vs brute force = $recall")
+    // every ANN neighbor must at least be bucket-consistent (same qid set)
+    assert(ann.map(_._1).subsetOf(knn.map(_._1)))
+  }
+
+  test("exact dedup groups by content hash (all-unique corpus)") {
+    val out = Dedup.queries("dd_exact")(spark, sf).collect()
+    assert(out.length == 500)
+    assert(out.forall(_.getLong(2) == 1L))
+  }
+}
