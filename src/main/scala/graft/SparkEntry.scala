@@ -28,7 +28,8 @@ object SparkEntry {
       pipelines.NflQueries.queries ++
       llm.TextOps.queries ++
       llm.Dedup.queries ++
-      llm.Similarity.queries
+      llm.Similarity.queries ++
+      llm.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */

@@ -1,0 +1,110 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextHashKernels
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Multimodal column plumbing for the LLM-data-pipeline extension:
+  * image/audio/video as opaque `binary` columns with a typed metadata
+  * struct, processed per partition.
+  *
+  * The DECODE step is a clearly-marked STUB (this container ships no
+  * image/audio codecs): `decodeStub` derives deterministic fake pixels/
+  * samples from the payload bytes. Everything AROUND the stub is the
+  * real Spark shape a production pipeline needs and what the tests
+  * pin down:
+  *  - schema: (media_id, kind, bytes BINARY, meta STRUCT) — parquet-
+  *    friendly, splittable, column-prunable (a metadata-only query never
+  *    reads the payload bytes);
+  *  - partition-wise batch processing via `mapPartitions` (the Scala
+  *    analog of arrow-batched UDFs): codec state is initialized once per
+  *    partition, not per row;
+  *  - frame sampling as a generator (1 video row → n frame rows) with
+  *    bounded fanout.
+  */
+object Multimodal {
+
+  final case class MediaMeta(width: Int, height: Int, sampleRate: Int, nFrames: Int)
+  final case class Media(media_id: Long, kind: String, bytes: Array[Byte], meta: MediaMeta)
+  final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+      byte_entropy: Double, feature: Array[Float])
+  final case class FrameSample(media_id: Long, frame_idx: Int, frame_fp: Long)
+
+  /** Deterministic demo corpus (payload = seeded pseudo-bytes). */
+  def demoMedia(spark: SparkSession, n: Int = 64): Dataset[Media] = {
+    import spark.implicits._
+    spark.createDataset((0 until n).map { i =>
+      val kind = Seq("image", "audio", "video")(i % 3)
+      val len = 256 + (i * 37) % 512
+      val bytes = Array.tabulate[Byte](len) { j =>
+        (TextHashKernels.rollingHash(UTF8String.fromString(s"$i:$j")) & 0xff).toByte
+      }
+      val meta = kind match {
+        case "image" => MediaMeta(64 + i % 64, 64 + i % 48, 0, 1)
+        case "audio" => MediaMeta(0, 0, 16000, 0)
+        case _ => MediaMeta(320, 240, 0, 8 + i % 24)
+      }
+      Media(i.toLong, kind, bytes, meta)
+    })
+  }
+
+  /** ??? STUB ???  A real implementation decodes the payload with a
+    * codec (JPEG/PNG/PCM/H264) and emits pixel/sample tensors. No codec
+    * libraries exist in this environment, so features are derived
+    * deterministically from the raw bytes — the SHAPE (per-partition
+    * init, fixed-width Float vector, entropy scalar) is the contract. */
+  private def decodeStub(m: Media): MediaFeatures = {
+    val hist = new Array[Int](16)
+    m.bytes.foreach(b => hist((b & 0xff) >> 4) += 1)
+    val n = m.bytes.length.toDouble
+    val entropy = -hist.filter(_ > 0)
+      .map(c => (c / n) * math.log(c / n) / math.log(2)).sum
+    val feature = Array.tabulate(8)(k =>
+      (hist(2 * k) + hist(2 * k + 1)).toFloat / m.bytes.length)
+    MediaFeatures(m.media_id, m.kind, m.bytes.length, entropy, feature)
+  }
+
+  /** Feature extraction: one pass, partition-wise. The `mapPartitions`
+    * boundary is where a real decoder would be constructed once per
+    * partition (expensive codec init amortized over the batch). */
+  def extractFeatures(spark: SparkSession, media: Dataset[Media]): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // per-partition "codec" init would happen here
+      it.map(decodeStub)
+    }
+  }
+
+  /** Frame sampling for video rows: every k-th frame index, fingerprint
+    * from the payload (STUB for an actual frame decode). 1 → n generator
+    * with fanout bounded by meta.nFrames / stride. */
+  def sampleFrames(spark: SparkSession, media: Dataset[Media], stride: Int = 4): Dataset[FrameSample] = {
+    import spark.implicits._
+    media.filter(_.kind == "video").flatMap { m =>
+      (0 until m.meta.nFrames by stride).map { f =>
+        val fp = TextHashKernels.rollingHash(
+          UTF8String.fromString(s"${m.media_id}:$f:${m.bytes.length}"))
+        FrameSample(m.media_id, f, fp)
+      }
+    }
+  }
+
+  /** Metadata-only projection — must not touch the payload column
+    * (column pruning keeps the scan narrow at 100 TB). */
+  def metaStats(media: Dataset[Media]): DataFrame =
+    media.toDF().select(col("media_id"), col("kind"),
+        col("meta.width"), col("meta.height"), col("meta.nFrames"))
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n"), max("width").as("max_w"), max("nFrames").as("max_frames"))
+      .orderBy("kind")
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "mm_features" -> ((s, _) =>
+      extractFeatures(s, demoMedia(s)).toDF().orderBy("media_id")),
+    "mm_frame_sample" -> ((s, _) =>
+      sampleFrames(s, demoMedia(s)).toDF().orderBy("media_id", "frame_idx")),
+    "mm_meta_stats" -> ((s, _) => metaStats(demoMedia(s))))
+}

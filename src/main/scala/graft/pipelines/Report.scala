@@ -101,7 +101,33 @@ object Report {
       .orderBy(desc("mean_value"), asc("user_id"))
       .limit(10)
 
+  /** EP3 composite — the full plot_YAP.py:31-81 chain as ONE pipeline:
+    * two metric tables → rename → left join (J2/J3) → derived delta (P4)
+    * → clamp (X12) → recode (X12) → grouped stats (A4) → ordered output
+    * (O1-O3). Exercises operator COMPOSITION, not just single ops. */
+  private val ep3Report: Q = (s, d) => {
+    val e = table(s, d, "events")
+    val act = e.filter(col("event_type") === "purchase").groupBy("user_id")
+      .agg(dround(avg(col("value")), 4).as("val_act"))
+    val opt = e.filter(col("event_type") === "click").groupBy("user_id")
+      .agg(dround(avg(col("value")), 4).as("val_opt"))
+    val joined = act.join(opt, Seq("user_id"), "left")
+      .select(col("user_id"),
+        greatest(coalesce(dround(col("val_opt") - col("val_act"), 4), lit(0.0)), lit(0.0))
+          .as("delta_clamped"),
+        when(col("user_id") % 3 === 0, "A")
+          .when(col("user_id") % 3 === 1, "B")
+          .otherwise("C").as("tier"))
+    joined.groupBy("tier").agg(
+      count(col("delta_clamped")).as("n"),
+      dround(avg(col("delta_clamped")), 4).as("mean_delta"),
+      dround(expr("percentile(delta_clamped, 0.5)"), 4).as("median_delta"),
+      max(col("delta_clamped")).as("max_delta"))
+      .orderBy("tier")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ep3_report" -> ep3Report,
     "a3_describe" -> a3Describe,
     "a4_group_stats" -> a4GroupStats,
     "a6_corr" -> a6Corr,
@@ -113,6 +139,18 @@ object Report {
     "o3_topk" -> o3TopK)
 
   val oracle: Map[String, String] = Map(
+    "ep3_report" ->
+      """WITH act AS (SELECT user_id, round(avg(value), 4) AS val_act FROM events
+        |             WHERE event_type = 'purchase' GROUP BY user_id),
+        | opt AS (SELECT user_id, round(avg(value), 4) AS val_opt FROM events
+        |         WHERE event_type = 'click' GROUP BY user_id),
+        | j AS (SELECT a.user_id,
+        |        greatest(coalesce(round(o.val_opt - a.val_act, 4), 0.0), 0.0) AS delta_clamped,
+        |        CASE WHEN a.user_id % 3 = 0 THEN 'A' WHEN a.user_id % 3 = 1 THEN 'B' ELSE 'C' END AS tier
+        |       FROM act a LEFT JOIN opt o ON a.user_id = o.user_id)
+        |SELECT tier, count(delta_clamped) AS n, round(avg(delta_clamped), 4) AS mean_delta,
+        | round(quantile_cont(delta_clamped, 0.5), 4) AS median_delta, max(delta_clamped) AS max_delta
+        |FROM j GROUP BY tier ORDER BY tier""".stripMargin,
     "a3_describe" ->
       """SELECT l_returnflag,
         | count(l_quantity) AS n,

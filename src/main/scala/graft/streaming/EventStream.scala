@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators (SURVEY §2.10: the reference is pure
+  * batch; this is the streaming extension the builder brief asks for —
+  * tracking-frame-shaped rows as an unbounded stream).
+  *
+  * Both transforms are written against plain DataFrames/Datasets so the
+  * SAME code runs in batch (for the oracle/tests) and under
+  * `readStream` (incremental): Spark's unified API guarantees identical
+  * semantics, and the watermark clause only takes effect in streaming
+  * mode.
+  *
+  * Scale: windowed aggregation is partial-aggregated per trigger and
+  * keyed by (window, event_type) — state is bounded by the watermark
+  * horizon. Sessionization keeps one small state object per key, and
+  * event-time timeouts evict idle keys, so state size tracks ACTIVE
+  * users, not history.
+  */
+object EventStream {
+
+  /** Tumbling-window counts with a 10-minute watermark — the streaming
+    * shape of A9/A11. */
+  def windowedStats(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  final case class Ev(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Int, total: Double)
+  final case class Session(user_id: Long, start_ms: Long, end_ms: Long,
+      n_events: Int, total_value: Double)
+
+  val sessionGapMs: Long = 30 * 60 * 1000L
+
+  /** Per-user sessionization with a 30-minute inactivity gap via
+    * `flatMapGroupsWithState` — the custom-state shape the brief calls
+    * for (W5's "whole ordered group" thinking, made incremental). */
+  def sessionize(spark: SparkSession, events: Dataset[Ev]): Dataset[Session] = {
+    import spark.implicits._
+    // hoisted locals: the closure must capture only serializable values,
+    // not the Dataset or the enclosing object
+    val isStreaming = events.isStreaming
+    val gap = sessionGapMs
+
+    val fn = (userId: Long, rows: Iterator[Ev], state: GroupState[SessionState]) => {
+      val out = Seq.newBuilder[Session]
+      var cur = state.getOption
+      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.last <= gap =>
+            cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
+          case Some(s) =>
+            out += Session(userId, s.start, s.last, s.n, s.total)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      cur match {
+        case Some(s) =>
+          if (state.hasTimedOut) {
+            out += Session(userId, s.start, s.last, s.n, s.total)
+            state.remove()
+          } else {
+            state.update(s)
+            if (isStreaming)
+              state.setTimeoutTimestamp(s.last + gap)
+          }
+        case None =>
+          if (state.hasTimedOut) state.remove()
+      }
+      out.result().iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        if (isStreaming) GroupStateTimeout.EventTimeTimeout
+        else GroupStateTimeout.NoTimeout)(fn)
+  }
+}

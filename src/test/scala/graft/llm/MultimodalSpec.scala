@@ -1,0 +1,41 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Multimodal plumbing: schema, determinism, fanout bounds, and the
+  * metadata-only path staying off the payload column. */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("feature extraction preserves ids and emits fixed-width vectors") {
+    val media = Multimodal.demoMedia(spark)
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+    assert(feats.length == 64)
+    assert(feats.forall(_.feature.length == 8))
+    assert(feats.forall(f => f.byte_entropy >= 0.0 && f.byte_entropy <= 4.0))
+    // deterministic: a second run yields identical features
+    val again = Multimodal.extractFeatures(spark, media).collect()
+    assert(feats.sortBy(_.media_id).zip(again.sortBy(_.media_id))
+      .forall { case (a, b) => a.feature.sameElements(b.feature) })
+  }
+
+  test("frame sampling fans out only video rows, stride-bounded") {
+    val media = Multimodal.demoMedia(spark)
+    val frames = Multimodal.sampleFrames(spark, media, stride = 4).collect()
+    val videoIds = media.collect().filter(_.kind == "video").map(_.media_id).toSet
+    assert(frames.map(_.media_id).toSet.subsetOf(videoIds))
+    assert(frames.forall(_.frame_idx % 4 == 0))
+    val perVideo = frames.groupBy(_.media_id).map(_._2.length)
+    assert(perVideo.forall(_ <= 8)) // nFrames ≤ 31, stride 4
+  }
+
+  test("metadata-only query prunes the payload column from the scan") {
+    val media = Multimodal.demoMedia(spark)
+    val plan = Multimodal.metaStats(media).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("bytes#") || !plan.split("Aggregate")(0).contains("bytes"),
+      s"payload column should be pruned before the aggregate:\n$plan")
+    val out = Multimodal.metaStats(media).collect()
+    assert(out.length == 3) // image, audio, video
+  }
+}

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Streaming operators driven through an actual incremental stream
+  * (MemoryStream source → memory sink, processAllAvailable between
+  * batches), not just the batch path. */
+class EventStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+
+  test("windowed stats aggregate incrementally under a watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[EventStream.Ev]
+    val q = EventStream.windowedStats(source.toDF())
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      source.addData(
+        EventStream.Ev(1, ts(0), "click", 1.0),
+        EventStream.Ev(1, ts(10), "click", 2.0),
+        EventStream.Ev(2, ts(20), "view", 3.0))
+      q.processAllAvailable()
+      // advance event time far enough to close the first hour window
+      source.addData(EventStream.Ev(1, ts(200), "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_out").collect()
+      assert(rows.exists(r => r.getString(1) == "click" && r.getLong(2) == 2L))
+      assert(rows.exists(r => r.getString(1) == "view" && r.getLong(2) == 1L))
+    } finally q.stop()
+  }
+
+  test("sessionization emits closed sessions via event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[EventStream.Ev]
+    val sess = EventStream.sessionize(spark,
+      source.toDS().withWatermark("ts", "1 minute").as[EventStream.Ev])
+    val q = sess.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 5 min apart (one session), then 90 min silence
+      source.addData(EventStream.Ev(1, ts(0), "click", 1.0),
+        EventStream.Ev(1, ts(5), "click", 2.0))
+      q.processAllAvailable()
+      // watermark-advancing traffic from another user closes user 1's session
+      source.addData(EventStream.Ev(2, ts(120), "view", 9.0))
+      q.processAllAvailable()
+      source.addData(EventStream.Ev(2, ts(121), "view", 1.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sess_out").as[EventStream.Session].collect()
+      val u1 = sessions.filter(_.user_id == 1L)
+      assert(u1.length == 1, s"expected one closed session, got ${u1.toSeq}")
+      assert(u1.head.n_events == 2 && u1.head.total_value == 3.0)
+      assert(u1.head.end_ms - u1.head.start_ms == 5 * 60000L)
+    } finally q.stop()
+  }
+
+  test("the same sessionize code runs in batch mode (unified API)") {
+    import spark.implicits._
+    val batch = Seq(
+      EventStream.Ev(7, ts(0), "click", 1.0),
+      EventStream.Ev(7, ts(10), "click", 1.5),
+      EventStream.Ev(7, ts(100), "click", 4.0)).toDS()
+    val out = EventStream.sessionize(spark, batch).collect()
+    // batch mode: final states are flushed only via rows — the open
+    // session at end-of-input stays in state; the first (closed) session
+    // is emitted when the 100-minute event arrives
+    assert(out.exists(s => s.user_id == 7L && s.n_events == 2 && s.total_value == 2.5))
+  }
+}
