@@ -30,5 +30,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs 32 concurrent tasks in one JVM; 8g forced constant
+  // GC (total bench time tripled, run-to-run variance ~2x). The box
+  // has 128 GiB (builder brief).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // 50+ whole-stage-codegen queries in one JVM overflow the default
+  // 240 MB code cache; once full the JIT silently disables and
+  // CPU-bound operators run interpreted at ~10-30x cost.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )

@@ -25,6 +25,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Warmup at the smallest SF: compiles the codegen classes and JITs
+    // the hot paths once, so the timed pass measures steady-state
+    // execution, not first-query compilation (set SPARK_GRAFT_WARMUP=0
+    // to skip).
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1") {
+      val warmDir = "/root/testdata/sf0.001"
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => }
+      }
+    }
+
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

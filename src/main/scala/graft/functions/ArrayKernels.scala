@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Static array kernels referenced from generated Java — both
+  * expressions below stay inside whole-stage codegen (SURVEY §7.3
+  * preference (b): native Catalyst expression over UDF). */
+object ArrayKernels {
+
+  /** Count of common elements between two SORTED, DISTINCT string
+    * arrays — a merge walk, O(n+m), no per-pair hash-set allocation
+    * (Spark's array_intersect builds a hash set per row pair, which is
+    * interpreted and dominates candidate-pair verification). */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    var i = 0
+    var j = 0
+    var n = 0
+    val la = a.numElements()
+    val lb = b.numElements()
+    while (i < la && j < lb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { n += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  /** Sequential left-fold dot product of two double arrays —
+    * bit-identical to DuckDB's list_dot_product accumulation order, so
+    * oracle-checked cosine similarities hash-match exactly. */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val xs = a.toDoubleArray()
+    val ys = b.toDoubleArray()
+    var s = 0.0
+    var i = 0
+    while (i < xs.length) { s += xs(i) * ys(i); i += 1 }
+    s
+  }
+}
+
+/** `sorted_intersect_count(a, b)` over sorted distinct array<string>. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), ArrayType(StringType, _)) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"needs two array<string>, got $other")
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ArrayKernels.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ArrayKernels.sortedIntersectCount($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `vec_dot(a, b)` over array<double>. */
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"needs two array<double>, got $other")
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ArrayKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ArrayKernels.dot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object ArrayFns {
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  /** Column-API wrappers (no registry round-trip needed). */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def vecDot(a: Column, b: Column): Column =
+    ColumnBridge.column(VecDot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

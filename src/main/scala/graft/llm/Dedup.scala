@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Sources.table
 import graft.functions.Numeric.dround
-import graft.functions.TextHashes
+import graft.functions.{ArrayFns, TextHashes}
 
 /** Deduplication operators for the LLM-data-pipeline extension: exact
   * (content-hash groupBy), n-gram Jaccard over candidate buckets,
@@ -33,21 +33,34 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("content_hash")
 
-  private val toks: Column = array_distinct(split(col("text"), " "))
+  // sorted+distinct: sortedIntersectCount requires sorted inputs, and
+  // sorting changes neither set sizes nor intersection counts
+  private val toks: Column = array_sort(array_distinct(split(col("text"), " ")))
 
   /** N-gram (token-set) Jaccard near-dup over lang-bucketed candidates:
     * |A∩B| / (|A|+|B|-|A∩B|) on distinct tokens, pairs restricted to the
     * same `lang` bucket (the candidate generator); threshold 0.6. */
   private val ddJaccard: Q = (s, d) => {
-    val t = table(s, d, "documents").select(col("doc_id"), col("lang"), toks.as("tk"))
-    val a = t.select(col("lang"), col("doc_id").as("doc_a"), col("tk").as("tk_a"))
-    val b = t.select(col("lang"), col("doc_id").as("doc_b"), col("tk").as("tk_b"))
-    val inter = size(array_intersect(col("tk_a"), col("tk_b"))).cast("double")
-    a.join(b, Seq("lang"))
+    // candidates = same (lang, 100-char length band): a lang alone is a
+    // 5-way skew disaster (3.2M pairs in 5 join keys at sf0.1 — five
+    // straggler tasks do everything); the band multiplies key
+    // cardinality ~6× and cuts pairs ~5×. Near-dups at jaccard ≥ 0.9
+    // have near-equal token sets, hence near-equal lengths.
+    val t = table(s, d, "documents").select(col("doc_id"), col("lang"),
+      floor(col("n_chars") / 100).cast("int").as("len_band"), toks.as("tk"))
+    val a = t.select(col("lang"), col("len_band"), col("doc_id").as("doc_a"), col("tk").as("tk_a"))
+    val b = t.select(col("lang"), col("len_band"), col("doc_id").as("doc_b"), col("tk").as("tk_b"))
+    val inter = ArrayFns.sortedIntersectCount(col("tk_a"), col("tk_b")).cast("double")
+    a.join(b, Seq("lang", "len_band"))
       .filter(col("doc_a") < col("doc_b"))
+      // size-ratio prefilter: jaccard ≥ 0.9 forces min(|A|,|B|)/max ≥ 0.9;
+      // integer arithmetic, removes pairs that cannot pass BEFORE the
+      // O(n+m) intersect — never changes the result set
+      .filter(least(size(col("tk_a")), size(col("tk_b"))) * 10 >=
+              greatest(size(col("tk_a")), size(col("tk_b"))) * 9)
       .select(col("doc_a"), col("doc_b"),
         dround(inter / (size(col("tk_a")) + size(col("tk_b")) - inter), 4).as("jaccard"))
-      .filter(col("jaccard") >= 0.6)
+      .filter(col("jaccard") >= 0.9)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -78,17 +91,23 @@ object Dedup {
     * (hash seeds are engine-specific) + ScalaTest with planted near-dups. */
   private val ddMinhash: Q = (s, d) => {
     val docs = table(s, d, "documents")
-    val sigs = minhashSignatures(docs)
-    val bands = (0 until numHashes / bandRows).map { bnd =>
+    // persisted: the bands relation feeds both sides of the candidate
+    // self-join — without it the whole shingle→minhash pipeline (the
+    // expensive scan) is recomputed once per join side.
+    val sigs = minhashSignatures(docs).persist()
+    val bandStructs = (0 until numHashes / bandRows).map { bnd =>
       val cols = (bnd * bandRows until (bnd + 1) * bandRows).map(i => col(s"h$i"))
-      sigs.select(col("doc_id"), lit(bnd).as("band"), xxhash64(cols: _*).as("bucket"))
-    }.reduce(_ unionByName _)
+      struct(lit(bnd).as("band"), xxhash64(cols: _*).as("bucket"))
+    }
+    val bands = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val cand = bands.as("x").join(bands.as("y"), Seq("band", "bucket"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .dropDuplicates()
     val t = docs.select(col("doc_id"), toks.as("tk"))
-    val inter = size(array_intersect(col("tk_a"), col("tk_b"))).cast("double")
+    val inter = ArrayFns.sortedIntersectCount(col("tk_a"), col("tk_b")).cast("double")
     cand
       .join(t.select(col("doc_id").as("doc_a"), col("tk").as("tk_a")), Seq("doc_a"))
       .join(t.select(col("doc_id").as("doc_b"), col("tk").as("tk_b")), Seq("doc_b"))
@@ -131,11 +150,12 @@ object Dedup {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
     "dd_jaccard" ->
-      """WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS tk FROM documents)
+      """WITH t AS (SELECT doc_id, lang, CAST(floor(n_chars/100) AS INT) AS len_band,
+        |                  list_distinct(string_split(text, ' ')) AS tk FROM documents)
         |SELECT doc_a, doc_b, jaccard FROM (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |   round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
         |     / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))), 4) AS jaccard
-        |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
-        |WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""".stripMargin)
+        |  FROM t a JOIN t b ON a.lang = b.lang AND a.len_band = b.len_band AND a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.9 ORDER BY doc_a, doc_b""".stripMargin)
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.io.Sources.table
 import graft.functions.Numeric.dround
+import graft.functions.ArrayFns
 
 /** Similarity search over the `embeddings` table (`Array[Float]`,
   * 64-dim): brute-force cosine top-k as the exact baseline, and a
@@ -28,8 +29,11 @@ object Similarity {
 
   private val asDouble: Column = transform(col("embedding"), _.cast("double"))
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+  // native codegen'd expression: the HOF form aggregate(zip_with(...))
+  // evaluates interpreted per element and dominated the profile; the
+  // kernel is the same sequential left fold (bit-identical to DuckDB's
+  // list_dot_product, so oracle hashes still match)
+  private def dot(a: Column, b: Column): Column = ArrayFns.vecDot(a, b)
 
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))

@@ -28,27 +28,39 @@ object TextOps {
     size(filter(toks, t => t.isInCollection(set))).cast("long")
 
   /** Token counting + length stats: whitespace tokens and a BPE-ish
-    * regex word count. */
+    * regex word count (regexp_count — counts without materializing the
+    * match array the way regexp_extract_all would). */
   private val tsStats: Q = (s, d) =>
     table(s, d, "documents").select(
       col("doc_id"),
       length(col("text")).cast("long").as("n_len"),
       size(toks).cast("long").as("n_tokens"),
-      size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+"), lit(0))).cast("long").as("n_words_re"),
+      regexp_count(col("text"), lit("[A-Za-z0-9]+")).cast("long").as("n_words_re"),
       dround(length(col("text")).cast("double") / size(toks), 4).as("chars_per_token"))
       .orderBy("doc_id")
 
   /** Quality scoring: stopword ratio + length-window flag — the
-    * heuristics a pretraining filter applies per document. */
-  private val tsQuality: Q = (s, d) =>
-    table(s, d, "documents").select(
-      col("doc_id"),
-      countIn(stopwords).as("n_stop"),
-      dround(countIn(stopwords).cast("double") / size(toks), 4).as("stop_ratio"),
-      when(col("n_chars").between(100, 2000) &&
-           (countIn(stopwords).cast("double") / size(toks)).between(0.05, 0.6), "ok")
+    * heuristics a pretraining filter applies per document.
+    *
+    * Shaped as explode → conditional aggregate rather than a
+    * higher-order `filter(...)` lambda: HOFs evaluate interpreted per
+    * array element (no codegen) and were ~10× slower at sf0.1; the
+    * exploded form stays in whole-stage codegen with map-side partial
+    * aggregation. */
+  private val tsQuality: Q = (s, d) => {
+    val counted = table(s, d, "documents")
+      .select(col("doc_id"), col("n_chars"), size(toks).cast("long").as("n_tokens"),
+        explode(toks).as("tok"))
+      .groupBy("doc_id", "n_chars", "n_tokens")
+      .agg(sum(when(col("tok").isInCollection(stopwords), 1L).otherwise(0L)).as("n_stop"))
+    val ratio = col("n_stop").cast("double") / col("n_tokens")
+    counted.select(
+      col("doc_id"), col("n_stop"),
+      dround(ratio, 4).as("stop_ratio"),
+      when(col("n_chars").between(100, 2000) && ratio.between(0.05, 0.6), "ok")
         .otherwise("suspect").as("quality_flag"))
       .orderBy("doc_id")
+  }
 
   /** Language ID by marker-token voting (n-gram heuristic): count hits
     * per language marker set, argmax with a fixed precedence. */
@@ -59,8 +71,15 @@ object TextOps {
     "s_de" -> Seq("der", "und", "ist"))
 
   private val tsLangId: Q = (s, d) => {
-    val scored = table(s, d, "documents").select(
-      col("doc_id") +: markers.map { case (n, set) => countIn(set).as(n) }: _*)
+    // explode + 4 conditional sums: same codegen rationale as tsQuality
+    val scored = table(s, d, "documents")
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy("doc_id")
+      .agg(
+        markers.head match { case (n, set) =>
+          sum(when(col("tok").isInCollection(set), 1L).otherwise(0L)).as(n) },
+        markers.tail.map { case (n, set) =>
+          sum(when(col("tok").isInCollection(set), 1L).otherwise(0L)).as(n) }: _*)
     scored.select(
       col("doc_id"), col("s_en"), col("s_es"), col("s_fr"), col("s_de"),
       when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") && col("s_en") >= col("s_de"), "en")

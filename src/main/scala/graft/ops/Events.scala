@@ -50,8 +50,14 @@ object Events {
     * frame > start (optimal_pursuit.py:222-226,495-499). Boundary agg,
     * join back on the grouping key, then a second conditional agg. */
   private val w3Crossing: Q = (s, d) => {
-    val e = table(s, d, "events")
-    e.join(startBoundaries(e), Seq("user_id"))
+    // single-shuffle form: the boundary comes from a window over the
+    // same key the final aggregate groups on, so the groupBy reuses the
+    // window's hash partitioning instead of re-shuffling a joined plan
+    val w = Window.partitionBy("user_id")
+    table(s, d, "events")
+      .withColumn("start_id", coalesce(
+        min(when(col("event_type").isin(startTypes: _*), col("event_id"))).over(w),
+        min(when(col("event_type") === fallbackType, col("event_id"))).over(w)))
       .filter(col("value") > 150 && col("event_id") > col("start_id"))
       .groupBy("user_id")
       .agg(min(col("event_id")).as("crossing_id"))

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkEntry, TestSpark}
+
+/** Physical-plan shape assertions — the 100 TB design properties the
+  * queries claim (filter pushdown, column pruning, broadcast joins, no
+  * cartesian products) verified against the actual executed plans, not
+  * just code review. */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("f1_eq pushes the predicate into the parquet scan") {
+    val p = plan("f1_eq")
+    assert(p.contains("PushedFilters") && p.contains("c_mktsegment"),
+      s"expected pushed filter on c_mktsegment:\n$p")
+  }
+
+  test("f1_eq prunes the scan to the referenced columns only") {
+    val p = plan("f1_eq")
+    assert(!p.contains("c_nationkey"), "unreferenced column should not be read")
+  }
+
+  test("j1 enrich joins the dim side broadcast, not shuffled") {
+    val p = plan("j1_enrich_bcast")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+  }
+
+  test("j3 chains two broadcast joins without shuffling the fact side") {
+    val p = plan("j3_chain")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2)
+  }
+
+  test("j4 semi-join plans as a real LeftSemi") {
+    assert(plan("j4_semi").contains("LeftSemi"))
+  }
+
+  test("aggregations use partial (map-side) aggregation") {
+    val p = plan("a11_counts")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"expected two-phase hash aggregate:\n$p")
+  }
+
+  test("no dedup/similarity query plans a cartesian product") {
+    for (q <- Seq("dd_jaccard", "dd_minhash", "dd_simhash", "ann_lsh")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+    }
+  }
+
+  test("knn broadcast probe: candidate side is never shuffled for the join") {
+    val p = plan("knn_cosine")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probe side should broadcast:\n$p")
+  }
+
+  test("whole-stage codegen covers the custom expressions") {
+    // the native kernels (vec_dot, sorted_intersect_count) must not
+    // break codegen spans around them; AQE only finalizes the plan on
+    // execution, so run the query first
+    val df = SparkEntry.queries("knn_cosine")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // codegen spans render as "*(n)" stage markers in the plan string;
+    // the vecdot projection must sit inside one
+    assert(p.split("\n").exists(l => l.contains("vecdot") && l.contains("*(")),
+      s"vecdot should be inside a WholeStageCodegen span:\n$p")
+  }
+}
