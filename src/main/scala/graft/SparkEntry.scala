@@ -26,6 +26,7 @@ object SparkEntry {
       ops.Events.queries ++
       pipelines.Report.queries ++
       pipelines.NflQueries.queries ++
+      pipelines.Animate.queries ++
       llm.TextOps.queries ++
       llm.Dedup.queries ++
       llm.Similarity.queries ++
