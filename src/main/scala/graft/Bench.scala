@@ -48,6 +48,13 @@ object Bench {
         case e: Throwable =>
           failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
+      // per-query hygiene: drop caches persisted inside queries and any
+      // lingering persistent RDDs so later queries measure their own
+      // work — with a large heap, GC (which drives Spark's context
+      // cleaner) may not run for a long time, and accumulated state
+      // made late heavy queries ~20x slower than isolated runs.
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
 
     def jstr(s: String): String =

@@ -31,6 +31,23 @@ object ArrayKernels {
     n
   }
 
+  /** Merge-walk intersection count over two SORTED long arrays — the
+    * hashed-token fast path: comparing longs avoids the per-byte
+    * UTF8String walk entirely. */
+  def sortedLongIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val xs = a.toLongArray()
+    val ys = b.toLongArray()
+    var i = 0
+    var j = 0
+    var n = 0
+    while (i < xs.length && j < ys.length) {
+      if (xs(i) == ys(j)) { n += 1; i += 1; j += 1 }
+      else if (xs(i) < ys(j)) i += 1
+      else j += 1
+    }
+    n
+  }
+
   /** Sequential left-fold dot product of two double arrays —
     * bit-identical to DuckDB's list_dot_product accumulation order, so
     * oracle-checked cosine similarities hash-match exactly. */
@@ -61,6 +78,23 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `sorted_long_intersect_count(a, b)` over sorted array<long>. */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"needs two array<long>, got $other")
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ArrayKernels.sortedLongIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ArrayKernels.sortedLongIntersectCount($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** `vec_dot(a, b)` over array<double>. */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -86,5 +120,9 @@ object ArrayFns {
 
   def vecDot(a: Column, b: Column): Column =
     ColumnBridge.column(VecDot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def sortedLongIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedLongIntersectCount(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -37,6 +37,15 @@ object Dedup {
   // sorting changes neither set sizes nor intersection counts
   private val toks: Column = array_sort(array_distinct(split(col("text"), " ")))
 
+  // hashed-token fast path for the pairwise verify: distinct tokens →
+  // xxhash64 → sorted longs. Intersection counts are identical to the
+  // string form (distinct-then-hash preserves set sizes; a cross-doc
+  // collision among this corpus's ~40-word vocab has probability
+  // ~40²/2⁶⁴ ≈ 1e-16), and the long merge walk skips the per-byte
+  // UTF8String comparison entirely.
+  private val tokHashes: Column =
+    array_sort(transform(array_distinct(split(col("text"), " ")), t => xxhash64(t)))
+
   /** N-gram (token-set) Jaccard near-dup over lang-bucketed candidates:
     * |A∩B| / (|A|+|B|-|A∩B|) on distinct tokens, pairs restricted to the
     * same `lang` bucket (the candidate generator); threshold 0.6. */
@@ -47,10 +56,10 @@ object Dedup {
     // cardinality ~6× and cuts pairs ~5×. Near-dups at jaccard ≥ 0.9
     // have near-equal token sets, hence near-equal lengths.
     val t = table(s, d, "documents").select(col("doc_id"), col("lang"),
-      floor(col("n_chars") / 100).cast("int").as("len_band"), toks.as("tk"))
+      floor(col("n_chars") / 100).cast("int").as("len_band"), tokHashes.as("tk"))
     val a = t.select(col("lang"), col("len_band"), col("doc_id").as("doc_a"), col("tk").as("tk_a"))
     val b = t.select(col("lang"), col("len_band"), col("doc_id").as("doc_b"), col("tk").as("tk_b"))
-    val inter = ArrayFns.sortedIntersectCount(col("tk_a"), col("tk_b")).cast("double")
+    val inter = ArrayFns.sortedLongIntersectCount(col("tk_a"), col("tk_b")).cast("double")
     a.join(b, Seq("lang", "len_band"))
       .filter(col("doc_a") < col("doc_b"))
       // size-ratio prefilter: jaccard ≥ 0.9 forces min(|A|,|B|)/max ≥ 0.9;
@@ -64,23 +73,31 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** 3-token shingles of a document. */
-  private[llm] def shingled(docs: DataFrame): DataFrame = {
-    val tk = split(col("text"), " ")
-    docs.select(col("doc_id"),
-      filter(
-        transform(tk, (_, i) => concat_ws(" ", slice(tk, i + 1, lit(3)))),
-        (_, i) => i <= size(tk) - 3).as("shingles"))
+  /** 3-token shingle rows of a document: posexplode + window lead —
+    * fully codegen'd, O(tokens) per doc. (The transform/slice HOF form
+    * is interpreted and O(tokens²): 9.5 s alone at sf0.1.) */
+  private[llm] def shingleRows(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    docs.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("tok"),
+        lead("tok", 1).over(w).as("t1"), lead("tok", 2).over(w).as("t2"))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"))
   }
 
-  private val numHashes = 16
-  private val bandRows = 4  // 4 bands × 4 rows
+  // 4 bands × 6 rows: on a corpus saturated with moderately-similar
+  // docs (shingle-jaccard ~0.5 everywhere), 4-row bands admitted ~25%
+  // of ALL pairs as candidates; 6-row bands cut that ~4× while keeping
+  // ≥95% recall for true near-dups (s ≥ 0.9: 1-(1-0.9^6)^4).
+  private val numHashes = 24
+  private val bandRows = 6
 
   /** MinHash signatures: min over shingles of xxhash64(seed, shingle) for
     * each of `numHashes` seeds — computed columnar (explode + groupBy
     * min), one shuffle on doc_id. */
   private[llm] def minhashSignatures(docs: DataFrame): DataFrame = {
-    val ex = shingled(docs).select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val ex = shingleRows(docs)
     val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
     ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
@@ -106,8 +123,8 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .dropDuplicates()
-    val t = docs.select(col("doc_id"), toks.as("tk"))
-    val inter = ArrayFns.sortedIntersectCount(col("tk_a"), col("tk_b")).cast("double")
+    val t = docs.select(col("doc_id"), tokHashes.as("tk"))
+    val inter = ArrayFns.sortedLongIntersectCount(col("tk_a"), col("tk_b")).cast("double")
     cand
       .join(t.select(col("doc_id").as("doc_a"), col("tk").as("tk_a")), Seq("doc_a"))
       .join(t.select(col("doc_id").as("doc_b"), col("tk").as("tk_b")), Seq("doc_b"))

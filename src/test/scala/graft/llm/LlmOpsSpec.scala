@@ -46,9 +46,9 @@ class LlmOpsSpec extends AnyFunSuite {
     val pairs = Dedup.queries("dd_minhash")(spark, sf) // smoke on real table
     assert(pairs.columns.toSeq == Seq("doc_a", "doc_b", "jaccard"))
     // direct check on the planted corpus through the same signature logic:
-    val sigRows = sigs.collect().map(r => r.getLong(0) -> (1 to 16).map(i => r.getLong(i))).toMap
+    val sigRows = sigs.collect().map(r => r.getLong(0) -> (1 to 24).map(i => r.getLong(i))).toMap
     val bandsEqual = (0 until 4).exists(b4 =>
-      (0 until 4).forall(i => sigRows(1L)(b4 * 4 + i) == sigRows(2L)(b4 * 4 + i)))
+      (0 until 6).forall(i => sigRows(1L)(b4 * 6 + i) == sigRows(2L)(b4 * 6 + i)))
     assert(bandsEqual, "planted near-dup pair should share at least one LSH band")
   }
 
