@@ -55,12 +55,23 @@ object Dedup {
     // straggler tasks do everything); the band multiplies key
     // cardinality ~6× and cuts pairs ~5×. Near-dups at jaccard ≥ 0.9
     // have near-equal token sets, hence near-equal lengths.
+    // Second blocking key: distinct-token-count band — near-equal sets
+    // have near-equal cardinalities, so width-4 bands keep ≥0.9-jaccard
+    // pairs together while cutting within-bucket pair growth ~4×.
+    // Structural limit (measured by tools/ScaleProbe at 10×): on a
+    // corpus whose near-dup density is a constant FRACTION of all
+    // pairs, exact all-near-pairs output is Ω(n²) — no candidate
+    // generator fixes that. dd_minhash (LSH, output-sensitive) is the
+    // scale path; this query is the oracle-checkable exact-metric twin.
     val t = table(s, d, "documents").select(col("doc_id"), col("lang"),
       floor(col("n_chars") / 100).cast("int").as("len_band"), tokHashes.as("tk"))
-    val a = t.select(col("lang"), col("len_band"), col("doc_id").as("doc_a"), col("tk").as("tk_a"))
-    val b = t.select(col("lang"), col("len_band"), col("doc_id").as("doc_b"), col("tk").as("tk_b"))
+      .withColumn("tok_band", (size(col("tk")) / 4).cast("int"))
+    val a = t.select(col("lang"), col("len_band"), col("tok_band"),
+      col("doc_id").as("doc_a"), col("tk").as("tk_a"))
+    val b = t.select(col("lang"), col("len_band"), col("tok_band"),
+      col("doc_id").as("doc_b"), col("tk").as("tk_b"))
     val inter = ArrayFns.sortedLongIntersectCount(col("tk_a"), col("tk_b")).cast("double")
-    a.join(b, Seq("lang", "len_band"))
+    a.join(b, Seq("lang", "len_band", "tok_band"))
       .filter(col("doc_a") < col("doc_b"))
       // size-ratio prefilter: jaccard ≥ 0.9 forces min(|A|,|B|)/max ≥ 0.9;
       // integer arithmetic, removes pairs that cannot pass BEFORE the
@@ -173,6 +184,8 @@ object Dedup {
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |   round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
         |     / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))), 4) AS jaccard
-        |  FROM t a JOIN t b ON a.lang = b.lang AND a.len_band = b.len_band AND a.doc_id < b.doc_id)
+        |  FROM t a JOIN t b ON a.lang = b.lang AND a.len_band = b.len_band
+        |    AND CAST(floor(len(a.tk)/4) AS INT) = CAST(floor(len(b.tk)/4) AS INT)
+        |    AND a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.9 ORDER BY doc_a, doc_b""".stripMargin)
 }
