@@ -105,6 +105,25 @@ object Sources {
     StructField("dir", DoubleType),
     StructField("event", StringType)))
 
+  /** Schemas of the reference's metric output tables
+    * (Data/tackler_YAP_FINAL.csv etc.) — EP3's inputs. */
+  val yapMetricSchema: StructType = StructType(Seq(
+    StructField("game_ID", LongType),
+    StructField("play_ID", LongType),
+    StructField("NFL_ID", LongType),
+    StructField("name", StringType),
+    StructField("position", StringType),
+    StructField("YAP", DoubleType)))
+
+  val maxParamsMetricSchema: StructType = StructType(Seq(
+    StructField("game_ID", LongType),
+    StructField("play_ID", LongType),
+    StructField("NFL_ID", LongType),
+    StructField("name", StringType),
+    StructField("position", StringType),
+    StructField("max_vel", DoubleType),
+    StructField("max_accel", DoubleType)))
+
   /** CSV reader with the engine-owned schema.
     *
     * Binds columns BY HEADER NAME, not position: the file is read untyped

@@ -134,8 +134,61 @@ object Report {
       .orderBy("tier")
   }
 
+  /** The EXACT plot_YAP.py:31-79 chain over the NFL metric tables:
+    * rename opt columns (P3) → natural left joins on the full shared
+    * key + dropDuplicates (J2/J3/A1) → delta columns (P4) → clamp
+    * negative YAP to 0 and recode positions (X12) → per-player stats
+    * (A4) → support filter count ≥ 50 and sort desc by mean (F4/O1-O3).
+    *
+    * NaN boundary (SURVEY §7.4-2): the reference's CSVs carry literal
+    * NaN in metric columns and pandas' mean/count skip NaN; Spark's
+    * avg skips NULL but PROPAGATES NaN — so NaN → null at ingest
+    * (X11/X15 in engine terms). */
+  def playerReport(yap: DataFrame, maxParams: DataFrame, maxParamsOpt: DataFrame): DataFrame = {
+    val key = Seq("game_ID", "play_ID", "NFL_ID", "name", "position")
+    def denan(df: DataFrame, cols: String*): DataFrame =
+      cols.foldLeft(df)((d, c) => d.withColumn(c, when(isnan(col(c)), lit(null)).otherwise(col(c))))
+    val opt = denan(maxParamsOpt, "max_vel", "max_accel")
+      .withColumnRenamed("max_vel", "max_vel_opt")
+      .withColumnRenamed("max_accel", "max_accel_opt")
+    val params = denan(maxParams, "max_vel", "max_accel")
+      .join(opt, key, "left").dropDuplicates()
+      .withColumn("delta_vel", col("max_vel_opt") - col("max_vel"))
+      .withColumn("delta_accel", col("max_accel_opt") - col("max_accel"))
+    val full = denan(yap, "YAP")
+      .join(params, key, "left").dropDuplicates()
+      .withColumn("YAP", when(col("YAP") < 0, 0.0).otherwise(col("YAP")))
+      .withColumn("position",
+        when(col("position").isin("CB", "SS", "FS"), "DB")
+          .when(col("position").isin("MLB", "OLB", "ILB"), "LB")
+          .when(col("position").isin("DT", "NT"), "T")
+          .otherwise(col("position")))
+    full.groupBy("NFL_ID").agg(
+      first(col("name")).as("name"),
+      first(col("position")).as("position"),
+      count(col("YAP")).as("n"),
+      dround(avg(col("YAP")), 4).as("mean_yap"),
+      dround(expr("percentile(YAP, 0.5)"), 4).as("median_yap"),
+      max(col("YAP")).as("max_yap"))
+      .filter(col("n") >= 50)
+      .orderBy(desc("mean_yap"), asc("NFL_ID"))
+  }
+
+  /** playerReport driven on the reference's own golden metric outputs —
+    * real BDB-season data (17,420 rows per table). Rows-only in the
+    * driver gate; pinned against independently-computed goldens in
+    * ReportGoldenSpec. */
+  private val ep3PlayerReport: Q = (s, _) => {
+    val data = "/root/reference/Data"
+    playerReport(
+      graft.io.Sources.csv(s, s"$data/tackler_YAP_FINAL.csv", graft.io.Sources.yapMetricSchema),
+      graft.io.Sources.csv(s, s"$data/tackler_max_params_FINAL.csv", graft.io.Sources.maxParamsMetricSchema),
+      graft.io.Sources.csv(s, s"$data/tackler_max_params_opt_FINAL.csv", graft.io.Sources.maxParamsMetricSchema))
+  }
+
   val queries: Map[String, Q] = Map(
     "ep3_report" -> ep3Report,
+    "ep3_player_report" -> ep3PlayerReport,
     "a3_describe" -> a3Describe,
     "a4_group_stats" -> a4GroupStats,
     "a6_corr" -> a6Corr,
