@@ -19,21 +19,29 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // shuffle dirs on tmpfs: the virtual disk's page-cache variance
+      // made shuffle-heavy queries swing 3-10x run to run
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warmup at the smallest SF: compiles the codegen classes and JITs
-    // the hot paths once, so the timed pass measures steady-state
-    // execution, not first-query compilation (set SPARK_GRAFT_WARMUP=0
-    // to skip).
+    // Warmup at the TARGET SF: compiles the generated code and JITs the
+    // hot paths once, so the timed pass measures steady-state execution.
+    // Warming at a smaller SF does not work — AQE picks different
+    // physical plans (broadcast vs sort-merge, coalesced partitions) at
+    // different sizes, so the small-SF codegen classes are the wrong
+    // ones and the timed run still paid full compilation (measured: a
+    // 2-3 s steady-state query costs 8-30 s on its first execution
+    // under C2/janino queue contention). SPARK_GRAFT_WARMUP=0 skips.
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1") {
-      val warmDir = "/root/testdata/sf0.001"
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => }
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       }
     }
 

@@ -113,9 +113,32 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
+  /** Embedding-cosine near-duplicate pairs (the dedup-by-embedding
+    * component): candidate pairs from the multi-table sign-LSH buckets
+    * (both sides full table — no probe set), verified with exact cosine
+    * ≥ threshold. Candidate work scales with bucket sizes, never O(n²);
+    * recall for near-identical vectors (θ→0) approaches 1 because their
+    * sign patterns agree in every table. Rows-only + recall test. */
+  private val embCosThreshold = 0.8
+  private val ddEmbCos: Q = (s, d) => {
+    val emb = table(s, d, "embeddings").select(col("vec_id"), asDouble.as("ve"))
+      .withColumn("bk", explode(bucketKeys(col("ve"))))
+      .select(col("vec_id"), col("ve"), col("bk.tb").as("tb"), col("bk.key").as("key"))
+    val a = emb.select(col("tb"), col("key"), col("vec_id").as("id_a"), col("ve").as("va"))
+    val b = emb.select(col("tb"), col("key"), col("vec_id").as("id_b"), col("ve").as("vb"))
+    a.join(b, Seq("tb", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("sim"))
+      .filter(col("sim") >= embCosThreshold)
+      .select(col("id_a"), col("id_b"), dround(col("sim"), 4).as("sim"))
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "knn_cosine" -> knnCosine,
-    "ann_lsh" -> annLsh)
+    "ann_lsh" -> annLsh,
+    "dd_embcos" -> ddEmbCos)
 
   val oracle: Map[String, String] = Map(
     "knn_cosine" ->

@@ -174,6 +174,29 @@ object Report {
       .orderBy(desc("mean_yap"), asc("NFL_ID"))
   }
 
+  /** plot_max_parameters.py:16-40 — position recode (X12), per-position
+    * describe block (A3) and Pearson correlation of max velocity vs
+    * acceleration (A6) over the max-params metric table. Rows with
+    * missing metrics (no vicinity crossing) are excluded, matching
+    * pandas' NaN-skipping statistics. */
+  def maxParamsReport(maxParams: DataFrame): DataFrame =
+    maxParams
+      .filter(col("max_vel").isNotNull && !isnan(col("max_vel")) &&
+        col("max_accel").isNotNull && !isnan(col("max_accel")))
+      .withColumn("position",
+        when(col("position").isin("CB", "SS", "FS"), "DB")
+          .when(col("position").isin("MLB", "OLB", "ILB"), "LB")
+          .when(col("position").isin("DT", "NT"), "T")
+          .otherwise(col("position")))
+      .groupBy("position").agg(
+        count(lit(1)).as("n"),
+        dround(avg(col("max_vel")), 4).as("mean_vel"),
+        dround(stddev(col("max_vel")), 4).as("sd_vel"),
+        dround(expr("percentile(max_vel, 0.5)"), 4).as("median_vel"),
+        dround(avg(col("max_accel")), 4).as("mean_accel"),
+        dround(corr(col("max_vel"), col("max_accel")), 4).as("vel_accel_corr"))
+      .orderBy("position")
+
   /** playerReport driven on the reference's own golden metric outputs —
     * real BDB-season data (17,420 rows per table). Rows-only in the
     * driver gate; pinned against independently-computed goldens in
@@ -186,9 +209,15 @@ object Report {
       graft.io.Sources.csv(s, s"$data/tackler_max_params_opt_FINAL.csv", graft.io.Sources.maxParamsMetricSchema))
   }
 
+  private val ep3MaxParamsReport: Q = (s, _) =>
+    maxParamsReport(graft.io.Sources.csv(s,
+      "/root/reference/Data/tackler_max_params_FINAL.csv",
+      graft.io.Sources.maxParamsMetricSchema))
+
   val queries: Map[String, Q] = Map(
     "ep3_report" -> ep3Report,
     "ep3_player_report" -> ep3PlayerReport,
+    "ep3_max_params_report" -> ep3MaxParamsReport,
     "a3_describe" -> a3Describe,
     "a4_group_stats" -> a4GroupStats,
     "a6_corr" -> a6Corr,

@@ -63,6 +63,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(ann.map(_._1).subsetOf(knn.map(_._1)))
   }
 
+  test("embedding-cosine near-dup finds planted near-identical vectors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // plant: vec 1 and 2 nearly identical, the rest random-ish
+    def vec(seed: Int, jitter: Float): Array[Float] =
+      Array.tabulate(64)(i => (Similarity.planeSign(seed, i).toFloat + (if (i == 0) jitter else 0f)))
+    val rows = Seq(
+      (1L, vec(100, 0f), 0), (2L, vec(100, 0.05f), 0)) ++
+      (3L to 30L).map(k => (k, vec(k.toInt, 0f), 1))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("graft_emb").toString
+    df.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val pairs = Similarity.queries("dd_embcos")(spark, dir).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      s"planted near-identical pair not found: ${pairs.mkString(", ")}")
+    assert(pairs.forall(_.getDouble(2) >= 0.8))
+  }
+
   test("exact dedup groups by content hash (all-unique corpus)") {
     val out = Dedup.queries("dd_exact")(spark, sf).collect()
     assert(out.length == 500)

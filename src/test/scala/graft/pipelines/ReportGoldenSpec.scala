@@ -44,6 +44,18 @@ class ReportGoldenSpec extends AnyFunSuite {
     assert(report.forall(_.getLong(3) >= 50L))
   }
 
+  test("per-position max-params describe + correlation match golden values") {
+    val rows = Report.maxParamsReport(
+      Sources.csv(spark, s"$data/tackler_max_params_FINAL.csv", Sources.maxParamsMetricSchema))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+      .toMap
+    assert(rows("DB") == ((7238L, 5.7108, 1.7489, 5.64, 4.2313, -0.0163)), s"DB: ${rows("DB")}")
+    assert(rows("DE") == ((1366L, 3.9682, 1.7844, 3.685, 2.8743, 0.4888)), s"DE: ${rows("DE")}")
+    assert(rows("LB") == ((5704L, 5.1131, 1.882, 4.96, 3.9542, 0.0997)), s"LB: ${rows("LB")}")
+    assert(rows("T") == ((2020L, 3.4163, 1.6216, 3.16, 2.5282, 0.4309)), s"T: ${rows("T")}")
+  }
+
   test("position recode covers the season's tackler positions") {
     // recoded universe on this data: DB, LB, T, DE
     val positions = report.map(_.getString(2)).toSet
