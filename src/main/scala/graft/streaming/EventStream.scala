@@ -33,6 +33,16 @@ object EventStream {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming exact dedup — the incremental face of the dedup family
+    * (llm.Dedup): drop re-deliveries of the same content key, with the
+    * watermark bounding how long a key is remembered. State size tracks
+    * the watermark window, not the stream's history — the property that
+    * makes streaming dedup viable at ingest scale. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("content_key")
+
   final case class Ev(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int, total: Double)
   final case class Session(user_id: Long, start_ms: Long, end_ms: Long,

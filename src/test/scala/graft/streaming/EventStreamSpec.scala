@@ -61,6 +61,25 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-deliveries within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(String, Timestamp, Double)]
+    val q = EventStream.dedupStream(
+        source.toDF().toDF("content_key", "ts", "value"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      source.addData(("docA", ts(0), 1.0), ("docB", ts(1), 2.0), ("docA", ts(2), 1.0))
+      q.processAllAvailable()
+      source.addData(("docA", ts(3), 1.0), ("docC", ts(4), 3.0))
+      q.processAllAvailable()
+      val keys = spark.table("dedup_out").collect().map(_.getString(0))
+      assert(keys.sorted.toSeq == Seq("docA", "docB", "docC"),
+        s"re-delivered docA must be dropped, got ${keys.toSeq}")
+    } finally q.stop()
+  }
+
   test("the same sessionize code runs in batch mode (unified API)") {
     import spark.implicits._
     val batch = Seq(
