@@ -245,6 +245,30 @@ object Yap {
             case None =>
           }
 
+          // Fallback matching the reference: DF_PBP_opt starts as a COPY
+          // of the actual frames (optimal_pursuit.py:491), so when no
+          // feasible horizon replaced it, max_params_opt is computed
+          // over the tackler's ACTUAL path — vicinity crossing + range
+          // max, rounded like the optimal branch.
+          // (only when NO optimal path replaced the frames — a spliced
+          // path that never reaches the vicinity stays missing, exactly
+          // like the reference's NaN branch)
+          if (yap.isEmpty && idxVic > idxStart) {
+            var vm = Double.NegativeInfinity
+            var am = Double.NegativeInfinity
+            var q = idxStart
+            while (q < idxVic) {
+              aligned(q).foreach { r =>
+                vm = math.max(vm, r.s)
+                am = math.max(am, r.a)
+              }
+              q += 1
+            }
+            if (vm > Double.NegativeInfinity) {
+              vMaxOpt = Some(round2(vm)); aMaxOpt = Some(round2(am))
+            }
+          }
+
           out += Emit("yap", gameId, playId, tacklerId, name, position,
             yap, None, None, None, None, None, None, None, None, None)
           out += Emit("max_params_opt", gameId, playId, tacklerId, name, position,

@@ -66,6 +66,34 @@ class PipelinesSpec extends AnyFunSuite {
     assert(errs.count() == 1)
   }
 
+  test("tackler with missing frames degrades gracefully (frameId alignment)") {
+    // drop a third of the tackler's frames: the reference's positional
+    // alignment would silently mis-pair series; explicit frameId
+    // alignment must keep working (SURVEY §7.4 gotcha 3)
+    val frames = DemoPlays.frames().filter(_.playId == 1001L)
+      .filterNot(tr => tr.nflId == 201L && tr.frameId % 3 == 0)
+      .map { tr =>
+        Yap.PlayFrame(tr.gameId, tr.playId, tr.nflId, tr.frameId,
+          if (tr.nflId == 100L) "carrier" else "tackler",
+          tr.time.getTime / 1000.0, tr.x, tr.y, tr.s, tr.a, tr.dir, tr.event,
+          tr.playDirection, Some("X"), Some(if (tr.nflId == 100L) "RB" else "CB"))
+      }
+    val emits = Yap.processPlay(1L, 1001L, frames, 1.0).toSeq
+    assert(!emits.exists(_.kind == "error"), "gaps must not dead-letter the play")
+    assert(emits.exists(_.kind == "yap"))
+  }
+
+  test("max_params_opt falls back to the actual path when no horizon is feasible") {
+    // play 1002's tackler never catches the carrier, but DOES have
+    // actual frames — the reference computes opt metrics over the
+    // unreplaced copy... though without a vicinity crossing they stay
+    // missing; assert the row exists with null metrics (NaN analog)
+    val (tr, pl, py, tk) = fixtureDfs
+    val emits = Yap.run(spark, tr, pl, py, tk).collect()
+    val mp202 = emits.find(e => e.kind == "max_params_opt" && e.NFL_ID == 202L).get
+    assert(mp202.max_vel.isEmpty && mp202.max_accel.isEmpty)
+  }
+
   test("kernel processPlay is a pure function (no-Spark unit test)") {
     val frames = DemoPlays.frames().filter(_.playId == 1001L).map { tr =>
       Yap.PlayFrame(tr.gameId, tr.playId, tr.nflId, tr.frameId,
