@@ -53,7 +53,9 @@ object OptimalPursuit {
   private val Gt: Mat = transpose(G)
 
   /** K1: right-hand side of the reversed-time Riccati sweep. `s` is the
-    * 4×4 matrix flattened row-major; symmetrized each evaluation. */
+    * 4×4 matrix flattened row-major; symmetrized each evaluation.
+    * General-matrix form — reference semantics, used by tests to verify
+    * the specialized fast path below. */
   private[kernel] def sweepSDot(s: Array[Double], A: Mat, bInv: Mat): Array[Double] = {
     val s0 = reshape(s, 4, 4)
     val sym = scale(add(s0, transpose(s0)), 0.5)
@@ -63,7 +65,39 @@ object OptimalPursuit {
     flatten(neg(sDot)) // negated: integrating backwards in time
   }
 
-  /** K2: right-hand side of the combined state/costate linear system. */
+  /** K1 fast path: closed-form scalar evaluation exploiting the fixed
+    * F/G structure (S·F shifts columns; S·G selects columns 2,3;
+    * A = diag(0,0,α,α); B⁻¹ = (1/β)·I). Allocation: two 16-arrays per
+    * call vs ~60 in the general form — the kernel was GC-throughput
+    * bound at season scale (32 threads serialized on the collector). */
+  private[kernel] def sweepSDotFast(s: Array[Double], alphaV: Double, bInvD: Double): Array[Double] = {
+    val sym = new Array[Double](16)
+    var i = 0
+    while (i < 4) {
+      var j = 0
+      while (j < 4) { sym(i * 4 + j) = 0.5 * (s(i * 4 + j) + s(j * 4 + i)); j += 1 }
+      i += 1
+    }
+    val out = new Array[Double](16)
+    i = 0
+    while (i < 4) {
+      var j = 0
+      while (j < 4) {
+        val sfIJ = if (j >= 2) sym(i * 4 + (j - 2)) else 0.0
+        val sfJI = if (i >= 2) sym(j * 4 + (i - 2)) else 0.0
+        val aIJ = if (i == j && i >= 2) alphaV else 0.0
+        val mIJ = bInvD * (sym(i * 4 + 2) * sym(j * 4 + 2) + sym(i * 4 + 3) * sym(j * 4 + 3))
+        // S_dot = -SF - (SF)ᵀ - A + S G B⁻¹ Gᵀ S ; returned negated
+        out(i * 4 + j) = -(-sfIJ - sfJI - aIJ + mIJ)
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** K2: right-hand side of the combined state/costate linear system
+    * (general form, kept for tests). */
   private[kernel] def stateCostateDot(y: Array[Double], A: Mat, bInv: Mat): Array[Double] = {
     val gbg = matmul(matmul(G, bInv), Gt) // 4×4
     val out = new Array[Double](8)
@@ -82,6 +116,21 @@ object OptimalPursuit {
     out
   }
 
+  /** K2 fast path: the coupled system reduces to eight scalar ops —
+    * ẋ = (u, v, −λ₂/β, −λ₃/β), λ̇ = (0, 0, −αu − λ₀, −αv − λ₁). */
+  private[kernel] def stateCostateDotFast(y: Array[Double], alphaV: Double, bInvD: Double): Array[Double] = {
+    val out = new Array[Double](8)
+    out(0) = y(2)
+    out(1) = y(3)
+    out(2) = -bInvD * y(6)
+    out(3) = -bInvD * y(7)
+    out(4) = 0.0
+    out(5) = 0.0
+    out(6) = -alphaV * y(2) - y(4)
+    out(7) = -alphaV * y(3) - y(5)
+    out
+  }
+
   /** K3: solve the optimal pursuit path from relative initial state
     * (x0, y0) with initial velocity (u0, v0), over time grid `t`
     * (seconds, ascending, t(0) = 0), with limits vMax/aMax and target
@@ -91,14 +140,13 @@ object OptimalPursuit {
     val cR = 2.0 / (rT * rT)
     val betaA = 2.0 / (aMax * aMax)
     val alphaV = 2.0 / (vMax * vMax)
-    val A = diag(0.0, 0.0, alphaV, alphaV)
-    val bInv = diag(1.0 / betaA, 1.0 / betaA)
+    val bInvD = 1.0 / betaA
     val sF = diag(cR, cR, 0.0, 0.0)
     val tF = t.last
 
     // backward Riccati sweep (no t_eval — only the endpoint matters)
     val (_, s0Flat) = RK45.integrate(
-      (_, s) => sweepSDot(s, A, bInv), 0.0, tF, flatten(sF), Array.empty)
+      (_, s) => sweepSDotFast(s, alphaV, bInvD), 0.0, tF, flatten(sF), Array.empty)
     val s0 = reshape(s0Flat, 4, 4)
 
     val xVec = Array(x0, y0, u0, v0)
@@ -106,7 +154,7 @@ object OptimalPursuit {
     val y0Full = xVec ++ l0
 
     val (states, _) = RK45.integrate(
-      (_, y) => stateCostateDot(y, A, bInv), 0.0, tF, y0Full, t)
+      (_, y) => stateCostateDotFast(y, alphaV, bInvD), 0.0, tF, y0Full, t)
 
     val n = t.length
     val path = Path(new Array(n), new Array(n), new Array(n), new Array(n), new Array(n), new Array(n))

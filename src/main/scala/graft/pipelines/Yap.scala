@@ -112,7 +112,7 @@ object Yap {
 
   /** K4 per-play kernel. Pure function of one play's frames — unit-
     * testable without Spark. */
-  private[pipelines] def processPlay(gameId: Long, playId: Long,
+  private[graft] def processPlay(gameId: Long, playId: Long,
       frames: Seq[PlayFrame], rT: Double): Iterator[Emit] = {
 
     def err(nflId: Long, msg: String) = Emit("error", gameId, playId, nflId, "", "",
@@ -191,9 +191,20 @@ object Yap {
               var done = false
               while (j <= n - 2 && !done) {
                 val tj = timeRel.slice(idxStart, j + 1).map(_ - time0)
-                val path = OptimalPursuit.solveOptimalPath(
+                // exact pruning: any path ending within rT of the target
+                // travels at least (dist − rT), so its max speed is at
+                // least (dist − rT)/t_f — if that already exceeds the
+                // speed gate, the candidate must fail; skip the solve.
+                // Only provably-failing horizons are skipped, so results
+                // are identical (and the early, hopeless horizons are
+                // exactly the wasted LQR solves).
+                val distJ = math.hypot(x0t - xC(j), y0t - yC(j))
+                val tF = tj.last
+                val cannotReach = tF <= 0.0 || (distJ - rT) / tF > vMaxMax
+                val path = if (cannotReach) null
+                else OptimalPursuit.solveOptimalPath(
                   x0t - xC(j), y0t - yC(j), u0t, v0t, tj, vMaxMed, aMaxMed, rT)
-                if (path.finalRadius <= rT && path.maxSpeed <= vMaxMax &&
+                if (path != null && path.finalRadius <= rT && path.maxSpeed <= vMaxMax &&
                     path.maxAccel <= aMaxMax) {
                   done = true
                   yap = Some(round2(

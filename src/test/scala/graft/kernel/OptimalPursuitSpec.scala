@@ -70,6 +70,24 @@ class OptimalPursuitSpec extends AnyFunSuite {
     assert(math.abs(path.maxAccel - 4.419478) < 0.1)
   }
 
+  test("specialized RHS fast paths equal the general-matrix forms") {
+    val rnd = new scala.util.Random(7)
+    val alphaV = 2.0 / 25.0
+    val betaA = 2.0 / 16.0
+    val a = diag(0.0, 0.0, alphaV, alphaV)
+    val bInv = diag(1.0 / betaA, 1.0 / betaA)
+    (1 to 50).foreach { _ =>
+      val s = Array.fill(16)(rnd.nextDouble() * 4 - 2)
+      val g = OptimalPursuit.sweepSDot(s, a, bInv)
+      val f = OptimalPursuit.sweepSDotFast(s, alphaV, 1.0 / betaA)
+      g.indices.foreach(i => assert(math.abs(g(i) - f(i)) < 1e-12, s"sweep idx $i"))
+      val y = Array.fill(8)(rnd.nextDouble() * 10 - 5)
+      val g2 = OptimalPursuit.stateCostateDot(y, a, bInv)
+      val f2 = OptimalPursuit.stateCostateDotFast(y, alphaV, 1.0 / betaA)
+      g2.indices.foreach(i => assert(math.abs(g2(i) - f2(i)) < 1e-12, s"state idx $i"))
+    }
+  }
+
   test("longer horizon closes the pursuit further (monotone feasibility)") {
     val short = OptimalPursuit.solveOptimalPath(-8.0, 3.0, 1.5, -0.5,
       (0 to 5).map(_ * 0.1).toArray, 5.0, 4.0, 1.0)
