@@ -71,14 +71,20 @@ object OptimalPursuit {
     * call vs ~60 in the general form — the kernel was GC-throughput
     * bound at season scale (32 threads serialized on the collector). */
   private[kernel] def sweepSDotFast(s: Array[Double], alphaV: Double, bInvD: Double): Array[Double] = {
-    val sym = new Array[Double](16)
+    val out = new Array[Double](16)
+    sweepSDotInto(s, alphaV, bInvD, new Array[Double](16), out)
+    out
+  }
+
+  /** In-place form for the integrator's buffer-reuse protocol. */
+  private[kernel] def sweepSDotInto(s: Array[Double], alphaV: Double, bInvD: Double,
+      sym: Array[Double], out: Array[Double]): Unit = {
     var i = 0
     while (i < 4) {
       var j = 0
       while (j < 4) { sym(i * 4 + j) = 0.5 * (s(i * 4 + j) + s(j * 4 + i)); j += 1 }
       i += 1
     }
-    val out = new Array[Double](16)
     i = 0
     while (i < 4) {
       var j = 0
@@ -93,7 +99,6 @@ object OptimalPursuit {
       }
       i += 1
     }
-    out
   }
 
   /** K2: right-hand side of the combined state/costate linear system
@@ -120,6 +125,13 @@ object OptimalPursuit {
     * ẋ = (u, v, −λ₂/β, −λ₃/β), λ̇ = (0, 0, −αu − λ₀, −αv − λ₁). */
   private[kernel] def stateCostateDotFast(y: Array[Double], alphaV: Double, bInvD: Double): Array[Double] = {
     val out = new Array[Double](8)
+    stateCostateDotInto(y, alphaV, bInvD, out)
+    out
+  }
+
+  /** In-place form for the integrator's buffer-reuse protocol. */
+  private[kernel] def stateCostateDotInto(y: Array[Double], alphaV: Double, bInvD: Double,
+      out: Array[Double]): Unit = {
     out(0) = y(2)
     out(1) = y(3)
     out(2) = -bInvD * y(6)
@@ -128,7 +140,6 @@ object OptimalPursuit {
     out(5) = 0.0
     out(6) = -alphaV * y(2) - y(4)
     out(7) = -alphaV * y(3) - y(5)
-    out
   }
 
   /** K3: solve the optimal pursuit path from relative initial state
@@ -145,8 +156,10 @@ object OptimalPursuit {
     val tF = t.last
 
     // backward Riccati sweep (no t_eval — only the endpoint matters)
+    val symBuf = new Array[Double](16) // scratch reused across RHS calls
     val (_, s0Flat) = RK45.integrate(
-      (_, s) => sweepSDotFast(s, alphaV, bInvD), 0.0, tF, flatten(sF), Array.empty)
+      (_, s, out) => sweepSDotInto(s, alphaV, bInvD, symBuf, out),
+      0.0, tF, flatten(sF), Array.empty)
     val s0 = reshape(s0Flat, 4, 4)
 
     val xVec = Array(x0, y0, u0, v0)
@@ -154,7 +167,7 @@ object OptimalPursuit {
     val y0Full = xVec ++ l0
 
     val (states, _) = RK45.integrate(
-      (_, y) => stateCostateDotFast(y, alphaV, bInvD), 0.0, tF, y0Full, t)
+      (_, y, out) => stateCostateDotInto(y, alphaV, bInvD, out), 0.0, tF, y0Full, t)
 
     val n = t.length
     val path = Path(new Array(n), new Array(n), new Array(n), new Array(n), new Array(n), new Array(n))

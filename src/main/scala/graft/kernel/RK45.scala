@@ -4,8 +4,14 @@ package graft.kernel
   * the same method family, tolerances, and step-control policy as the
   * reference's `scipy.integrate.solve_ivp` defaults
   * (optimal_pursuit.py:86,96: RK45, rtol=1e-3, atol=1e-6, `t_eval`
-  * interpolation). Pure Scala, allocation-light, runs inside per-group
-  * kernels on executors.
+  * interpolation). Pure Scala, runs inside per-group kernels on
+  * executors.
+  *
+  * The right-hand side writes into a caller-provided buffer and every
+  * stage/step buffer is preallocated per `integrate` call: the kernel
+  * executes ~10⁶ steps per season workload across 32 threads, and
+  * per-step allocation made the whole pipeline garbage-collector-bound
+  * (see BASELINE.md round-2 notes).
   *
   * Coefficients are the published Dormand–Prince tableau and the
   * Shampine dense-output polynomial (Dormand & Prince 1980; Shampine
@@ -40,7 +46,8 @@ object RK45 {
   private val maxFactor = 10.0
   private val errExponent = -1.0 / 5.0
 
-  type Rhs = (Double, Array[Double]) => Array[Double]
+  /** In-place right-hand side: write dy/dt of (t, y) into `out`. */
+  type Rhs = (Double, Array[Double], Array[Double]) => Unit
 
   private def rmsNorm(v: Array[Double]): Double = {
     var s = 0.0
@@ -52,13 +59,27 @@ object RK45 {
   /** Hairer/Wanner initial step heuristic (the one scipy uses). */
   private def initialStep(f: Rhs, t0: Double, y0: Array[Double], f0: Array[Double],
       rtol: Double, atol: Double, tBound: Double): Double = {
-    val scale = y0.map(y => atol + rtol * math.abs(y))
-    val d0 = rmsNorm(y0.zip(scale).map { case (y, s) => y / s })
-    val d1 = rmsNorm(f0.zip(scale).map { case (g, s) => g / s })
+    val n = y0.length
+    val scale = new Array[Double](n)
+    var i = 0
+    while (i < n) { scale(i) = atol + rtol * math.abs(y0(i)); i += 1 }
+    def scaledNorm(v: Array[Double]): Double = {
+      var s = 0.0
+      var j = 0
+      while (j < n) { val q = v(j) / scale(j); s += q * q; j += 1 }
+      math.sqrt(s / n)
+    }
+    val d0 = scaledNorm(y0)
+    val d1 = scaledNorm(f0)
     val h0 = if (d0 < 1e-5 || d1 < 1e-5) 1e-6 else 0.01 * d0 / d1
-    val y1 = y0.zip(f0).map { case (y, g) => y + h0 * g }
-    val f1 = f(t0 + h0, y1)
-    val d2 = rmsNorm(f1.zip(f0).zip(scale).map { case ((g1, g0), s) => (g1 - g0) / s }) / h0
+    val y1 = new Array[Double](n)
+    i = 0
+    while (i < n) { y1(i) = y0(i) + h0 * f0(i); i += 1 }
+    val f1 = new Array[Double](n)
+    f(t0 + h0, y1, f1)
+    i = 0
+    while (i < n) { y1(i) = f1(i) - f0(i); i += 1 } // reuse y1 as diff
+    val d2 = scaledNorm(y1) / h0
     val h1 =
       if (d1 <= 1e-15 && d2 <= 1e-15) math.max(1e-6, h0 * 1e-3)
       else math.pow(0.01 / math.max(d1, d2), 1.0 / 5.0)
@@ -73,7 +94,6 @@ object RK45 {
     val n = y0.length
     val out = Array.ofDim[Array[Double]](tEval.length)
     var evalIdx = 0
-    // emit any t_eval points at/before t0
     while (evalIdx < tEval.length && tEval(evalIdx) <= t0) {
       out(evalIdx) = y0.clone(); evalIdx += 1
     }
@@ -84,19 +104,22 @@ object RK45 {
 
     var t = t0
     var y = y0.clone()
-    var fCur = f(t, y)
+    var yNew = new Array[Double](n)
+    val k = Array.ofDim[Double](7, n)
+    var fCur = new Array[Double](n)
+    f(t, y, fCur)
     var h = initialStep(f, t0, y, fCur, rtol, atol, tf)
     val minStep = 10.0 * math.ulp(tf - t0)
-    val k = Array.ofDim[Array[Double]](7)
+    val ys = new Array[Double](n)
+    val pows = new Array[Double](4)
 
     while (t < tf) {
       if (h < minStep) h = minStep
       if (t + h > tf) h = tf - t
-      // stages
-      k(0) = fCur
+      // stages: k(0) is the FSAL value from the previous accepted step
+      System.arraycopy(fCur, 0, k(0), 0, n)
       var st = 1
       while (st < 6) {
-        val ys = new Array[Double](n)
         var i = 0
         while (i < n) {
           var acc = 0.0
@@ -105,10 +128,9 @@ object RK45 {
           ys(i) = y(i) + h * acc
           i += 1
         }
-        k(st) = f(t + c(st) * h, ys)
+        f(t + c(st) * h, ys, k(st))
         st += 1
       }
-      val yNew = new Array[Double](n)
       var i = 0
       while (i < n) {
         var acc = 0.0
@@ -117,25 +139,27 @@ object RK45 {
         yNew(i) = y(i) + h * acc
         i += 1
       }
-      k(6) = f(t + h, yNew)
-      // embedded error estimate
-      val errScaled = new Array[Double](n)
+      f(t + h, yNew, k(6))
+      // embedded error estimate (scaled RMS, computed in place)
+      var errAcc = 0.0
       i = 0
       while (i < n) {
         var acc = 0.0
         var j = 0
         while (j < 7) { acc += e(j) * k(j)(i); j += 1 }
         val scale = atol + rtol * math.max(math.abs(y(i)), math.abs(yNew(i)))
-        errScaled(i) = h * acc / scale
+        val q = h * acc / scale
+        errAcc += q * q
         i += 1
       }
-      val errNorm = rmsNorm(errScaled)
+      val errNorm = math.sqrt(errAcc / n)
       if (errNorm < 1.0 || h <= minStep) {
         // accept: dense-interpolate any t_eval points inside (t, t+h]
         while (evalIdx < tEval.length && tEval(evalIdx) <= t + h + 1e-15) {
           val theta = math.min(math.max((tEval(evalIdx) - t) / h, 0.0), 1.0)
-          val pows = Array(theta, theta * theta, theta * theta * theta, theta * theta * theta * theta)
-          val yi = new Array[Double](n)
+          pows(0) = theta; pows(1) = theta * theta
+          pows(2) = pows(1) * theta; pows(3) = pows(2) * theta
+          val yi = new Array[Double](n) // escapes into `out`
           var ii = 0
           while (ii < n) {
             var acc = 0.0
@@ -154,8 +178,11 @@ object RK45 {
           evalIdx += 1
         }
         t += h
-        y = yNew
-        fCur = k(6) // FSAL
+        // y ← yNew and fCur ← k(6), by reference swap (buffers reused)
+        val tmp = y; y = yNew; yNew = tmp
+        val tmpF = fCur
+        System.arraycopy(k(6), 0, tmpF, 0, n)
+        fCur = tmpF
         val factor =
           if (errNorm == 0.0) maxFactor
           else math.min(maxFactor, math.max(1.0, safety * math.pow(errNorm, errExponent)))
@@ -165,6 +192,6 @@ object RK45 {
       }
     }
     while (evalIdx < tEval.length) { out(evalIdx) = y.clone(); evalIdx += 1 }
-    (out, y)
+    (out, y.clone())
   }
 }

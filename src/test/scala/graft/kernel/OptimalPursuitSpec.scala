@@ -21,7 +21,10 @@ class OptimalPursuitSpec extends AnyFunSuite {
     val bInv = diag(1.0 / betaA, 1.0 / betaA)
     val sF = diag(cR, cR, 0.0, 0.0)
     val (_, s0Flat) = RK45.integrate(
-      (_, s) => OptimalPursuit.sweepSDot(s, a, bInv), 0.0, 2.0, flatten(sF), Array.empty)
+      (_, s, out) => {
+        val r = OptimalPursuit.sweepSDot(s, a, bInv)
+        System.arraycopy(r, 0, out, 0, 16)
+      }, 0.0, 2.0, flatten(sF), Array.empty)
     val s0 = reshape(s0Flat, 4, 4)
     val golden = Array(
       Array(0.090098784725, 0.0, 0.103801520839, 0.0),
