@@ -1,0 +1,118 @@
+package graft.kernel
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+import graft.pipelines.Yap
+
+/** Property-based checks (SURVEY §5 item 1: scalacheck for the
+  * boundary/kernel logic).
+  *
+  *  - the integrator is linear on linear systems (superposition);
+  *  - the per-play kernel never throws on randomized plays and
+  *    maintains its emission invariants (one yap + one opt row per
+  *    known-position tackler, error rows exactly for unknown
+  *    positions, path rows only alongside a computed YAP).
+  */
+object KernelProps extends Properties("kernel") {
+
+  // ---- RK45 superposition on random 2×2 linear systems ----
+  private val smallD = Gen.choose(-1.5, 1.5)
+  private val sysGen = for {
+    m00 <- smallD; m01 <- smallD; m10 <- smallD; m11 <- smallD
+    a0 <- smallD; a1 <- smallD; b0 <- smallD; b1 <- smallD
+    alpha <- Gen.choose(-2.0, 2.0); beta <- Gen.choose(-2.0, 2.0)
+  } yield (Array(m00, m01, m10, m11), Array(a0, a1), Array(b0, b1), alpha, beta)
+
+  property("integrate is linear in the initial state for linear systems") =
+    forAll(sysGen) { case (m, ya, yb, alpha, beta) =>
+      def rhs(t: Double, y: Array[Double], out: Array[Double]): Unit = {
+        out(0) = m(0) * y(0) + m(1) * y(1)
+        out(1) = m(2) * y(0) + m(3) * y(1)
+      }
+      val tEval = Array(0.5, 1.0)
+      val (sa, _) = RK45.integrate(rhs, 0.0, 1.0, ya, tEval)
+      val (sb, _) = RK45.integrate(rhs, 0.0, 1.0, yb, tEval)
+      val comb = ya.indices.map(i => alpha * ya(i) + beta * yb(i)).toArray
+      val (sc, _) = RK45.integrate(rhs, 0.0, 1.0, comb, tEval)
+      tEval.indices.forall { k =>
+        (0 until 2).forall { i =>
+          val expect = alpha * sa(k)(i) + beta * sb(k)(i)
+          // each solve carries its own ~rtol error; scale-aware bound
+          math.abs(sc(k)(i) - expect) <= 1e-2 * (1.0 + math.abs(expect))
+        }
+      }
+    }
+
+  // ---- kernel emission invariants on randomized plays ----
+  private val posGen = Gen.oneOf("CB", "FS", "DE", "MLB", "DT", "QB", "WR")
+  private val playGen = for {
+    seed <- Gen.choose(0L, 100000L)
+    nTacklers <- Gen.choose(1, 3)
+    positions <- Gen.listOfN(nTacklers, posGen)
+    hasStart <- Gen.frequency(9 -> true, 1 -> false)
+    hasStop <- Gen.frequency(9 -> true, 1 -> false)
+  } yield (seed, positions, hasStart, hasStop)
+
+  private def mkPlay(seed: Long, positions: List[String],
+      hasStart: Boolean, hasStop: Boolean): Seq[Yap.PlayFrame] = {
+    val rnd = new scala.util.Random(seed)
+    val dir = if (rnd.nextBoolean()) "left" else "right"
+    def sec(f: Int) = 1000.0 + f * 0.1
+    val cx0 = 40 + rnd.nextDouble() * 20
+    val cy0 = 15 + rnd.nextDouble() * 20
+    val carrier = (1 to 40).map { f =>
+      val ev = f match {
+        case 5 if hasStart => Some("handoff")
+        case 35 if hasStop => Some("tackle")
+        case _ => None
+      }
+      Yap.PlayFrame(1, 1, 100L, f, "carrier", sec(f),
+        cx0 + rnd.nextGaussian() * 0.3 * f, cy0 + rnd.nextGaussian() * 0.2,
+        rnd.nextDouble() * 5, rnd.nextDouble(), rnd.nextDouble() * 360 - 180,
+        ev, dir, Some("C"), Some("RB"))
+    }
+    val tacklers = positions.zipWithIndex.flatMap { case (pos, t) =>
+      val id = 200L + t
+      val tx0 = cx0 + rnd.nextGaussian() * 6
+      val ty0 = cy0 + rnd.nextGaussian() * 4
+      (1 to 40).map { f =>
+        Yap.PlayFrame(1, 1, id, f, "tackler", sec(f),
+          tx0 + rnd.nextGaussian() * 0.2 * f, ty0 + rnd.nextGaussian() * 0.2,
+          rnd.nextDouble() * 6, rnd.nextDouble() * 2, rnd.nextDouble() * 360 - 180,
+          None, dir, Some(s"T$t"), Some(pos))
+      }
+    }
+    carrier ++ tacklers
+  }
+
+
+  private val known = Set("CB", "FS", "DE", "MLB", "DT")
+
+  property("processPlay keeps its emission invariants on random plays") =
+    forAll(playGen) { case (seed, positions, hasStart, hasStop) =>
+      val frames = mkPlay(seed, positions, hasStart, hasStop)
+      val emits = Yap.processPlay(1L, 1L, frames, 1.0).toSeq
+      if (!hasStart || !hasStop) {
+        // play-level dead-letter, nothing else
+        Prop(emits.nonEmpty && emits.forall(_.kind == "error")).label("missing-event dead-letter")
+      } else {
+        val perTackler = positions.zipWithIndex.map { case (pos, t) =>
+          val id = 200L + t
+          val mine = emits.filter(_.NFL_ID == id)
+          if (known(pos)) {
+            val yapRows = mine.count(_.kind == "yap")
+            val optRows = mine.count(_.kind == "max_params_opt")
+            val errRows = mine.count(_.kind == "error")
+            val pathRows = mine.filter(_.kind == "path")
+            val yapVal = mine.find(_.kind == "yap").flatMap(_.YAP)
+            yapRows == 1 && optRows == 1 && errRows == 0 &&
+              (pathRows.isEmpty || yapVal.isDefined) &&
+              (yapVal.isEmpty || pathRows.nonEmpty)
+          } else {
+            mine.count(_.kind == "error") == 1 && !mine.exists(_.kind == "yap")
+          }
+        }
+        Prop(perTackler.forall(identity)).label("per-tackler invariants")
+      }
+    }
+}
