@@ -38,7 +38,10 @@ object SparkEntry {
     ops.Relational.oracle ++
       ops.Events.oracle ++
       pipelines.Report.oracle ++
+      pipelines.NflQueries.oracle ++
+      pipelines.Animate.oracle ++
       llm.TextOps.oracle ++
       llm.Dedup.oracle ++
-      llm.Similarity.oracle
+      llm.Similarity.oracle ++
+      llm.Multimodal.oracle
 }

@@ -125,4 +125,7 @@ object ArrayFns {
   def sortedLongIntersectCount(a: Column, b: Column): Column =
     ColumnBridge.column(SortedLongIntersectCount(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def tokensInSetCount(text: Column, set: Seq[String]): Column =
+    ColumnBridge.column(TokensInSetCount(ColumnBridge.expression(text), set))
 }

@@ -28,6 +28,44 @@ object TextHashKernels {
   /** FNV-1a of one token — the per-token hash feeding simhash. */
   def fnv64(s: UTF8String): Long = rollingHash(s)
 
+  /** Count of space-delimited tokens of `text` that appear in `set` —
+    * the stopword/marker counting primitive behind quality scoring and
+    * language ID. One pass over the bytes, zero allocation: splitting on
+    * the ASCII space is UTF-8 safe, and the candidate sets are tiny
+    * (3–7 entries) so a linear byte-compare beats a hash set. Token
+    * boundaries match `split(text, ' ')` with limit -1: consecutive
+    * spaces yield empty tokens, which never match a non-empty set. */
+  def countTokensInSet(text: UTF8String, set: Array[UTF8String]): Long = {
+    var count = 0L
+    val n = text.numBytes()
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || text.getByte(i) == ' ') {
+        val len = i - start
+        var k = 0
+        var matched = false
+        while (k < set.length && !matched) {
+          val t = set(k)
+          if (t.numBytes() == len) {
+            var j = 0
+            var eq = true
+            while (j < len && eq) {
+              if (text.getByte(start + j) != t.getByte(j)) eq = false
+              j += 1
+            }
+            matched = eq
+          }
+          k += 1
+        }
+        if (matched) count += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    count
+  }
+
   /** 64-bit SimHash over a token array: each token votes its hash bits
     * (+1 for a set bit, -1 for a clear bit); the sign of each tally is
     * the fingerprint bit. Near-duplicate documents differ in few bits. */
@@ -86,6 +124,29 @@ case class SimHash(child: Expression) extends UnaryExpression with CodegenFallba
   }
   override protected def nullSafeEval(input: Any): Any =
     TextHashKernels.simHash(input.asInstanceOf[ArrayData])
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `tokens_in_set_count(text)` — count of whitespace tokens belonging to
+  * a fixed small set, fused split+membership with codegen. Replaces the
+  * explode → conditional-aggregate shape for stopword/marker counting:
+  * same result, but one scan-project with NO shuffle (the exploded form
+  * shuffled O(tokens) rows where O(docs) suffice — VERDICT r2 §wrong 4). */
+case class TokensInSetCount(child: Expression, tokens: Seq[String]) extends UnaryExpression {
+  private lazy val set: Array[UTF8String] = tokens.map(UTF8String.fromString).toArray
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"tokens_in_set_count needs a string argument, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashKernels.countTokensInSet(input.asInstanceOf[UTF8String], set)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenSet", set,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashKernels.countTokensInSet($c, $ref)")
+  }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

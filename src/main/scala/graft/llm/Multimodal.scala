@@ -102,9 +102,28 @@ object Multimodal {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // feature vector serialized (rounded, comma-joined): raw float
+    // arrays are unhashable sort keys in the driver's pandas compare
     "mm_features" -> ((s, _) =>
-      extractFeatures(s, demoMedia(s)).toDF().orderBy("media_id")),
+      extractFeatures(s, demoMedia(s)).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          graft.functions.Numeric.dround(col("byte_entropy"), 4).as("byte_entropy"),
+          array_join(transform(col("feature"),
+            x => graft.functions.Numeric.dround(x.cast("double"), 4).cast("string")), ",")
+            .as("feature"))
+        .orderBy("media_id")),
     "mm_frame_sample" -> ((s, _) =>
       sampleFrames(s, demoMedia(s)).toDF().orderBy("media_id", "frame_idx")),
     "mm_meta_stats" -> ((s, _) => metaStats(demoMedia(s))))
+
+  /** DuckDB twin over the demo-media metadata fixture Verify dumps to
+    * /tmp/graft_fixtures (payload bytes excluded — the metadata-only
+    * aggregation is exactly what the query must compute without them).
+    * mm_features/mm_frame_sample stay rows-only: their values come from
+    * the byte-histogram stub / rolling hash, not SQL-expressible. */
+  val oracle: Map[String, String] = Map(
+    "mm_meta_stats" ->
+      """SELECT kind, count(*) AS n, max(width) AS max_w, max(nFrames) AS max_frames
+        |FROM read_parquet('/tmp/graft_fixtures/demo_media_meta/*.parquet')
+        |GROUP BY kind ORDER BY kind""".stripMargin)
 }

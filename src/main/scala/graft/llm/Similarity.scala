@@ -121,14 +121,26 @@ object Similarity {
     * sign patterns agree in every table. Rows-only + recall test. */
   private val embCosThreshold = 0.8
   private val ddEmbCos: Q = (s, d) => {
+    // Candidate pairs carry ONLY (id_a, id_b) through the bucket join
+    // and dedup; the two 64-dim vectors join back AFTER the pairs are
+    // distinct. The previous shape attached va/vb before dropDuplicates
+    // (~1 KB/row through the widest exchange in the repo — VERDICT r2
+    // §wrong 3); ddMinhash already used this narrow shape. The bucket
+    // relation is persisted: the self-join would otherwise recompute the
+    // 72 hyperplane dot products per side.
     val emb = table(s, d, "embeddings").select(col("vec_id"), asDouble.as("ve"))
-      .withColumn("bk", explode(bucketKeys(col("ve"))))
-      .select(col("vec_id"), col("ve"), col("bk.tb").as("tb"), col("bk.key").as("key"))
-    val a = emb.select(col("tb"), col("key"), col("vec_id").as("id_a"), col("ve").as("va"))
-    val b = emb.select(col("tb"), col("key"), col("vec_id").as("id_b"), col("ve").as("vb"))
-    a.join(b, Seq("tb", "key"))
+    val keys = emb
+      .select(col("vec_id"), explode(bucketKeys(col("ve"))).as("bk"))
+      .select(col("vec_id"), col("bk.tb").as("tb"), col("bk.key").as("key"))
+      .persist()
+    val pairs = keys.select(col("tb"), col("key"), col("vec_id").as("id_a"))
+      .join(keys.select(col("tb"), col("key"), col("vec_id").as("id_b")), Seq("tb", "key"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+    pairs
+      .join(emb.select(col("vec_id").as("id_a"), col("ve").as("va")), Seq("id_a"))
+      .join(emb.select(col("vec_id").as("id_b"), col("ve").as("vb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("sim"))
       .filter(col("sim") >= embCosThreshold)
       .select(col("id_a"), col("id_b"), dround(col("sim"), 4).as("sim"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Sources.table
 import graft.functions.Numeric.dround
-import graft.functions.TextHashes
+import graft.functions.{ArrayFns, TextHashes}
 
 /** Text-analysis operators for the LLM-data-pipeline extension
   * (builder brief; VERDICT r1 §LLM): token/length stats, quality
@@ -24,8 +24,13 @@ object TextOps {
   private val toks: Column = split(col("text"), " ")
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
+  /** Fused split+membership count — a native codegen'd expression
+    * (graft.functions.TokensInSetCount). The earlier explode →
+    * conditional-agg shape shuffled O(tokens) rows; the HOF
+    * `filter(...)` lambda shape evaluated interpreted per element. This
+    * is both: codegen AND one scan-project, zero shuffle. */
   private def countIn(set: Seq[String]): Column =
-    size(filter(toks, t => t.isInCollection(set))).cast("long")
+    ArrayFns.tokensInSetCount(col("text"), set)
 
   /** Token counting + length stats: whitespace tokens and a BPE-ish
     * regex word count (regexp_count — counts without materializing the
@@ -40,21 +45,15 @@ object TextOps {
       .orderBy("doc_id")
 
   /** Quality scoring: stopword ratio + length-window flag — the
-    * heuristics a pretraining filter applies per document.
-    *
-    * Shaped as explode → conditional aggregate rather than a
-    * higher-order `filter(...)` lambda: HOFs evaluate interpreted per
-    * array element (no codegen) and were ~10× slower at sf0.1; the
-    * exploded form stays in whole-stage codegen with map-side partial
-    * aggregation. */
+    * heuristics a pretraining filter applies per document. One parquet
+    * scan → project, no shuffle: the stopword count is the fused
+    * codegen'd `countIn` above. */
   private val tsQuality: Q = (s, d) => {
-    val counted = table(s, d, "documents")
-      .select(col("doc_id"), col("n_chars"), size(toks).cast("long").as("n_tokens"),
-        explode(toks).as("tok"))
-      .groupBy("doc_id", "n_chars", "n_tokens")
-      .agg(sum(when(col("tok").isInCollection(stopwords), 1L).otherwise(0L)).as("n_stop"))
+    val base = table(s, d, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        size(toks).cast("long").as("n_tokens"), countIn(stopwords).as("n_stop"))
     val ratio = col("n_stop").cast("double") / col("n_tokens")
-    counted.select(
+    base.select(
       col("doc_id"), col("n_stop"),
       dround(ratio, 4).as("stop_ratio"),
       when(col("n_chars").between(100, 2000) && ratio.between(0.05, 0.6), "ok")
@@ -71,15 +70,10 @@ object TextOps {
     "s_de" -> Seq("der", "und", "ist"))
 
   private val tsLangId: Q = (s, d) => {
-    // explode + 4 conditional sums: same codegen rationale as tsQuality
+    // 4 fused marker counts in one projection: same zero-shuffle
+    // rationale as tsQuality
     val scored = table(s, d, "documents")
-      .select(col("doc_id"), explode(toks).as("tok"))
-      .groupBy("doc_id")
-      .agg(
-        markers.head match { case (n, set) =>
-          sum(when(col("tok").isInCollection(set), 1L).otherwise(0L)).as(n) },
-        markers.tail.map { case (n, set) =>
-          sum(when(col("tok").isInCollection(set), 1L).otherwise(0L)).as(n) }: _*)
+      .select(col("doc_id") +: markers.map { case (n, set) => countIn(set).as(n) }: _*)
     scored.select(
       col("doc_id"), col("s_en"), col("s_es"), col("s_fr"), col("s_de"),
       when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") && col("s_en") >= col("s_de"), "en")

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.io.Sources.table
@@ -74,24 +74,33 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Array column → oracle-hashable string: round each element with the
+    * DuckDB-parity `dround` (after which the double's shortest repr is
+    * its exact 4-decimal form in BOTH engines) and join with ','. Raw
+    * array<double> output broke the driver's pandas compare — arrays are
+    * unhashable as sort keys (VERDICT r2 §wrong 1). */
+  private def joined(arr: Column): Column =
+    array_join(transform(arr, x => dround(x, 4).cast("string")), ",")
+
   /** W6 running path prefix — cumulative trajectory per entity
-    * (optimal_pursuit.py:375,404). */
+    * (optimal_pursuit.py:375,404), serialized for the oracle compare. */
   private val w6Prefix: Q = (s, d) =>
     table(s, d, "events")
       .select(col("event_id"), col("user_id"),
-        collect_list(col("value")).over(
+        joined(collect_list(col("value")).over(
           Window.partitionBy("user_id").orderBy("event_id")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("path"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))).as("path"))
       .orderBy("event_id")
 
   /** P2 per-group ordered vector extract — `DF['x'].to_numpy()` per play
-    * (optimal_pursuit.py:195-196): the whole series as one array row. */
+    * (optimal_pursuit.py:195-196): the whole series as one (serialized)
+    * array row. */
   private val p2Series: Q = (s, d) =>
     table(s, d, "events")
       .groupBy("user_id")
-      .agg(transform(
+      .agg(joined(transform(
         array_sort(collect_list(struct(col("event_id"), col("value")))),
-        x => x.getField("value")).as("series"))
+        x => x.getField("value"))).as("series"))
       .orderBy("user_id")
 
   /** W7 region overwrite — splice a computed segment over an ordered
@@ -182,8 +191,10 @@ object Events {
         |FROM events ORDER BY event_id""".stripMargin,
     "w6_prefix" ->
       """SELECT event_id, user_id,
-        | list(value) OVER (PARTITION BY user_id ORDER BY event_id
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS path
+        | array_to_string(list_transform(
+        |   list(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |   x -> CAST(round(x, 4) AS VARCHAR)), ',') AS path
         |FROM events ORDER BY event_id""".stripMargin,
     "w7_splice" ->
       s"""WITH s AS ($startSql)
@@ -192,7 +203,9 @@ object Events {
          |FROM events e JOIN s ON e.user_id = s.user_id
          |ORDER BY e.event_id""".stripMargin,
     "p2_series" ->
-      """SELECT user_id, list(value ORDER BY event_id) AS series
+      """SELECT user_id,
+        | array_to_string(list_transform(list(value ORDER BY event_id),
+        |   x -> CAST(round(x, 4) AS VARCHAR)), ',') AS series
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "a12_first_where" ->
       """SELECT user_id, min(CASE WHEN event_type = 'error' THEN event_id END) AS first_error_id

@@ -213,11 +213,15 @@ object Relational {
       upper(col("lang")).as("lang_uc"))
       .orderBy("doc_id")
 
-  /** X9/X10 timestamp → date, day arithmetic (optimal_pursuit.py:290,446). */
+  /** X9/X10 timestamp → date, day arithmetic (optimal_pursuit.py:290,446).
+    * ship_day is `cast(date).cast(string)` — same `yyyy-MM-dd` output as
+    * `date_format` but without its per-row DateTimeFormatter path, which
+    * made this scan-project-sort query a 13.8 s outlier (23% of the whole
+    * bench; VERDICT r2 §wrong 2). */
   private val xDatetime: Q = (s, d) =>
     table(s, d, "lineitem").select(
       col("l_orderkey"), col("l_linenumber"),
-      date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"),
+      col("l_shipdate").cast("date").cast("string").as("ship_day"),
       datediff(col("l_shipdate").cast("date"), lit("1995-01-01").cast("date"))
         .cast("long").as("days_since"))
       .orderBy("l_orderkey", "l_linenumber")

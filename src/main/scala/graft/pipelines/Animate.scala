@@ -16,10 +16,12 @@ object Animate {
   /** Per-frame animation input: one row per (frame, entity). */
   def animationFrames(tracking: DataFrame, players: DataFrame): DataFrame = {
     val th = radians(col("dir"))
+    // u/v rounded to 4 decimals: trig libm results differ ≤1 ulp across
+    // engines, so raw sin/cos products can't hash-match the oracle
     tracking
       .join(broadcast(players.select("nflId", "displayName", "position")), Seq("nflId"), "left")
-      .withColumn("u", col("s") * sin(th))
-      .withColumn("v", col("s") * cos(th))
+      .withColumn("u", graft.functions.Numeric.dround(col("s") * sin(th), 4))
+      .withColumn("v", graft.functions.Numeric.dround(col("s") * cos(th), 4))
   }
 
   /** Field-of-view bounds per play, snapped to the 5-yard grid. */
@@ -40,4 +42,25 @@ object Animate {
         .orderBy("gameId", "playId", "frameId", "nflId")),
     "k7_field_bounds" -> ((s, _) =>
       fieldBounds(DemoPlays.tracking(s)).orderBy("gameId", "playId")))
+
+  /** DuckDB twins over the /tmp/graft_fixtures demo parquet (written by
+    * Verify before the driver's compare runs). */
+  val oracle: Map[String, String] = Map(
+    "k7_animation_frames" ->
+      """WITH tr AS (SELECT * FROM read_parquet('/tmp/graft_fixtures/demo_tracking/*.parquet')),
+        | py AS (SELECT * FROM read_parquet('/tmp/graft_fixtures/demo_players/*.parquet'))
+        |SELECT tr.gameId, tr.playId, tr.nflId, tr.frameId, tr.x, tr.y,
+        | round(tr.s * sin(radians(tr.dir)), 4) AS u,
+        | round(tr.s * cos(radians(tr.dir)), 4) AS v,
+        | py.displayName, py.position
+        |FROM tr LEFT JOIN py ON tr.nflId = py.nflId
+        |ORDER BY tr.gameId, tr.playId, tr.frameId, tr.nflId""".stripMargin,
+    "k7_field_bounds" ->
+      """SELECT gameId, playId,
+        | CAST(floor(min(x)/5)*5 AS DOUBLE) AS x_min,
+        | CAST(ceil(max(x)/5)*5 AS DOUBLE) AS x_max,
+        | CAST(floor(min(y)/5)*5 AS DOUBLE) AS y_min,
+        | CAST(ceil(max(y)/5)*5 AS DOUBLE) AS y_max
+        |FROM read_parquet('/tmp/graft_fixtures/demo_tracking/*.parquet')
+        |GROUP BY gameId, playId ORDER BY gameId, playId""".stripMargin)
 }

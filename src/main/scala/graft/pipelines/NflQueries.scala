@@ -55,4 +55,54 @@ object NflQueries {
     "k4_max_params_opt" -> k4MaxParamsOpt,
     "k4_opt_paths" -> k4Paths,
     "k4_deadletter" -> k4DeadLetter)
+
+  /** DuckDB twin of the FULL EP2 pipeline over the demo-fixture parquet
+    * that Verify dumps to /tmp/graft_fixtures (SURVEY §2.9 declares K5
+    * SQL-expressible; this makes the claim checkable — the oracle
+    * recomputes carrier extraction, boundaries, frame-aligned distance,
+    * first crossing, and range max from the raw frames). The k4_*
+    * queries stay rows-only: their values come from the LQR/RK45 kernel,
+    * which SQL cannot express. */
+  val oracle: Map[String, String] = Map(
+    "k5_max_params" ->
+      """WITH tr AS (SELECT * FROM read_parquet('/tmp/graft_fixtures/demo_tracking/*.parquet')),
+        | pl AS (SELECT * FROM read_parquet('/tmp/graft_fixtures/demo_plays/*.parquet')),
+        | py AS (SELECT * FROM read_parquet('/tmp/graft_fixtures/demo_players/*.parquet')),
+        | tk AS (SELECT DISTINCT gameId, playId, nflId
+        |        FROM read_parquet('/tmp/graft_fixtures/demo_tackles/*.parquet')),
+        | carrier AS (
+        |  SELECT t.gameId, t.playId, t.frameId, t.x AS xc, t.y AS yc, t.event
+        |  FROM tr t JOIN pl p ON t.gameId = p.gameId AND t.playId = p.playId
+        |   AND t.nflId = p.ballCarrierId),
+        | boundaries AS (
+        |  SELECT gameId, playId,
+        |   coalesce(
+        |    min(CASE WHEN event IN ('handoff','pass_outcome_caught','run','snap_direct') THEN frameId END),
+        |    min(CASE WHEN event = 'ball_snap' THEN frameId END)) AS startFrame
+        |  FROM carrier GROUP BY gameId, playId),
+        | tf AS (
+        |  SELECT t.gameId, t.playId, t.nflId, t.frameId, t.x, t.y, t.s, t.a
+        |  FROM tr t JOIN tk k ON t.gameId = k.gameId AND t.playId = k.playId AND t.nflId = k.nflId),
+        | dist AS (
+        |  SELECT f.gameId, f.playId, f.nflId, f.frameId,
+        |   sqrt((c.xc - f.x)*(c.xc - f.x) + (c.yc - f.y)*(c.yc - f.y)) AS dist
+        |  FROM tf f JOIN carrier c
+        |   ON f.gameId = c.gameId AND f.playId = c.playId AND f.frameId = c.frameId),
+        | crossing AS (
+        |  SELECT d.gameId, d.playId, d.nflId, min(d.frameId) AS vicFrame
+        |  FROM dist d JOIN boundaries b ON d.gameId = b.gameId AND d.playId = b.playId
+        |  WHERE d.dist < 1.0 AND d.frameId > b.startFrame
+        |  GROUP BY d.gameId, d.playId, d.nflId),
+        | ranges AS (
+        |  SELECT f.gameId, f.playId, f.nflId, max(f.s) AS max_vel, max(f.a) AS max_accel
+        |  FROM tf f JOIN boundaries b ON f.gameId = b.gameId AND f.playId = b.playId
+        |   JOIN crossing c ON f.gameId = c.gameId AND f.playId = c.playId AND f.nflId = c.nflId
+        |  WHERE f.frameId >= b.startFrame AND f.frameId < c.vicFrame
+        |  GROUP BY f.gameId, f.playId, f.nflId)
+        |SELECT k.gameId AS game_ID, k.playId AS play_ID, k.nflId AS NFL_ID,
+        | py.displayName AS name, py.position, r.max_vel, r.max_accel
+        |FROM tk k
+        |LEFT JOIN py ON k.nflId = py.nflId
+        |LEFT JOIN ranges r ON k.gameId = r.gameId AND k.playId = r.playId AND k.nflId = r.nflId
+        |ORDER BY game_ID, play_ID, NFL_ID""".stripMargin)
 }

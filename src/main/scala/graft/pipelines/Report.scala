@@ -90,6 +90,26 @@ object Report {
       .orderBy("pt")
   }
 
+  /** A10 per-hue KDE — the reference draws one KDE curve per position
+    * (plot_YAP.py:56, plot_max_parameters.py:42-44 `hue=`): same
+    * single-pass stack() shape as [[a10Kde]], grouped by event_type. One
+    * hash aggregate, 9 agg columns per group — still no join, and the
+    * shuffle carries one row per (group × 1), not per input row. */
+  private val a10KdePos: Q = (s, d) => {
+    val pts = 0 to 400 by 50
+    val aggs = pts.map { p =>
+      val z = (lit(p) - col("value")) / 25.0
+      avg(exp(z * z * -0.5)).as(s"d$p")
+    }
+    val rows = table(s, d, "events").groupBy("event_type").agg(aggs.head, aggs.tail: _*)
+    val stackExpr = s"stack(${pts.length}, " +
+      pts.map(p => s"$p, d$p").mkString(", ") + ") as (pt, raw)"
+    rows.select(col("event_type"), expr(stackExpr))
+      .select(col("event_type"), col("pt"),
+        dround(col("raw") / (25.0 * math.sqrt(2 * math.Pi)), 8).as("density"))
+      .orderBy("event_type", "pt")
+  }
+
   /** A11 group row counts (calculate_YAP.py:28). */
   private val a11Counts: Q = (s, d) =>
     table(s, d, "events").groupBy("event_type").agg(count(lit(1)).as("n"))
@@ -164,8 +184,11 @@ object Report {
           .when(col("position").isin("DT", "NT"), "T")
           .otherwise(col("position")))
     full.groupBy("NFL_ID").agg(
-      first(col("name")).as("name"),
-      first(col("position")).as("position"),
+      // min, not first: name/position are functionally dependent on
+      // NFL_ID, and min is deterministic under any partitioning (first
+      // depends on partition visit order)
+      min(col("name")).as("name"),
+      min(col("position")).as("position"),
       count(col("YAP")).as("n"),
       dround(avg(col("YAP")), 4).as("mean_yap"),
       dround(expr("percentile(YAP, 0.5)"), 4).as("median_yap"),
@@ -198,9 +221,10 @@ object Report {
       .orderBy("position")
 
   /** playerReport driven on the reference's own golden metric outputs —
-    * real BDB-season data (17,420 rows per table). Rows-only in the
-    * driver gate; pinned against independently-computed goldens in
-    * ReportGoldenSpec. */
+    * real BDB-season data (17,420 rows per table). Oracle-checked: the
+    * DuckDB twin recomputes the whole chain from the same CSVs via
+    * read_csv (plus the independently-computed goldens in
+    * ReportGoldenSpec). */
   private val ep3PlayerReport: Q = (s, _) => {
     val data = "/root/reference/Data"
     playerReport(
@@ -224,11 +248,69 @@ object Report {
     "a8_bounds" -> a8Bounds,
     "a9_hist" -> a9Hist,
     "a10_kde" -> a10Kde,
+    "a10_kde_pos" -> a10KdePos,
     "a11_counts" -> a11Counts,
     "o1_sort_counts" -> o1SortCounts,
     "o3_topk" -> o3TopK)
 
   val oracle: Map[String, String] = Map(
+    "ep3_player_report" ->
+      """WITH yap AS (
+        |  SELECT game_ID, play_ID, NFL_ID, name, position,
+        |   CASE WHEN isnan(YAP) THEN NULL ELSE YAP END AS YAP
+        |  FROM read_csv('/root/reference/Data/tackler_YAP_FINAL.csv', header=true)),
+        | mp AS (
+        |  SELECT game_ID, play_ID, NFL_ID, name, position,
+        |   CASE WHEN isnan(max_vel) THEN NULL ELSE max_vel END AS max_vel,
+        |   CASE WHEN isnan(max_accel) THEN NULL ELSE max_accel END AS max_accel
+        |  FROM read_csv('/root/reference/Data/tackler_max_params_FINAL.csv', header=true)),
+        | mpo AS (
+        |  SELECT game_ID, play_ID, NFL_ID, name, position,
+        |   CASE WHEN isnan(max_vel) THEN NULL ELSE max_vel END AS max_vel_opt,
+        |   CASE WHEN isnan(max_accel) THEN NULL ELSE max_accel END AS max_accel_opt
+        |  FROM read_csv('/root/reference/Data/tackler_max_params_opt_FINAL.csv', header=true)),
+        | params AS (
+        |  SELECT DISTINCT mp.game_ID, mp.play_ID, mp.NFL_ID, mp.name, mp.position,
+        |   mp.max_vel, mp.max_accel, mpo.max_vel_opt, mpo.max_accel_opt
+        |  FROM mp LEFT JOIN mpo ON mp.game_ID = mpo.game_ID AND mp.play_ID = mpo.play_ID
+        |   AND mp.NFL_ID = mpo.NFL_ID AND mp.name = mpo.name AND mp.position = mpo.position),
+        | full0 AS (
+        |  SELECT DISTINCT y.game_ID, y.play_ID, y.NFL_ID, y.name, y.position, y.YAP,
+        |   p.max_vel, p.max_accel, p.max_vel_opt, p.max_accel_opt
+        |  FROM yap y LEFT JOIN params p ON y.game_ID = p.game_ID AND y.play_ID = p.play_ID
+        |   AND y.NFL_ID = p.NFL_ID AND y.name = p.name AND y.position = p.position),
+        | recoded AS (
+        |  SELECT NFL_ID, name,
+        |   CASE WHEN position IN ('CB','SS','FS') THEN 'DB'
+        |        WHEN position IN ('MLB','OLB','ILB') THEN 'LB'
+        |        WHEN position IN ('DT','NT') THEN 'T'
+        |        ELSE position END AS position,
+        |   CASE WHEN YAP < 0 THEN 0.0 ELSE YAP END AS YAP
+        |  FROM full0)
+        |SELECT NFL_ID, min(name) AS name, min(position) AS position,
+        | count(YAP) AS n, round(avg(YAP), 4) AS mean_yap,
+        | round(quantile_cont(YAP, 0.5), 4) AS median_yap, max(YAP) AS max_yap
+        |FROM recoded GROUP BY NFL_ID HAVING count(YAP) >= 50
+        |ORDER BY mean_yap DESC, NFL_ID ASC""".stripMargin,
+    "ep3_max_params_report" ->
+      """WITH mp AS (
+        |  SELECT position, max_vel, max_accel
+        |  FROM read_csv('/root/reference/Data/tackler_max_params_FINAL.csv', header=true)
+        |  WHERE max_vel IS NOT NULL AND NOT isnan(max_vel)
+        |   AND max_accel IS NOT NULL AND NOT isnan(max_accel)),
+        | recoded AS (
+        |  SELECT CASE WHEN position IN ('CB','SS','FS') THEN 'DB'
+        |        WHEN position IN ('MLB','OLB','ILB') THEN 'LB'
+        |        WHEN position IN ('DT','NT') THEN 'T'
+        |        ELSE position END AS position, max_vel, max_accel
+        |  FROM mp)
+        |SELECT position, count(*) AS n,
+        | round(avg(max_vel), 4) AS mean_vel,
+        | round(stddev(max_vel), 4) AS sd_vel,
+        | round(quantile_cont(max_vel, 0.5), 4) AS median_vel,
+        | round(avg(max_accel), 4) AS mean_accel,
+        | round(corr(max_vel, max_accel), 4) AS vel_accel_corr
+        |FROM recoded GROUP BY position ORDER BY position""".stripMargin,
     "ep3_report" ->
       """WITH act AS (SELECT user_id, round(avg(value), 4) AS val_act FROM events
         |             WHERE event_type = 'purchase' GROUP BY user_id),
@@ -275,6 +357,13 @@ object Report {
         |FROM (SELECT unnest([0,50,100,150,200,250,300,350,400]) AS pt) g
         |CROSS JOIN events e
         |GROUP BY g.pt ORDER BY g.pt""".stripMargin,
+    "a10_kde_pos" ->
+      """SELECT e.event_type, g.pt,
+        | round(avg(exp(((g.pt - e.value)/25.0) * ((g.pt - e.value)/25.0) * -0.5))
+        |       / (25.0 * sqrt(2*pi())), 8) AS density
+        |FROM (SELECT unnest([0,50,100,150,200,250,300,350,400]) AS pt) g
+        |CROSS JOIN events e
+        |GROUP BY e.event_type, g.pt ORDER BY e.event_type, g.pt""".stripMargin,
     "a11_counts" ->
       "SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type",
     "o1_sort_counts" ->

