@@ -60,6 +60,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"probe side should broadcast:\n$p")
   }
 
+  test("k5 play-proportional relations broadcast via AQE, not a forced hint") {
+    // plays/boundaries grow with the input, so their broadcast hints
+    // were removed (VERDICT r2 §wrong 5); at test scale AQE must still
+    // pick broadcast joins from measured sizes. AQE finalizes the plan
+    // on execution, so run first.
+    val df = SparkEntry.queries("k5_max_params")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"AQE should broadcast the small play-side relations at test scale:\n$p")
+  }
+
   test("whole-stage codegen covers the custom expressions") {
     // the native kernels (vec_dot, sorted_intersect_count) must not
     // break codegen spans around them; AQE only finalizes the plan on
