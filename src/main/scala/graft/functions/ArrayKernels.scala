@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -59,6 +59,46 @@ object ArrayKernels {
     while (i < xs.length) { s += xs(i) * ys(i); i += 1 }
     s
   }
+
+  /** Deterministic ±1 hyperplane component via splitmix64 — fixed,
+    * engine-owned planes shared by every sign-LSH caller (no RNG state
+    * shipped to executors). */
+  def planeSign(plane: Int, component: Int, dim: Int): Double = {
+    var z = plane.toLong * dim + component + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^= z >>> 31
+    if ((z & 1L) == 1L) 1.0 else -1.0
+  }
+
+  /** All sign-LSH bucket keys of one vector: element t = the
+    * `planesPerTable`-bit signature in table t (table id = array
+    * position, so callers pair it with `posexplode`). Replaces an
+    * expression-tree formulation with nTables×planesPerTable literal
+    * plane arrays (~4,600 literal nodes) whose generated code dominated
+    * janino/JIT compilation time; the loop form is one small static
+    * method. Same splitmix64 planes, same sequential dot → identical
+    * buckets. */
+  def signLshKeys(vec: ArrayData, nTables: Int, planesPerTable: Int): ArrayData = {
+    val xs = vec.toDoubleArray()
+    val out = new Array[Long](nTables)
+    var tb = 0
+    while (tb < nTables) {
+      var key = 0L
+      var p = 0
+      while (p < planesPerTable) {
+        val plane = tb * planesPerTable + p
+        var d = 0.0
+        var i = 0
+        while (i < xs.length) { d += xs(i) * planeSign(plane, i, xs.length); i += 1 }
+        if (d >= 0) key |= (1L << p)
+        p += 1
+      }
+      out(tb) = key
+      tb += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** `sorted_intersect_count(a, b)` over sorted distinct array<string>. */
@@ -95,6 +135,23 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `sign_lsh_keys(vec)` — array<long> of all LSH table signatures. */
+case class SignLshKeys(child: Expression, nTables: Int, planesPerTable: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"needs array<double>, got $other")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayKernels.signLshKeys(input.asInstanceOf[ArrayData], nTables, planesPerTable)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ArrayKernels.signLshKeys($c, $nTables, $planesPerTable)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `vec_dot(a, b)` over array<double>. */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -128,4 +185,7 @@ object ArrayFns {
 
   def tokensInSetCount(text: Column, set: Seq[String]): Column =
     ColumnBridge.column(TokensInSetCount(ColumnBridge.expression(text), set))
+
+  def signLshKeys(vec: Column, nTables: Int, planesPerTable: Int): Column =
+    ColumnBridge.column(SignLshKeys(ColumnBridge.expression(vec), nTables, planesPerTable))
 }

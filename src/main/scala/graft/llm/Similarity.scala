@@ -69,43 +69,42 @@ object Similarity {
   private val planesPerTable = 6
   private val dim = 64
 
-  /** Deterministic ±1 hyperplane components via splitmix64 — fixed,
-    * engine-owned planes (no RNG state to ship to executors). */
-  private[llm] def planeSign(plane: Int, component: Int): Double = {
-    var z = plane.toLong * dim + component + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^= z >>> 31
-    if ((z & 1L) == 1L) 1.0 else -1.0
-  }
+  /** Deterministic ±1 hyperplane components via splitmix64 — canonical
+    * kernel in [[graft.functions.ArrayKernels.planeSign]]. */
+  private[llm] def planeSign(plane: Int, component: Int): Double =
+    graft.functions.ArrayKernels.planeSign(plane, component, dim)
 
-  /** array<struct<tb,key>> of this vector's bucket in every table. */
-  private[llm] def bucketKeys(vec: Column): Column =
-    array((0 until nTables).map { tb =>
-      val key = (0 until planesPerTable).map { p =>
-        val planeArr = array((0 until dim).map(i =>
-          lit(planeSign(tb * planesPerTable + p, i))): _*)
-        when(dot(vec, planeArr) >= 0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(tb).as("tb"), key.as("key"))
-    }: _*)
+  /** (vec_id, tb, key) — one row per LSH table, via the native
+    * codegen'd `SignLshKeys` expression + posexplode (array position =
+    * table id). The earlier expression-tree form inlined
+    * nTables×planesPerTable literal plane arrays (~4,600 Catalyst
+    * nodes): semantically identical buckets, but its generated code
+    * paid seconds of janino/JIT compilation per plan. */
+  private def bucketed(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+        posexplode(ArrayFns.signLshKeys(col("ve"), nTables, planesPerTable)))
+      .select(col("vec_id"), col("pos").as("tb"), col("col").as("key"))
 
   /** Sign-LSH approximate top-k: probes meet only candidates sharing a
     * bucket in at least one of the L tables. Recall vs the brute-force
     * baseline is unit-tested; rows-only check here (bucket layout is
     * engine-specific). */
   private val annLsh: Q = (s, d) => {
+    // narrow candidate shape (ids only through the bucket join + dedup,
+    // vectors joined back after distinct) — same as ddEmbCos below
     val emb = table(s, d, "embeddings").select(col("vec_id"), asDouble.as("ve"))
-      .withColumn("bk", explode(bucketKeys(col("ve"))))
-      .select(col("vec_id"), col("ve"), col("bk.tb").as("tb"), col("bk.key").as("key"))
-    val probes = emb.filter(col("vec_id") < nProbes)
-      .select(col("vec_id").as("qid"), col("ve").as("qe"), col("tb"), col("key"))
-    val cands = emb.select(col("vec_id").as("cid"), col("ve").as("ce"), col("tb"), col("key"))
-    val pairs = cands.join(broadcast(probes), Seq("tb", "key"))
+    val keys = bucketed(emb)
+    val probeKeys = keys.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("qid"), col("tb"), col("key"))
+    val pairs = keys.select(col("tb"), col("key"), col("vec_id").as("cid"))
+      .join(broadcast(probeKeys), Seq("tb", "key"))
       .filter(col("qid") =!= col("cid"))
-      .select("qid", "cid", "qe", "ce")
+      .select("qid", "cid")
       .dropDuplicates("qid", "cid")
-    val sims = pairs.select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("sim"))
+    val sims = pairs
+      .join(emb.select(col("vec_id").as("qid"), col("ve").as("qe")), Seq("qid"))
+      .join(emb.select(col("vec_id").as("cid"), col("ve").as("ce")), Seq("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("sim"))
     sims.withColumn("rk",
         row_number().over(Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))))
       .filter(col("rk") <= kNeighbors)
@@ -129,10 +128,7 @@ object Similarity {
     // relation is persisted: the self-join would otherwise recompute the
     // 72 hyperplane dot products per side.
     val emb = table(s, d, "embeddings").select(col("vec_id"), asDouble.as("ve"))
-    val keys = emb
-      .select(col("vec_id"), explode(bucketKeys(col("ve"))).as("bk"))
-      .select(col("vec_id"), col("bk.tb").as("tb"), col("bk.key").as("key"))
-      .persist()
+    val keys = bucketed(emb).persist()
     val pairs = keys.select(col("tb"), col("key"), col("vec_id").as("id_a"))
       .join(keys.select(col("tb"), col("key"), col("vec_id").as("id_b")), Seq("tb", "key"))
       .filter(col("id_a") < col("id_b"))

@@ -83,13 +83,18 @@ object Events {
     array_join(transform(arr, x => dround(x, 4).cast("string")), ",")
 
   /** W6 running path prefix — cumulative trajectory per entity
-    * (optimal_pursuit.py:375,404), serialized for the oracle compare. */
+    * (optimal_pursuit.py:375,404), serialized for the oracle compare.
+    * The element is stringified BEFORE the window (codegen'd, once per
+    * input row); a transform() after collect_list would run its
+    * interpreted lambda over the O(n²) prefix elements instead. */
   private val w6Prefix: Q = (s, d) =>
     table(s, d, "events")
       .select(col("event_id"), col("user_id"),
-        joined(collect_list(col("value")).over(
+        dround(col("value"), 4).cast("string").as("vs"))
+      .select(col("event_id"), col("user_id"),
+        array_join(collect_list(col("vs")).over(
           Window.partitionBy("user_id").orderBy("event_id")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow))).as("path"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)), ",").as("path"))
       .orderBy("event_id")
 
   /** P2 per-group ordered vector extract — `DF['x'].to_numpy()` per play

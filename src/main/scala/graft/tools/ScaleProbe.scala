@@ -35,7 +35,8 @@ object ScaleProbe {
       println("built /tmp/sf1")
     }
     for (q <- Seq("ep2_range_max","j6_self_align","p4_derived","w3_crossing",
-        "dd_jaccard","dd_minhash","dd_exact","ts_quality","knn_cosine","ann_lsh","a10_kde")) {
+        "dd_jaccard","dd_minhash","dd_exact","ts_quality","knn_cosine","ann_lsh","a10_kde",
+        "dd_embcos","w6_prefix","ts_langid","x_datetime")) {
       // warm
       try graft.SparkEntry.queries(q)(spark, src).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => println(s"$q warm FAILED ${e.getMessage}") }
