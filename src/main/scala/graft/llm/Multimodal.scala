@@ -90,6 +90,33 @@ object Multimodal {
     }
   }
 
+  /** Resized image row: original dims from meta, fixed target dims,
+    * resized payload. */
+  final case class ResizedMedia(media_id: Long, in_w: Int, in_h: Int,
+      out_w: Int, out_h: Int, bytes: Array[Byte])
+
+  /** Image resize to a fixed target: the batch-normalization step a
+    * multimodal training pipeline runs before feature extraction.
+    * ??? STUB ???  A real implementation decodes, resamples
+    * (bilinear/Lanczos), and re-encodes; with no codec in this
+    * environment the payload is a deterministic nearest-neighbor
+    * subsample of the raw bytes at the target pixel count (w·h·3, fake
+    * RGB). The CONTRACT is real and tested: image rows only, one codec
+    * init per partition, output size independent of input size. */
+  def resizeImages(spark: SparkSession, media: Dataset[Media],
+      outW: Int = 64, outH: Int = 48): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.filter(_.kind == "image").mapPartitions { it =>
+      // per-partition "decoder/encoder" init would happen here
+      it.map { m =>
+        val n = outW * outH * 3
+        val out = Array.tabulate[Byte](n)(i =>
+          m.bytes((i.toLong * m.bytes.length / n).toInt))
+        ResizedMedia(m.media_id, m.meta.width, m.meta.height, outW, outH, out)
+      }
+    }
+  }
+
   /** Metadata-only projection — must not touch the payload column
     * (column pruning keeps the scan narrow at 100 TB). */
   def metaStats(media: Dataset[Media]): DataFrame =
@@ -114,7 +141,15 @@ object Multimodal {
         .orderBy("media_id")),
     "mm_frame_sample" -> ((s, _) =>
       sampleFrames(s, demoMedia(s)).toDF().orderBy("media_id", "frame_idx")),
-    "mm_meta_stats" -> ((s, _) => metaStats(demoMedia(s))))
+    "mm_meta_stats" -> ((s, _) => metaStats(demoMedia(s))),
+    // payload bytes projected down to their length — the size contract
+    // (out bytes = out_w·out_h·3, independent of input size) is what
+    // the fixture oracle can check
+    "mm_resize" -> ((s, _) =>
+      resizeImages(s, demoMedia(s)).toDF()
+        .select(col("media_id"), col("in_w"), col("in_h"),
+          col("out_w"), col("out_h"), length(col("bytes")).cast("long").as("n_bytes_out"))
+        .orderBy("media_id")))
 
   /** DuckDB twin over the demo-media metadata fixture Verify dumps to
     * /tmp/graft_fixtures (payload bytes excluded — the metadata-only
@@ -125,5 +160,10 @@ object Multimodal {
     "mm_meta_stats" ->
       """SELECT kind, count(*) AS n, max(width) AS max_w, max(nFrames) AS max_frames
         |FROM read_parquet('/tmp/graft_fixtures/demo_media_meta/*.parquet')
-        |GROUP BY kind ORDER BY kind""".stripMargin)
+        |GROUP BY kind ORDER BY kind""".stripMargin,
+    "mm_resize" ->
+      """SELECT media_id, width AS in_w, height AS in_h,
+        | 64 AS out_w, 48 AS out_h, CAST(64*48*3 AS BIGINT) AS n_bytes_out
+        |FROM read_parquet('/tmp/graft_fixtures/demo_media_meta/*.parquet')
+        |WHERE kind = 'image' ORDER BY media_id""".stripMargin)
 }

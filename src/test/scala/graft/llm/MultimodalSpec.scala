@@ -30,6 +30,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(perVideo.forall(_ <= 8)) // nFrames ≤ 31, stride 4
   }
 
+  test("resize touches only image rows and emits a fixed output size") {
+    val media = Multimodal.demoMedia(spark)
+    val resized = Multimodal.resizeImages(spark, media).collect()
+    val imageIds = media.collect().filter(_.kind == "image").map(_.media_id).toSet
+    assert(resized.map(_.media_id).toSet == imageIds)
+    assert(resized.forall(r => r.bytes.length == 64 * 48 * 3 && r.out_w == 64 && r.out_h == 48))
+    // deterministic: same input → same resized payload
+    val again = Multimodal.resizeImages(spark, media).collect()
+    assert(resized.sortBy(_.media_id).zip(again.sortBy(_.media_id))
+      .forall { case (a, b) => a.bytes.sameElements(b.bytes) })
+  }
+
   test("metadata-only query prunes the payload column from the scan") {
     val media = Multimodal.demoMedia(spark)
     val plan = Multimodal.metaStats(media).queryExecution.optimizedPlan.toString
