@@ -143,10 +143,36 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** Exact embedding-cosine threshold join — the oracle-checkable exact
+    * baseline behind [[ddEmbCos]], mirroring how knn_cosine backs
+    * ann_lsh. All-pairs over the broadcast side IS the declared exact
+    * semantics (the LSH variant is the 100 TB scale path); norms are
+    * precomputed per row, so each pair pays one dot product, and the
+    * threshold cut runs on the unrounded value — sqrt/division are
+    * IEEE-exact, VecDot matches list_dot_product, so Spark and DuckDB
+    * cut the identical pair set. Threshold 0.3: on the noise corpus the
+    * result is sparse (~1% of pairs), not quadratic. */
+  private val exactThreshold = 0.3
+  private val ddEmbCosExact: Q = (s, d) => {
+    val emb = table(s, d, "embeddings")
+      .select(col("vec_id"), asDouble.as("ve"))
+      .withColumn("nrm", sqrt(dot(col("ve"), col("ve"))))
+    val a = emb.select(col("vec_id").as("id_a"), col("ve").as("va"), col("nrm").as("na"))
+    val b = emb.select(col("vec_id").as("id_b"), col("ve").as("vb"), col("nrm").as("nb"))
+    a.crossJoin(broadcast(b))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
+      .filter(col("sim") >= exactThreshold)
+      .select(col("id_a"), col("id_b"), dround(col("sim"), 4).as("sim"))
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "knn_cosine" -> knnCosine,
     "ann_lsh" -> annLsh,
-    "dd_embcos" -> ddEmbCos)
+    "dd_embcos" -> ddEmbCos,
+    "dd_embcos_exact" -> ddEmbCosExact)
 
   val oracle: Map[String, String] = Map(
     "knn_cosine" ->
@@ -161,5 +187,14 @@ object Similarity {
          |  SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
          |  FROM sims)
          |SELECT qid, rk, cid, round(sim, 4) AS sim FROM ranked WHERE rk <= $kNeighbors
-         |ORDER BY qid, rk""".stripMargin)
+         |ORDER BY qid, rk""".stripMargin,
+    "dd_embcos_exact" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |            sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |           FROM embeddings)
+         |SELECT id_a, id_b, round(sim, 4) AS sim FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |   list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |WHERE sim >= $exactThreshold ORDER BY id_a, id_b""".stripMargin)
 }
