@@ -18,6 +18,11 @@ import graft.functions.Numeric.dround
   * At 100 TB the boundary table is tiny relative to the fact table and the
   * join back is on the same key the fact table already shuffled on, so AQE
   * plans it as a broadcast or co-partitioned join.
+  *
+  * Per-row outputs (W4/W6/W7/S4) are not globally sorted — the compare
+  * harness sorts before hashing, and an output `orderBy` at 100 TB is a
+  * full range exchange (see the policy note in [[Relational]]). Small
+  * per-entity aggregates keep their ordering.
   */
 object Events {
 
@@ -71,7 +76,6 @@ object Events {
     table(s, d, "events")
       .select(col("event_id"), col("user_id"),
         dround(sec - min(sec).over(Window.partitionBy("user_id")), 6).as("t_rel"))
-      .orderBy("event_id")
   }
 
   /** Array column → oracle-hashable string: round each element with the
@@ -95,7 +99,6 @@ object Events {
         array_join(collect_list(col("vs")).over(
           Window.partitionBy("user_id").orderBy("event_id")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)), ",").as("path"))
-      .orderBy("event_id")
 
   /** P2 per-group ordered vector extract — `DF['x'].to_numpy()` per play
     * (optimal_pursuit.py:195-196): the whole series as one (serialized)
@@ -117,7 +120,6 @@ object Events {
       .select(col("event_id"), col("user_id"),
         when(col("event_id").between(col("start_id"), col("start_id") + 10), lit(0.0))
           .otherwise(col("value")).as("value_patched"))
-      .orderBy("event_id")
   }
 
   /** A12 first-index-where reduction — `np.nonzero(cond)[0][0]`
@@ -159,7 +161,6 @@ object Events {
     table(s, d, "events")
       .join(broadcast(Relational.boundsDim(s)), Seq("event_type"), "left_anti")
       .select("event_id", "user_id", "event_type")
-      .orderBy("event_id")
 
   val queries: Map[String, Q] = Map(
     "w1_start" -> w1Start,
@@ -193,20 +194,19 @@ object Events {
     "w4_timenorm" ->
       """SELECT event_id, user_id,
         | round(epoch(ts) - min(epoch(ts)) OVER (PARTITION BY user_id), 6) AS t_rel
-        |FROM events ORDER BY event_id""".stripMargin,
+        |FROM events""".stripMargin,
     "w6_prefix" ->
       """SELECT event_id, user_id,
         | array_to_string(list_transform(
         |   list(value) OVER (PARTITION BY user_id ORDER BY event_id
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
         |   x -> CAST(round(x, 4) AS VARCHAR)), ',') AS path
-        |FROM events ORDER BY event_id""".stripMargin,
+        |FROM events""".stripMargin,
     "w7_splice" ->
       s"""WITH s AS ($startSql)
          |SELECT e.event_id, e.user_id,
          | CASE WHEN e.event_id BETWEEN s.start_id AND s.start_id + 10 THEN 0.0 ELSE e.value END AS value_patched
-         |FROM events e JOIN s ON e.user_id = s.user_id
-         |ORDER BY e.event_id""".stripMargin,
+         |FROM events e JOIN s ON e.user_id = s.user_id""".stripMargin,
     "p2_series" ->
       """SELECT user_id,
         | array_to_string(list_transform(list(value ORDER BY event_id),
@@ -232,6 +232,5 @@ object Events {
         |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin,
     "s4_deadletter" ->
       """SELECT event_id, user_id, event_type FROM events
-        |WHERE event_type NOT IN ('click','view','purchase','signup')
-        |ORDER BY event_id""".stripMargin)
+        |WHERE event_type NOT IN ('click','view','purchase','signup')""".stripMargin)
 }

@@ -16,7 +16,14 @@ import graft.functions.Numeric.dround
   *  - dimension joins (part, nation, region, the bounds dim) are
   *    explicitly `broadcast` — no shuffle of the fact side;
   *  - the self-join (J6) keys on the join column only, so it shuffles
-  *    both sides once on `l_orderkey` and sort-merges.
+  *    both sides once on `l_orderkey` and sort-merges;
+  *  - large result sets are NOT globally sorted: at 100 TB an output
+  *    `orderBy` is a full range exchange nobody asked for, and the
+  *    driver's compare sorts rows before hashing anyway (measured at
+  *    sf0.1: the sort tripled a 600 k-row projection's cost). Queries
+  *    whose SEMANTICS are ordered — first-row (F5), top-k (O1–O3),
+  *    ranked reports — keep their sorts; small aggregate outputs keep
+  *    theirs too (cost is nil).
   */
 object Relational {
 
@@ -25,7 +32,7 @@ object Relational {
   /** P1 multi-column project — `DF_tackles[['gameId','playId']]`
     * (calculate_YAP.py:20). */
   private val p1Project: Q = (s, d) =>
-    table(s, d, "orders").select("o_orderkey", "o_custkey").orderBy("o_orderkey")
+    table(s, d, "orders").select("o_orderkey", "o_custkey")
 
   /** P3 rename — `rename(columns={...})` (plot_YAP.py:35). */
   private val p3Rename: Q = (s, d) =>
@@ -40,14 +47,12 @@ object Relational {
       col("l_orderkey"), col("l_linenumber"),
       dround(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("net_price"),
       dround(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 4).as("charge"))
-      .orderBy("l_orderkey", "l_linenumber")
 
   /** F1 equality filter — `.loc[DF['gameId']==id]` (optimal_pursuit.py:138). */
   private val f1Eq: Q = (s, d) =>
     table(s, d, "customer")
       .filter(col("c_mktsegment") === "BUILDING")
       .select("c_custkey", "c_name", "c_acctbal")
-      .orderBy("c_custkey")
 
   /** F2 conjunctive filter — `(gameId==g) & (playId==p)`
     * (optimal_pursuit.py:139-140). */
@@ -55,7 +60,6 @@ object Relational {
     table(s, d, "orders")
       .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 100000)
       .select("o_orderkey", "o_custkey", "o_totalprice")
-      .orderBy("o_orderkey")
 
   /** F3 IN-list predicate — `event.eq('handoff') | ...`
     * (optimal_pursuit.py:113-119). */
@@ -63,7 +67,6 @@ object Relational {
     table(s, d, "events")
       .filter(col("event_type").isin("signup", "view", "click"))
       .select("event_id", "event_type")
-      .orderBy("event_id")
 
   /** F4 range filter — `delta_dist_i < R_t` / `count >= 50`
     * (optimal_pursuit.py:222; plot_YAP.py:74). */
@@ -71,7 +74,6 @@ object Relational {
     table(s, d, "lineitem")
       .filter(col("l_quantity").between(10, 20))
       .select("l_orderkey", "l_linenumber", "l_quantity")
-      .orderBy("l_orderkey", "l_linenumber")
 
   /** F5 deterministic first-row — `.iloc[0]` made order-stable
     * (optimal_pursuit.py:143-144; SURVEY §7.4 gotcha 4). */
@@ -88,7 +90,6 @@ object Relational {
       .join(broadcast(table(s, d, "part").select("p_partkey", "p_brand", "p_type")),
         col("l_partkey") === col("p_partkey"), "left")
       .select("l_orderkey", "l_linenumber", "p_brand", "p_type")
-      .orderBy("l_orderkey", "l_linenumber")
 
   /** J2 left natural join on composite key — two metric tables joined on
     * all shared columns (plot_YAP.py:36). */
@@ -98,7 +99,6 @@ object Relational {
     val b = e.groupBy("user_id", "event_type").agg(dround(avg("value"), 4).as("avg_value"))
     a.join(b, Seq("user_id", "event_type"), "left")
       .select("user_id", "event_type", "n", "avg_value")
-      .orderBy("user_id", "event_type")
   }
 
   /** J3 chained enrichment joins — supplier → nation → region, both dims
@@ -118,7 +118,6 @@ object Relational {
           .select(col("c_custkey")),
         col("o_custkey") === col("c_custkey"), "left_semi")
       .select("o_orderkey", "o_custkey")
-      .orderBy("o_orderkey")
 
   /** J5 per-category constant bounds — the hardcoded position CASE ladder
     * (optimal_pursuit.py:458-477) as a broadcast dim join. 'error' is
@@ -134,7 +133,6 @@ object Relational {
     table(s, d, "events")
       .join(broadcast(boundsDim(s)), Seq("event_type"), "left")
       .select("event_id", "event_type", "v_max", "a_max")
-      .orderBy("event_id")
 
   /** J6 frame-alignment self-join — carrier row ⋈ tackler rows on the
     * shared ordering key (optimal_pursuit.py:217-219 done positionally;
@@ -150,7 +148,6 @@ object Relational {
     a.join(b, Seq("okey"))
       .select(col("okey"), col("lineno"),
         dround(abs(col("base_price") - col("other_price")), 4).as("price_gap"))
-      .orderBy("okey", "lineno")
   }
 
   /** A1 multi-column distinct — play worklist (calculate_YAP.py:21). */
@@ -190,7 +187,6 @@ object Relational {
       dround(cos(radians(col("value"))), 4).as("cv"),
       dround(degrees(atan2(sin(radians(col("value"))), cos(radians(col("value"))))), 4).as("ang_norm"),
       dround(atan2(col("value"), lit(100.0)), 4).as("theta"))
-      .orderBy("event_id")
 
   /** X12 conditional recode + clamp — position recode CB/SS/FS→DB etc and
     * YAP<0→0 clamp (plot_YAP.py:42-46). */
@@ -224,7 +220,6 @@ object Relational {
       col("l_shipdate").cast("date").cast("string").as("ship_day"),
       datediff(col("l_shipdate").cast("date"), lit("1995-01-01").cast("date"))
         .cast("long").as("days_since"))
-      .orderBy("l_orderkey", "l_linenumber")
 
   val queries: Map[String, Q] = Map(
     "p1_project" -> p1Project,
@@ -252,34 +247,32 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "p1_project" ->
-      "SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey",
+      "SELECT o_orderkey, o_custkey FROM orders",
     "p3_rename" ->
       "SELECT s_suppkey AS supplier_id, s_name AS supplier_name FROM supplier ORDER BY supplier_id",
     "p4_derived" ->
       """SELECT l_orderkey, l_linenumber,
         | round(l_extendedprice*(1-l_discount), 4) AS net_price,
         | round(l_extendedprice*(1-l_discount)*(1+l_tax), 4) AS charge
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem""".stripMargin,
     "f1_eq" ->
-      "SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey",
+      "SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_mktsegment = 'BUILDING'",
     "f2_conj" ->
-      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 100000 ORDER BY o_orderkey",
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 100000",
     "f3_in" ->
-      "SELECT event_id, event_type FROM events WHERE event_type IN ('signup','view','click') ORDER BY event_id",
+      "SELECT event_id, event_type FROM events WHERE event_type IN ('signup','view','click')",
     "f4_range" ->
-      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity BETWEEN 10 AND 20 ORDER BY l_orderkey, l_linenumber",
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity BETWEEN 10 AND 20",
     "f5_first" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_orderdate, o_orderkey LIMIT 1",
     "j1_enrich_bcast" ->
       """SELECT l_orderkey, l_linenumber, p_brand, p_type
-        |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey""".stripMargin,
     "j2_composite" ->
       """WITH a AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY user_id, event_type),
         | b AS (SELECT user_id, event_type, round(avg(value), 4) AS avg_value FROM events GROUP BY user_id, event_type)
         |SELECT a.user_id, a.event_type, a.n, b.avg_value
-        |FROM a LEFT JOIN b ON a.user_id = b.user_id AND a.event_type = b.event_type
-        |ORDER BY a.user_id, a.event_type""".stripMargin,
+        |FROM a LEFT JOIN b ON a.user_id = b.user_id AND a.event_type = b.event_type""".stripMargin,
     "j3_chain" ->
       """SELECT s_suppkey, s_name, n_name, r_name
         |FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey
@@ -287,19 +280,17 @@ object Relational {
         |ORDER BY s_suppkey""".stripMargin,
     "j4_semi" ->
       """SELECT o_orderkey, o_custkey FROM orders
-        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
-        |ORDER BY o_orderkey""".stripMargin,
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin,
     "j5_case_dim" ->
       """SELECT event_id, event_type,
         | CASE event_type WHEN 'click' THEN 9.5 WHEN 'view' THEN 7.0 WHEN 'purchase' THEN 11.0 WHEN 'signup' THEN 8.5 END AS v_max,
         | CASE event_type WHEN 'click' THEN 2.0 WHEN 'view' THEN 1.5 WHEN 'purchase' THEN 3.0 WHEN 'signup' THEN 2.5 END AS a_max
-        |FROM events ORDER BY event_id""".stripMargin,
+        |FROM events""".stripMargin,
     "j6_self_align" ->
       """SELECT a.l_orderkey AS okey, b.l_linenumber AS lineno,
         | round(abs(a.l_extendedprice - b.l_extendedprice), 4) AS price_gap
         |FROM lineitem a JOIN lineitem b
-        |  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = 1 AND b.l_linenumber > 1
-        |ORDER BY okey, lineno""".stripMargin,
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = 1 AND b.l_linenumber > 1""".stripMargin,
     "a1_dropdup" ->
       "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
     "a2_distinct" ->
@@ -320,7 +311,7 @@ object Relational {
         | round(cos(radians(value)), 4) AS cv,
         | round(degrees(atan2(sin(radians(value)), cos(radians(value)))), 4) AS ang_norm,
         | round(atan2(value, 100.0), 4) AS theta
-        |FROM events ORDER BY event_id""".stripMargin,
+        |FROM events""".stripMargin,
     "x_recode_clamp" ->
       """SELECT doc_id,
         | CASE WHEN lang IN ('es','fr') THEN 'romance' WHEN lang IN ('de','en') THEN 'germanic' ELSE lang END AS lang_family,
@@ -336,5 +327,5 @@ object Relational {
       """SELECT l_orderkey, l_linenumber,
         | strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS ship_day,
         | CAST(CAST(l_shipdate AS DATE) - DATE '1995-01-01' AS BIGINT) AS days_since
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
+        |FROM lineitem""".stripMargin)
 }
