@@ -43,6 +43,16 @@ object EventStream {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("content_key")
 
+  /** Stream-static enrichment — the incremental face of the J5
+    * broadcast dim join: each micro-batch joins against the (static,
+    * broadcast) bounds ladder, so per-trigger cost is the batch size ×
+    * a hash probe, with no streaming state at all. Unmatched categories
+    * keep the S4 dead-letter semantics (null bounds). */
+  def enrichWithBounds(events: DataFrame, boundsDim: DataFrame): DataFrame =
+    events.join(broadcast(boundsDim), Seq("event_type"), "left")
+      .select(col("user_id"), col("ts"), col("event_type"),
+        col("value"), col("v_max"), col("a_max"))
+
   final case class Ev(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int, total: Double)
   final case class Session(user_id: Long, start_ms: Long, end_ms: Long,

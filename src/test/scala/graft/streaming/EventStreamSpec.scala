@@ -80,6 +80,31 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static broadcast join enriches each micro-batch statelessly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[EventStream.Ev]
+    val q = EventStream.enrichWithBounds(source.toDF(),
+        graft.ops.Relational.boundsDim(spark))
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      source.addData(
+        EventStream.Ev(1, ts(0), "click", 1.0),
+        EventStream.Ev(2, ts(1), "error", 2.0))
+      q.processAllAvailable()
+      source.addData(EventStream.Ev(3, ts(2), "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("enrich_out").collect()
+      assert(rows.length == 3)
+      val click = rows.find(_.getString(2) == "click").get
+      assert(click.getDouble(4) == 9.5 && click.getDouble(5) == 2.0)
+      // unmatched category keeps dead-letter semantics: null bounds
+      val err = rows.find(_.getString(2) == "error").get
+      assert(err.isNullAt(4) && err.isNullAt(5))
+    } finally q.stop()
+  }
+
   test("the same sessionize code runs in batch mode (unified API)") {
     import spark.implicits._
     val batch = Seq(
