@@ -63,9 +63,13 @@ object Dedup {
     // pairs, exact all-near-pairs output is Ω(n²) — no candidate
     // generator fixes that. dd_minhash (LSH, output-sensitive) is the
     // scale path; this query is the oracle-checkable exact-metric twin.
+    // persisted: both sides of the candidate self-join read this
+    // relation — without it the split/distinct/sort/hash token pipeline
+    // runs twice (same rationale as ddMinhash's persisted signatures)
     val t = table(s, d, "documents").select(col("doc_id"), col("lang"),
       floor(col("n_chars") / 100).cast("int").as("len_band"), tokHashes.as("tk"))
       .withColumn("tok_band", (size(col("tk")) / 4).cast("int"))
+      .persist()
     val a = t.select(col("lang"), col("len_band"), col("tok_band"),
       col("doc_id").as("doc_a"), col("tk").as("tk_a"))
     val b = t.select(col("lang"), col("len_band"), col("tok_band"),

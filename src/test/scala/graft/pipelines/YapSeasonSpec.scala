@@ -362,6 +362,42 @@ class YapSeasonSpec extends AnyFunSuite {
     }
   }
 
+  test("emitted optimal paths satisfy the physics gates they were selected by") {
+    for (p <- 0 until nPlays if archetype(p) == "pursuit") {
+      val yap = emits.find(e => (e.game_ID, e.play_ID) == key(p) && e.kind == "yap").get
+      val path = emits.filter(e => (e.game_ID, e.play_ID) == key(p) && e.kind == "path")
+        .sortBy(_.frameId.get)
+      if (yap.YAP.isEmpty) assert(path.isEmpty, s"play $p: path rows without a YAP")
+      else {
+        assert(path.nonEmpty, s"play $p: YAP without path rows")
+        val frames = playFrames(p)
+        val carrier = frames.filter(_.nflId == 100L).sortBy(_.frameId).toArray
+        val tackler = frames.filter(_.nflId == 200L).sortBy(_.frameId).toArray
+        val idxStart = carrier.indexWhere(_.event.contains("handoff"))
+        // splice starts at the start boundary, frameIds contiguous
+        assert(path.head.frameId.get == carrier(idxStart).frameId, s"play $p")
+        assert(path.map(_.frameId.get) == (path.head.frameId.get until
+          path.head.frameId.get + path.length).toList, s"play $p: frame gap")
+        // first path point is the tackler's actual position at the start
+        // (the solve runs in target-relative coordinates; shifting back
+        // must reproduce the initial state up to fp round-trip)
+        assert(math.abs(path.head.x.get - tackler(idxStart).x) < 1e-9 &&
+          math.abs(path.head.y.get - tackler(idxStart).y) < 1e-9, s"play $p")
+        // terminal point is inside the vicinity of the carrier at the
+        // chosen horizon — the finalRadius gate that selected this path
+        val j = idxStart + path.length - 1
+        val dEnd = math.hypot(path.last.x.get - carrier(j).x, path.last.y.get - carrier(j).y)
+        assert(dEnd <= rT + 1e-6, s"play $p: final radius $dEnd > $rT")
+        // every sampled speed/accel respects the position's hard caps
+        val (_, vMax, _, aMax) = Map(
+          "CB" -> (5.6, 10.9, 4.2, 9.1), "FS" -> (5.6, 10.9, 4.2, 9.1),
+          "MLB" -> (5.0, 10.7, 3.9, 9.4), "OLB" -> (5.0, 10.7, 3.9, 9.4))(position(p))
+        assert(path.forall(r => r.s.get <= vMax + 1e-6 && r.a.get <= aMax + 1e-6),
+          s"play $p: path exceeds position caps")
+      }
+    }
+  }
+
   test("pursuit YAP matches the independent fine-RK4 evaluation within ±0.01") {
     var checked = 0
     var borderlines = 0
