@@ -27,7 +27,10 @@ object Similarity {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val asDouble: Column = transform(col("embedding"), _.cast("double"))
+  // native array cast (codegen'd), not transform(_.cast): the HOF form
+  // evaluates its lambda interpreted per element; float→double widening
+  // is exact either way, so results are bit-identical
+  private val asDouble: Column = col("embedding").cast("array<double>")
 
   // native codegen'd expression: the HOF form aggregate(zip_with(...))
   // evaluates interpreted per element and dominated the profile; the

@@ -49,12 +49,25 @@ object NflQueries {
     Yap.sinks(Yap.run(s, tr, pl, py, tk))._4.orderBy("game_ID", "play_ID", "NFL_ID")
   }
 
+  /** K4 at measurable scale — the flagship kernel over a 600-play
+    * `SyntheticSeason` (the demo fixture is 3 plays; this puts real
+    * kernel throughput into the bench: generate → one shuffle on
+    * (gameId, playId) → LQR growing-horizon search per group). Rows-only
+    * (kernel values are not SQL-expressible); the season generator is
+    * deterministic, so the 1,200-row output is stable. */
+  private val k4YapSeason: Q = (s, _) => {
+    val n = 600
+    Yap.sinks(Yap.run(s, SyntheticSeason.tracking(s, n), SyntheticSeason.plays(s, n),
+      SyntheticSeason.players(s), SyntheticSeason.tackles(s, n)))._1
+  }
+
   val queries: Map[String, Q] = Map(
     "k5_max_params" -> k5MaxParams,
     "k4_yap" -> k4Yap,
     "k4_max_params_opt" -> k4MaxParamsOpt,
     "k4_opt_paths" -> k4Paths,
-    "k4_deadletter" -> k4DeadLetter)
+    "k4_deadletter" -> k4DeadLetter,
+    "k4_yap_season" -> k4YapSeason)
 
   /** DuckDB twin of the FULL EP2 pipeline over the demo-fixture parquet
     * that Verify dumps to /tmp/graft_fixtures (SURVEY §2.9 declares K5
@@ -104,5 +117,42 @@ object NflQueries {
         |FROM tk k
         |LEFT JOIN py ON k.nflId = py.nflId
         |LEFT JOIN ranges r ON k.gameId = r.gameId AND k.playId = r.playId AND k.nflId = r.nflId
+        |ORDER BY game_ID, play_ID, NFL_ID""".stripMargin,
+    // the K4 kernel's dead-letter branch is relational over the fixture:
+    // a tackler whose position is outside the bounds ladder, or a play
+    // with no start/stop event on the carrier series, produces exactly
+    // these error rows (Yap.processPlay; optimal_pursuit.py:458-477 has
+    // no else branch)
+    "k4_deadletter" ->
+      """WITH tr AS (SELECT * FROM read_parquet('/tmp/graft_fixtures/demo_tracking/*.parquet')),
+        | pl AS (SELECT * FROM read_parquet('/tmp/graft_fixtures/demo_plays/*.parquet')),
+        | py AS (SELECT * FROM read_parquet('/tmp/graft_fixtures/demo_players/*.parquet')),
+        | tk AS (SELECT DISTINCT gameId, playId, nflId
+        |        FROM read_parquet('/tmp/graft_fixtures/demo_tackles/*.parquet')),
+        | carrier AS (
+        |  SELECT t.gameId, t.playId, t.event
+        |  FROM tr t JOIN pl p ON t.gameId = p.gameId AND t.playId = p.playId
+        |   AND t.nflId = p.ballCarrierId),
+        | playflags AS (
+        |  SELECT gameId, playId,
+        |   max(CASE WHEN event IN ('handoff','pass_outcome_caught','run','snap_direct','ball_snap')
+        |       THEN 1 ELSE 0 END) AS has_start,
+        |   max(CASE WHEN event IN ('tackle','out_of_bounds','fumble','qb_slide',
+        |       'touchdown','safety','fumble_defense_recovered') THEN 1 ELSE 0 END) AS has_stop
+        |  FROM carrier GROUP BY gameId, playId)
+        |SELECT game_ID, play_ID, NFL_ID, error FROM (
+        | SELECT f.gameId AS game_ID, f.playId AS play_ID, CAST(-1 AS BIGINT) AS NFL_ID,
+        |  'no start event' AS error FROM playflags f WHERE f.has_start = 0
+        | UNION ALL
+        | SELECT f.gameId, f.playId, CAST(-1 AS BIGINT), 'no stop event'
+        | FROM playflags f WHERE f.has_start = 1 AND f.has_stop = 0
+        | UNION ALL
+        | SELECT k.gameId, k.playId, k.nflId,
+        |  'unknown tackler position ''' || coalesce(py.position, '') || ''''
+        | FROM tk k JOIN playflags f ON k.gameId = f.gameId AND k.playId = f.playId
+        | LEFT JOIN py ON k.nflId = py.nflId
+        | WHERE f.has_start = 1 AND f.has_stop = 1
+        |  AND coalesce(py.position, '')
+        |      NOT IN ('CB','FS','SS','DB','DE','MLB','OLB','ILB','DT','NT'))
         |ORDER BY game_ID, play_ID, NFL_ID""".stripMargin)
 }
