@@ -37,6 +37,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 50+ whole-stage-codegen queries in one JVM overflow the default
   // 240 MB code cache; once full the JIT silently disables and
   // CPU-bound operators run interpreted at ~10-30x cost.
-  "-XX:ReservedCodeCacheSize=1g",
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_GRAFT_CODECACHE", "1g")}",
   "-XX:+UseCodeCacheFlushing",
 )
