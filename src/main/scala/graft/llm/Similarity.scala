@@ -146,6 +146,55 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  // IVF-flat ANN: a k-means coarse quantizer (the FAISS IVF architecture)
+  // as the SECOND scale path next to sign-LSH. Index = one KMeans fit +
+  // one cluster id per vector; probes search only the nProbe nearest
+  // cells. At 100 TB: the index add is one ml.KMeans job + a narrow
+  // (vec_id, cluster) relation co-partitioned with the vectors; probe
+  // cost is nProbe/k of the corpus per query, tunable, never O(n).
+  private val ivfK = 16
+  private val ivfNProbe = 3
+
+  /** (assignments, centroids): vec_id → cluster, and the k cluster
+    * centers as a 16-row relation (tiny, broadcast downstream). */
+  private[llm] def ivfIndex(s: SparkSession, emb: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = emb.withColumn("features", array_to_vector(col("ve")))
+    val model = new KMeans().setK(ivfK).setSeed(7L).setMaxIter(5).fit(feats)
+    val assigned = model.summary.predictions
+      .select(col("vec_id"), col("ve"), col("prediction").as("cl"))
+    val centroids = s.createDataFrame(
+      model.clusterCenters.toIndexedSeq.zipWithIndex.map { case (c, i) => (i, c.toArray) })
+      .toDF("cl", "ce")
+    (assigned, centroids)
+  }
+
+  /** IVF approximate top-k: each probe ranks the 16 centroids (an 80-row
+    * cross join — the quantizer, not the corpus), keeps its nProbe
+    * nearest cells, and computes exact cosine only against vectors
+    * assigned to those cells. Rows-only (cluster layout depends on the
+    * k-means fit) + planted-neighbor recall test. */
+  private val annIvf: Q = (s, d) => {
+    val emb = table(s, d, "embeddings").select(col("vec_id"), asDouble.as("ve"))
+    val (assigned, centroids) = ivfIndex(s, emb)
+    val probes = emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("qid"), col("ve").as("qe"))
+    val probeCells = probes.crossJoin(broadcast(centroids))
+      .withColumn("cdist", -cosine(col("qe"), col("ce")))
+      .withColumn("crk", row_number().over(Window.partitionBy("qid").orderBy(asc("cdist"), asc("cl"))))
+      .filter(col("crk") <= ivfNProbe)
+      .select("qid", "qe", "cl")
+    val sims = assigned.join(broadcast(probeCells), Seq("cl"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("cid"), cosine(col("qe"), col("ve")).as("sim"))
+    sims.withColumn("rk",
+        row_number().over(Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))))
+      .filter(col("rk") <= kNeighbors)
+      .select(col("qid"), col("rk"), col("cid"), dround(col("sim"), 4).as("sim"))
+      .orderBy("qid", "rk")
+  }
+
   /** Exact embedding-cosine threshold join — the oracle-checkable exact
     * baseline behind [[ddEmbCos]], mirroring how knn_cosine backs
     * ann_lsh. All-pairs over the broadcast side IS the declared exact
@@ -174,6 +223,7 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "knn_cosine" -> knnCosine,
     "ann_lsh" -> annLsh,
+    "ann_ivf" -> annIvf,
     "dd_embcos" -> ddEmbCos,
     "dd_embcos_exact" -> ddEmbCosExact)
 

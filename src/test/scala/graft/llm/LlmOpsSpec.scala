@@ -63,6 +63,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(ann.map(_._1).subsetOf(knn.map(_._1)))
   }
 
+  test("IVF ANN: planted near-identical neighbor lands in the probed cells") {
+    import spark.implicits._
+    // probe 1 has a planted near-twin 2 (cos ≈ 0.999): k-means must put
+    // them in the same cell, so IVF with any nProbe recovers the pair
+    def vec(seed: Int, jitter: Float): Array[Float] =
+      Array.tabulate(64)(i => (Similarity.planeSign(seed, i).toFloat + (if (i == 0) jitter else 0f)))
+    val rows = Seq(
+      (1L, vec(100, 0f)), (2L, vec(100, 0.05f))) ++
+      (3L to 60L).map(k => (k, vec(k.toInt, 0f)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    rows.toDF("vec_id", "embedding").write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.queries("ann_ivf")(spark, dir).collect()
+    assert(out.exists(r => r.getLong(0) == 1L && r.getLong(2) == 2L && r.getDouble(3) > 0.9),
+      s"planted twin missing from IVF results: ${out.mkString(", ")}")
+    // and on the real corpus the IVF path overlaps the exact top-k
+    val knn = Similarity.queries("knn_cosine")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.queries("ann_ivf")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (knn & ivf).size.toDouble / knn.size
+    assert(recall >= 0.2, s"IVF recall vs brute force = $recall")
+  }
+
   test("embedding-cosine near-dup finds planted near-identical vectors") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
