@@ -44,8 +44,8 @@ object Yap {
       s: Option[Double], a: Option[Double], dir: Option[Double],
       error: Option[String])
 
-  private val startEvents = Set("handoff", "pass_outcome_caught", "run", "snap_direct")
-  private val stopEvents = Set("tackle", "out_of_bounds", "fumble", "qb_slide",
+  private[graft] val startEvents = Set("handoff", "pass_outcome_caught", "run", "snap_direct")
+  private[graft] val stopEvents = Set("tackle", "out_of_bounds", "fumble", "qb_slide",
     "touchdown", "safety", "fumble_defense_recovered")
 
   /** Position → (V_max_med, V_max_max, A_max_med, A_max_max)

@@ -53,6 +53,55 @@ object EventStream {
       .select(col("user_id"), col("ts"), col("event_type"),
         col("value"), col("v_max"), col("a_max"))
 
+  final case class PlayBuffer(frames: Seq[graft.pipelines.Yap.PlayFrame])
+
+  /** Streaming YAP — the FLAGSHIP K4 pipeline made incremental: tracking
+    * frames arrive as an unbounded stream; each (gameId, playId) group
+    * buffers its frames in state until the carrier's stop event shows up
+    * (play over), then runs the exact batch kernel
+    * ([[graft.pipelines.Yap.processPlay]] — same code, same results) and
+    * drops the state. A processing-time timeout flushes incomplete plays
+    * through the kernel's own dead-letter branch ('no stop event' /
+    * 'no start event'), so the error taxonomy matches batch exactly.
+    *
+    * Scale: state holds the frames of ACTIVE plays only (a play is ~60
+    * frames × ~3 entities and lives a few seconds of event time), so
+    * state size tracks concurrent live plays, not stream history.
+    *
+    * `timeout = Some(duration)` flushes stalled plays after that much
+    * processing time (production default). `None` disables the timeout:
+    * with ProcessingTimeTimeout registered, Spark schedules continuous
+    * empty micro-batches to check expiries, which makes
+    * `processAllAvailable`-style deterministic tests spin — the
+    * stop-event path is identical either way. */
+  def yapStream(spark: SparkSession,
+      frames: Dataset[graft.pipelines.Yap.PlayFrame],
+      rT: Double = 1.0,
+      timeout: Option[String] = Some("30 seconds")): Dataset[graft.pipelines.Yap.Emit] = {
+    import spark.implicits._
+    val isStreaming = frames.isStreaming
+    val stopEvs = graft.pipelines.Yap.stopEvents
+
+    val fn = (key: (Long, Long), rows: Iterator[graft.pipelines.Yap.PlayFrame],
+        state: GroupState[PlayBuffer]) => {
+      val buf = state.getOption.map(_.frames).getOrElse(Seq.empty) ++ rows
+      val playOver = buf.exists(f => f.role == "carrier" && f.event.exists(stopEvs))
+      if (playOver || state.hasTimedOut || !isStreaming) {
+        state.remove()
+        graft.pipelines.Yap.processPlay(key._1, key._2, buf, rT)
+      } else {
+        state.update(PlayBuffer(buf))
+        timeout.foreach(state.setTimeoutDuration)
+        Iterator.empty
+      }
+    }
+
+    frames.groupByKey(f => (f.gameId, f.playId))
+      .flatMapGroupsWithState(OutputMode.Append,
+        if (isStreaming && timeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout)(fn)
+  }
+
   final case class Ev(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int, total: Double)
   final case class Session(user_id: Long, start_ms: Long, end_ms: Long,

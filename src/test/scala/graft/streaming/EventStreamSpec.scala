@@ -105,6 +105,44 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming YAP: the flagship kernel fires when a play's stop event arrives") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipelines.{DemoPlays, Yap}
+    // typed frames from the batch assembly helper — same rows the batch
+    // pipeline kernels over
+    val allFrames = Yap.playFrames(spark, DemoPlays.tracking(spark), DemoPlays.plays(spark),
+      DemoPlays.players(spark), DemoPlays.tackles(spark)).collect().toSeq
+    val p1 = allFrames.filter(_.playId == 1001L)
+    val batchYap = Yap.processPlay(1L, 1001L, p1, 1.0).toSeq
+      .filter(_.kind == "yap").head
+
+    // timeout = None: the stop-event path is identical, and the test
+    // stays deterministic (no continuous expiry-check micro-batches)
+    val source = MemoryStream[Yap.PlayFrame]
+    val q = EventStream.yapStream(spark, source.toDS(), timeout = None)
+      .writeStream.format("memory").queryName("yap_out")
+      .outputMode("append").start()
+    try {
+      // half the play: no stop event yet -> state buffers, nothing emitted
+      source.addData(p1.filter(_.frameId <= 30): _*)
+      q.processAllAvailable()
+      assert(spark.table("yap_out").count() == 0)
+      // the rest (tackle at frame 45) -> kernel fires, matches batch
+      source.addData(p1.filter(_.frameId > 30): _*)
+      q.processAllAvailable()
+      val emitted = spark.table("yap_out").as[Yap.Emit].collect().filter(_.kind == "yap")
+      assert(emitted.length == 1)
+      assert(emitted.head.YAP == batchYap.YAP && emitted.head.NFL_ID == batchYap.NFL_ID)
+      // play 1003's unknown-position tackler dead-letters exactly like batch
+      source.addData(allFrames.filter(_.playId == 1003L): _*)
+      q.processAllAvailable()
+      val errs = spark.table("yap_out").as[Yap.Emit].collect().filter(_.kind == "error")
+      assert(errs.exists(e => e.play_ID == 1003L && e.error.exists(_.contains("unknown tackler position"))),
+        s"dead letter missing: ${errs.mkString(", ")}")
+    } finally q.stop()
+  }
+
   test("the same sessionize code runs in batch mode (unified API)") {
     import spark.implicits._
     val batch = Seq(
