@@ -30,7 +30,8 @@ object Verify {
     pipelines.DemoPlays.players(spark).write.mode("overwrite").parquet(s"$fx/demo_players")
     pipelines.DemoPlays.tackles(spark).write.mode("overwrite").parquet(s"$fx/demo_tackles")
     llm.Multimodal.demoMedia(spark).toDF()
-      .select("media_id", "kind", "meta.width", "meta.height", "meta.sampleRate", "meta.nFrames")
+      .selectExpr("media_id", "kind", "meta.width", "meta.height",
+        "meta.sampleRate", "meta.nFrames", "CAST(length(bytes) AS BIGINT) AS n_bytes")
       .write.mode("overwrite").parquet(s"$fx/demo_media_meta")
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -29,7 +29,7 @@ object Multimodal {
   final case class Media(media_id: Long, kind: String, bytes: Array[Byte], meta: MediaMeta)
   final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
       byte_entropy: Double, feature: Array[Float])
-  final case class FrameSample(media_id: Long, frame_idx: Int, frame_fp: Long)
+  final case class FrameSample(media_id: Long, frame_idx: Int, frame_fp: String)
 
   /** Deterministic demo corpus (payload = seeded pseudo-bytes). */
   def demoMedia(spark: SparkSession, n: Int = 64): Dataset[Media] = {
@@ -77,15 +77,19 @@ object Multimodal {
   }
 
   /** Frame sampling for video rows: every k-th frame index, fingerprint
-    * from the payload (STUB for an actual frame decode). 1 → n generator
-    * with fanout bounded by meta.nFrames / stride. */
+    * from the payload (STUB for an actual frame decode — a real one
+    * hashes the decoded frame). 1 → n generator with fanout bounded by
+    * meta.nFrames / stride. The stub fingerprint is the md5 prefix of
+    * the canonical "id:frame:len" string, so the WHOLE sampling pattern
+    * (video-only, stride, fanout, fp derivation) has a DuckDB twin. */
   def sampleFrames(spark: SparkSession, media: Dataset[Media], stride: Int = 4): Dataset[FrameSample] = {
     import spark.implicits._
     media.filter(_.kind == "video").flatMap { m =>
+      val md = java.security.MessageDigest.getInstance("MD5")
       (0 until m.meta.nFrames by stride).map { f =>
-        val fp = TextHashKernels.rollingHash(
-          UTF8String.fromString(s"${m.media_id}:$f:${m.bytes.length}"))
-        FrameSample(m.media_id, f, fp)
+        val hex = md.digest(s"${m.media_id}:$f:${m.bytes.length}"
+            .getBytes("UTF-8")).map("%02x".format(_)).mkString
+        FrameSample(m.media_id, f, hex.substring(0, 16))
       }
     }
   }
@@ -165,5 +169,13 @@ object Multimodal {
       """SELECT media_id, width AS in_w, height AS in_h,
         | 64 AS out_w, 48 AS out_h, CAST(64*48*3 AS BIGINT) AS n_bytes_out
         |FROM read_parquet('/tmp/graft_fixtures/demo_media_meta/*.parquet')
-        |WHERE kind = 'image' ORDER BY media_id""".stripMargin)
+        |WHERE kind = 'image' ORDER BY media_id""".stripMargin,
+    "mm_frame_sample" ->
+      """SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+        | substr(md5(media_id || ':' || frame_idx || ':' || n_bytes), 1, 16) AS frame_fp
+        |FROM (
+        |  SELECT media_id, n_bytes, unnest(generate_series(0, nFrames - 1, 4)) AS frame_idx
+        |  FROM read_parquet('/tmp/graft_fixtures/demo_media_meta/*.parquet')
+        |  WHERE kind = 'video')
+        |ORDER BY media_id, frame_idx""".stripMargin)
 }
