@@ -30,7 +30,8 @@ object SparkEntry {
       llm.TextOps.queries ++
       llm.Dedup.queries ++
       llm.Similarity.queries ++
-      llm.Multimodal.queries
+      llm.Multimodal.queries ++
+      io.IoQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -43,5 +44,6 @@ object SparkEntry {
       llm.TextOps.oracle ++
       llm.Dedup.oracle ++
       llm.Similarity.oracle ++
-      llm.Multimodal.oracle
+      llm.Multimodal.oracle ++
+      io.IoQueries.oracle
 }

@@ -33,7 +33,12 @@ object Verify {
       .selectExpr("media_id", "kind", "meta.width", "meta.height",
         "meta.sampleRate", "meta.nFrames", "CAST(length(bytes) AS BIGINT) AS n_bytes")
       .write.mode("overwrite").parquet(s"$fx/demo_media_meta")
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=a,b,c: dump only the named queries (builder-side
+    // iteration aid; the driver sets nothing and gets the full suite).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -1,0 +1,138 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Driver-contract exposure of the [[Sources]] readers (SURVEY §2 S1/S2).
+  *
+  * Round-3 gated these with plan/unit tests only (ADVICE r3: "Sources is
+  * dead code [to the gate] — the positional-binding bug class is
+  * invisible to the correctness gate"). These queries make the readers
+  * falsifiable by the DuckDB oracle, via the fixture pattern the k5/k7
+  * queries use: the query lazily writes a deterministic fixture file at
+  * a fixed path, reads it back through the engine reader under test, and
+  * the oracle SQL reads the SAME file with DuckDB's own CSV/parquet
+  * reader — any mis-binding, mis-typing, or mis-pruning hash-mismatches.
+  *
+  *  - `s1_csv_schema`: a CSV in the *real Kaggle BDB-2024 column order*
+  *    (extra columns interposed between the ones our schema wants —
+  *    ballCarrierDisplayName/playDescription/quarter/down/gameClock —
+  *    exactly the layout ADVICE r3 warned silently mis-maps under
+  *    positional binding) read via [[Sources.csv]] with the engine's
+  *    11-field `playsSchema`. Header-name binding is the thing under
+  *    test: the oracle selects the same columns BY NAME with DuckDB.
+  *  - `s2_week_prune`: a `week=N/`-partitioned parquet tree read via
+  *    [[Sources.tracking]] with a 2-of-4 week list. SourcesSpec asserts
+  *    the filter is a partition prune (no data filter in the plan); this
+  *    query makes the *values* oracle-checked too.
+  */
+object IoQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val fx = "/tmp/graft_fixtures"
+  private val s1Csv = s"$fx/s1_plays.csv"
+  private val s2Dir = s"$fx/s2_tracking"
+
+  /** Kaggle plays.csv layout (public dataset column order): our schema's
+    * 11 columns are scattered through it, out of order, with unrelated
+    * columns interposed. 24 deterministic rows; "NA" nulls in both a
+    * string column (yardlineSide, midfield plays) and a numeric column
+    * (prePenaltyPlayResult) — [[Sources.csv]] must surface both as null. */
+  private[io] def ensureS1Csv(): Unit = if (!Files.exists(Paths.get(s1Csv))) {
+    Files.createDirectories(Paths.get(fx))
+    val header = "gameId,playId,ballCarrierId,ballCarrierDisplayName,playDescription," +
+      "quarter,down,yardsToGo,possessionTeam,defensiveTeam,yardlineSide,yardlineNumber," +
+      "gameClock,prePenaltyPlayResult,playResult,playNullifiedByPenalty"
+    val teams = Vector("ARI", "BUF", "DAL", "KC", "PHI", "SF")
+    val rows = (0 until 24).map { i =>
+      val game = 2022090800L + i / 6
+      val play = 100L + (i % 6) * 55
+      val carrier = 42000L + (i * 7) % 13
+      val off = teams(i % 6)
+      val dfn = teams((i + 3) % 6)
+      val side = if (i % 5 == 4) "NA" else teams((i + 1) % 6)
+      val ytg = 1 + (i * 3) % 15
+      val yline = 15 + (i * 11) % 35
+      val res = (i * 5) % 17 - 3
+      val preRes = if (i % 7 == 6) "NA" else ((i * 5) % 17 - 3 + (i % 2)).toString
+      val nullified = if (i % 7 == 6) "Y" else "N"
+      s"$game,$play,$carrier,Carrier $carrier,(${14 - i % 15}:0${i % 6}) handoff play $i," +
+        s"${1 + i % 4},${1 + i % 4},$ytg,$off,$dfn,$side,$yline," +
+        s"${14 - i % 15}:0${i % 6},$preRes,$res,$nullified"
+    }
+    Files.writeString(Paths.get(s1Csv), (header +: rows).mkString("", "\n", "\n"))
+  }
+
+  /** S1 — CSV scan bound by header NAME under the engine schema. */
+  private val s1CsvSchema: Q = (s, _) => {
+    ensureS1Csv()
+    Sources.csv(s, s1Csv, Sources.playsSchema).orderBy("gameId", "playId")
+  }
+
+  /** 4 weeks x 3 games x 2 plays x 3 players x 5 frames = 360 tracking
+    * rows, written `partitionBy("week")` so the layout is the `week=N/`
+    * tree [[Sources.tracking]] prunes. All values are deterministic
+    * arithmetic; the oracle reads the same files, so there is no
+    * cross-engine float question — only the reader logic is under test. */
+  private[io] def ensureS2Parquet(s: SparkSession): Unit =
+    if (!Files.exists(Paths.get(s"$s2Dir/_SUCCESS"))) {
+      val df = s.range(360).select(
+        (col("id") / 90).cast("int").plus(1).as("week"),
+        (lit(2022090800L) + expr("id % 90 div 30")).as("gameId"),
+        (lit(100L) + expr("(id % 30 div 15) * 55")).as("playId"),
+        (lit(42000L) + expr("id % 15 div 5")).as("nflId"),
+        (col("id") % 5 + 1).cast("int").as("frameId"),
+        to_timestamp(lit("2022-09-08 12:00:00")).plus(
+          expr("make_interval(0, 0, 0, 0, 0, 0, id % 5 + 1)")).as("time"),
+        concat(lit("T"), (col("id") % 6).cast("string")).as("club"),
+        when(col("id") % 2 === 0, "left").otherwise("right").as("playDirection"),
+        (col("id") % 1200).cast("double").divide(10).as("x"),
+        (col("id") % 533).cast("double").divide(10).as("y"),
+        (col("id") % 95).cast("double").divide(10).as("s"),
+        (col("id") % 40).cast("double").divide(10).as("a"),
+        (col("id") % 9).cast("double").divide(10).as("dis"),
+        (col("id") % 3600).cast("double").divide(10).as("o"),
+        (col("id") % 3600).cast("double").divide(10).as("dir"),
+        when(col("id") % 5 === 0, "handoff")
+          .when(col("id") % 5 === 4, "tackle").otherwise(lit(null)).as("event"))
+      df.write.mode("overwrite").partitionBy("week").parquet(s2Dir)
+    }
+
+  /** S2 — week-list read over the partitioned tree; weeks 1 and 3 of 4.
+    * Whole-second timestamps cast to string on both sides (the proven
+    * x_datetime parity form). */
+  private val s2WeekPrune: Q = (s, _) => {
+    ensureS2Parquet(s)
+    Sources.tracking(s, s2Dir, weeks = Seq(1, 3))
+      .select(col("gameId"), col("playId"), col("nflId"), col("frameId"),
+        col("week"), col("time").cast("string").as("ts"),
+        col("x"), col("y"), col("s"), col("dis"), col("event"))
+      .orderBy("gameId", "playId", "nflId", "week", "frameId")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "s1_csv_schema" -> s1CsvSchema,
+    "s2_week_prune" -> s2WeekPrune)
+
+  val oracle: Map[String, String] = Map(
+    // all_varchar + explicit casts: the engine contract is "bind by
+    // name, cast to the engine schema" — mirroring that exactly beats
+    // racing DuckDB's type sniffer.
+    "s1_csv_schema" ->
+      s"""SELECT CAST(gameId AS BIGINT) AS gameId, CAST(playId AS BIGINT) AS playId,
+         | CAST(ballCarrierId AS BIGINT) AS ballCarrierId,
+         | CAST(yardlineNumber AS INT) AS yardlineNumber, CAST(yardsToGo AS INT) AS yardsToGo,
+         | yardlineSide, possessionTeam, defensiveTeam,
+         | CAST(playResult AS INT) AS playResult,
+         | CAST(prePenaltyPlayResult AS INT) AS prePenaltyPlayResult, playNullifiedByPenalty
+         |FROM read_csv('$s1Csv', header=true, nullstr=['NA',''], all_varchar=true)
+         |ORDER BY gameId, playId""".stripMargin,
+    "s2_week_prune" ->
+      s"""SELECT gameId, playId, nflId, frameId, CAST(week AS INT) AS week,
+         | CAST(time AS VARCHAR) AS ts, x, y, s, dis, event
+         |FROM read_parquet('$s2Dir/*/*.parquet', hive_partitioning=true)
+         |WHERE CAST(week AS INT) IN (1, 3)
+         |ORDER BY gameId, playId, nflId, week, frameId""".stripMargin)
+}
