@@ -26,4 +26,14 @@ object Sinks {
     * discipline; one relation per run. */
   def writeDeadLetters(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Soundness-oracle fixture dump: a query materializes an engine-
+    * specific intermediate (LSH pair list, SimHash signatures) at a
+    * fixed path so the DuckDB oracle can recompute the exact metric for
+    * exactly those rows and re-apply the threshold — if the engine ever
+    * emits an unsound row, the two result sets diverge and the gate
+    * goes red (VERDICT r3 next-4 §6). Overwrite per invocation: content
+    * is deterministic, so reruns are idempotent. */
+  def dumpFixture(df: DataFrame, name: String): Unit =
+    df.write.mode("overwrite").parquet(s"/tmp/graft_fixtures/$name")
 }

@@ -119,8 +119,14 @@ object Dedup {
 
   /** MinHash LSH near-dup: band the signature, shuffle on
     * (band, band-signature), pair within buckets, then verify candidates
-    * with exact Jaccard ≥ 0.5 on distinct token sets. Rows-only check
-    * (hash seeds are engine-specific) + ScalaTest with planted near-dups. */
+    * with exact Jaccard ≥ 0.5 on distinct token sets.
+    *
+    * The bucket layout is engine-specific (xxhash64 seeds), so the PAIR
+    * SET cannot be recomputed by SQL — but each emitted pair's exact
+    * Jaccard can (VERDICT r3 next-4 §6): the query dumps its pairs as a
+    * fixture and the oracle recomputes Jaccard from `documents` for
+    * exactly those pairs, re-applying the ≥ 0.5 threshold. Soundness is
+    * hash-gated; recall stays with the planted-near-dup ScalaTest. */
   private val ddMinhash: Q = (s, d) => {
     val docs = table(s, d, "documents")
     // persisted: the bands relation feeds both sides of the candidate
@@ -140,24 +146,36 @@ object Dedup {
       .dropDuplicates()
     val t = docs.select(col("doc_id"), tokHashes.as("tk"))
     val inter = ArrayFns.sortedLongIntersectCount(col("tk_a"), col("tk_b")).cast("double")
-    cand
+    val found = cand
       .join(t.select(col("doc_id").as("doc_a"), col("tk").as("tk_a")), Seq("doc_a"))
       .join(t.select(col("doc_id").as("doc_b"), col("tk").as("tk_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         dround(inter / (size(col("tk_a")) + size(col("tk_b")) - inter), 4).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
-      .orderBy("doc_a", "doc_b")
+      .persist()
+    graft.io.Sinks.dumpFixture(found.select("doc_a", "doc_b"), "minhash_pairs")
+    found.orderBy("doc_a", "doc_b")
   }
 
   /** SimHash near-dup: 64-bit fingerprint per doc (native Catalyst
     * expression), bucketed by 16-bit chunks — two docs within hamming
     * distance 3 of each other share at least one exact chunk, so
     * chunk-equality buckets are a complete candidate generator for
-    * hamming ≤ 3. Rows-only + unit test. */
+    * hamming ≤ 3.
+    *
+    * The signature itself is engine-specific, but GIVEN the signatures
+    * the hamming-≤-3 pair set is fully determined — so the query dumps
+    * the per-doc fingerprints as a fixture and the oracle recomputes the
+    * ENTIRE pair set from them (`bit_count(xor(...))` over all id-ordered
+    * pairs). Unlike the minhash soundness check this also gates
+    * COMPLETENESS: a pair the chunk-banding missed appears on the oracle
+    * side only and the compare goes red (VERDICT r3 next-4 §6). */
   private val ddSimhash: Q = (s, d) => {
     TextHashes.register(s)
     val fp = table(s, d, "documents")
       .select(col("doc_id"), expr("sim_hash(split(text, ' '))").as("fp"))
+      .persist()
+    graft.io.Sinks.dumpFixture(fp, "simhash_sigs")
     val chunks = (0 until 4).map(c =>
       fp.select(col("doc_id"), col("fp"), lit(c).as("chunk"),
         shiftrightunsigned(col("fp"), c * 16).bitwiseAND(lit(0xffffL)).as("key")))
@@ -165,7 +183,7 @@ object Dedup {
     chunks.as("x").join(chunks.as("y"), Seq("chunk", "key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        expr("bit_count(x.fp ^ y.fp)").as("hamming"))
+        expr("CAST(bit_count(x.fp ^ y.fp) AS INT)").as("hamming"))
       .dropDuplicates("doc_a", "doc_b")
       .filter(col("hamming") <= 3)
       .orderBy("doc_a", "doc_b")
@@ -191,5 +209,26 @@ object Dedup {
         |  FROM t a JOIN t b ON a.lang = b.lang AND a.len_band = b.len_band
         |    AND CAST(floor(len(a.tk)/4) AS INT) = CAST(floor(len(b.tk)/4) AS INT)
         |    AND a.doc_id < b.doc_id)
-        |WHERE jaccard >= 0.9 ORDER BY doc_a, doc_b""".stripMargin)
+        |WHERE jaccard >= 0.9 ORDER BY doc_a, doc_b""".stripMargin,
+    // Soundness twin (fixture pattern): exact Jaccard recomputed from
+    // `documents` for exactly the pairs the engine's LSH banding found.
+    "dd_minhash" ->
+      """WITH p AS (SELECT doc_a, doc_b FROM read_parquet('/tmp/graft_fixtures/minhash_pairs/*.parquet')),
+        | t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk FROM documents)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT p.doc_a, p.doc_b,
+        |   round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+        |     / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))), 4) AS jaccard
+        |  FROM p JOIN t a ON a.doc_id = p.doc_a JOIN t b ON b.doc_id = p.doc_b)
+        |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    // Completeness+soundness twin: GIVEN the dumped signatures, the
+    // hamming-≤-3 pair set is recomputed exhaustively (no banding) —
+    // both a missed pair and a spurious pair diverge the compare.
+    "dd_simhash" ->
+      """WITH f AS (SELECT doc_id, fp FROM read_parquet('/tmp/graft_fixtures/simhash_sigs/*.parquet'))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+        |FROM f a JOIN f b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin)
 }

@@ -118,11 +118,19 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs (the dedup-by-embedding
     * component): candidate pairs from the multi-table sign-LSH buckets
     * (both sides full table — no probe set), verified with exact cosine
-    * ≥ threshold. Candidate work scales with bucket sizes, never O(n²);
-    * recall for near-identical vectors (θ→0) approaches 1 because their
-    * sign patterns agree in every table. Rows-only + recall test. */
-  private val embCosThreshold = 0.8
-  private val ddEmbCos: Q = (s, d) => {
+    * ≥ threshold. Candidate work scales with bucket sizes, never O(n²).
+    *
+    * Threshold shared with [[ddEmbCosExact]]: r3 used 0.8, which NO
+    * pair on the noise corpus clears at the verify SF — the driver row
+    * certified an empty result, a gate that cannot fail (VERDICT r3
+    * §wrong 3). At the shared 0.3 the sf0.01 corpus yields ~990 true
+    * pairs, the LSH recall is measured by [[ddEmbCosRecall]], and the
+    * found pairs are dumped as a fixture so the oracle can recompute
+    * exact cosine for exactly those pairs and re-apply the threshold —
+    * an emitted pair below threshold hash-mismatches (soundness gate;
+    * recall keeps the planted-pair ScalaTest). */
+  private[llm] val embCosThreshold = 0.3
+  private def embCosPairs(s: SparkSession, d: String): DataFrame = {
     // Candidate pairs carry ONLY (id_a, id_b) through the bucket join
     // and dedup; the two 64-dim vectors join back AFTER the pairs are
     // distinct. The previous shape attached va/vb before dropDuplicates
@@ -143,7 +151,27 @@ object Similarity {
       .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("sim"))
       .filter(col("sim") >= embCosThreshold)
       .select(col("id_a"), col("id_b"), dround(col("sim"), 4).as("sim"))
-      .orderBy("id_a", "id_b")
+  }
+  private val ddEmbCos: Q = (s, d) => {
+    val found = embCosPairs(s, d).persist()
+    graft.io.Sinks.dumpFixture(found.select("id_a", "id_b"), "embcos_pairs")
+    found.orderBy("id_a", "id_b")
+  }
+
+  /** LSH recall against the exact baseline, in-query (VERDICT r3 next-4
+    * §2): one row (pairs_found, pairs_exact, recall). Every found pair
+    * is exact-cosine-verified, so found ⊆ exact and recall is simply
+    * |found|/|exact|; the oracle recomputes |exact| from the raw
+    * embeddings and |found| from the dumped fixture — both counts are
+    * independently derived on the DuckDB side. */
+  private val ddEmbCosRecall: Q = (s, d) => {
+    val found = embCosPairs(s, d).persist()
+    graft.io.Sinks.dumpFixture(found.select("id_a", "id_b"), "embcos_pairs")
+    val exact = ddEmbCosExact(s, d)
+    found.agg(count(lit(1)).as("pairs_found"))
+      .crossJoin(exact.agg(count(lit(1)).as("pairs_exact")))
+      .select(col("pairs_found"), col("pairs_exact"),
+        dround(col("pairs_found").cast("double") / col("pairs_exact"), 4).as("recall"))
   }
 
   // IVF-flat ANN: a k-means coarse quantizer (the FAISS IVF architecture)
@@ -170,15 +198,49 @@ object Similarity {
     (assigned, centroids)
   }
 
-  /** IVF approximate top-k: each probe ranks the 16 centroids (an 80-row
-    * cross join — the quantizer, not the corpus), keeps its nProbe
-    * nearest cells, and computes exact cosine only against vectors
-    * assigned to those cells. Rows-only (cluster layout depends on the
-    * k-means fit) + planted-neighbor recall test. */
-  private val annIvf: Q = (s, d) => {
+  /** On-disk IVF index location for a given corpus dir: FAISS-style
+    * build-once/probe-many (VERDICT r3 next-4 §3 — r3 refit the k-means
+    * inside every query, so the bench measured index BUILD, not probe).
+    * Keyed by the corpus path (basename + path hash): the driver's
+    * testdata is immutable per sf, so an existing index is valid;
+    * `ivfBuild` force-rebuilds for anything else (tools/IvfBuild). */
+  private[llm] def ivfIndexPath(d: String): String =
+    s"/tmp/graft_ivf/${new java.io.File(d).getName}-${math.abs(d.hashCode.toLong)}"
+
+  /** Build and persist the IVF index: assignments (vec_id, cl, ve — the
+    * vectors live IN the index, IVF-flat) and the k centroids. One
+    * ml.KMeans job + two parquet writes; at 100 TB this is the separate
+    * index-build job, co-partitioned with the corpus, run once. */
+  private[graft] def ivfBuild(s: SparkSession, d: String): String = {
+    val path = ivfIndexPath(d)
     val emb = table(s, d, "embeddings").select(col("vec_id"), asDouble.as("ve"))
     val (assigned, centroids) = ivfIndex(s, emb)
-    val probes = emb.filter(col("vec_id") < nProbes)
+    assigned.write.mode("overwrite").parquet(s"$path/assignments")
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    path
+  }
+
+  private def ensureIvfIndex(s: SparkSession, d: String): String = {
+    val path = ivfIndexPath(d)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/centroids/_SUCCESS")))
+      ivfBuild(s, d)
+    path
+  }
+
+  /** IVF approximate top-k over the PERSISTED index: each probe ranks
+    * the 16 stored centroids (an 80-row cross join — the quantizer, not
+    * the corpus), keeps its nProbe nearest cells, and computes exact
+    * cosine only against index rows in those cells. The k-means fit
+    * happens once in [[ivfBuild]] (lazily here on first touch, or via
+    * tools/IvfBuild); the benched query is probe-only, matching how an
+    * ANN index serves. Rows-only (cluster layout depends on the fit) +
+    * planted-neighbor recall test. */
+  private val annIvf: Q = (s, d) => {
+    val idx = ensureIvfIndex(s, d)
+    val assigned = s.read.parquet(s"$idx/assignments")
+    val centroids = s.read.parquet(s"$idx/centroids")
+    val probes = table(s, d, "embeddings").select(col("vec_id"), asDouble.as("ve"))
+      .filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("qid"), col("ve").as("qe"))
     val probeCells = probes.crossJoin(broadcast(centroids))
       .withColumn("cdist", -cosine(col("qe"), col("ce")))
@@ -225,6 +287,7 @@ object Similarity {
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
     "dd_embcos" -> ddEmbCos,
+    "dd_embcos_recall" -> ddEmbCosRecall,
     "dd_embcos_exact" -> ddEmbCosExact)
 
   val oracle: Map[String, String] = Map(
@@ -249,5 +312,29 @@ object Similarity {
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |   list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim
          |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
-         |WHERE sim >= $exactThreshold ORDER BY id_a, id_b""".stripMargin)
+         |WHERE sim >= $exactThreshold ORDER BY id_a, id_b""".stripMargin,
+    // Soundness twin: recompute exact cosine for EXACTLY the pairs the
+    // engine's LSH pipeline emitted (dumped to the fixture path by the
+    // query) and re-apply the threshold — an unsound emitted pair drops
+    // out here and the row counts diverge.
+    "dd_embcos" ->
+      s"""WITH p AS (SELECT id_a, id_b FROM read_parquet('/tmp/graft_fixtures/embcos_pairs/*.parquet')),
+         | e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |       FROM embeddings)
+         |SELECT id_a, id_b, round(sim, 4) AS sim FROM (
+         |  SELECT p.id_a, p.id_b, list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim
+         |  FROM p JOIN e a ON a.vec_id = p.id_a JOIN e b ON b.vec_id = p.id_b)
+         |WHERE sim >= $embCosThreshold ORDER BY id_a, id_b""".stripMargin,
+    "dd_embcos_recall" ->
+      s"""WITH p AS (SELECT id_a, id_b FROM read_parquet('/tmp/graft_fixtures/embcos_pairs/*.parquet')),
+         | e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |       FROM embeddings),
+         | ex AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |        FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |        WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $exactThreshold)
+         |SELECT (SELECT count(*) FROM p) AS pairs_found,
+         |       (SELECT count(*) FROM ex) AS pairs_exact,
+         |       round((SELECT count(*) FROM p)::DOUBLE / (SELECT count(*) FROM ex), 4) AS recall""".stripMargin)
 }
