@@ -17,10 +17,18 @@ object Bucketing {
 
   /** Write `df` as a bucketed, sorted managed table. */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    writeBucketedBy(df, table, buckets, Seq(key))
+
+  /** Composite-key variant: bucket AND sort by `keys` (e.g. the
+    * (gameId, playId) play key). All rows of one key value land in one
+    * bucket file per writer task; the bucketed scan reassembles each
+    * bucket into exactly one partition, so per-key work downstream can
+    * run partition-local with no Exchange. */
+  def writeBucketedBy(df: DataFrame, table: String, buckets: Int, keys: Seq[String]): Unit =
     df.write
       .format("parquet")
-      .bucketBy(buckets, key)
-      .sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .mode("overwrite")
       .saveAsTable(table)
 

@@ -101,6 +101,54 @@ object Yap {
         processPlay(key._1, key._2, it.toSeq, rT))
   }
 
+  /** Materialize the assembled per-play frame relation as a managed
+    * table bucketed AND sorted by the play key — the pay-once layout for
+    * a corpus the kernel (or any per-play operator) will scan repeatedly.
+    * At 100 TB this is the season's storage format: the shuffle that
+    * [[run]] pays per execution happens once, at write time. */
+  def materializeBucketed(spark: SparkSession, tracking: DataFrame, plays: DataFrame,
+      players: DataFrame, tackles: DataFrame, table: String, buckets: Int): Unit =
+    graft.ops.Bucketing.writeBucketedBy(
+      playFrames(spark, tracking, plays, players, tackles).toDF(),
+      table, buckets, Seq("gameId", "playId"))
+
+  /** Exchange-free kernel over a [[materializeBucketed]] table: the
+    * bucketed scan reassembles each bucket into one partition, so every
+    * play's frames are already co-located — a partition-local sort (no
+    * exchange) clusters each play's rows into a run, and a streaming
+    * run-grouping `mapPartitions` feeds the kernel one play at a time
+    * (memory = one play's frames, never a whole partition).
+    *
+    * `mapPartitions` here is the deliberate (d)-tier choice from the
+    * brief: `groupByKey.flatMapGroups` keys on lambda-generated columns
+    * Catalyst cannot match to the storage partitioning, so it would
+    * re-Exchange data the bucket layout already placed. YapBucketedSpec
+    * pins both properties: result identity with [[run]], and a physical
+    * plan with no Exchange node. */
+  def runBucketed(spark: SparkSession, table: String, rT: Double = 1.0): Dataset[Emit] = {
+    import spark.implicits._
+    // autoBucketedScan would silently DROP the bucketed layout (and
+    // split buckets by size) when no downstream operator declares a
+    // distribution requirement — and mapPartitions declares none. Off,
+    // or partition-local grouping is not sound.
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    spark.table(table).as[PlayFrame]
+      .sortWithinPartitions("gameId", "playId")
+      .mapPartitions { it =>
+        val b = it.buffered
+        new Iterator[Iterator[Emit]] {
+          def hasNext: Boolean = b.hasNext
+          def next(): Iterator[Emit] = {
+            val g = b.head.gameId
+            val p = b.head.playId
+            val rows = scala.collection.mutable.ArrayBuffer.empty[PlayFrame]
+            while (b.hasNext && b.head.gameId == g && b.head.playId == p) rows += b.next()
+            processPlay(g, p, rows.toSeq, rT)
+          }
+        }.flatten
+      }
+  }
+
   /** Split `run` output into the three sinks of the reference: results
     * (S3), optimal-path splice, and dead-letters (S4). */
   def sinks(emits: Dataset[Emit]): (DataFrame, DataFrame, DataFrame, DataFrame) = (

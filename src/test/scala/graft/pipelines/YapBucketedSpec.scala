@@ -1,0 +1,47 @@
+package graft.pipelines
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** The exchange-free bucketed season path must (a) produce EXACTLY the
+  * rows of the shuffle path — partition-local grouping is only sound if
+  * every play's frames really are co-located and clustered — and (b)
+  * plan with no Exchange node anywhere (the point of paying the bucketed
+  * write). A 40-play season exercises multiple plays per bucket and
+  * multiple buckets per partition layout. */
+class YapBucketedSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val n = 40
+  private val tbl = "b_test_season"
+
+  private def freshTable(): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"), tbl)
+    if (loc.exists) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    Yap.materializeBucketed(spark, SyntheticSeason.tracking(spark, n),
+      SyntheticSeason.plays(spark, n), SyntheticSeason.players(spark),
+      SyntheticSeason.tackles(spark, n), tbl, 8)
+  }
+
+  test("bucketed kernel path emits exactly the shuffle path's rows") {
+    freshTable()
+    val viaShuffle = Yap.run(spark, SyntheticSeason.tracking(spark, n),
+      SyntheticSeason.plays(spark, n), SyntheticSeason.players(spark),
+      SyntheticSeason.tackles(spark, n)).collect().toSet
+    val viaBuckets = Yap.runBucketed(spark, tbl).collect().toSet
+    assert(viaBuckets == viaShuffle,
+      s"bucketed path diverged: only-bucketed=${(viaBuckets -- viaShuffle).take(3)} " +
+        s"only-shuffle=${(viaShuffle -- viaBuckets).take(3)}")
+    assert(viaBuckets.count(_.kind == "yap") == n * 2) // 2 tacklers/play
+  }
+
+  test("bucketed kernel plan has no Exchange") {
+    val ds = Yap.runBucketed(spark, tbl)
+    ds.collect()
+    val plan = ds.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed kernel path must not shuffle:\n$plan")
+  }
+}

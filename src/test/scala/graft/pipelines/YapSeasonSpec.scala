@@ -222,9 +222,23 @@ class YapSeasonSpec extends AnyFunSuite {
 
   private def round2(v: Double) = math.rint(v * 100.0) / 100.0
 
-  /** Independent YAP for one play: Some((yap, borderline)) when a
-    * feasible horizon exists, None otherwise. */
-  private def independentYap(p: Int): (Option[Double], Boolean) = {
+  /** Combined integration-error band of the two solvers: the engine's
+    * RK45 runs at rtol 1e-3, so gate values of magnitude ~10 carry up
+    * to ~1e-2 absolute error — inside that band the feasibility
+    * decision may legitimately flip between integrators. */
+  private val gateBand = 0.03
+
+  /** Per-horizon independent evaluation of one play. Returns the first
+    * feasible horizon (absolute carrier index) and its YAP, plus a
+    * per-horizon borderline flag (any feasibility gate within
+    * [[gateBand]] of its bound). Horizons are evaluated until the first
+    * feasible one or `alsoEval` (the ENGINE's chosen horizon), whichever
+    * is later — so a horizon dispute can always be attributed. Pruned
+    * horizons ((dist−rT)/tF > vMax) need no flag: the prune is the
+    * identical double expression in both evaluations, not an
+    * integrator result. */
+  private def independentEval(p: Int, alsoEval: Option[Int])
+      : (Option[Int], Option[Double], Map[Int, Boolean]) = {
     val frames = playFrames(p)
     val carrier = frames.filter(_.nflId == 100L).sortBy(_.frameId).toArray
     val tackler = frames.filter(_.nflId == 200L).sortBy(_.frameId).toArray
@@ -246,13 +260,15 @@ class YapSeasonSpec extends AnyFunSuite {
       if (d < rT) idxVic = i
       i += 1
     }
-    if (idxVic < 0) return (None, false)
+    if (idxVic < 0) return (None, None, Map.empty)
     val start = tackler(idxStart)
     val u0 = start.s * math.sin(math.toRadians(start.dir))
     val v0 = start.s * math.cos(math.toRadians(start.dir))
-    var borderline = false
+    var jFeas: Option[Int] = None
+    var yap: Option[Double] = None
+    val border = scala.collection.mutable.Map.empty[Int, Boolean]
     var j = idxStart + 1
-    while (j <= carrier.length - 2) {
+    while (j <= carrier.length - 2 && (jFeas.isEmpty || alsoEval.exists(_ >= j))) {
       val tj = timeRel.slice(idxStart, j + 1).map(_ - time0)
       val distJ = math.hypot(start.x - xC(j), start.y - yC(j))
       val tF = tj.last
@@ -262,22 +278,18 @@ class YapSeasonSpec extends AnyFunSuite {
         val finalR = math.hypot(xs.last, ys.last)
         val mSpd = us.indices.map(k => math.hypot(us(k), vs(k))).max
         val mAcc = axs.indices.map(k => math.hypot(axs(k), ays(k))).max
-        // borderline band = combined truncation error of the two
-        // integrators: the engine's RK45 runs at rtol 1e-3, so gate
-        // values of magnitude ~10 carry up to ~1e-2 absolute error —
-        // inside that band the feasibility decision may legitimately
-        // flip between integrators
-        if (math.abs(finalR - rT) < 0.03 || math.abs(mSpd - vMax) < 0.03 ||
-            math.abs(mAcc - aMax) < 0.03) borderline = true
-        if (finalR <= rT && mSpd <= vMax && mAcc <= aMax) {
+        border(j) = math.abs(finalR - rT) < gateBand ||
+          math.abs(mSpd - vMax) < gateBand || math.abs(mAcc - aMax) < gateBand
+        if (jFeas.isEmpty && finalR <= rT && mSpd <= vMax && mAcc <= aMax) {
+          jFeas = Some(j)
           val playDir = carrier.head.playDirection
-          val yap = if (playDir == "left") xC(j) - xC(idxVic) else xC(idxVic) - xC(j)
-          return (Some(round2(yap)), borderline)
+          yap = Some(round2(
+            if (playDir == "left") xC(j) - xC(idxVic) else xC(idxVic) - xC(j)))
         }
       }
       j += 1
     }
-    (None, borderline)
+    (jFeas, yap, border.toMap)
   }
 
   // ---------------------------------------------------------------
@@ -398,23 +410,51 @@ class YapSeasonSpec extends AnyFunSuite {
     }
   }
 
-  test("pursuit YAP matches the independent fine-RK4 evaluation within ±0.01") {
+  test("pursuit YAP matches the independent fine-RK4 evaluation; flips only inside the gate band") {
+    // Outcome-sensitive exclusion (VERDICT r3 §missing 4 / next-4 §5):
+    // r3 excluded any play where ANY evaluated horizon grazed the error
+    // band — a blanket that silently dropped plays whose DECISION both
+    // integrators agreed on. Now the engine's chosen first-feasible
+    // horizon is compared with the independent solver's directly:
+    //  - same horizon → strict ±0.01 YAP compare, play counts;
+    //  - different horizon → allowed ONLY if the disputed horizon's
+    //    gates sit inside the band (a legitimate integrator flip),
+    //    otherwise the test FAILS. Exclusions are asserted < 5% of
+    //    feasible plays.
     var checked = 0
-    var borderlines = 0
+    var feasibleCount = 0
+    val excluded = scala.collection.mutable.ArrayBuffer.empty[Int]
     for (p <- 0 until nPlays if archetype(p) == "pursuit") {
-      val engine = emits.find(e => (e.game_ID, e.play_ID) == key(p) && e.kind == "yap").get.YAP
-      val (ind, borderline) = independentYap(p)
-      if (borderline) borderlines += 1
-      else {
-        (engine, ind) match {
-          case (Some(a), Some(b)) => assert(math.abs(a - b) <= 0.01 + 1e-9,
-            s"play $p: engine YAP $a vs independent $b")
-          case (None, None) => ()
-          case other => fail(s"play $p: feasibility disagreement off-borderline: $other")
-        }
+      val engYap = emits.find(e => (e.game_ID, e.play_ID) == key(p) && e.kind == "yap").get.YAP
+      val pathLen = emits.count(e => (e.game_ID, e.play_ID) == key(p) && e.kind == "path")
+      val carrier = playFrames(p).filter(_.nflId == 100L).sortBy(_.frameId).toArray
+      val idxStart = carrier.indexWhere(_.event.contains("handoff"))
+      // engine's chosen horizon: splice covers [idxStart, j] (contiguity
+      // and start alignment pinned by the physics-gates test)
+      val jEng = if (engYap.isDefined) Some(idxStart + pathLen - 1) else None
+      if (engYap.isDefined) feasibleCount += 1
+      val (jInd, indYap, border) = independentEval(p, jEng)
+      if (jEng == jInd) {
+        for (a <- engYap; b <- indYap)
+          assert(math.abs(a - b) <= 0.01 + 1e-9, s"play $p: engine YAP $a vs independent $b")
         checked += 1
+      } else {
+        val disputed = (jEng, jInd) match {
+          case (Some(a), Some(b)) => math.min(a, b)
+          case (Some(a), None)    => a
+          case (None, Some(b))    => b
+          case _                  => -1
+        }
+        assert(border.getOrElse(disputed, false),
+          s"play $p: horizon disagreement (engine=$jEng independent=$jInd) " +
+            s"with no borderline gate at disputed horizon $disputed")
+        excluded += p
       }
     }
-    assert(checked >= 50, s"only $checked non-borderline pursuit plays (borderline=$borderlines)")
+    info(s"strict-checked $checked pursuit plays; excluded ${excluded.size} " +
+      s"borderline flips of $feasibleCount feasible (plays ${excluded.mkString(",")})")
+    assert(checked >= 100, s"only $checked strict-checked pursuit plays")
+    assert(excluded.size <= math.max(1, feasibleCount * 5 / 100),
+      s"${excluded.size} exclusions exceed 5% of $feasibleCount feasible plays")
   }
 }
