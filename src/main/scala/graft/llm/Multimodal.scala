@@ -158,9 +158,42 @@ object Multimodal {
   /** DuckDB twin over the demo-media metadata fixture Verify dumps to
     * /tmp/graft_fixtures (payload bytes excluded — the metadata-only
     * aggregation is exactly what the query must compute without them).
-    * mm_features/mm_frame_sample stay rows-only: their values come from
-    * the byte-histogram stub / rolling hash, not SQL-expressible. */
+    *
+    * mm_features is fully recomputed: the stub's payload bytes are
+    * FNV-1a of "id:j" (demoMedia above), and FNV is SQL-expressible
+    * with HUGEINT modular arithmetic (the ts_fingerprint_roll fold) —
+    * so the oracle regenerates every byte, rebuilds the nibble
+    * histogram, and recomputes entropy (ln/ln2, matching the stub's
+    * formula) and the float32 feature quotients from scratch. */
   val oracle: Map[String, String] = Map(
+    "mm_features" ->
+      """WITH m AS (SELECT media_id, kind, n_bytes FROM read_parquet('/tmp/graft_fixtures/demo_media_meta/*.parquet')),
+        | b AS (
+        |  SELECT m.media_id, t.j,
+        |   list_reduce(
+        |     list_prepend(14695981039346656037::HUGEINT,
+        |       [ord(c)::HUGEINT for c in string_split(m.media_id || ':' || t.j, '')]),
+        |     (acc, x) -> ((acc - (acc % 256) + xor((acc % 256)::BIGINT, x::BIGINT)::HUGEINT)
+        |                  * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+        |   ) % 256 AS byte
+        |  FROM m, LATERAL unnest(generate_series(0, m.n_bytes::INT - 1)) t(j)),
+        | hist AS (
+        |  SELECT media_id, (byte // 16)::INT AS bin, count(*)::BIGINT AS c
+        |  FROM b GROUP BY media_id, (byte // 16)::INT),
+        | ent AS (
+        |  SELECT media_id,
+        |   round(-sum((c::DOUBLE / n_bytes) * ln(c::DOUBLE / n_bytes) / ln(2)), 4) AS byte_entropy
+        |  FROM hist JOIN m USING (media_id) GROUP BY media_id),
+        | feat AS (
+        |  SELECT media_id, string_agg(fv, ',' ORDER BY k) AS feature FROM (
+        |    SELECT h.media_id, (h.bin // 2) AS k,
+        |     CAST(round((sum(h.c)::FLOAT / max(m.n_bytes)::FLOAT)::DOUBLE, 4) AS VARCHAR) AS fv
+        |    FROM hist h JOIN m USING (media_id)
+        |    GROUP BY h.media_id, (h.bin // 2))
+        |  GROUP BY media_id)
+        |SELECT m.media_id, m.kind, m.n_bytes::INT AS n_bytes, e.byte_entropy, f.feature
+        |FROM m JOIN ent e USING (media_id) JOIN feat f USING (media_id)
+        |ORDER BY m.media_id""".stripMargin,
     "mm_meta_stats" ->
       """SELECT kind, count(*) AS n, max(width) AS max_w, max(nFrames) AS max_frames
         |FROM read_parquet('/tmp/graft_fixtures/demo_media_meta/*.parquet')

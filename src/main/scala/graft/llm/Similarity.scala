@@ -90,8 +90,12 @@ object Similarity {
 
   /** Sign-LSH approximate top-k: probes meet only candidates sharing a
     * bucket in at least one of the L tables. Recall vs the brute-force
-    * baseline is unit-tested; rows-only check here (bucket layout is
-    * engine-specific). */
+    * baseline is unit-tested; the CANDIDATE SET is engine-specific
+    * (hyperplane layout), but GIVEN that set — dumped as a fixture —
+    * the exact-cosine scoring and top-k ranking are fully determined,
+    * so the oracle recomputes both from the raw embeddings and the
+    * compare is hash-gated (the r3 rows-only check could not see a
+    * scoring or ranking bug). */
   private val annLsh: Q = (s, d) => {
     // narrow candidate shape (ids only through the bucket join + dedup,
     // vectors joined back after distinct) — same as ddEmbCos below
@@ -104,6 +108,8 @@ object Similarity {
       .filter(col("qid") =!= col("cid"))
       .select("qid", "cid")
       .dropDuplicates("qid", "cid")
+      .persist()
+    graft.io.Sinks.dumpFixture(pairs, "annlsh_cands")
     val sims = pairs
       .join(emb.select(col("vec_id").as("qid"), col("ve").as("qe")), Seq("qid"))
       .join(emb.select(col("vec_id").as("cid"), col("ve").as("ce")), Seq("cid"))
@@ -233,8 +239,10 @@ object Similarity {
     * cosine only against index rows in those cells. The k-means fit
     * happens once in [[ivfBuild]] (lazily here on first touch, or via
     * tools/IvfBuild); the benched query is probe-only, matching how an
-    * ANN index serves. Rows-only (cluster layout depends on the fit) +
-    * planted-neighbor recall test. */
+    * ANN index serves. The probed candidate set depends on the fit, but
+    * — like [[annLsh]] — given that set (fixture) the scoring and
+    * ranking are oracle-recomputable, so the check is hash-gated;
+    * the planted-neighbor recall test covers the layout. */
   private val annIvf: Q = (s, d) => {
     val idx = ensureIvfIndex(s, d)
     val assigned = s.read.parquet(s"$idx/assignments")
@@ -250,6 +258,8 @@ object Similarity {
     val sims = assigned.join(broadcast(probeCells), Seq("cl"))
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("cid"), cosine(col("qe"), col("ve")).as("sim"))
+      .persist()
+    graft.io.Sinks.dumpFixture(sims.select("qid", "cid"), "annivf_cands")
     sims.withColumn("rk",
         row_number().over(Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))))
       .filter(col("rk") <= kNeighbors)
@@ -290,6 +300,20 @@ object Similarity {
     "dd_embcos_recall" -> ddEmbCosRecall,
     "dd_embcos_exact" -> ddEmbCosExact)
 
+  private def annCandOracle(fixture: String): String =
+    s"""WITH p AS (SELECT qid, cid FROM read_parquet('/tmp/graft_fixtures/$fixture/*.parquet')),
+       | e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       | sims AS (
+       |  SELECT p.qid, p.cid,
+       |   list_dot_product(q.v, c.v)
+       |     / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+       |  FROM p JOIN e q ON q.vec_id = p.qid JOIN e c ON c.vec_id = p.cid),
+       | ranked AS (
+       |  SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+       |  FROM sims)
+       |SELECT qid, rk, cid, round(sim, 4) AS sim FROM ranked WHERE rk <= $kNeighbors
+       |ORDER BY qid, rk""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "knn_cosine" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < $nProbes),
@@ -304,6 +328,12 @@ object Similarity {
          |  FROM sims)
          |SELECT qid, rk, cid, round(sim, 4) AS sim FROM ranked WHERE rk <= $kNeighbors
          |ORDER BY qid, rk""".stripMargin,
+    // Candidate-fixture twins: exact-cosine scoring + top-k ranking
+    // recomputed from the raw embeddings over EXACTLY the candidate set
+    // the engine probed (dumped by the query) — scoring/ranking bugs
+    // hash-mismatch; candidate generation stays with the recall tests.
+    "ann_lsh" -> annCandOracle("annlsh_cands"),
+    "ann_ivf" -> annCandOracle("annivf_cands"),
     "dd_embcos_exact" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
          |            sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm

@@ -92,8 +92,11 @@ object TextOps {
       .orderBy("doc_id")
 
   /** Document fingerprint via the native rolling-hash Catalyst
-    * expression (codegen'd; graft.functions.RollingHash). Not
-    * SQL-expressible in the oracle → rows-only check + unit test. */
+    * expression (codegen'd; graft.functions.RollingHash). The kernel is
+    * FNV-1a/64 — which IS SQL-expressible: the oracle replays the
+    * byte fold with HUGEINT modular arithmetic (`list_reduce` over
+    * `ord()` codes; the corpus is ASCII so char codes are the bytes),
+    * making this a true independent recompute, not a fixture echo. */
   private val tsFingerprintRoll: Q = (s, d) => {
     TextHashes.register(s)
     table(s, d, "documents").select(
@@ -114,6 +117,21 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // FNV-1a/64 replayed independently: fold (h ^ byte) * 0x100000001b3
+    // mod 2^64 over the text bytes. HUGEINT keeps the 104-bit products
+    // exact; xor only touches the low byte, so it runs in BIGINT range;
+    // the final CASE maps the unsigned fold back to the engine's signed
+    // Long. `string_split(text, '')` yields chars = bytes (ASCII corpus).
+    "ts_fingerprint_roll" ->
+      """WITH h AS (SELECT doc_id, list_reduce(
+        |    list_prepend(14695981039346656037::HUGEINT,
+        |      [ord(c)::HUGEINT for c in string_split(text, '')]),
+        |    (acc, x) -> ((acc - (acc % 256) + xor((acc % 256)::BIGINT, x::BIGINT)::HUGEINT)
+        |                 * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+        |  ) AS hu FROM documents)
+        |SELECT doc_id, CASE WHEN hu >= 9223372036854775808::HUGEINT
+        |  THEN (hu - 18446744073709551616::HUGEINT)::BIGINT ELSE hu::BIGINT END AS fp_roll
+        |FROM h ORDER BY doc_id""".stripMargin,
     "ts_stats" ->
       """SELECT doc_id,
         | CAST(length(text) AS BIGINT) AS n_len,
