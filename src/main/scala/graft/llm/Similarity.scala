@@ -210,8 +210,10 @@ object Similarity {
     * Keyed by the corpus path (basename + path hash): the driver's
     * testdata is immutable per sf, so an existing index is valid;
     * `ivfBuild` force-rebuilds for anything else (tools/IvfBuild). */
-  private[llm] def ivfIndexPath(d: String): String =
-    s"/tmp/graft_ivf/${new java.io.File(d).getName}-${math.abs(d.hashCode.toLong)}"
+  private[llm] def ivfIndexPath(d: String): String = {
+    val root = sys.env.getOrElse("SPARK_GRAFT_IVF_DIR", "/tmp/graft_ivf")
+    s"$root/${new java.io.File(d).getName}-${math.abs(d.hashCode.toLong)}"
+  }
 
   /** Build and persist the IVF index: assignments (vec_id, cl, ve — the
     * vectors live IN the index, IVF-flat) and the k centroids. One

@@ -34,9 +34,12 @@ object ScaleProbe {
         spark.read.parquet(s"$src/$t.parquet").write.mode("overwrite").parquet(s"$out/$t.parquet")
       println("built /tmp/sf1")
     }
-    for (q <- Seq("ep2_range_max","j6_self_align","p4_derived","w3_crossing",
-        "dd_jaccard","dd_minhash","dd_exact","ts_quality","knn_cosine","ann_lsh","a10_kde",
-        "dd_embcos","w6_prefix","ts_langid","x_datetime")) {
+    // default = the full cross-section; pass query names as args to
+    // probe a subset (e.g. just the paths a round changed)
+    val defaultQs = Seq("ep2_range_max","j6_self_align","p4_derived","w3_crossing",
+      "dd_jaccard","dd_minhash","dd_exact","ts_quality","knn_cosine","ann_lsh","a10_kde",
+      "dd_embcos","w6_prefix","ts_langid","x_datetime")
+    for (q <- (if (args.nonEmpty) args.toSeq else defaultQs)) {
       // warm
       try graft.SparkEntry.queries(q)(spark, src).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => println(s"$q warm FAILED ${e.getMessage}") }
