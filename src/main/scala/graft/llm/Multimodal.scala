@@ -146,13 +146,16 @@ object Multimodal {
     "mm_frame_sample" -> ((s, _) =>
       sampleFrames(s, demoMedia(s)).toDF().orderBy("media_id", "frame_idx")),
     "mm_meta_stats" -> ((s, _) => metaStats(demoMedia(s))),
-    // payload bytes projected down to their length — the size contract
-    // (out bytes = out_w·out_h·3, independent of input size) is what
-    // the fixture oracle can check
+    // size contract (out bytes = out_w·out_h·3, independent of input
+    // size) PLUS a content fingerprint: md5 over the hex of the payload
+    // — the oracle regenerates the source bytes (FNV, as mm_features),
+    // replays the nearest-neighbor index mapping, and re-derives the
+    // same fingerprint, so the resample is verified byte-for-byte
     "mm_resize" -> ((s, _) =>
       resizeImages(s, demoMedia(s)).toDF()
         .select(col("media_id"), col("in_w"), col("in_h"),
-          col("out_w"), col("out_h"), length(col("bytes")).cast("long").as("n_bytes_out"))
+          col("out_w"), col("out_h"), length(col("bytes")).cast("long").as("n_bytes_out"),
+          md5(hex(col("bytes")).cast("binary")).as("content_fp"))
         .orderBy("media_id")))
 
   /** DuckDB twin over the demo-media metadata fixture Verify dumps to
@@ -198,11 +201,32 @@ object Multimodal {
       """SELECT kind, count(*) AS n, max(width) AS max_w, max(nFrames) AS max_frames
         |FROM read_parquet('/tmp/graft_fixtures/demo_media_meta/*.parquet')
         |GROUP BY kind ORDER BY kind""".stripMargin,
+    // full content verification: regenerate the source bytes (FNV, as
+    // mm_features), replay the nearest-neighbor index map
+    // (i·len div 9216), and fingerprint the reconstructed payload —
+    // upper-case hex to match Spark's hex()
     "mm_resize" ->
-      """SELECT media_id, width AS in_w, height AS in_h,
-        | 64 AS out_w, 48 AS out_h, CAST(64*48*3 AS BIGINT) AS n_bytes_out
-        |FROM read_parquet('/tmp/graft_fixtures/demo_media_meta/*.parquet')
-        |WHERE kind = 'image' ORDER BY media_id""".stripMargin,
+      """WITH m AS (SELECT media_id, width, height, n_bytes
+        |           FROM read_parquet('/tmp/graft_fixtures/demo_media_meta/*.parquet') WHERE kind='image'),
+        | src AS (
+        |  SELECT m.media_id, t.j,
+        |   (list_reduce(
+        |     list_prepend(14695981039346656037::HUGEINT,
+        |       [ord(c)::HUGEINT for c in string_split(m.media_id || ':' || t.j, '')]),
+        |     (acc, x) -> ((acc - (acc % 256) + xor((acc % 256)::BIGINT, x::BIGINT)::HUGEINT)
+        |                  * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+        |   ) % 256)::INT AS b
+        |  FROM m, LATERAL unnest(generate_series(0, m.n_bytes::INT - 1)) t(j)),
+        | outb AS (
+        |  SELECT m.media_id, t.i, s.b
+        |  FROM m
+        |  CROSS JOIN LATERAL unnest(generate_series(0, 9215)) t(i)
+        |  JOIN src s ON s.media_id = m.media_id AND s.j = (t.i * m.n_bytes) // 9216),
+        | fp AS (SELECT media_id, md5(string_agg(printf('%02X', b), '' ORDER BY i)) AS content_fp
+        |        FROM outb GROUP BY media_id)
+        |SELECT m.media_id, m.width AS in_w, m.height AS in_h, 64 AS out_w, 48 AS out_h,
+        | CAST(9216 AS BIGINT) AS n_bytes_out, fp.content_fp
+        |FROM m JOIN fp USING (media_id) ORDER BY media_id""".stripMargin,
     "mm_frame_sample" ->
       """SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
         | substr(md5(media_id || ':' || frame_idx || ':' || n_bytes), 1, 16) AS frame_fp
