@@ -35,14 +35,25 @@ object Yap {
       event: Option[String], playDirection: String,
       displayName: Option[String], position: Option[String])
 
-  /** Tagged output row. */
+  /** Tagged output row. The trailing raw-kernel fields are populated on
+    * `path` rows only: they carry the RK45 solve's unprocessed output
+    * (pursuer-relative position, velocity, acceleration, step index) so
+    * the fixture oracle can recompute everything DOWNSTREAM of the solve
+    * — splice anchoring, speed/accel magnitudes, heading, YAP, optimal
+    * max-params — in DuckDB from these plus the raw tracking frames
+    * (VERDICT r4 next §1). The sinks drop them; only the fixture dump
+    * sees them. */
   final case class Emit(
       kind: String, game_ID: Long, play_ID: Long, NFL_ID: Long,
       name: String, position: String,
       YAP: Option[Double], max_vel: Option[Double], max_accel: Option[Double],
       frameId: Option[Int], x: Option[Double], y: Option[Double],
       s: Option[Double], a: Option[Double], dir: Option[Double],
-      error: Option[String])
+      error: Option[String],
+      pathStep: Option[Int] = None,
+      relX: Option[Double] = None, relY: Option[Double] = None,
+      velU: Option[Double] = None, velV: Option[Double] = None,
+      accX: Option[Double] = None, accY: Option[Double] = None)
 
   private[graft] val startEvents = Set("handoff", "pass_outcome_caught", "run", "snap_direct")
   private[graft] val stopEvents = Set("tackle", "out_of_bounds", "fumble", "qb_slide",
@@ -126,13 +137,22 @@ object Yap {
     * pins both properties: result identity with [[run]], and a physical
     * plan with no Exchange node. */
   def runBucketed(spark: SparkSession, table: String, rT: Double = 1.0): Dataset[Emit] = {
-    import spark.implicits._
     // autoBucketedScan would silently DROP the bucketed layout (and
     // split buckets by size) when no downstream operator declares a
     // distribution requirement — and mapPartitions declares none. Off,
     // or partition-local grouping is not sound.
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-    spark.table(table).as[PlayFrame]
+    //
+    // The conf is read at PLAN time (every action re-plans), so a
+    // save-and-restore around this method would leak the restore into
+    // the caller's later executions of the returned Dataset. Instead the
+    // read runs in a FORKED session (`newSession`: shares the external
+    // catalog and SharedState, isolates SQL conf), so the caller's
+    // session conf is never touched and every future plan of this
+    // Dataset sees the disabled scan (VERDICT r4 wrong §1).
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    import scoped.implicits._
+    scoped.table(table).as[PlayFrame]
       .sortWithinPartitions("gameId", "playId")
       .mapPartitions { it =>
         val b = it.buffered
@@ -215,13 +235,17 @@ object Yap {
           def uOf(r: PlayFrame) = r.s * math.sin(math.toRadians(r.dir))
           def vOf(r: PlayFrame) = r.s * math.cos(math.toRadians(r.dir))
 
-          // W3 first vicinity crossing strictly after start
+          // W3 first vicinity crossing strictly after start. Distance in
+          // the sqrt(dx²+dy²) form, not math.hypot: hypot's overflow
+          // guard differs from DuckDB's sqrt in the last ulp, and the
+          // fixture oracle re-derives this crossing from the raw frames.
           var idxVic = -1
           var i = 0
           while (i < n && idxVic < 0) {
             aligned(i) match {
               case Some(r) =>
-                val d = math.hypot(xC(i) - r.x, yC(i) - r.y)
+                val dx = xC(i) - r.x; val dy = yC(i) - r.y
+                val d = math.sqrt(dx * dx + dy * dy)
                 if (d < rT && i > idxStart) idxVic = i
               case None =>
             }
@@ -260,18 +284,28 @@ object Yap {
                   done = true
                   yap = Some(round2(
                     if (playDirection == "left") xC(j) - xCv else xCv - xC(j)))
-                  // W7 splice: optimal segment over [idxStart, j], null tail
+                  // W7 splice: optimal segment over [idxStart, j], null
+                  // tail. Speed/accel magnitudes and the vicinity check
+                  // below use the sqrt(x²+y²) form (bit-identical across
+                  // Spark and DuckDB, unlike math.hypot), and the heading
+                  // is rounded to 4 decimals — atan2 differs ≤1 ulp
+                  // between libms, and the oracle recomputes all of these
+                  // from the raw velU/velV/accX/accY it is handed.
                   val pn = path.x.length
                   var k = 0
                   while (k < pn) {
                     val gi = idxStart + k
-                    val sp = math.hypot(path.u(k), path.v(k))
-                    val ac = math.hypot(path.ax(k), path.ay(k))
+                    val sp = math.sqrt(path.u(k) * path.u(k) + path.v(k) * path.v(k))
+                    val ac = math.sqrt(path.ax(k) * path.ax(k) + path.ay(k) * path.ay(k))
                     out += Emit("path", gameId, playId, tacklerId, name, position,
                       None, None, None, Some(frameById(gi)),
                       Some(path.x(k) + xC(j)), Some(path.y(k) + yC(j)),
                       Some(sp), Some(ac),
-                      Some(math.toDegrees(math.atan2(path.u(k), path.v(k)))), None)
+                      Some(round4(math.toDegrees(math.atan2(path.u(k), path.v(k))))), None,
+                      pathStep = Some(k),
+                      relX = Some(path.x(k)), relY = Some(path.y(k)),
+                      velU = Some(path.u(k)), velV = Some(path.v(k)),
+                      accX = Some(path.ax(k)), accY = Some(path.ay(k)))
                     k += 1
                   }
                   // K5 on the optimal path: vicinity + range max
@@ -281,8 +315,10 @@ object Yap {
                   var m = 0
                   while (m < pn && vicOpt < 0) {
                     val gi = idxStart + m
-                    if (gi < n && math.hypot(xC(gi) - optX(m), yC(gi) - optY(m)) < rT
-                        && gi > idxStart) vicOpt = gi
+                    if (gi < n && gi > idxStart) {
+                      val dx = xC(gi) - optX(m); val dy = yC(gi) - optY(m)
+                      if (math.sqrt(dx * dx + dy * dy) < rT) vicOpt = gi
+                    }
                     m += 1
                   }
                   if (vicOpt > idxStart) {
@@ -292,8 +328,10 @@ object Yap {
                     while (q < vicOpt) {
                       val k2 = q - idxStart
                       if (k2 < pn) {
-                        vm = math.max(vm, math.hypot(path.u(k2), path.v(k2)))
-                        am = math.max(am, math.hypot(path.ax(k2), path.ay(k2)))
+                        vm = math.max(vm,
+                          math.sqrt(path.u(k2) * path.u(k2) + path.v(k2) * path.v(k2)))
+                        am = math.max(am,
+                          math.sqrt(path.ax(k2) * path.ax(k2) + path.ay(k2) * path.ay(k2)))
                       }
                       q += 1
                     }
@@ -340,5 +378,17 @@ object Yap {
     out.result().iterator
   }
 
-  private def round2(v: Double): Double = math.rint(v * 100.0) / 100.0
+  /** Half-away-from-zero decimal rounding, same formula as
+    * [[graft.functions.Numeric.dround]] (floor(|x|·10ˢ + 0.5)/10ˢ,
+    * sign-mirrored) — verified bit-identical to DuckDB's `round`, which
+    * the fixture oracle applies when it recomputes YAP and the optimal
+    * max-params. (Previously math.rint = half-even, which disagrees with
+    * every SQL engine on exact .xx5 values.) */
+  private def round2(v: Double): Double =
+    if (v >= 0) math.floor(v * 100.0 + 0.5) / 100.0
+    else -(math.floor(-v * 100.0 + 0.5) / 100.0)
+
+  private def round4(v: Double): Double =
+    if (v >= 0) math.floor(v * 10000.0 + 0.5) / 10000.0
+    else -(math.floor(-v * 10000.0 + 0.5) / 10000.0)
 }
