@@ -24,6 +24,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++
       ops.Events.queries ++
+      ops.Skew.queries ++
       pipelines.Report.queries ++
       pipelines.NflQueries.queries ++
       pipelines.Animate.queries ++
@@ -38,6 +39,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++
       ops.Events.oracle ++
+      ops.Skew.oracle ++
       pipelines.Report.oracle ++
       pipelines.NflQueries.oracle ++
       pipelines.Animate.oracle ++

@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.io.Sources.table
 
 /** Skew-mitigation utilities for the 100 TB posture.
   *
@@ -44,4 +45,52 @@ object Skew {
       .agg(sum(col(valueCol)).as("__partial"), count(lit(1)).as("__n"))
       .groupBy(col(key))
       .agg(sum(col("__partial")).as(s"sum_$valueCol"), sum(col("__n")).as("n"))
+
+  // -------------------------------------------------------------------
+  // Driver-gated queries (VERDICT r4 next §6): the toolkit routed over
+  // real testdata with UNCHANGED plain-SQL oracle twins — the oracle
+  // knows nothing of salting, so the gate certifies result identity
+  // with the direct join/agg, and SkewSpec's plan test pins that the
+  // salted exchange actually happens.
+  // -------------------------------------------------------------------
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Customer→nation enrichment through [[saltedJoin]]: nation keys are
+    * a classic logical hot key (25 values over the whole customer
+    * table). Aggregates are order-independent (count/min/max) so the
+    * result is oracle-hashable. */
+  private val skSaltedJoin: Q = (s, d) => {
+    val cust = table(s, d, "customer")
+    val nat = table(s, d, "nation").select(
+      col("n_nationkey").as("c_nationkey"), col("n_name"))
+    saltedJoin(cust, nat, "c_nationkey", salts = 8, saltFrom = Seq("c_custkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("c_acctbal")).as("min_bal"), max(col("c_acctbal")).as("max_bal"))
+      .orderBy("n_name")
+  }
+
+  /** Per-language corpus size through [[saltedSum]] two-phase agg: lang
+    * is a 5-ish-value key carrying the whole documents table — exactly
+    * the shape where one reducer's merge stream becomes the straggler.
+    * Integer sums, so salting cannot change the result. */
+  private val skSaltedAgg: Q = (s, d) =>
+    saltedSum(table(s, d, "documents"), "lang", "n_chars",
+      salts = 8, saltFrom = Seq("doc_id"))
+      .orderBy("lang")
+
+  val queries: Map[String, Q] = Map(
+    "sk_salted_join" -> skSaltedJoin,
+    "sk_salted_agg" -> skSaltedAgg)
+
+  val oracle: Map[String, String] = Map(
+    "sk_salted_join" ->
+      """SELECT n_name, count(*) AS cnt,
+        | min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "sk_salted_agg" ->
+      """SELECT lang, CAST(sum(n_chars) AS BIGINT) AS sum_n_chars, count(*) AS n
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
 }

@@ -43,4 +43,22 @@ class SkewSpec extends AnyFunSuite {
     assert(a == b)
     assert(a.distinct.size == 8) // all salt values used
   }
+
+  test("driver query sk_salted_join really joins on the salted key") {
+    // the oracle twin certifies result identity with the plain join;
+    // this pins that the salted exchange actually happens — otherwise
+    // the query silently degenerates into an unsalted gate
+    val df = Skew.queries("sk_salted_join")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"no salted key in plan:\n$plan")
+    assert(df.count() == 25) // one row per nation
+  }
+
+  test("driver query sk_salted_agg two-phase plan carries the salt") {
+    val df = Skew.queries("sk_salted_agg")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"no salted key in plan:\n$plan")
+  }
 }
