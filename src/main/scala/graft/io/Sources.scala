@@ -132,13 +132,39 @@ object Sources {
     * N fields to the file's first N columns positionally — silently
     * mis-mapping any file (like the real Kaggle layout) whose column
     * order differs from ours. A schema field missing from the file's
-    * header fails loudly in `select` instead of yielding garbage. */
+    * header fails loudly in `select` instead of yielding garbage.
+    *
+    * Token typing is `try_cast`, deliberately: under Spark 4's default
+    * ANSI mode a plain cast THROWS on the first malformed token — one
+    * corrupt row in a 100 TB scan kills the whole job. try_cast nulls
+    * the cell and keeps the job alive; the corruption stays VISIBLE
+    * (ADVICE r4) through [[csvRejects]], the dead-letter-shaped sweep
+    * that reports exactly the rows where a non-null token nulled. */
   def csv(spark: SparkSession, path: String, schema: StructType): DataFrame = {
     val raw = spark.read
       .option("header", "true")
       .option("nullValue", "NA")   // Kaggle convention; "" is null too
       .csv(path)
-    raw.select(schema.fields.toIndexedSeq.map(f => col(f.name).cast(f.dataType)): _*)
+    raw.select(schema.fields.toIndexedSeq.map(f => col(f.name).try_cast(f.dataType)): _*)
+  }
+
+  /** Parse-reject companion to [[csv]]: the rows where any schema field
+    * held a non-null raw token that [[csv]]'s `try_cast` nulled, with a
+    * `_bad_fields` column naming the offenders — the S4 dead-letter
+    * shape. One scan, no driver-side work: callers route it to
+    * [[Sinks.writeDeadLetters]] and alert on count, keeping the happy
+    * path tolerant (ADVICE r4: corruption must surface, but not by
+    * killing the job the way an ANSI cast / FAILFAST would). */
+  def csvRejects(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val raw = spark.read
+      .option("header", "true")
+      .option("nullValue", "NA")
+      .csv(path)
+    val badNames = array(schema.fields.toIndexedSeq.map { f =>
+      when(col(f.name).isNotNull && col(f.name).try_cast(f.dataType).isNull, lit(f.name))
+    }: _*)
+    raw.withColumn("_bad_fields", filter(badNames, _.isNotNull))
+      .where(size(col("_bad_fields")) > 0)
   }
 
   /** Week-partitioned tracking reader. If `weeks` is given the filter is

@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, concat_ws, lit}
 import graft.io.{Sinks, Sources}
 import graft.pipelines.{MaxParams, Yap}
 
@@ -21,6 +22,8 @@ import graft.pipelines.{MaxParams, Yap}
   *   <outDir>/optimal_paths    — spliced optimal trajectories     [W7]
   *   <outDir>/run_errors       — dead-letters (unknown position,
   *                               missing event boundaries)        [S4]
+  *   <outDir>/parse_rejects    — input rows whose raw CSV tokens the
+  *                               typed cast nulled (ADVICE r4)    [S4]
   */
 object RunSeason {
 
@@ -41,12 +44,30 @@ object RunSeason {
     val mp = MaxParams.run(spark, tracking, plays, players, tackles, rT)
     Sinks.writeCsv(mp, s"$out/max_params")
 
+    // Parse-reject sweep (ADVICE r4): rows whose raw CSV tokens the
+    // typed cast silently nulled, written next to the kernel
+    // dead-letters so input corruption surfaces instead of reading as
+    // missing data. Cheap relative to the kernel run (one extra scan of
+    // each input family).
+    val rejects = Seq(
+      s"$in/tracking_week_*.csv" -> Sources.trackingSchema,
+      s"$in/plays.csv" -> Sources.playsSchema,
+      s"$in/players.csv" -> Sources.playersSchema,
+      s"$in/tackles.csv" -> Sources.tacklesSchema
+    ).map { case (p, sch) =>
+      Sources.csvRejects(spark, p, sch)
+        .select(lit(p.split('/').last).as("source"),
+          concat_ws(",", col("_bad_fields")).as("bad_fields"))
+    }.reduce(_ unionByName _)
+    Sinks.writeCsv(rejects, s"$out/parse_rejects")
+
     Map(
       "tackler_YAP" -> spark.read.option("header", "true").csv(s"$out/tackler_YAP").count(),
       "max_params_opt" -> spark.read.option("header", "true").csv(s"$out/max_params_opt").count(),
       "max_params" -> spark.read.option("header", "true").csv(s"$out/max_params").count(),
       "optimal_paths" -> spark.read.option("header", "true").csv(s"$out/optimal_paths").count(),
-      "run_errors" -> spark.read.option("header", "true").csv(s"$out/run_errors").count())
+      "run_errors" -> spark.read.option("header", "true").csv(s"$out/run_errors").count(),
+      "parse_rejects" -> spark.read.option("header", "true").csv(s"$out/parse_rejects").count())
   }
 
   def main(args: Array[String]): Unit = {

@@ -39,12 +39,29 @@ class RunSeasonSpec extends AnyFunSuite {
       "gameId", "playId", "nflId", "1 AS tackle", "0 AS assist")
       .coalesce(1).write.option("header", "true").csv(s"$in/tackles.csv")
 
+    // one corrupt shard: x carries a non-numeric token ("12.x4") that
+    // the typed cast would silently null — must land in parse_rejects,
+    // not vanish (its gameId matches no play, so the kernel path drops
+    // it either way; the reject sweep is what makes it visible)
+    import spark.implicits._
+    Seq(("999", "1", "201", "Nobody", "1", "2022-09-08 20:01:00.000000",
+         "7", "AAA", "left", "12.x4", "20.0", "0.0", "0.0", "0.0", "90.0",
+         "90.0", ""))
+      .toDF("gameId", "playId", "nflId", "displayName", "frameId", "time",
+        "jerseyNumber", "club", "playDirection", "x", "y", "s", "a", "dis",
+        "o", "dir", "event")
+      .coalesce(1).write.option("header", "true").csv(s"$in/tracking_week_2.csv")
+
     val counts = RunSeason.run(spark, in, out, 1.0)
     assert(counts("tackler_YAP") == 2, counts)      // 201, 202 (203 dead-letters)
     assert(counts("max_params_opt") == 2, counts)
     assert(counts("max_params") == 3, counts)       // EP2 keeps all tacklers
     assert(counts("optimal_paths") > 0, counts)
     assert(counts("run_errors") == 1, counts)       // unknown position 'QB'
+    assert(counts("parse_rejects") == 1, counts)    // the "12.x4" x token
+
+    val rej = spark.read.option("header", "true").csv(s"$out/parse_rejects").collect()
+    assert(rej(0).getAs[String]("bad_fields") == "x", rej.mkString)
 
     // the catchable tackler's YAP survives the CSV round trip: 0.0 on a
     // stationary carrier (PipelinesSpec's hand-computed expectation)
