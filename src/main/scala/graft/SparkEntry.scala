@@ -32,6 +32,7 @@ object SparkEntry {
       llm.Dedup.queries ++
       llm.Similarity.queries ++
       llm.Multimodal.queries ++
+      llm.Curate.queries ++
       io.IoQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -47,5 +48,6 @@ object SparkEntry {
       llm.Dedup.oracle ++
       llm.Similarity.oracle ++
       llm.Multimodal.oracle ++
+      llm.Curate.oracle ++
       io.IoQueries.oracle
 }

@@ -152,6 +152,11 @@ case class TokensInSetCount(child: Expression, tokens: Seq[String]) extends Unar
 }
 
 object TextHashes {
+  /** [[RollingHash]] as a Column, no registry needed. */
+  def rollHash(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      RollingHash(org.apache.spark.sql.graft.ColumnBridge.expression(text)))
+
   /** Register `roll_hash` / `sim_hash` for `expr(...)` use. Idempotent. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

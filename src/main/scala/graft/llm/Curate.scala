@@ -1,0 +1,214 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Numeric.dround
+import graft.functions.TextHashes.rollHash
+import graft.io.Sources.table
+
+/** Dataset-curation operators: the assembly steps a pretraining data
+  * pipeline runs AFTER per-doc scoring (TextOps) and dedup (Dedup) —
+  * deterministic splits, domain-mixture resampling, sequence packing,
+  * and the end-to-end curated-corpus composition.
+  *
+  * All randomness is CONTENT-HASH derived (FNV-1a/64 over the text via
+  * the native codegen'd `roll_hash`), never `rand()`: assignments are
+  * reproducible across runs, stable under repartitioning/re-ingestion
+  * (a doc keeps its split when the corpus around it changes), and —
+  * decisive here — independently replayable by the DuckDB oracle, which
+  * re-folds the same FNV in HUGEINT arithmetic (the pattern proven on
+  * `ts_fingerprint_roll`). `rand(seed)` would be none of those: Spark
+  * seeds per-partition, so the output depends on the physical split.
+  *
+  * Scale shapes (100 TB posture):
+  *  - split/mixture are pure scan→project/filter — ZERO shuffle, and the
+  *    per-lang mixture report is a map-side-combined 5-group agg;
+  *  - packing windows per SHARD (hash-assigned), not globally: a global
+  *    token-order prefix sum would be a single-partition sort at scale;
+  *    per-shard windows are embarrassingly parallel and the shard count
+  *    is the scale knob (8 here, thousands on a cluster);
+  *  - the curated composition is one scan + one hash-partition window
+  *    (dedup survivor) + a 5-group agg — no join anywhere.
+  */
+object Curate {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // -------------------------------------------------------------------
+  // Shared FNV replay for the oracle twins: signed 64-bit fp per doc,
+  // identical to the engine's roll_hash (ts_fingerprint_roll pattern).
+  // -------------------------------------------------------------------
+  private val fnvCte =
+    """WITH h AS (SELECT *, list_reduce(
+      |    list_prepend(14695981039346656037::HUGEINT,
+      |      [ord(c)::HUGEINT for c in string_split(text, '')]),
+      |    (acc, x) -> ((acc - (acc % 256) + xor((acc % 256)::BIGINT, x::BIGINT)::HUGEINT)
+      |                 * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+      |  ) AS hu FROM documents),
+      | f AS (SELECT *, CASE WHEN hu >= 9223372036854775808::HUGEINT
+      |   THEN (hu - 18446744073709551616::HUGEINT)::BIGINT ELSE hu::BIGINT END AS fp
+      |   FROM h)""".stripMargin
+
+  /** Non-negative hash bucket in [0, m): engine side of the oracle's
+    * `((fp % m) + m) % m`. */
+  private def bucket(m: Long) = pmod(rollHash(col("text")), lit(m))
+
+  // -------------------------------------------------------------------
+  // ds_split: deterministic train/val/test assignment (80/10/10) by
+  // content-hash bucket. Filtering a split is a scan-local predicate —
+  // at 100 TB each epoch reads its split with zero shuffle, and the
+  // assignment survives re-sharding of the input files.
+  // -------------------------------------------------------------------
+  private val dsSplit: Q = (s, d) =>
+    table(s, d, "documents")
+      .select(col("doc_id"), bucket(1000L).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 800, "train")
+          .when(col("bucket") < 900, "val")
+          .otherwise("test"))
+      .orderBy("doc_id")
+
+  // -------------------------------------------------------------------
+  // ds_mixture: weighted per-language downsampling toward a target
+  // domain mixture — keep P(doc) = weight(lang), decided by a second
+  // content-hash bucket so the SAME docs survive on every run/cluster.
+  // The report aggregates kept/total per lang; the keep decision itself
+  // is a scan-local predicate a writer would apply streaming.
+  // -------------------------------------------------------------------
+  private[llm] val mixtureWeights: Seq[(String, Int)] = Seq(
+    // per-10k keep thresholds: en full, zh 0.8, es 0.5, fr 0.25, de 0.1
+    "en" -> 10000, "zh" -> 8000, "es" -> 5000, "fr" -> 2500, "de" -> 1000)
+
+  private val dsMixture: Q = (s, d) => {
+    val thr = mixtureWeights.tail.foldLeft(
+      when(col("lang") === mixtureWeights.head._1, mixtureWeights.head._2)) {
+      case (acc, (l, t)) => acc.when(col("lang") === l, t)
+    }.otherwise(0)
+    table(s, d, "documents")
+      .select(col("lang"), (bucket(10000L) < thr).as("keep"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("keep").cast("long")).as("n_kept"))
+      .select(col("lang"), col("n_total"), col("n_kept"),
+        dround(col("n_kept").cast("double") / col("n_total"), 4).as("kept_ratio"))
+      .orderBy("lang")
+  }
+
+  // -------------------------------------------------------------------
+  // ds_pack: GPT-style sequence packing — concatenate docs in a
+  // deterministic order and cut fixed token-budget sequences; a doc
+  // belongs to the sequence its cumulative offset starts in. Sharded:
+  // the prefix sum runs per content-hash shard (parallel), never over a
+  // global order (single-partition sort at scale). Report = per-sequence
+  // doc count and token sum.
+  // -------------------------------------------------------------------
+  private val packBudget = 2048L
+  private val packShards = 8L
+
+  private val dsPack: Q = (s, d) => {
+    val base = table(s, d, "documents").select(
+      col("doc_id"),
+      bucket(packShards).as("shard"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"cum_before div $packBudget"))
+      .groupBy("shard", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy("shard", "seq_id")
+  }
+
+  // -------------------------------------------------------------------
+  // ds_curated: the end-to-end corpus assembly — quality window
+  // (TextOps heuristics), language-ID agreement (marker-vote prediction
+  // must match the labeled lang: drops unidentifiable docs, e.g. the zh
+  // slice this marker set cannot vote for), and exact-dedup
+  // survivorship (min doc_id per content hash, as dd_exact) — composed
+  // in ONE pipeline: scan → project → window → filter → 5-group agg.
+  // -------------------------------------------------------------------
+  private val dsCurated: Q = (s, d) => {
+    val docs = table(s, d, "documents")
+    val nTokens = size(split(col("text"), " ")).cast("long")
+    val nStop = graft.functions.ArrayFns.tokensInSetCount(col("text"), TextOps.stopwords)
+    val ratio = nStop.cast("double") / nTokens
+    val scored = docs.select(
+      col("doc_id"), col("lang"), col("n_chars"), col("text"),
+      (col("n_chars").between(100, 2000) && ratio.between(0.05, 0.6)).as("q_ok"))
+    val pred = TextOps.markers.foldLeft(scored) { case (df, (n, set)) =>
+      df.withColumn(n, graft.functions.ArrayFns.tokensInSetCount(col("text"), set))
+    }.withColumn("lang_pred",
+      when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") && col("s_en") >= col("s_de"), "en")
+        .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_de"), "es")
+        .when(col("s_fr") >= col("s_de"), "fr")
+        .otherwise("de"))
+    val survivor = col("doc_id") ===
+      min(col("doc_id")).over(Window.partitionBy(md5(col("text").cast("binary"))))
+    pred
+      .withColumn("is_survivor", survivor)
+      .where(col("q_ok") && col("lang_pred") === col("lang") && col("is_survivor"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "ds_split" -> dsSplit,
+    "ds_mixture" -> dsMixture,
+    "ds_pack" -> dsPack,
+    "ds_curated" -> dsCurated)
+
+  private def sqlMixtureThr: String =
+    mixtureWeights.map { case (l, t) => s"WHEN '$l' THEN $t" }
+      .mkString("CASE lang ", " ", " ELSE 0 END")
+
+  val oracle: Map[String, String] = Map(
+    "ds_split" ->
+      s"""$fnvCte
+         |SELECT doc_id, ((fp % 1000) + 1000) % 1000 AS bucket,
+         |  CASE WHEN ((fp % 1000) + 1000) % 1000 < 800 THEN 'train'
+         |       WHEN ((fp % 1000) + 1000) % 1000 < 900 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "ds_mixture" ->
+      s"""$fnvCte
+         |SELECT lang, count(*) AS n_total,
+         |  CAST(sum(CASE WHEN ((fp % 10000) + 10000) % 10000 < $sqlMixtureThr
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  round(sum(CASE WHEN ((fp % 10000) + 10000) % 10000 < $sqlMixtureThr
+         |           THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS kept_ratio
+         |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+    "ds_pack" ->
+      s"""$fnvCte,
+         | t AS (SELECT doc_id, ((fp % $packShards) + $packShards) % $packShards AS shard,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM f),
+         | c AS (SELECT shard, n_tokens,
+         |         CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $packBudget
+         |           AS BIGINT) AS seq_id
+         |       FROM t)
+         |SELECT shard, seq_id, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM c GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin,
+    "ds_curated" -> {
+      val stop = TextOps.sqlCountIn(TextOps.stopwords)
+      val marks = TextOps.markers.map { case (n, set) =>
+        s"${TextOps.sqlCountIn(set)} AS $n" }.mkString(", ")
+      s"""WITH scored AS (SELECT doc_id, lang, n_chars, text,
+         |    (n_chars BETWEEN 100 AND 2000
+         |     AND ($stop::DOUBLE / len(string_split(text, ' '))) BETWEEN 0.05 AND 0.6) AS q_ok,
+         |    $marks,
+         |    (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS is_survivor
+         |  FROM documents),
+         | pred AS (SELECT *,
+         |    CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+         |         WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+         |         WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END AS lang_pred
+         |  FROM scored)
+         |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM pred WHERE q_ok AND lang_pred = lang AND is_survivor
+         |GROUP BY lang ORDER BY lang""".stripMargin
+    })
+}

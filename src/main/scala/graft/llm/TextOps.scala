@@ -22,7 +22,7 @@ object TextOps {
   type Q = (SparkSession, String) => DataFrame
 
   private val toks: Column = split(col("text"), " ")
-  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private[llm] val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
   /** Fused split+membership count — a native codegen'd expression
     * (graft.functions.TokensInSetCount). The earlier explode →
@@ -63,7 +63,7 @@ object TextOps {
 
   /** Language ID by marker-token voting (n-gram heuristic): count hits
     * per language marker set, argmax with a fixed precedence. */
-  private val markers = Seq(
+  private[llm] val markers = Seq(
     "s_en" -> Seq("the", "and", "is"),
     "s_es" -> Seq("el", "la", "y"),
     "s_fr" -> Seq("le", "les", "et"),
@@ -111,7 +111,7 @@ object TextOps {
     "ts_fingerprint" -> tsFingerprint,
     "ts_fingerprint_roll" -> tsFingerprintRoll)
 
-  private def sqlCountIn(set: Seq[String]): String = {
+  private[llm] def sqlCountIn(set: Seq[String]): String = {
     val lits = set.map(w => s"'$w'").mkString(", ")
     s"CAST(len(list_filter(string_split(text, ' '), x -> x IN ($lits))) AS BIGINT)"
   }
