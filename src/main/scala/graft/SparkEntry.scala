@@ -25,6 +25,7 @@ object SparkEntry {
     ops.Relational.queries ++
       ops.Events.queries ++
       ops.Skew.queries ++
+      ops.Sketches.queries ++
       pipelines.Report.queries ++
       pipelines.NflQueries.queries ++
       pipelines.Animate.queries ++
@@ -41,6 +42,7 @@ object SparkEntry {
     ops.Relational.oracle ++
       ops.Events.oracle ++
       ops.Skew.oracle ++
+      ops.Sketches.oracle ++
       pipelines.Report.oracle ++
       pipelines.NflQueries.oracle ++
       pipelines.Animate.oracle ++

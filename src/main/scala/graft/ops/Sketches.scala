@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Numeric.dround
+import graft.io.Sinks
+import graft.io.Sources.table
+
+/** Sketch-based approximate aggregation — the 100 TB answer to "how
+  * many distinct / what percentile" when an exact answer would shuffle
+  * the full key set. Spark's built-ins are already the right
+  * distributed shape: `approx_count_distinct` is HLL++ with map-side
+  * partial sketches merged on the reduce side (constant bytes per
+  * partition, vs `count(DISTINCT)`'s expand+reshuffle of every key),
+  * and `approx_percentile` is a mergeable quantile summary with bounded
+  * rank error — so these queries compose the primitives rather than
+  * reimplement them.
+  *
+  * Verification follows the fixture-oracle pattern (VERDICT r3/r4): a
+  * sketch estimate is engine-specific, so the query DUMPS its estimates
+  * and computes the exact answer alongside; the DuckDB twin recomputes
+  * the exact side independently and re-derives the error column from
+  * the dumped estimates. The committed artifact then *documents* the
+  * sketch's accuracy (err columns), and the gate falsifies both the
+  * exact arithmetic and any fabricated error claim.
+  */
+object Sketches {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** HLL++ distinct users per event type, against the exact count. At
+    * scale only the sketch side survives (the exact column here exists
+    * to be graded); rsd 0.02 → ~1.5 KB sketches. */
+  private val skHll: Q = (s, d) => {
+    val est = table(s, d, "events")
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("n_approx"),
+        countDistinct(col("user_id")).as("n_exact"))
+    Sinks.dumpFixture(est.select("event_type", "n_approx"), "sk_hll_est")
+    est.select(col("event_type"), col("n_approx"), col("n_exact"),
+      dround(abs(col("n_approx") - col("n_exact")).cast("double") / col("n_exact"), 4)
+        .as("err_rel"))
+      .orderBy("event_type")
+  }
+
+  /** Mergeable quantile summary (approx_percentile, accuracy 10k) per
+    * return flag, against the exact interpolated percentile. */
+  private val skQuantile: Q = (s, d) => {
+    val li = table(s, d, "lineitem")
+    val est = li.groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_approx"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95_approx"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95_exact"))
+    Sinks.dumpFixture(
+      est.select("l_returnflag", "p50_approx", "p95_approx"), "sk_quantile_est")
+    est.select(col("l_returnflag"),
+      dround(col("p50_approx"), 4).as("p50_approx"),
+      dround(col("p95_approx"), 4).as("p95_approx"),
+      dround(col("p50_exact"), 4).as("p50_exact"),
+      dround(col("p95_exact"), 4).as("p95_exact"),
+      dround(abs(col("p50_approx") - col("p50_exact")) / col("p50_exact"), 4).as("p50_err"),
+      dround(abs(col("p95_approx") - col("p95_exact")) / col("p95_exact"), 4).as("p95_err"))
+      .orderBy("l_returnflag")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "sk_hll" -> skHll,
+    "sk_quantile" -> skQuantile)
+
+  val oracle: Map[String, String] = Map(
+    // exact side recomputed from the raw table; estimates come from the
+    // engine's dumped fixture; the error column is re-derived — a
+    // mis-stated exact count or fabricated err goes red
+    "sk_hll" ->
+      """WITH ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+        |            FROM events GROUP BY event_type),
+        | est AS (SELECT event_type, n_approx
+        |         FROM read_parquet('/tmp/graft_fixtures/sk_hll_est/*.parquet'))
+        |SELECT ex.event_type, est.n_approx, ex.n_exact,
+        |  round(abs(est.n_approx - ex.n_exact)::DOUBLE / ex.n_exact, 4) AS err_rel
+        |FROM ex JOIN est USING (event_type) ORDER BY event_type""".stripMargin,
+    "sk_quantile" ->
+      """WITH ex AS (SELECT l_returnflag,
+        |              quantile_cont(l_extendedprice, 0.5) AS p50_exact,
+        |              quantile_cont(l_extendedprice, 0.95) AS p95_exact
+        |            FROM lineitem GROUP BY l_returnflag),
+        | est AS (SELECT l_returnflag, p50_approx, p95_approx
+        |         FROM read_parquet('/tmp/graft_fixtures/sk_quantile_est/*.parquet'))
+        |SELECT ex.l_returnflag,
+        |  round(est.p50_approx, 4) AS p50_approx,
+        |  round(est.p95_approx, 4) AS p95_approx,
+        |  round(ex.p50_exact, 4) AS p50_exact,
+        |  round(ex.p95_exact, 4) AS p95_exact,
+        |  round(abs(est.p50_approx - ex.p50_exact) / ex.p50_exact, 4) AS p50_err,
+        |  round(abs(est.p95_approx - ex.p95_exact) / ex.p95_exact, 4) AS p95_err
+        |FROM ex JOIN est USING (l_returnflag) ORDER BY l_returnflag""".stripMargin)
+}
