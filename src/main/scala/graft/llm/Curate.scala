@@ -154,11 +154,40 @@ object Curate {
       .orderBy("lang")
   }
 
+  // -------------------------------------------------------------------
+  // ds_decontam: eval-set decontamination — flag train-split docs that
+  // share any 3-token shingle with the held-out test split (the overlap
+  // that inflates benchmark scores when it leaks into training). Reuses
+  // ds_split's hash assignment (the eval set IS the test split) and
+  // Dedup.shingleRows (posexplode + lead, fully codegen'd). Shingles
+  // join hashed (xxhash64): the shuffle carries 8-byte keys, not token
+  // triples; a cross-string collision (~n²/2⁶⁴, ≈1e-11 at gate scale)
+  // is the same accepted bound as Dedup's hashed-token merge walk. At
+  // production scale the eval side is a benchmark suite — tiny — so the
+  // distinct eval-shingle relation broadcasts and the train side never
+  // shuffles at all (AQE picks this up from the size estimate).
+  // -------------------------------------------------------------------
+  private val dsDecontam: Q = (s, d) => {
+    val withBucket = table(s, d, "documents")
+      .select(col("doc_id"), col("text"), bucket(1000L).as("bucket"))
+    val train = withBucket.filter(col("bucket") < 800).select("doc_id", "text")
+    val heldOut = withBucket.filter(col("bucket") >= 900).select("doc_id", "text")
+    val evalSh = Dedup.shingleRows(heldOut)
+      .select(xxhash64(col("sh")).as("shh")).distinct()
+    val trainSh = Dedup.shingleRows(train)
+      .select(col("doc_id"), xxhash64(col("sh")).as("shh")).distinct()
+    trainSh.join(evalSh, Seq("shh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit_shingles"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "ds_split" -> dsSplit,
     "ds_mixture" -> dsMixture,
     "ds_pack" -> dsPack,
-    "ds_curated" -> dsCurated)
+    "ds_curated" -> dsCurated,
+    "ds_decontam" -> dsDecontam)
 
   private def sqlMixtureThr: String =
     mixtureWeights.map { case (l, t) => s"WHEN '$l' THEN $t" }
@@ -192,6 +221,22 @@ object Curate {
          |SELECT shard, seq_id, count(*) AS n_docs,
          |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
          |FROM c GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin,
+    // shingle twin joins on the STRING shingle (DuckDB has no xxhash64);
+    // identical result unless the engine's 64-bit shingle hashing
+    // collides across distinct shingles — the documented ~1e-11 bound
+    "ds_decontam" -> {
+      val sh3 = "list_transform(generate_series(1, len(tk)-2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])"
+      s"""$fnvCte,
+         | sp AS (SELECT doc_id, string_split(text, ' ') AS tk,
+         |          ((fp % 1000) + 1000) % 1000 AS bucket FROM f),
+         | trs AS (SELECT DISTINCT doc_id, sh
+         |         FROM (SELECT doc_id, tk FROM sp WHERE bucket < 800), UNNEST($sh3) AS u(sh)),
+         | evs AS (SELECT DISTINCT sh
+         |         FROM (SELECT tk FROM sp WHERE bucket >= 900), UNNEST($sh3) AS u(sh))
+         |SELECT doc_id, count(*) AS n_hit_shingles
+         |FROM trs JOIN evs USING (sh)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "ds_curated" -> {
       val stop = TextOps.sqlCountIn(TextOps.stopwords)
       val marks = TextOps.markers.map { case (n, set) =>

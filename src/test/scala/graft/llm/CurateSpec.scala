@@ -65,6 +65,30 @@ class CurateSpec extends AnyFunSuite {
     }
   }
 
+  test("ds_decontam matches a from-scratch shingle-overlap recomputation") {
+    val flagged = Curate.queries("ds_decontam")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_hit_shingles")).toMap
+    // independent recomputation: plain Scala sets over collected text,
+    // no Spark expressions shared with the query under test
+    val docs = graft.io.Sources.table(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def shingles(t: String): Set[String] =
+      t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    def bucket(t: String): Long = {
+      val h = graft.functions.TextHashKernels.rollingHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t))
+      ((h % 1000) + 1000) % 1000
+    }
+    val evalSh = docs.collect { case (_, t) if bucket(t) >= 900 => shingles(t) }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    val expected = docs.collect {
+      case (id, t) if bucket(t) < 800 && (shingles(t) & evalSh).nonEmpty =>
+        id -> (shingles(t) & evalSh).size.toLong
+    }.toMap
+    assert(flagged == expected)
+  }
+
   test("ds_curated keeps only dedup survivors with agreeing langid") {
     val rows = Curate.queries("ds_curated")(spark, sf).collect()
     val langs = rows.map(_.getString(0)).toSet
