@@ -104,12 +104,30 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Intra-document repetition (Gopher-style quality rule): fraction of
+    * DISTINCT 3-token shingles — boilerplate and generation loops
+    * repeat n-grams, organic prose doesn't. Rides the codegen'd shingle
+    * generator (posexplode + lead, one shuffle on doc_id); docs under 3
+    * tokens have no shingles and are excluded on both sides. */
+  private val tsRepetition: Q = (s, d) =>
+    Dedup.shingleRows(table(s, d, "documents").select("doc_id", "text"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        countDistinct(col("sh")).as("n_distinct"))
+      .select(col("doc_id"), col("n_shingles"), col("n_distinct"),
+        dround(col("n_distinct").cast("double") / col("n_shingles"), 4)
+          .as("distinct_ratio"))
+      .withColumn("rep_flag",
+        when(col("distinct_ratio") < 0.6, "repetitive").otherwise("ok"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "ts_stats" -> tsStats,
     "ts_quality" -> tsQuality,
     "ts_langid" -> tsLangId,
     "ts_fingerprint" -> tsFingerprint,
-    "ts_fingerprint_roll" -> tsFingerprintRoll)
+    "ts_fingerprint_roll" -> tsFingerprintRoll,
+    "ts_repetition" -> tsRepetition)
 
   private[llm] def sqlCountIn(set: Seq[String]): String = {
     val lits = set.map(w => s"'$w'").mkString(", ")
@@ -132,6 +150,18 @@ object TextOps {
         |SELECT doc_id, CASE WHEN hu >= 9223372036854775808::HUGEINT
         |  THEN (hu - 18446744073709551616::HUGEINT)::BIGINT ELSE hu::BIGINT END AS fp_roll
         |FROM h ORDER BY doc_id""".stripMargin,
+    "ts_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        | s AS (SELECT doc_id, list_transform(generate_series(1, len(tk)-2),
+        |          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS sh3
+        |       FROM t WHERE len(tk) >= 3)
+        |SELECT doc_id,
+        |  CAST(len(sh3) AS BIGINT) AS n_shingles,
+        |  CAST(len(list_distinct(sh3)) AS BIGINT) AS n_distinct,
+        |  round(len(list_distinct(sh3))::DOUBLE / len(sh3), 4) AS distinct_ratio,
+        |  CASE WHEN len(list_distinct(sh3))::DOUBLE / len(sh3) < 0.6
+        |       THEN 'repetitive' ELSE 'ok' END AS rep_flag
+        |FROM s ORDER BY doc_id""".stripMargin,
     "ts_stats" ->
       """SELECT doc_id,
         | CAST(length(text) AS BIGINT) AS n_len,

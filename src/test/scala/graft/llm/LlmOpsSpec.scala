@@ -114,4 +114,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.length == 500)
     assert(out.forall(_.getLong(2) == 1L))
   }
+
+  test("repetition ratio separates looped boilerplate from organic text") {
+    import spark.implicits._
+    // same shingle pipeline as ts_repetition, on planted docs: a pure
+    // loop ("spam ham " x 40) vs all-distinct tokens
+    val docs = Seq(
+      (1L, Seq.fill(40)("spam ham").mkString(" ")),
+      (2L, (1 to 80).map(i => s"tok$i").mkString(" "))).toDF("doc_id", "text")
+    val ratios = Dedup.shingleRows(docs)
+      .groupBy("doc_id")
+      .agg((countDistinct(col("sh")).cast("double") / count(lit(1))).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ratios(1L) < 0.1, ratios.toString)   // 2 distinct shingles / 78
+    assert(ratios(2L) == 1.0, ratios.toString)  // no repeats
+    // and the driver query's flag is consistent with its own ratio
+    val out = TextOps.queries("ts_repetition")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val flag = r.getAs[String]("rep_flag")
+      val ratio = r.getAs[Double]("distinct_ratio")
+      assert(flag == (if (ratio < 0.6) "repetitive" else "ok"), r.toString)
+    }
+  }
 }
