@@ -182,12 +182,34 @@ object Curate {
       .orderBy("doc_id")
   }
 
+  // -------------------------------------------------------------------
+  // ds_sample: deterministic per-stratum sampling — the k docs with the
+  // SMALLEST content hash per language. Statistically a uniform sample
+  // (the hash is uniform and content-derived), but reproducible across
+  // runs, clusters, and input layouts, unlike rand()/TABLESAMPLE. The
+  // per-stratum top-k is a window over the hash order — at scale this
+  // is a partial top-k per partition then a k-sized merge per stratum
+  // (Spark's WindowGroupLimit pushes the rank filter below the sort),
+  // never a full sort of the corpus.
+  // -------------------------------------------------------------------
+  private val samplePerLang = 20
+  private val dsSample: Q = (s, d) => {
+    val ranked = table(s, d, "documents")
+      .select(col("doc_id"), col("lang"), rollHash(col("text")).as("fp"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("fp"), col("doc_id"))))
+    ranked.filter(col("rk") <= samplePerLang)
+      .select(col("lang"), col("rk").cast("long").as("rk"), col("doc_id"))
+      .orderBy("lang", "rk")
+  }
+
   val queries: Map[String, Q] = Map(
     "ds_split" -> dsSplit,
     "ds_mixture" -> dsMixture,
     "ds_pack" -> dsPack,
     "ds_curated" -> dsCurated,
-    "ds_decontam" -> dsDecontam)
+    "ds_decontam" -> dsDecontam,
+    "ds_sample" -> dsSample)
 
   private def sqlMixtureThr: String =
     mixtureWeights.map { case (l, t) => s"WHEN '$l' THEN $t" }
@@ -221,6 +243,13 @@ object Curate {
          |SELECT shard, seq_id, count(*) AS n_docs,
          |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
          |FROM c GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin,
+    "ds_sample" ->
+      s"""$fnvCte
+         |SELECT lang, rk, doc_id FROM (
+         |  SELECT lang, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY fp, doc_id) AS BIGINT) AS rk
+         |  FROM f)
+         |WHERE rk <= $samplePerLang ORDER BY lang, rk""".stripMargin,
     // shingle twin joins on the STRING shingle (DuckDB has no xxhash64);
     // identical result unless the engine's 64-bit shingle hashing
     // collides across distinct shingles — the documented ~1e-11 bound

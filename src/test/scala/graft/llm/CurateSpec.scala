@@ -65,6 +65,22 @@ class CurateSpec extends AnyFunSuite {
     }
   }
 
+  test("ds_sample is a pushed-down per-stratum top-k, deterministic") {
+    val df = Curate.queries("ds_sample")(spark, sf)
+    val rows = df.collect()
+    df.collect() // re-execute: identical (content-hash order, no rand)
+    assert(rows.sameElements(df.collect()))
+    // every stratum returns at most k, ranks contiguous from 1
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val rks = rs.map(_.getAs[Long]("rk")).sorted
+      assert(rks.head == 1L && rks.last == rks.length && rks.length <= 20)
+    }
+    // the rank filter must be pushed below the sort (WindowGroupLimit):
+    // partial top-k per partition, never a full per-stratum sort
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("ds_decontam matches a from-scratch shingle-overlap recomputation") {
     val flagged = Curate.queries("ds_decontam")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getAs[Long]("n_hit_shingles")).toMap
