@@ -60,14 +60,18 @@ object Curate {
   // at 100 TB each epoch reads its split with zero shuffle, and the
   // assignment survives re-sharding of the input files.
   // -------------------------------------------------------------------
-  private val dsSplit: Q = (s, d) =>
-    table(s, d, "documents")
-      .select(col("doc_id"), bucket(1000L).as("bucket"))
+  /** The assignment projection alone — stateless, so it runs unchanged
+    * on a stream (no watermark, no state store; see
+    * `StreamingCurateSpec` for batch/stream parity). */
+  def splitAssign(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), bucket(1000L).as("bucket"))
       .withColumn("split",
         when(col("bucket") < 800, "train")
           .when(col("bucket") < 900, "val")
           .otherwise("test"))
-      .orderBy("doc_id")
+
+  private val dsSplit: Q = (s, d) =>
+    splitAssign(table(s, d, "documents")).orderBy("doc_id")
 
   // -------------------------------------------------------------------
   // ds_mixture: weighted per-language downsampling toward a target
