@@ -49,7 +49,7 @@ object Dedup {
   /** N-gram (token-set) Jaccard near-dup over lang-bucketed candidates:
     * |A∩B| / (|A|+|B|-|A∩B|) on distinct tokens, pairs restricted to the
     * same `lang` bucket (the candidate generator); threshold 0.6. */
-  private val ddJaccard: Q = (s, d) => {
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     // candidates = same (lang, 100-char length band): a lang alone is a
     // 5-way skew disaster (3.2M pairs in 5 join keys at sf0.1 — five
     // straggler tasks do everything); the band multiplies key
@@ -85,8 +85,9 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         dround(inter / (size(col("tk_a")) + size(col("tk_b")) - inter), 4).as("jaccard"))
       .filter(col("jaccard") >= 0.9)
-      .orderBy("doc_a", "doc_b")
   }
+
+  private val ddJaccard: Q = (s, d) => jaccardPairs(s, d).orderBy("doc_a", "doc_b")
 
   /** 3-token shingle rows of a document: posexplode + window lead —
     * fully codegen'd, O(tokens) per doc. (The transform/slice HOF form
@@ -157,6 +158,99 @@ object Dedup {
     found.orderBy("doc_a", "doc_b")
   }
 
+  /** Connected components over an undirected pair list, by alternating
+    * large-star / small-star rounds (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC '14). Each round is one
+    * shuffle on node id and the round count is O(log n) — no driver-side
+    * adjacency, no O(diameter) label propagation, so the shape survives a
+    * 100 TB pair list where near-dup chains can be long.
+    *
+    * Input: (u, v) pairs, any orientation, duplicates allowed. Output:
+    * (id, comp) for every node that appears in an edge, with `comp` = the
+    * minimum node id of its component.
+    *
+    * Convergence is detected by an exact count plus an order-independent
+    * sum of per-edge 64-bit hashes (the edge set is deduplicated, so
+    * equal (count, sum) across rounds means identical sets up to a ~2⁻⁶⁴
+    * collision); the loop additionally hard-fails past `maxIter` rounds
+    * rather than silently emitting a non-converged labelling. */
+  private[llm] def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // canonical form: u > v, no self loops, set semantics
+    def canon(e: DataFrame): DataFrame = e
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .dropDuplicates("u", "v")
+    // large-star: every node links its strictly-larger neighbors to the
+    // minimum of its closed neighborhood
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      canon(sym.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+    // small-star: orient edges toward the larger endpoint; every node
+    // links its smaller neighbors (and itself) to their minimum
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy("u").agg(min(col("v")).as("m"))
+      canon(e.join(m, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(m.select(col("u"), col("m").as("v"))))
+    }
+    def checksum(e: DataFrame): (Long, BigDecimal) = {
+      // decimal accumulator: ANSI mode makes a LongType sum of 64-bit
+      // hashes throw on overflow; decimal(38,0) holds 10²⁰ edges' worth
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
+    }
+    // localCheckpoint per round: each round's plan would otherwise NEST
+    // the previous round's (two unions + two joins deep), so by round k
+    // the optimizer re-plans an O(4^k) tree — lineage truncation keeps
+    // every round's plan constant-size. (On a real cluster this would be
+    // a reliable `checkpoint` to survive executor loss mid-loop.)
+    var edges = canon(pairs).localCheckpoint()
+    var sig = checksum(edges)
+    var it = 0
+    var converged = edges.isEmpty
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nextSig = checksum(next)
+      converged = nextSig == sig
+      edges = next
+      sig = nextSig
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    // converged edges form stars (member, root): label every endpoint by
+    // the minimum over its closed neighborhood
+    // (the checkpointed blocks back `labels` — do NOT unpersist here)
+    val sym = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+    sym.groupBy(col("u")).agg(least(min(col("v")), col("u")).as("comp"))
+      .select(col("u").as("id"), col("comp"))
+  }
+
+  /** Near-dup cluster rollup: the exact Jaccard ≥ 0.9 pair set (the
+    * [[ddJaccard]] relation) collapsed to connected components, one row
+    * per cluster with a deterministic survivor rule — keep the LONGEST
+    * member, ties to the smallest doc_id (the "best copy" pick a corpus
+    * cleaner applies before dropping the rest). Fully SQL-expressible:
+    * the oracle recomputes the pair set, closes it transitively with a
+    * recursive CTE, and re-derives the survivor per cluster. */
+  private val ddCluster: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val comp = connectedComponents(
+      jaccardPairs(s, d).select(col("doc_a").as("u"), col("doc_b").as("v")))
+    val members = comp.join(
+      table(s, d, "documents").select(col("doc_id").as("id"), col("n_chars")), "id")
+    val rn = row_number().over(
+      Window.partitionBy("comp").orderBy(col("n_chars").desc, col("id").asc))
+    members.withColumn("rn", rn)
+      .groupBy(col("comp").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(when(col("rn") === 1, col("id"))).as("survivor_id"))
+      .orderBy("cluster_id")
+  }
+
   /** SimHash near-dup: 64-bit fingerprint per doc (native Catalyst
     * expression), bucketed by 16-bit chunks — two docs within hamming
     * distance 3 of each other share at least one exact chunk, so
@@ -192,6 +286,7 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     "dd_exact" -> ddExact,
     "dd_jaccard" -> ddJaccard,
+    "dd_cluster" -> ddCluster,
     "dd_minhash" -> ddMinhash,
     "dd_simhash" -> ddSimhash)
 
@@ -210,6 +305,38 @@ object Dedup {
         |    AND CAST(floor(len(a.tk)/4) AS INT) = CAST(floor(len(b.tk)/4) AS INT)
         |    AND a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.9 ORDER BY doc_a, doc_b""".stripMargin,
+    // Independent clustering twin: DuckDB recomputes the SAME pair set,
+    // closes it transitively with a recursive CTE (a completely different
+    // algorithm from the engine's large-star/small-star rounds), and
+    // re-derives per-cluster size + longest-member survivor — a wrong
+    // component merge, a missed edge, or a survivor tie-break drift all
+    // turn the hash red.
+    "dd_cluster" ->
+      """WITH RECURSIVE
+        | t AS (SELECT doc_id, lang, CAST(floor(n_chars/100) AS INT) AS len_band,
+        |              list_distinct(string_split(text, ' ')) AS tk FROM documents),
+        | pairs AS (
+        |   SELECT doc_a, doc_b FROM (
+        |     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+        |        / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))), 4) AS jaccard
+        |     FROM t a JOIN t b ON a.lang = b.lang AND a.len_band = b.len_band
+        |       AND CAST(floor(len(a.tk)/4) AS INT) = CAST(floor(len(b.tk)/4) AS INT)
+        |       AND a.doc_id < b.doc_id)
+        |   WHERE jaccard >= 0.9),
+        | edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        |           UNION SELECT doc_b, doc_a FROM pairs),
+        | reach AS (SELECT u AS id, v AS r FROM edges
+        |           UNION
+        |           SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u),
+        | comp AS (SELECT id, least(min(r), id) AS comp FROM reach GROUP BY id),
+        | m AS (SELECT c.id, c.comp, d.n_chars,
+        |       row_number() OVER (PARTITION BY c.comp
+        |                          ORDER BY d.n_chars DESC, c.id ASC) AS rn
+        |       FROM comp c JOIN documents d ON d.doc_id = c.id)
+        |SELECT comp AS cluster_id, count(*) AS n_members,
+        |       max(CASE WHEN rn = 1 THEN id END) AS survivor_id
+        |FROM m GROUP BY comp ORDER BY cluster_id""".stripMargin,
     // Soundness twin (fixture pattern): exact Jaccard recomputed from
     // `documents` for exactly the pairs the engine's LSH banding found.
     "dd_minhash" ->

@@ -121,13 +121,79 @@ object TextOps {
         when(col("distinct_ratio") < 0.6, "repetitive").otherwise("ok"))
       .orderBy("doc_id")
 
+  // PII regexes: the conservative subset that parses identically under
+  // Java regex (Spark) and RE2 (DuckDB) — no backreferences, no
+  // lookaround, explicit classes only.
+  private[llm] val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[llm] val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[llm] val phoneRe = "\\+\\d[\\d-]{7,}"
+
+  /** PII scrubbing: redact emails / IPv4s / phone numbers and count each
+    * category. The synthetic corpus carries no PII, so the query PLANTS
+    * a deterministic email+IP+phone per document first (derived from
+    * doc_id, reproduced verbatim by the oracle) — a zero-hit scrub over
+    * clean text would be a vacuous gate. The md5 of the scrubbed text
+    * gates the REPLACEMENT byte-for-byte, not just the counts; the
+    * whole query is one scan → project, no shuffle, no UDF. */
+  private val tsPii: Q = (s, d) => {
+    val aug = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com from 10."), (col("doc_id") % 200).cast("string"),
+      lit(".0.1 call +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(aug, lit(emailRe), lit("<EMAIL>")),
+        lit(ipv4Re), lit("<IP>")),
+      lit(phoneRe), lit("<PHONE>"))
+    table(s, d, "documents").select(
+      col("doc_id"),
+      regexp_count(aug, lit(emailRe)).cast("long").as("n_emails"),
+      regexp_count(aug, lit(ipv4Re)).cast("long").as("n_ips"),
+      regexp_count(aug, lit(phoneRe)).cast("long").as("n_phones"),
+      md5(scrubbed.cast("binary")).as("scrub_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-level TF-IDF: top-5 terms per language by
+    * tf_total(lang, term) × ln((N+1)/(df+1)). Three shuffles — (doc,
+    * term) tf, term df, (lang, term) total — all partial-aggregated
+    * map-side; the doc count joins in as a broadcast 1-row aggregate,
+    * never a collected scalar. The float product happens ONCE per
+    * (lang, term) (integer sums upstream), and ranking orders by the
+    * ROUNDED score, so there is no cross-engine float-accumulation or
+    * ulp-tie hazard in either the values or the ranking. */
+  private val tsTfidf: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = table(s, d, "documents")
+    val perDoc = docs
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = perDoc.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = perDoc.groupBy("lang", "term").agg(sum("tf").as("tf_total"))
+      .join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col("lang"), col("term"),
+        dround(col("tf_total") *
+          log((col("n_docs") + lit(1)).cast("double") / (col("df") + lit(1))), 4)
+          .as("tfidf"))
+    val w = Window.partitionBy("lang").orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("lang"), col("rank"), col("term"), col("tfidf"))
+      .orderBy("lang", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "ts_stats" -> tsStats,
     "ts_quality" -> tsQuality,
     "ts_langid" -> tsLangId,
     "ts_fingerprint" -> tsFingerprint,
     "ts_fingerprint_roll" -> tsFingerprintRoll,
-    "ts_repetition" -> tsRepetition)
+    "ts_repetition" -> tsRepetition,
+    "ts_pii" -> tsPii,
+    "ts_tfidf" -> tsTfidf)
 
   private[llm] def sqlCountIn(set: Seq[String]): String = {
     val lits = set.map(w => s"'$w'").mkString(", ")
@@ -188,5 +254,40 @@ object TextOps {
          |FROM scored ORDER BY doc_id""".stripMargin
     },
     "ts_fingerprint" ->
-      "SELECT doc_id, substr(md5(text), 1, 16) AS fp FROM documents ORDER BY doc_id")
+      "SELECT doc_id, substr(md5(text), 1, 16) AS fp FROM documents ORDER BY doc_id",
+    // The planted PII is reproduced verbatim from doc_id; the scrub is
+    // replayed with RE2 + the 'g' flag (DuckDB replaces only the first
+    // match by default) and the md5 gates replacement bytes exactly.
+    "ts_pii" ->
+      s"""WITH aug AS (SELECT doc_id,
+         |  text || ' contact user' || doc_id::VARCHAR || '@mail.example.com from 10.'
+         |       || (doc_id % 200)::VARCHAR || '.0.1 call +1-555-'
+         |       || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS a
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(a, '$emailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(a, '$ipv4Re')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(a, '$phoneRe')) AS BIGINT) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(a,
+         |    '$emailRe', '<EMAIL>', 'g'), '$ipv4Re', '<IP>', 'g'),
+         |    '$phoneRe', '<PHONE>', 'g')) AS scrub_md5
+         |FROM aug ORDER BY doc_id""".stripMargin,
+    "ts_tfidf" ->
+      """WITH tf AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+        |            FROM documents),
+        | perdoc AS (SELECT doc_id, lang, term, count(*) AS tf
+        |            FROM tf GROUP BY doc_id, lang, term),
+        | dfreq AS (SELECT term, count(*) AS df FROM perdoc GROUP BY term),
+        | n AS (SELECT count(*) AS n_docs FROM documents),
+        | tot AS (SELECT lang, term, CAST(sum(tf) AS BIGINT) AS tf_total
+        |         FROM perdoc GROUP BY lang, term),
+        | scored AS (SELECT lang, t.term,
+        |     round(tf_total * ln((n_docs + 1.0) / (df + 1)), 4) AS tfidf
+        |   FROM tot t JOIN dfreq USING (term) CROSS JOIN n),
+        | ranked AS (SELECT lang, term, tfidf,
+        |     CAST(row_number() OVER (PARTITION BY lang
+        |          ORDER BY tfidf DESC, term ASC) AS INT) AS rank
+        |   FROM scored)
+        |SELECT lang, rank, term, tfidf FROM ranked
+        |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin)
 }
