@@ -251,6 +251,65 @@ object Dedup {
       .orderBy("cluster_id")
   }
 
+  // Planted boilerplate for the line-dedup gate: the synthetic corpus
+  // has no repeated lines, so (ts_pii precedent) the query PLANTS a
+  // deterministic header/footer on a doc_id-derived subset — and the
+  // operator must then rediscover them BY CORPUS FREQUENCY, never by
+  // knowing the plant. The oracle replays the plant verbatim and
+  // re-derives detection + removal independently.
+  private[llm] val bpHeader = "subscribe to our newsletter for updates follow us on social"
+  private[llm] val bpFooter = "all rights reserved terms of service apply privacy policy here"
+  private[llm] val bpMinDocs = 20
+
+  /** Line-level boilerplate removal (CCNet/RefinedWeb-style): split each
+    * document into lines, count DISTINCT documents per exact line across
+    * the corpus, mark lines appearing in ≥ [[bpMinDocs]] docs as
+    * boilerplate, and emit each doc's size, removed-line count, and the
+    * md5 of the cleaned text (order-preserving rejoin) — the removal is
+    * gated byte-for-byte, not just counted.
+    *
+    * The corpus has no newlines, so "lines" are the planted header/footer
+    * plus the body in 10-token chunks (chunk construction is a pure
+    * array expression — zero shuffle). Scale shape: (1) frequency agg
+    * shuffles once on the line (partial map-side count-distinct); (2)
+    * the frequent set after the ≥K filter is TINY by construction —
+    * boilerplate is what repeats — so the membership join broadcasts and
+    * the fact side never shuffles for it; (3) the rejoin groups once on
+    * doc_id. Two shuffles total, both on natural keys. */
+  private val ddLines: Q = (s, d) => {
+    val arr = split(col("text"), " ")
+    val nChunks = ceil(size(arr).cast("double") / 10).cast("int")
+    val chunks = transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(arr, i * 10 + 1, lit(10)), " "))
+    val lines = concat(
+      when(col("doc_id") % 5 === 0, array(lit(bpHeader)))
+        .otherwise(array().cast("array<string>")),
+      chunks,
+      when(col("doc_id") % 7 === 0, array(lit(bpFooter)))
+        .otherwise(array().cast("array<string>")))
+    val lineRows = table(s, d, "documents")
+      .filter(size(arr) > 0)
+      .select(col("doc_id"), posexplode(lines).as(Seq("line_no", "line")))
+    // At 100 TB the groupBy key would be xxhash64(line) with an example
+    // string carried along; on this corpus the string key is fine and
+    // keeps the oracle twin exact.
+    val frequent = lineRows.groupBy("line")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= bpMinDocs)
+      .select(col("line"), lit(1).as("bp"))
+    lineRows.join(broadcast(frequent), Seq("line"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(coalesce(col("bp"), lit(0))).cast("long").as("n_removed"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(col("bp").isNull,
+              struct(col("line_no"), col("line"))))),
+            x => x.getField("line")),
+          "\n").cast("binary")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash near-dup: 64-bit fingerprint per doc (native Catalyst
     * expression), bucketed by 16-bit chunks — two docs within hamming
     * distance 3 of each other share at least one exact chunk, so
@@ -288,7 +347,8 @@ object Dedup {
     "dd_jaccard" -> ddJaccard,
     "dd_cluster" -> ddCluster,
     "dd_minhash" -> ddMinhash,
-    "dd_simhash" -> ddSimhash)
+    "dd_simhash" -> ddSimhash,
+    "dd_lines" -> ddLines)
 
   val oracle: Map[String, String] = Map(
     "dd_exact" ->
@@ -348,6 +408,32 @@ object Dedup {
         |     / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))), 4) AS jaccard
         |  FROM p JOIN t a ON a.doc_id = p.doc_a JOIN t b ON b.doc_id = p.doc_b)
         |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    // Fully independent line-dedup twin: DuckDB replays the plant from
+    // doc_id, re-chunks the body, recomputes per-line document
+    // frequency, re-applies the ≥K rule, and re-derives the cleaned
+    // text's md5 with an ordered string_agg — detection, removal, AND
+    // reassembly are all recomputed from `documents` alone.
+    "dd_lines" ->
+      s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS tk
+         |              FROM documents WHERE len(string_split(text, ' ')) > 0),
+         | aug AS (SELECT doc_id, list_concat(list_concat(
+         |     CASE WHEN doc_id % 5 = 0 THEN ['$bpHeader'] ELSE [] END,
+         |     list_transform(generate_series(1, CAST(ceil(len(tk)/10.0) AS INT)),
+         |       i -> array_to_string(tk[(i-1)*10+1:(i-1)*10+10], ' '))),
+         |     CASE WHEN doc_id % 7 = 0 THEN ['$bpFooter'] ELSE [] END) AS lines
+         |   FROM base),
+         | lr AS (SELECT a.doc_id, g.i AS line_no, a.lines[g.i] AS line
+         |        FROM aug a JOIN (SELECT unnest(generate_series(1, 1000)) AS i) g
+         |          ON g.i <= len(a.lines)),
+         | freq AS (SELECT line FROM lr GROUP BY line
+         |          HAVING count(DISTINCT doc_id) >= $bpMinDocs),
+         | flg AS (SELECT lr.doc_id, lr.line_no, lr.line,
+         |           lr.line IN (SELECT line FROM freq) AS bp FROM lr)
+         |SELECT doc_id, count(*) AS n_lines,
+         |  CAST(sum(CASE WHEN bp THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |  md5(coalesce(string_agg(CASE WHEN NOT bp THEN line END,
+         |        chr(10) ORDER BY line_no), '')) AS clean_md5
+         |FROM flg GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Completeness+soundness twin: GIVEN the dumped signatures, the
     // hamming-≤-3 pair set is recomputed exhaustively (no banding) —
     // both a missed pair and a spurious pair diverge the compare.

@@ -150,6 +150,42 @@ object Relational {
         dround(abs(col("base_price") - col("other_price")), 4).as("price_gap"))
   }
 
+  /** J7 as-of join — attach to each `click` the most recent `view` (at
+    * or before the click's timestamp) of the same user. The reference's
+    * frame alignment is positional (optimal_pursuit.py:179,189) because
+    * pandas guarantees equal frame counts; the general time-series form
+    * of that alignment is an as-of join, which Spark has no operator
+    * for. The naive encoding — an inequality join `l.ts >= r.ts` — plans
+    * as BroadcastNestedLoop / cartesian-per-key, O(clicks × views):
+    * unusable at scale. Spark-first shape instead: UNION both sides with
+    * a side tag, ONE hash shuffle on `user_id`, and a running
+    * `last(value, ignoreNulls)` window ordered by (ts, side, id) — the
+    * right row sorts before a left row at equal ts ("at or before"), and
+    * the latest view by (ts, id) wins among ties, so the result is
+    * deterministic and the cost is one shuffle + per-key sort,
+    * O(n log n) per key, same plan at 100 TB. */
+  private val j7Asof: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = table(s, d, "events")
+    val views = e.filter(col("event_type") === "view").select(
+      col("user_id"), col("ts"),
+      col("event_id").as("v_id"), col("value").as("v_value"),
+      lit(null).cast("long").as("event_id"), lit(0).as("side"))
+    val clicks = e.filter(col("event_type") === "click").select(
+      col("user_id"), col("ts"),
+      lit(null).cast("long").as("v_id"), lit(null).cast("double").as("v_value"),
+      col("event_id"), lit(1).as("side"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("side"), col("v_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionByName(clicks)
+      .select(col("event_id"), col("user_id"), col("ts"), col("side"),
+        last(col("v_id"), ignoreNulls = true).over(w).as("asof_view_id"),
+        last(col("v_value"), ignoreNulls = true).over(w).as("asof_value"))
+      .filter(col("side") === 1)
+      .select("event_id", "user_id", "ts", "asof_view_id", "asof_value")
+  }
+
   /** A1 multi-column distinct — play worklist (calculate_YAP.py:21). */
   private val a1DropDup: Q = (s, d) =>
     table(s, d, "events").select("user_id", "event_type").dropDuplicates()
@@ -236,6 +272,7 @@ object Relational {
     "j4_semi" -> j4Semi,
     "j5_case_dim" -> j5CaseDim,
     "j6_self_align" -> j6SelfAlign,
+    "j7_asof" -> j7Asof,
     "a1_dropdup" -> a1DropDup,
     "a2_distinct" -> a2Distinct,
     "o2_bottomk" -> o2BottomK,
@@ -291,6 +328,18 @@ object Relational {
         | round(abs(a.l_extendedprice - b.l_extendedprice), 4) AS price_gap
         |FROM lineitem a JOIN lineitem b
         |  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = 1 AND b.l_linenumber > 1""".stripMargin,
+    // Independent as-of twin: a correlated "latest view at or before"
+    // subquery with the same deterministic tie-break (ts DESC, id DESC)
+    // — a completely different algorithm from the engine's union-window.
+    "j7_asof" ->
+      """WITH v AS (SELECT user_id, ts, event_id AS v_id, value AS v_value
+        |           FROM events WHERE event_type = 'view')
+        |SELECT c.event_id, c.user_id, c.ts,
+        |  (SELECT v.v_id FROM v WHERE v.user_id = c.user_id AND v.ts <= c.ts
+        |   ORDER BY v.ts DESC, v.v_id DESC LIMIT 1) AS asof_view_id,
+        |  (SELECT v.v_value FROM v WHERE v.user_id = c.user_id AND v.ts <= c.ts
+        |   ORDER BY v.ts DESC, v.v_id DESC LIMIT 1) AS asof_value
+        |FROM events c WHERE c.event_type = 'click'""".stripMargin,
     "a1_dropdup" ->
       "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
     "a2_distinct" ->

@@ -74,9 +74,48 @@ object Sketches {
       .orderBy("l_returnflag")
   }
 
+  // Planted skew for the heavy-hitter gate (ts_pii precedent): the
+  // synthetic events are uniform per user, so every 4th event is routed
+  // to one of 3 hot keys — a top-k over 150 near-tied keys would not be
+  // a falsifiable sketch demonstration. Reproduced verbatim by the twin.
+  private def hotKey = when(col("event_id") % 4 === 0,
+      concat(lit("hot_"), (col("event_id") % 3).cast("string")))
+    .otherwise(concat(lit("u"), col("user_id").cast("string")))
+
+  /** Heavy hitters via `approx_top_k` (Spark 4.1's mergeable
+    * frequent-items sketch): constant memory per partition (64 tracked
+    * items here, fewer than the 153 live keys — the sketch is genuinely
+    * approximate), map-side partials merged on one reduce — vs the
+    * exact path's full groupBy + sort of every distinct key, which at
+    * 100 TB shuffles the whole key universe to rank it. Fixture gate as
+    * [[skHll]]: the estimated top-10 is dumped, DuckDB recounts those
+    * items exactly and re-derives the error column — the exact side and
+    * any fabricated error claim are both falsifiable; sketch recall is
+    * additionally pinned by a planted-skew ScalaTest. */
+  private val skTopk: Q = (s, d) => {
+    // persisted: the fixture dump and the returned frame both consume
+    // the sketch estimate — and an UNpersisted recompute could legally
+    // return different estimates, silently desyncing dump and result
+    val est = table(s, d, "events")
+      .select(hotKey.as("k"))
+      .agg(expr("approx_top_k(k, 10, 64)").as("topk"))
+      .select(explode(col("topk")).as("e"))
+      .select(col("e.item").as("item"), col("e.count").cast("long").as("n_est"))
+      .persist()
+    Sinks.dumpFixture(est, "sk_topk_est")
+    val exact = table(s, d, "events")
+      .select(hotKey.as("item"))
+      .groupBy("item").agg(count(lit(1)).as("n_exact"))
+    est.join(exact, Seq("item"), "left")
+      .select(col("item"), col("n_est"), col("n_exact"),
+        (col("n_est") - col("n_exact")).as("err_abs"))
+      .orderBy("item")
+  }
+
   val queries: Map[String, Q] = Map(
     "sk_hll" -> skHll,
-    "sk_quantile" -> skQuantile)
+    "sk_quantile" -> skQuantile,
+    "sk_topk" -> skTopk)
 
   val oracle: Map[String, String] = Map(
     // exact side recomputed from the raw table; estimates come from the
@@ -90,6 +129,18 @@ object Sketches {
         |SELECT ex.event_type, est.n_approx, ex.n_exact,
         |  round(abs(est.n_approx - ex.n_exact)::DOUBLE / ex.n_exact, 4) AS err_rel
         |FROM ex JOIN est USING (event_type) ORDER BY event_type""".stripMargin,
+    // exact counts for the DUMPED top-k items recomputed from events
+    // (the planted hot-key routing replayed verbatim); err re-derived
+    "sk_topk" ->
+      """WITH k AS (SELECT CASE WHEN event_id % 4 = 0
+        |    THEN 'hot_' || (event_id % 3)::VARCHAR
+        |    ELSE 'u' || user_id::VARCHAR END AS item FROM events),
+        | ex AS (SELECT item, count(*) AS n_exact FROM k GROUP BY item),
+        | est AS (SELECT item, n_est
+        |         FROM read_parquet('/tmp/graft_fixtures/sk_topk_est/*.parquet'))
+        |SELECT est.item, est.n_est, ex.n_exact,
+        |  est.n_est - ex.n_exact AS err_abs
+        |FROM est LEFT JOIN ex USING (item) ORDER BY item""".stripMargin,
     "sk_quantile" ->
       """WITH ex AS (SELECT l_returnflag,
         |              quantile_cont(l_extendedprice, 0.5) AS p50_exact,

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** J7 as-of join and the sk_topk heavy-hitter sketch: semantics vs an
+  * independent brute force, and the plan shape that makes them viable at
+  * scale (no nested-loop join; one shuffle). */
+class AsofTopkSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("j7_asof matches a brute-force latest-view-at-or-before scan") {
+    val rows = graft.io.Sources.table(spark, sf, "events").collect()
+    val views = rows.filter(_.getAs[String]("event_type") == "view")
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("ts"),
+        r.getAs[Long]("event_id"), r.getAs[Double]("value")))
+    val clicks = rows.filter(_.getAs[String]("event_type") == "click")
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("ts")))
+    val expected = clicks.map { case (cid, uid, cts) =>
+      val prior = views.filter(v => v._1 == uid && !v._2.after(cts))
+      val best = if (prior.isEmpty) None
+        else Some(prior.maxBy(v => (v._2.getTime, v._3)))
+      cid -> best.map(v => (v._3, v._4))
+    }.toMap
+    val got = Relational.queries("j7_asof")(spark, sf).collect().map { r =>
+      r.getAs[Long]("event_id") ->
+        (if (r.isNullAt(r.fieldIndex("asof_view_id"))) None
+         else Some((r.getAs[Long]("asof_view_id"), r.getAs[Double]("asof_value"))))
+    }.toMap
+    assert(got.keySet == expected.keySet)
+    assert(got == expected)
+  }
+
+  test("j7_asof plans one shuffle and no nested-loop join") {
+    val p = Relational.queries("j7_asof")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"as-of join must not plan a nested loop:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly one hash exchange, got $exchanges:\n$p")
+  }
+
+  test("sk_topk surfaces the planted hot keys with bounded sketch error") {
+    val out = Sketches.queries("sk_topk")(spark, sf).collect()
+    val items = out.map(_.getAs[String]("item")).toSet
+    // 3 planted hot keys at ~83 hits each vs ~5 per cold key: any sane
+    // frequent-items sketch must surface all three in its top 10
+    assert(Set("hot_0", "hot_1", "hot_2").subsetOf(items), s"items=$items")
+    out.foreach { r =>
+      // 64 tracked items over 1,000 rows: Misra-Gries-style error is
+      // bounded by n/capacity ≈ 16; allow 3× slack for implementation
+      // detail, which still falsifies a broken merge
+      assert(math.abs(r.getAs[Long]("err_abs")) <= 50, r.toString)
+    }
+  }
+}
