@@ -186,6 +186,38 @@ object Relational {
       .select("event_id", "user_id", "ts", "asof_view_id", "asof_value")
   }
 
+  /** J8 range (interval-containment) join — every lineitem shipped
+    * inside a 30-day promotion window, many-to-many. The direct
+    * encoding `ship BETWEEN p_start AND p_end` has no equi-key, so
+    * Spark plans BroadcastNestedLoop — O(facts × intervals), dead at
+    * scale the moment the interval side outgrows a broadcast. The scale
+    * shape: BUCKETIZE the intervals — explode each into the calendar
+    * months it overlaps (bounded length ⇒ ≤ 2 rows each), equi-join
+    * facts on their month bucket, then re-apply the exact containment
+    * as a residual filter. The equi-key turns the plan into a hash join
+    * (broadcast here; sort-merge on the same key when the interval side
+    * is huge), partitions by a natural time key, and the residual keeps
+    * the semantics exact. Promotion windows are derived
+    * deterministically from `orders` so the oracle replays them. */
+  private val j8Range: Q = (s, d) => {
+    val promos = table(s, d, "orders")
+      .filter(col("o_orderkey") % 997 === 1)
+      .select(col("o_orderkey").as("promo_id"),
+        col("o_orderdate").cast("date").as("p_start"),
+        date_add(col("o_orderdate").cast("date"), 29).as("p_end"))
+    val buckets = promos.select(col("promo_id"), col("p_start"), col("p_end"),
+      explode(sequence(trunc(col("p_start"), "month"), trunc(col("p_end"), "month"),
+        expr("interval 1 month"))).as("mon"))
+    table(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate").cast("date").as("ship_day"))
+      .withColumn("mon", trunc(col("ship_day"), "month"))
+      .join(buckets, Seq("mon"))
+      .filter(col("ship_day").between(col("p_start"), col("p_end")))
+      .select(col("l_orderkey"), col("l_linenumber"), col("promo_id"),
+        col("ship_day").cast("string").as("ship_day"))
+  }
+
   /** A1 multi-column distinct — play worklist (calculate_YAP.py:21). */
   private val a1DropDup: Q = (s, d) =>
     table(s, d, "events").select("user_id", "event_type").dropDuplicates()
@@ -273,6 +305,7 @@ object Relational {
     "j5_case_dim" -> j5CaseDim,
     "j6_self_align" -> j6SelfAlign,
     "j7_asof" -> j7Asof,
+    "j8_range" -> j8Range,
     "a1_dropdup" -> a1DropDup,
     "a2_distinct" -> a2Distinct,
     "o2_bottomk" -> o2BottomK,
@@ -340,6 +373,17 @@ object Relational {
         |  (SELECT v.v_value FROM v WHERE v.user_id = c.user_id AND v.ts <= c.ts
         |   ORDER BY v.ts DESC, v.v_id DESC LIMIT 1) AS asof_value
         |FROM events c WHERE c.event_type = 'click'""".stripMargin,
+    // Independent range-join twin: the plain BETWEEN theta-join — no
+    // bucketization — over the same derived promotion windows.
+    "j8_range" ->
+      """WITH promos AS (SELECT o_orderkey AS promo_id,
+        |    CAST(o_orderdate AS DATE) AS p_start,
+        |    CAST(o_orderdate AS DATE) + 29 AS p_end
+        |  FROM orders WHERE o_orderkey % 997 = 1)
+        |SELECT l.l_orderkey, l.l_linenumber, p.promo_id,
+        |  strftime(CAST(l.l_shipdate AS DATE), '%Y-%m-%d') AS ship_day
+        |FROM lineitem l JOIN promos p
+        |  ON CAST(l.l_shipdate AS DATE) BETWEEN p.p_start AND p.p_end""".stripMargin,
     "a1_dropdup" ->
       "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
     "a2_distinct" ->

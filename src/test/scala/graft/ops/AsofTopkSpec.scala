@@ -43,6 +43,31 @@ class AsofTopkSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected exactly one hash exchange, got $exchanges:\n$p")
   }
 
+  test("j8_range matches the naive theta-join and plans no nested loop") {
+    import org.apache.spark.sql.functions._
+    val orders = graft.io.Sources.table(spark, sf, "orders")
+    val li = graft.io.Sources.table(spark, sf, "lineitem")
+    // naive reference: the BETWEEN theta-join Spark would plan as BNLJ
+    val promos = orders.filter(col("o_orderkey") % 997 === 1)
+      .select(col("o_orderkey").as("promo_id"),
+        col("o_orderdate").cast("date").as("p_start"),
+        date_add(col("o_orderdate").cast("date"), 29).as("p_end"))
+    val naive = li.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate").cast("date").as("ship_day"))
+      .join(promos, col("ship_day").between(col("p_start"), col("p_end")))
+      .select(col("l_orderkey"), col("l_linenumber"), col("promo_id"))
+      .collect().map(r => (r.getLong(0), r.getAs[Number](1).longValue, r.getLong(2))).toSet
+    val bucketized = Relational.queries("j8_range")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("l_orderkey"),
+        r.getAs[Number]("l_linenumber").longValue, r.getAs[Long]("promo_id"))).toSet
+    assert(bucketized == naive)
+    assert(bucketized.nonEmpty)
+    val p = Relational.queries("j8_range")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"bucketized range join must plan an equi-join:\n$p")
+  }
+
   test("sk_topk surfaces the planted hot keys with bounded sketch error") {
     val out = Sketches.queries("sk_topk")(spark, sf).collect()
     val items = out.map(_.getAs[String]("item")).toSet
