@@ -102,6 +102,55 @@ object EventStream {
         else GroupStateTimeout.NoTimeout)(fn)
   }
 
+  final case class AsofEv(event_id: Long, user_id: Long, ts: Timestamp,
+      event_type: String, value: Double)
+  final case class LatestView(ts_ms: Long, id: Long, value: Double)
+  final case class AsofHit(event_id: Long, user_id: Long, ts: Timestamp,
+      asof_view_id: Option[Long], asof_value: Option[Double])
+
+  /** Streaming as-of enrichment — the incremental face of the J7 as-of
+    * join (ops.Relational `j7_asof`): each click is joined to the
+    * latest view at or before it for the same user, as the stream
+    * arrives. State per user is O(1) — just the latest (ts, id, value)
+    * view triple, NOT a buffer of history — so state size tracks the
+    * number of live users, the property that makes streaming enrichment
+    * viable at ingest scale.
+    *
+    * Ordering semantics: within a micro-batch, rows are processed in
+    * the batch operator's exact total order (ts, views-before-clicks,
+    * id), so a stream delivered in event-time order reproduces the
+    * batch as-of result row for row (pinned by the parity test). A view
+    * arriving AFTER a click already emitted cannot retroactively change
+    * it — inherent to streaming enrichment; the deterministic batch
+    * j7_asof is the replay/repair path. A late view that is older than
+    * the stored latest is correctly ignored (it could never win the
+    * at-or-before race for any future click). */
+  def asofStream(spark: SparkSession, events: Dataset[AsofEv]): Dataset[AsofHit] = {
+    import spark.implicits._
+    val fn = (userId: Long, rows: Iterator[AsofEv], state: GroupState[LatestView]) => {
+      val out = Seq.newBuilder[AsofHit]
+      var cur = state.getOption
+      rows.toSeq
+        .sortBy(e => (e.ts.getTime, if (e.event_type == "view") 0 else 1, e.event_id))
+        .foreach { e =>
+          if (e.event_type == "view") {
+            val newer = cur.forall(c =>
+              c.ts_ms < e.ts.getTime ||
+                (c.ts_ms == e.ts.getTime && c.id < e.event_id))
+            if (newer) cur = Some(LatestView(e.ts.getTime, e.event_id, e.value))
+          } else {
+            out += AsofHit(e.event_id, userId, e.ts, cur.map(_.id), cur.map(_.value))
+          }
+        }
+      cur.foreach(state.update)
+      out.result().iterator
+    }
+    events
+      .filter(e => e.event_type == "view" || e.event_type == "click")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   final case class Ev(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int, total: Double)
   final case class Session(user_id: Long, start_ms: Long, end_ms: Long,

@@ -143,6 +143,39 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming as-of matches the batch j7_asof row for row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    // the batch operator's result as ground truth
+    val batch = graft.ops.Relational.queries("j7_asof")(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (if (r.isNullAt(r.fieldIndex("asof_view_id"))) None
+         else Some((r.getAs[Long]("asof_view_id"), r.getAs[Double]("asof_value")))))
+      .toMap
+    // deliver the real events in event-time order (the batch operator's
+    // total order), split across three micro-batches
+    val evs = graft.io.Sources.table(spark, sf, "events")
+      .select("event_id", "user_id", "ts", "event_type", "value")
+      .as[EventStream.AsofEv].collect()
+      .sortBy(e => (e.ts.getTime, if (e.event_type == "view") 0 else 1, e.event_id))
+    val source = MemoryStream[EventStream.AsofEv]
+    val q = EventStream.asofStream(spark, source.toDS())
+      .writeStream.format("memory").queryName("asof_out")
+      .outputMode("append").start()
+    try {
+      evs.grouped((evs.length + 2) / 3).foreach { chunk =>
+        source.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val got = spark.table("asof_out").as[EventStream.AsofHit].collect()
+        .map(h => h.event_id -> h.asof_view_id.map(id => (id, h.asof_value.get)))
+        .toMap
+      assert(got.keySet == batch.keySet)
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("the same sessionize code runs in batch mode (unified API)") {
     import spark.implicits._
     val batch = Seq(
