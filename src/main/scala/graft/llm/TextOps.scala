@@ -185,7 +185,34 @@ object TextOps {
       .orderBy("lang", "rank")
   }
 
+  /** Corpus bigram LM counts (KenLM-prep shape): c(w1,w2) with a
+    * min-count prune, the left-context total c(w1·), and the MLE
+    * conditional p(w2|w1) = c(w1,w2)/c(w1·). Bigrams ride the same
+    * codegen'd posexplode+lead shape as the shingle generator; counts
+    * shuffle once on (w1,w2) with map-side partials, context totals
+    * reduce THOSE counts (never re-scan the corpus), and the one float
+    * division happens per surviving bigram after integer aggregation —
+    * no accumulation-order hazard. At 100 TB the prune is the point:
+    * the (w1,w2) key space stays bounded by what survives ≥minCount,
+    * which is what an LM pipeline ships downstream. */
+  private val tsNgramLm: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bi = table(s, d, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w1")))
+      .select(col("w1"), lead("w1", 1).over(w).as("w2"))
+      .filter(col("w2").isNotNull)
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+    val c1 = c12.groupBy("w1").agg(sum(col("n12")).as("n1"))
+    c12.join(c1, "w1")
+      .filter(col("n12") >= 30)
+      .select(col("w1"), col("w2"), col("n12"), col("n1"),
+        dround(col("n12").cast("double") / col("n1"), 4).as("p_cond"))
+      .orderBy("w1", "w2")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ts_ngram_lm" -> tsNgramLm,
     "ts_stats" -> tsStats,
     "ts_quality" -> tsQuality,
     "ts_langid" -> tsLangId,
@@ -201,6 +228,17 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "ts_ngram_lm" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        | bi AS (SELECT tk[g.i] AS w1, tk[g.i+1] AS w2
+        |        FROM t, (SELECT unnest(generate_series(1, 2000)) AS i) g
+        |        WHERE g.i < len(tk)),
+        | c12 AS (SELECT w1, w2, count(*) AS n12 FROM bi GROUP BY w1, w2),
+        | c1 AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM c12 GROUP BY w1)
+        |SELECT c12.w1, c12.w2, c12.n12, c1.n1,
+        |  round(n12::DOUBLE / n1, 4) AS p_cond
+        |FROM c12 JOIN c1 USING (w1)
+        |WHERE n12 >= 30 ORDER BY w1, w2""".stripMargin,
     // FNV-1a/64 replayed independently: fold (h ^ byte) * 0x100000001b3
     // mod 2^64 over the text bytes. HUGEINT keeps the 104-bit products
     // exact; xor only touches the low byte, so it runs in BIGINT range;

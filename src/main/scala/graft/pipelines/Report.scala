@@ -238,7 +238,36 @@ object Report {
       "/root/reference/Data/tackler_max_params_FINAL.csv",
       graft.io.Sources.maxParamsMetricSchema))
 
+  /** A13 pivot — per-user mean value spread across event types as
+    * columns (the wide reporting shape pandas gets from
+    * `pivot_table`). The pivot VALUES are passed explicitly: without
+    * them Spark runs a full distinct-collect pass over the column just
+    * to learn the output schema — at 100 TB that is an extra scan and a
+    * driver-side dependency on data, both avoidable because a report's
+    * columns are part of its contract. One shuffle, partial-aggregated
+    * map-side like any groupBy. */
+  private val a13Pivot: Q = (s, d) =>
+    graft.io.Sources.table(s, d, "events").groupBy("user_id")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(dround(avg(col("value")), 4))
+      .orderBy("user_id")
+
+  /** A14 rollup — quantity totals at (flag, status), per-flag subtotal,
+    * and grand total in ONE pass: Spark expands the grouping sets and
+    * partial-aggregates every level map-side, so the subtotal rows cost
+    * no extra scan (vs three queries + union). Sums are over integral
+    * doubles (checked: every l_quantity is whole), so accumulation
+    * order cannot produce cross-engine float drift. */
+  private val a14Rollup: Q = (s, d) =>
+    graft.io.Sources.table(s, d, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        dround(sum(col("l_quantity")), 4).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
   val queries: Map[String, Q] = Map(
+    "a13_pivot" -> a13Pivot,
+    "a14_rollup" -> a14Rollup,
     "ep3_report" -> ep3Report,
     "ep3_player_report" -> ep3PlayerReport,
     "ep3_max_params_report" -> ep3MaxParamsReport,
@@ -254,6 +283,20 @@ object Report {
     "o3_topk" -> o3TopK)
 
   val oracle: Map[String, String] = Map(
+    // pivot = conditional aggregation, spelled out
+    "a13_pivot" ->
+      """SELECT user_id,
+        | round(avg(CASE WHEN event_type = 'click' THEN value END), 4) AS click,
+        | round(avg(CASE WHEN event_type = 'view' THEN value END), 4) AS view,
+        | round(avg(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase,
+        | round(avg(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup,
+        | round(avg(CASE WHEN event_type = 'error' THEN value END), 4) AS error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "a14_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "ep3_player_report" ->
       """WITH yap AS (
         |  SELECT game_ID, play_ID, NFL_ID, name, position,

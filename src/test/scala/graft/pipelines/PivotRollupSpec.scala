@@ -1,0 +1,56 @@
+package graft.pipelines
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** a13_pivot / a14_rollup / ts_ngram_lm: single-pass plan shapes and
+  * the cross-level consistency invariants the oracle's value hash can't
+  * express directly. */
+class PivotRollupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("a13_pivot: explicit values keep it to ONE scan and the contract columns") {
+    val df = Report.queries("a13_pivot")(spark, sf)
+    assert(df.columns.toSeq ==
+      Seq("user_id", "click", "view", "purchase", "signup", "error"))
+    val p = df.queryExecution.executedPlan.toString
+    // without explicit pivot values Spark prepends a distinct-collect
+    // pass over event_type — a second scan of the input
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"pivot must not add a schema-discovery scan:\n$p")
+  }
+
+  test("a14_rollup: subtotals and grand total are consistent across levels") {
+    val rows = Report.queries("a14_rollup")(spark, sf).collect()
+    def n(r: org.apache.spark.sql.Row) = r.getAs[Long]("n")
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    val flagSub = rows.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+    val leaves = rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+    assert(grand.length == 1)
+    assert(n(grand.head) == leaves.map(n).sum)
+    for (f <- flagSub) {
+      val flag = f.getString(0)
+      assert(n(f) == leaves.filter(_.getString(0) == flag).map(n).sum,
+        s"subtotal mismatch for flag $flag")
+      assert(math.abs(f.getAs[Double]("sum_qty") -
+        leaves.filter(_.getString(0) == flag).map(_.getAs[Double]("sum_qty")).sum) < 1e-9)
+    }
+  }
+
+  test("ts_ngram_lm: conditionals are well-formed and context totals dominate") {
+    // sf0.01: the ≥30 prune is non-vacuous there (sf0.001 counts max ~5)
+    val rows = graft.llm.TextOps.queries("ts_ngram_lm")(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n12 = r.getAs[Long]("n12"); val n1 = r.getAs[Long]("n1")
+      val p = r.getAs[Double]("p_cond")
+      assert(n12 >= 30 && n12 <= n1, r.toString)
+      assert(p > 0.0 && p <= 1.0, r.toString)
+    }
+    // p(w2|w1) over the SURVIVING bigrams of one w1 must not exceed 1
+    rows.groupBy(_.getString(0)).foreach { case (w1, g) =>
+      assert(g.map(_.getAs[Double]("p_cond")).sum <= 1.0 + 1e-6, s"w1=$w1")
+    }
+  }
+}
