@@ -164,26 +164,39 @@ object Relational {
     * the latest view by (ts, id) wins among ties, so the result is
     * deterministic and the cost is one shuffle + per-key sort,
     * O(n log n) per key, same plan at 100 TB. */
-  private val j7Asof: Q = (s, d) => {
+  /** The reusable as-of core: `views` must carry (user_id, ts, v_id,
+    * v_value), `clicks` (event_id, user_id, ts). Ties resolve exactly
+    * like the correlated form `ORDER BY ts DESC, v_id DESC LIMIT 1`
+    * over `v.ts <= c.ts` — at equal ts a view IS visible to the click,
+    * and the highest v_id wins among equal-ts views. Property-tested on
+    * adversarial tied timestamps (AsofTopkSpec). */
+  private[graft] def asofJoin(views: DataFrame, clicks: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = table(s, d, "events")
-    val views = e.filter(col("event_type") === "view").select(
-      col("user_id"), col("ts"),
-      col("event_id").as("v_id"), col("value").as("v_value"),
+    val v = views.select(
+      col("user_id"), col("ts"), col("v_id"), col("v_value"),
       lit(null).cast("long").as("event_id"), lit(0).as("side"))
-    val clicks = e.filter(col("event_type") === "click").select(
+    val c = clicks.select(
       col("user_id"), col("ts"),
       lit(null).cast("long").as("v_id"), lit(null).cast("double").as("v_value"),
       col("event_id"), lit(1).as("side"))
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts"), col("side"), col("v_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    views.unionByName(clicks)
+    v.unionByName(c)
       .select(col("event_id"), col("user_id"), col("ts"), col("side"),
         last(col("v_id"), ignoreNulls = true).over(w).as("asof_view_id"),
         last(col("v_value"), ignoreNulls = true).over(w).as("asof_value"))
       .filter(col("side") === 1)
       .select("event_id", "user_id", "ts", "asof_view_id", "asof_value")
+  }
+
+  private val j7Asof: Q = (s, d) => {
+    val e = table(s, d, "events")
+    asofJoin(
+      e.filter(col("event_type") === "view").select(col("user_id"), col("ts"),
+        col("event_id").as("v_id"), col("value").as("v_value")),
+      e.filter(col("event_type") === "click").select(col("event_id"),
+        col("user_id"), col("ts")))
   }
 
   /** J8 range (interval-containment) join — every lineitem shipped

@@ -43,6 +43,37 @@ class AsofTopkSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected exactly one hash exchange, got $exchanges:\n$p")
   }
 
+  test("asofJoin resolves adversarial timestamp ties like the correlated form") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // coarse timestamps (10 distinct values) over 200 events per trial:
+    // heavy view-view and view-click ties in every run
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (1 to 200).map { i =>
+        (i.toLong, (rnd.nextInt(5) + 1).toLong,
+          new Timestamp(1700000000000L + rnd.nextInt(10) * 1000L),
+          if (rnd.nextBoolean()) "view" else "click",
+          rnd.nextDouble())
+      }
+      val df = rows.toDF("event_id", "user_id", "ts", "event_type", "value")
+      val got = Relational.asofJoin(
+        df.filter($"event_type" === "view").select($"user_id", $"ts",
+          $"event_id".as("v_id"), $"value".as("v_value")),
+        df.filter($"event_type" === "click").select($"event_id", $"user_id", $"ts"))
+        .collect().map(r => r.getAs[Long]("event_id") ->
+          (if (r.isNullAt(r.fieldIndex("asof_view_id"))) None
+           else Some(r.getAs[Long]("asof_view_id")))).toMap
+      val views = rows.filter(_._4 == "view")
+      val expected = rows.filter(_._4 == "click").map { case (cid, uid, cts, _, _) =>
+        val prior = views.filter(v => v._2 == uid && !v._3.after(cts))
+        cid -> (if (prior.isEmpty) None
+                else Some(prior.maxBy(v => (v._3.getTime, v._1))._1))
+      }.toMap
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
   test("j8_range matches the naive theta-join and plans no nested loop") {
     import org.apache.spark.sql.functions._
     val orders = graft.io.Sources.table(spark, sf, "orders")
