@@ -26,6 +26,7 @@ object SparkEntry {
       ops.Events.queries ++
       ops.Skew.queries ++
       ops.Sketches.queries ++
+      ops.Quality.queries ++
       pipelines.Report.queries ++
       pipelines.NflQueries.queries ++
       pipelines.Animate.queries ++
@@ -43,6 +44,7 @@ object SparkEntry {
       ops.Events.oracle ++
       ops.Skew.oracle ++
       ops.Sketches.oracle ++
+      ops.Quality.oracle ++
       pipelines.Report.oracle ++
       pipelines.NflQueries.oracle ++
       pipelines.Animate.oracle ++

@@ -1,0 +1,34 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** dq_profile / dq_checks: single-pass plan shape and the
+  * both-directions falsifiability the suite claims. */
+class QualitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("dq_profile computes every column metric in one scan") {
+    val df = Quality.queries("dq_profile")(spark, sf)
+    assert(df.columns.toSeq ==
+      Seq("column", "n", "n_null", "n_distinct", "min_v", "max_v"))
+    val p = df.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"profile must be a single pass over lineitem:\n$p")
+    assert(df.count() == 3)
+  }
+
+  test("dq_checks mixes genuine pass and fail rows on this corpus") {
+    val rows = Quality.queries("dq_checks")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_violations"), r.getString(2))).toMap
+    assert(rows.size == 5)
+    // the synthetic lineitem's pk is non-unique and event values exceed
+    // 100 — real failures, so zeroed-out counters can't fake a pass
+    assert(rows("lineitem_pk_unique")._1 > 0 && rows("lineitem_pk_unique")._2 == "fail")
+    assert(rows("events_value_in_0_100")._2 == "fail")
+    assert(rows("orders_custkey_fk") == (0L, "pass"))
+    assert(rows("events_ts_nonnull") == (0L, "pass"))
+    assert(rows("documents_len_consistent") == (0L, "pass"))
+  }
+}
