@@ -102,6 +102,30 @@ object EventStream {
         else GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Watermarked stream-stream interval join — each click paired with
+    * every view of the same user in the preceding 10 minutes (the
+    * streaming face of the J8 range join). Both sides carry a
+    * watermark and the join condition bounds event-time distance, so
+    * Spark can EVICT state: a buffered view is dropped once the click
+    * watermark passes v_ts + 10 min, and state size tracks the interval
+    * width × arrival rate, never stream history — the property that
+    * distinguishes a production stream-stream join from an unbounded
+    * buffer. Batch semantics of the same plan are the plain interval
+    * theta-join (the test checks the streamed result against it). */
+  def clickViewJoin(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"), col("event_id").as("v_id"))
+      .withWatermark("v_ts", "10 minutes")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+      .withWatermark("c_ts", "10 minutes")
+    views.join(clicks,
+      expr("""user_id = c_user AND
+             |v_ts <= c_ts AND v_ts >= c_ts - interval 10 minutes""".stripMargin))
+      .select(col("c_id"), col("user_id"), col("c_ts"), col("v_id"), col("v_ts"))
+  }
+
   final case class AsofEv(event_id: Long, user_id: Long, ts: Timestamp,
       event_type: String, value: Double)
   final case class LatestView(ts_ms: Long, id: Long, value: Double)

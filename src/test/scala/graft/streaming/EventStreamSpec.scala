@@ -143,6 +143,37 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches its batch twin and evicts by watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, user: Long, min: Long, kind: String) =
+      EventStream.AsofEv(id, user, ts(min), kind, 0.0)
+    val all = Seq(
+      ev(1, 1, 0, "view"), ev(2, 1, 5, "view"), ev(3, 1, 8, "click"), // both views in window
+      ev(4, 2, 0, "view"), ev(5, 2, 20, "click"),                     // view too old: no pair
+      ev(6, 3, 30, "view"), ev(7, 3, 30, "click"))                    // same-instant pair
+    val batch = EventStream.clickViewJoin(all.toDF()).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(batch == Set((3L, 1L), (3L, 2L), (7L, 6L)))
+
+    val source = MemoryStream[EventStream.AsofEv]
+    val q = EventStream.clickViewJoin(source.toDF())
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      source.addData(all.take(5): _*)
+      q.processAllAvailable()
+      // advance both watermarks far past every row so all joins flush
+      source.addData(all.drop(5) :+ ev(99, 9, 500, "view") :+ ev(100, 9, 500, "click"): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ssj_out").collect()
+        .map(r => (r.getLong(0), r.getLong(3))).toSet
+      assert((batch -- streamed).isEmpty,
+        s"streamed result lost pairs: ${batch -- streamed}")
+      assert(streamed.subsetOf(batch + ((100L, 99L))), s"spurious pairs: $streamed")
+    } finally q.stop()
+  }
+
   test("streaming as-of matches the batch j7_asof row for row") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
