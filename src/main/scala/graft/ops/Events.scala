@@ -162,7 +162,45 @@ object Events {
       .join(broadcast(Relational.boundsDim(s)), Seq("event_type"), "left_anti")
       .select("event_id", "user_id", "event_type")
 
+  /** W8 batch sessionization — the gaps-and-islands form of the
+    * streaming `EventStream.sessionize` (same 30-minute gap): a lag
+    * window flags session starts, a running sum numbers the islands,
+    * one groupBy rolls each island up. Every stage rides the SAME
+    * (user_id) partitioning — one shuffle, two window passes, one agg.
+    * This query is the ORACLE GATE for the custom-state streaming
+    * sessionizer: `EventStreamSpec` asserts the flatMapGroupsWithState
+    * output equals these rows (minus each user's unclosed tail
+    * session), so the hand-written state machine is pinned to
+    * SQL-recomputable semantics, not just to itself. */
+  private[graft] def sessions(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sec = col("ts").cast("double")
+    val newSession = when(
+      lag(col("ts"), 1).over(byTime).isNull ||
+        sec - lag(col("ts"), 1).over(byTime).cast("double") > 1800d, 1L)
+      .otherwise(0L)
+    e.select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        newSession.as("is_start"))
+      .select(col("user_id"), col("ts"), col("value"),
+        sum(col("is_start")).over(
+          byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("session_id"))
+      .groupBy("user_id", "session_id")
+      .agg(
+        // floor, not cast: Spark's double→long cast truncates while
+        // DuckDB's rounds — floor is identical in both engines
+        floor(min(col("ts").cast("double"))).as("start_s"),
+        floor(max(col("ts").cast("double"))).as("end_s"),
+        count(lit(1)).as("n_events"),
+        dround(sum(col("value")), 4).as("total_value"))
+  }
+
+  private val w8Sessions: Q = (s, d) =>
+    sessions(table(s, d, "events")).orderBy("user_id", "session_id")
+
   val queries: Map[String, Q] = Map(
+    "w8_sessions" -> w8Sessions,
     "w1_start" -> w1Start,
     "w2_stop" -> w2Stop,
     "w3_crossing" -> w3Crossing,
@@ -181,6 +219,22 @@ object Events {
       |FROM events GROUP BY user_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "w8_sessions" ->
+      """WITH o AS (SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |          OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS is_start
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        | s AS (SELECT user_id, ts, value,
+        |    CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM o)
+        |SELECT user_id, session_id,
+        |  CAST(floor(min(epoch(ts))) AS BIGINT) AS start_s,
+        |  CAST(floor(max(epoch(ts))) AS BIGINT) AS end_s,
+        |  count(*) AS n_events,
+        |  round(sum(value), 4) AS total_value
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
     "w1_start" -> (startSql + " ORDER BY user_id"),
     "w2_stop" ->
       """SELECT user_id, min(CASE WHEN event_type = 'error' THEN event_id END) AS stop_id

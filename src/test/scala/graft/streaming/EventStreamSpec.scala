@@ -207,6 +207,38 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("custom-state sessionize matches the oracle-gated w8_sessions on real data") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val events = graft.io.Sources.table(spark, sf, "events")
+    val streamed = EventStream.sessionize(spark,
+        events.select($"user_id", $"ts", $"event_type", $"value").as[EventStream.Ev])
+      .collect()
+      .map(s => (s.user_id, s.start_ms / 1000) ->
+        (s.end_ms / 1000, s.n_events.toLong, s.total_value))
+      .toMap
+    // batch-mode flatMapGroupsWithState emits only CLOSED sessions (the
+    // tail session per user stays in state), so drop each user's last
+    // relational session before comparing
+    val rel = graft.ops.Events.sessions(events).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
+        r.getAs[Long]("start_s"), r.getAs[Long]("end_s"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+    val closed = rel.groupBy(_._1).values.flatMap { g =>
+      g.sortBy(_._2).dropRight(1)
+    }.toSeq
+    assert(closed.nonEmpty && streamed.nonEmpty)
+    assert(closed.size == streamed.size,
+      s"closed=${closed.size} streamed=${streamed.size}")
+    closed.foreach { case (u, _, st, en, n, total) =>
+      val got = streamed.get((u, st))
+      assert(got.isDefined, s"missing session user=$u start=$st")
+      val (gEnd, gN, gTotal) = got.get
+      assert(gEnd == en && gN == n, s"user=$u start=$st: ($gEnd,$gN) vs ($en,$n)")
+      assert(math.abs(gTotal - total) < 1e-6, s"user=$u start=$st total")
+    }
+  }
+
   test("the same sessionize code runs in batch mode (unified API)") {
     import spark.implicits._
     val batch = Seq(
