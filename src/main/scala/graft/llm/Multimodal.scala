@@ -49,6 +49,24 @@ object Multimodal {
     })
   }
 
+  /** Demo corpus with PLANTED duplicate payloads for the binary-dedup
+    * gate: bytes (and length) derive from `media_id % distinct`, so ids
+    * sharing a seed are byte-identical copies — seeds 0–15 appear 3×,
+    * 16–23 appear 2× at the defaults. The oracle reproduces every byte
+    * from the id arithmetic alone (no fixture needed). */
+  def demoMediaDups(spark: SparkSession, n: Int = 64, distinct: Int = 24): Dataset[Media] = {
+    import spark.implicits._
+    spark.createDataset((0 until n).map { i =>
+      val seed = i % distinct
+      val kind = Seq("image", "audio", "video")(i % 3)
+      val len = 256 + (seed * 37) % 512
+      val bytes = Array.tabulate[Byte](len) { j =>
+        (TextHashKernels.rollingHash(UTF8String.fromString(s"$seed:$j")) & 0xff).toByte
+      }
+      Media(i.toLong, kind, bytes, MediaMeta(64, 48, 0, 1))
+    })
+  }
+
   /** ??? STUB ???  A real implementation decodes the payload with a
     * codec (JPEG/PNG/PCM/H264) and emits pixel/sample tensors. No codec
     * libraries exist in this environment, so features are derived
@@ -151,6 +169,16 @@ object Multimodal {
     // — the oracle regenerates the source bytes (FNV, as mm_features),
     // replays the nearest-neighbor index mapping, and re-derives the
     // same fingerprint, so the resample is verified byte-for-byte
+    // exact dedup over BINARY payloads (the cross-modal face of
+    // dd_exact): partial aggregation maps each row to its 16-byte
+    // content hash + id before the shuffle, so the payloads themselves
+    // never move — the 100 TB-relevant property. The hex detour matches
+    // mm_resize: DuckDB can only rebuild payloads as hex strings.
+    "mm_dedup" -> ((s, _) =>
+      demoMediaDups(s).toDF()
+        .groupBy(md5(hex(col("bytes")).cast("binary")).as("content_md5"))
+        .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("content_md5")),
     "mm_resize" -> ((s, _) =>
       resizeImages(s, demoMedia(s)).toDF()
         .select(col("media_id"), col("in_w"), col("in_h"),
@@ -227,6 +255,27 @@ object Multimodal {
         |SELECT m.media_id, m.width AS in_w, m.height AS in_h, 64 AS out_w, 48 AS out_h,
         | CAST(9216 AS BIGINT) AS n_bytes_out, fp.content_fp
         |FROM m JOIN fp USING (media_id) ORDER BY media_id""".stripMargin,
+    // fully self-contained: payload bytes AND lengths regenerated from
+    // media_id arithmetic (seed = id % 24, len = 256 + (seed*37) % 512,
+    // bytes = FNV("seed:j")), then grouped — a wrong survivor rule, a
+    // fabricated copy count, or a single wrong byte all diverge
+    "mm_dedup" ->
+      """WITH m AS (SELECT i AS media_id, (i % 24) AS seed,
+        |             256 + ((i % 24) * 37) % 512 AS n_bytes
+        |           FROM (SELECT unnest(generate_series(0, 63)) AS i)),
+        | b AS (
+        |  SELECT m.media_id, t.j,
+        |   (list_reduce(
+        |     list_prepend(14695981039346656037::HUGEINT,
+        |       [ord(c)::HUGEINT for c in string_split(m.seed || ':' || t.j, '')]),
+        |     (acc, x) -> ((acc - (acc % 256) + xor((acc % 256)::BIGINT, x::BIGINT)::HUGEINT)
+        |                  * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+        |   ) % 256)::INT AS byte
+        |  FROM m, LATERAL unnest(generate_series(0, m.n_bytes::INT - 1)) t(j)),
+        | fp AS (SELECT media_id, md5(string_agg(printf('%02X', byte), '' ORDER BY j)) AS content_md5
+        |        FROM b GROUP BY media_id)
+        |SELECT content_md5, min(media_id) AS keep_id, count(*) AS n_copies
+        |FROM fp GROUP BY content_md5 ORDER BY content_md5""".stripMargin,
     "mm_frame_sample" ->
       """SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
         | substr(md5(media_id || ':' || frame_idx || ':' || n_bytes), 1, 16) AS frame_fp

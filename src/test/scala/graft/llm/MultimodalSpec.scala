@@ -42,6 +42,17 @@ class MultimodalSpec extends AnyFunSuite {
       .forall { case (a, b) => a.bytes.sameElements(b.bytes) })
   }
 
+  test("mm_dedup collapses the planted duplicate payloads exactly") {
+    val out = Multimodal.queries("mm_dedup")(spark, "unused").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies")))
+    assert(out.length == 24) // 24 distinct payload seeds
+    assert(out.map(_._3).sum == 64) // every media row accounted for
+    // seeds 0-15 appear 3x (ids i, i+24, i+48), 16-23 appear 2x
+    assert(out.count(_._3 == 3L) == 16 && out.count(_._3 == 2L) == 8)
+    // survivor is the smallest id = the seed itself
+    assert(out.map(_._2).toSet == (0L until 24L).toSet)
+  }
+
   test("metadata-only query prunes the payload column from the scan") {
     val media = Multimodal.demoMedia(spark)
     val plan = Multimodal.metaStats(media).queryExecution.optimizedPlan.toString
