@@ -265,8 +265,37 @@ object Report {
         dround(sum(col("l_quantity")), 4).as("sum_qty"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
+  /** A15 equi-depth histogram — decile buckets of lineitem price. The
+    * naive form is `ntile(10)` over a GLOBAL order: one range exchange
+    * into effectively one sorting task at 100 TB. The scale shape used
+    * here: (1) one aggregate computes the nine interior cut points,
+    * (2) the 9-element cut array broadcasts back and each row derives
+    * its bucket locally, (3) one partial-aggregated groupBy rolls the
+    * buckets up. Two scans, no global sort, no wide exchange. Cuts are
+    * the EXACT interpolated percentile (gradeable; the 100 TB variant
+    * swaps in `percentile_approx` — ops.Sketches documents its error),
+    * rounded to cents on BOTH sides so bucket assignment can't flip on
+    * a last-ulp interpolation difference between engines. */
+  private val a15Equidepth: Q = (s, d) => {
+    val li = graft.io.Sources.table(s, d, "lineitem").select(col("l_extendedprice").as("v"))
+    val qs = (1 to 9).map(_ / 10.0)
+    // floor(x·100 + 0.5)/100 = dround's half-away-from-zero in expr form
+    // (prices are positive); Spark's round() would HALF_UP via
+    // BigDecimal and can disagree with DuckDB's C rounding
+    val cuts = li.agg(expr(
+      s"transform(percentile(v, array(${qs.mkString(", ")})), c -> floor(c * 100 + 0.5) / 100)")
+      .as("cuts"))
+    li.crossJoin(broadcast(cuts))
+      .select(col("v"), size(filter(col("cuts"), c => col("v") > c)).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        dround(min(col("v")), 2).as("min_v"), dround(max(col("v")), 2).as("max_v"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, Q] = Map(
     "a13_pivot" -> a13Pivot,
+    "a15_equidepth" -> a15Equidepth,
     "a14_rollup" -> a14Rollup,
     "ep3_report" -> ep3Report,
     "ep3_player_report" -> ep3PlayerReport,
@@ -292,6 +321,18 @@ object Report {
         | round(avg(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup,
         | round(avg(CASE WHEN event_type = 'error' THEN value END), 4) AS error
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // same cut derivation (quantile_cont = Spark's exact interpolated
+    // percentile), same floor-based cent rounding, same strict-> bucket
+    "a15_equidepth" ->
+      """WITH c AS (SELECT list_transform(
+        |    quantile_cont(l_extendedprice, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+        |    x -> floor(x * 100 + 0.5) / 100) AS cuts FROM lineitem),
+        | b AS (SELECT l.l_extendedprice AS v,
+        |    CAST(len(list_filter(c.cuts, x -> l.l_extendedprice > x)) AS INT) AS bucket
+        |  FROM lineitem l, c)
+        |SELECT bucket, count(*) AS n,
+        |  round(min(v), 2) AS min_v, round(max(v), 2) AS max_v
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "a14_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         | count(*) AS n, round(sum(l_quantity), 4) AS sum_qty

@@ -38,6 +38,32 @@ class PivotRollupSpec extends AnyFunSuite {
     }
   }
 
+  test("a15_equidepth: ten buckets of near-equal depth, no global sort in the plan") {
+    val df = Report.queries("a15_equidepth")(spark, "/root/testdata/sf0.01")
+    val rows = df.collect()
+    assert(rows.map(_.getInt(0)).toSeq == (0 until 10))
+    val total = rows.map(_.getAs[Long]("n")).sum
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      // equi-depth up to ties at the cut points
+      assert(math.abs(n - total / 10.0) < total * 0.02, r.toString)
+    }
+    // bucket ranges tile: each bucket's max <= next bucket's min
+    val sorted = rows.sortBy(_.getInt(0))
+    sorted.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("max_v") <= b.getAs[Double]("min_v") + 1e-9)
+    }
+    // the ntile form would range-sort the full data through a Window;
+    // here the only sort is the 10-row output ordering AFTER the agg
+    val p = df.queryExecution.executedPlan.toString
+    // (can't grep for "ntile" — "percentile" contains it)
+    assert(!p.contains("Window"),
+      s"equi-depth must not use a global-order window:\n$p")
+    val preAgg = p.substring(p.length - p.split("HashAggregate").last.length)
+    assert(!preAgg.contains("rangepartitioning"),
+      s"no range exchange below the aggregate:\n$p")
+  }
+
   test("ts_ngram_lm: conditionals are well-formed and context totals dominate") {
     // sf0.01: the ≥30 prune is non-vacuous there (sf0.001 counts max ~5)
     val rows = graft.llm.TextOps.queries("ts_ngram_lm")(spark, "/root/testdata/sf0.01").collect()
