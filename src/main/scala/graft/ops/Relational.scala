@@ -290,6 +290,37 @@ object Relational {
       upper(col("lang")).as("lang_uc"))
       .orderBy("doc_id")
 
+  /** X17 JSON extraction (extension) — the semi-structured `props`
+    * column parsed per row. `get_json_object` is codegen'd path
+    * extraction with no intermediate struct materialization; for a
+    * FIXED schema at 100 TB, `from_json` once into a struct column (and
+    * parquet-ize it) beats per-query path extraction — this query is
+    * the ad-hoc form. One scan-project, no shuffle. */
+  private val xJson: Q = (s, d) =>
+    table(s, d, "events").select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"),
+      (get_json_object(col("props"), "$.k").cast("long") % 10).as("k_mod"))
+
+  /** U3 intersect — users who clicked AND purchased. Spark plans
+    * INTERSECT as a LeftSemi over the distinct sets: one shuffle per
+    * side on the key, no row explosion. */
+  private val u3Intersect: Q = (s, d) => {
+    val e = table(s, d, "events")
+    e.filter(col("event_type") === "click").select("user_id")
+      .intersect(e.filter(col("event_type") === "purchase").select("user_id"))
+      .orderBy("user_id")
+  }
+
+  /** U4 except — users who viewed but NEVER purchased (LeftAnti over
+    * the distinct sets). */
+  private val u4Except: Q = (s, d) => {
+    val e = table(s, d, "events")
+    e.filter(col("event_type") === "view").select("user_id")
+      .except(e.filter(col("event_type") === "purchase").select("user_id"))
+      .orderBy("user_id")
+  }
+
   /** X9/X10 timestamp → date, day arithmetic (optimal_pursuit.py:290,446).
     * ship_day is `cast(date).cast(string)` — same `yyyy-MM-dd` output as
     * `date_format` but without its per-row DateTimeFormatter path, which
@@ -324,6 +355,9 @@ object Relational {
     "o2_bottomk" -> o2BottomK,
     "u1_union" -> u1Union,
     "x_math" -> xMath,
+    "x_json" -> xJson,
+    "u3_intersect" -> u3Intersect,
+    "u4_except" -> u4Except,
     "x_recode_clamp" -> xRecodeClamp,
     "x_strings" -> xStrings,
     "x_datetime" -> xDatetime)
@@ -418,6 +452,21 @@ object Relational {
         | round(degrees(atan2(sin(radians(value)), cos(radians(value)))), 4) AS ang_norm,
         | round(atan2(value, 100.0), 4) AS theta
         |FROM events""".stripMargin,
+    "x_json" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod
+        |FROM events""".stripMargin,
+    "u3_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
+    "u4_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'view'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
     "x_recode_clamp" ->
       """SELECT doc_id,
         | CASE WHEN lang IN ('es','fr') THEN 'romance' WHEN lang IN ('de','en') THEN 'germanic' ELSE lang END AS lang_family,
