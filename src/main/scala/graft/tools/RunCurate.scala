@@ -1,0 +1,63 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** One-command training-data curation over a documents/embeddings
+  * directory — the LLM-pipeline counterpart of [[RunSeason]]: a user
+  * points it at a corpus in the engine's parquet layout
+  * (`documents.parquet`, `embeddings.parquet`) and gets the full
+  * curation report set in one invocation, each artifact produced by
+  * the same oracle-gated query the driver verifies.
+  *
+  * Usage: runMain graft.tools.RunCurate <inputDir> <outDir>
+  *
+  * Writes (parquet, overwrite-idempotent):
+  *   <outDir>/curated       — curated-corpus composition report (per-lang
+  *                            counts after quality ∧ langid-agreement ∧
+  *                            dedup-survivor filtering)
+  *   <outDir>/splits        — deterministic content-hash train/val/test
+  *   <outDir>/quality       — per-doc quality scores/flags
+  *   <outDir>/langid        — language-ID votes
+  *   <outDir>/stats         — token/length stats
+  *   <outDir>/dedup_exact   — exact-dup groups + survivor ids
+  *   <outDir>/neardup_pairs — MinHash-LSH verified near-dup pairs
+  *   <outDir>/boilerplate   — line-level boilerplate removal report
+  *   <outDir>/dq_checks     — constraint-check pass/fail report
+  */
+object RunCurate {
+
+  private val artifacts = Seq(
+    "curated" -> "ds_curated",
+    "splits" -> "ds_split",
+    "quality" -> "ts_quality",
+    "langid" -> "ts_langid",
+    "stats" -> "ts_stats",
+    "dedup_exact" -> "dd_exact",
+    "neardup_pairs" -> "dd_minhash",
+    "boilerplate" -> "dd_lines",
+    "dq_checks" -> "dq_checks")
+
+  /** Session-agnostic body — the smoke test drives this directly.
+    * Returns row counts per artifact. */
+  def run(spark: SparkSession, in: String, out: String): Map[String, Long] =
+    artifacts.map { case (name, query) =>
+      val df = graft.SparkEntry.queries(query)(spark, in)
+      df.write.mode("overwrite").parquet(s"$out/$name")
+      name -> spark.read.parquet(s"$out/$name").count()
+    }.toMap
+
+  def main(args: Array[String]): Unit = {
+    val Array(in, out) = args.take(2)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, in, out).toSeq.sortBy(_._1)
+      .foreach { case (k, n) => println(f"$k%-14s $n%8d rows") }
+    spark.stop()
+  }
+}
