@@ -42,6 +42,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer rule: engine numeric convention pow(x,2) → x·x
+    // (graft.plans.SquarePowRewrite — deterministic bases only)
+    ext.injectOptimizerRule(_ => graft.plans.SquarePowRewrite)
     inject(ext, "roll_hash", es => RollingHash(es.head))
     inject(ext, "sim_hash", es => SimHash(es.head))
     inject(ext, "vec_dot", es => VecDot(es(0), es(1)))

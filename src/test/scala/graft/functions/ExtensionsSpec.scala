@@ -56,4 +56,39 @@ class ExtensionsSpec extends AnyFunSuite {
       SparkSession.setActiveSession(base)
     }
   }
+
+  test("injected optimizer rule rewrites pow(x,2) to x*x for deterministic bases only") {
+    val base = TestSpark.spark
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new graft.GraftExtensions)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val df = s2.sql("SELECT pow(id + 0.5, 2) AS p FROM range(5)")
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(!plan.toLowerCase.contains("pow("), s"pow should be rewritten:\n$plan")
+      assert(plan.contains("*"), s"expected a multiply:\n$plan")
+      assert(df.collect().map(_.getDouble(0)).toSeq ==
+        (0 until 5).map(i => (i + 0.5) * (i + 0.5)))
+      // non-deterministic base must NOT be duplicated
+      val nd = s2.sql("SELECT pow(rand(), 2) AS p FROM range(1)")
+        .queryExecution.optimizedPlan.toString
+      assert(nd.toLowerCase.contains("pow("),
+        s"pow(rand(),2) must stay a single evaluation:\n$nd")
+      // bit-equality of the rewrite, re-checked per build
+      val rnd = new scala.util.Random(7)
+      (1 to 200000).foreach { _ =>
+        val x = java.lang.Double.longBitsToDouble(rnd.nextLong())
+        if (!x.isNaN && !x.isInfinite)
+          assert(java.lang.Double.doubleToRawLongBits(math.pow(x, 2.0)) ==
+            java.lang.Double.doubleToRawLongBits(x * x), s"x=$x")
+      }
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
 }
