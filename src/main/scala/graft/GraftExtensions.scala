@@ -45,6 +45,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer rule: engine numeric convention pow(x,2) → x·x
     // (graft.plans.SquarePowRewrite — deterministic bases only)
     ext.injectOptimizerRule(_ => graft.plans.SquarePowRewrite)
+    // planner strategy: whole-operator as-of join (graft.plans.AsofJoin)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofStrategy)
     inject(ext, "roll_hash", es => RollingHash(es.head))
     inject(ext, "sim_hash", es => SimHash(es.head))
     inject(ext, "vec_dot", es => VecDot(es(0), es(1)))

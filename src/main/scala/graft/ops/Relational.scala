@@ -199,6 +199,19 @@ object Relational {
         col("user_id"), col("ts")))
   }
 
+  /** The same as-of join through the custom whole-operator path
+    * (graft.plans.AsofJoin: LogicalPlan + Strategy + sort-merge exec).
+    * Identical semantics and oracle as [[j7Asof]] — the two
+    * implementations gate each other. */
+  private val j7AsofNative: Q = (s, d) => {
+    val e = table(s, d, "events")
+    graft.plans.AsofJoin.join(
+      e.filter(col("event_type") === "view").select(col("user_id"), col("ts"),
+        col("event_id").as("v_id"), col("value").as("v_value")),
+      e.filter(col("event_type") === "click").select(col("event_id"),
+        col("user_id"), col("ts")))
+  }
+
   /** J8 range (interval-containment) join — every lineitem shipped
     * inside a 30-day promotion window, many-to-many. The direct
     * encoding `ship BETWEEN p_start AND p_end` has no equi-key, so
@@ -349,6 +362,7 @@ object Relational {
     "j5_case_dim" -> j5CaseDim,
     "j6_self_align" -> j6SelfAlign,
     "j7_asof" -> j7Asof,
+    "j7_asof_native" -> j7AsofNative,
     "j8_range" -> j8Range,
     "a1_dropdup" -> a1DropDup,
     "a2_distinct" -> a2Distinct,
@@ -361,6 +375,16 @@ object Relational {
     "x_recode_clamp" -> xRecodeClamp,
     "x_strings" -> xStrings,
     "x_datetime" -> xDatetime)
+
+  private val asofTwinSql =
+    """WITH v AS (SELECT user_id, ts, event_id AS v_id, value AS v_value
+      |           FROM events WHERE event_type = 'view')
+      |SELECT c.event_id, c.user_id, c.ts,
+      |  (SELECT v.v_id FROM v WHERE v.user_id = c.user_id AND v.ts <= c.ts
+      |   ORDER BY v.ts DESC, v.v_id DESC LIMIT 1) AS asof_view_id,
+      |  (SELECT v.v_value FROM v WHERE v.user_id = c.user_id AND v.ts <= c.ts
+      |   ORDER BY v.ts DESC, v.v_id DESC LIMIT 1) AS asof_value
+      |FROM events c WHERE c.event_type = 'click'""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "p1_project" ->
@@ -410,16 +434,10 @@ object Relational {
         |  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = 1 AND b.l_linenumber > 1""".stripMargin,
     // Independent as-of twin: a correlated "latest view at or before"
     // subquery with the same deterministic tie-break (ts DESC, id DESC)
-    // — a completely different algorithm from the engine's union-window.
-    "j7_asof" ->
-      """WITH v AS (SELECT user_id, ts, event_id AS v_id, value AS v_value
-        |           FROM events WHERE event_type = 'view')
-        |SELECT c.event_id, c.user_id, c.ts,
-        |  (SELECT v.v_id FROM v WHERE v.user_id = c.user_id AND v.ts <= c.ts
-        |   ORDER BY v.ts DESC, v.v_id DESC LIMIT 1) AS asof_view_id,
-        |  (SELECT v.v_value FROM v WHERE v.user_id = c.user_id AND v.ts <= c.ts
-        |   ORDER BY v.ts DESC, v.v_id DESC LIMIT 1) AS asof_value
-        |FROM events c WHERE c.event_type = 'click'""".stripMargin,
+    // — a completely different algorithm from the engine's union-window
+    // AND from the custom sort-merge operator (both keys share it).
+    "j7_asof" -> asofTwinSql,
+    "j7_asof_native" -> asofTwinSql,
     // Independent range-join twin: the plain BETWEEN theta-join — no
     // bucketization — over the same derived promotion windows.
     "j8_range" ->

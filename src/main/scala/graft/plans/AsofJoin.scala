@@ -1,0 +1,151 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, GenericInternalRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graft.PlanBridge
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Whole-operator as-of join — the one operator in this engine where a
+  * custom LogicalPlan + Strategy + physical operator is genuinely
+  * justified (builder brief, preference order (c)): Spark has no as-of
+  * join, and while the union-window encoding (ops.Relational.asofJoin)
+  * expresses it with built-ins, it pays for the encoding — a union with
+  * four null-padded columns, a window buffer, and a filter that drops
+  * half the rows it just windowed. This operator IS the semantics: both
+  * sides hash-cluster on the user key and sort by time, and one
+  * streaming merge pass per partition carries the latest view — O(1)
+  * state, zero padding, no post-filter.
+  *
+  * Exact same semantics as the union-window form and the correlated
+  * DuckDB twin: a view at ts == click ts IS visible, ties among views
+  * resolve to the highest v_id. Pinned by result-identity tests on
+  * adversarial tied data and by the driver's j7_asof_native oracle row.
+  *
+  * Child schemas are fixed by the [[AsofJoin.join]] API:
+  * left/clicks = (event_id L, user_id L, ts T),
+  * right/views = (user_id L, ts T, v_id L, v_value D).
+  */
+case class AsofJoinPlan(left: LogicalPlan, right: LogicalPlan,
+    asofViewId: AttributeReference, asofValue: AttributeReference)
+  extends BinaryNode {
+  override def output: Seq[Attribute] = left.output :+ asofViewId :+ asofValue
+  override def producedAttributes: AttributeSet =
+    AttributeSet(Seq(asofViewId, asofValue))
+  // every child column is consumed by ordinal in the exec — declare
+  // them all referenced so ColumnPruning cannot narrow the children
+  override def references: AttributeSet =
+    AttributeSet(children.flatMap(_.output))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner rule: AsofJoinPlan → AsofJoinExec. Injected by
+  * GraftExtensions and (idempotently) by [[AsofJoin.join]] via
+  * `experimental.extraStrategies` for sessions built without the
+  * extension config. */
+object AsofStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case p: AsofJoinPlan =>
+      AsofJoinExec(planLater(p.left), planLater(p.right), p.asofViewId, p.asofValue) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Sort-merge as-of: EnsureRequirements co-partitions the children on
+  * the user key and sorts each by (user, ts, id); the merge keeps ONE
+  * buffered latest-view per partition — the streaming-state shape of
+  * EventStream.asofStream, run batch. */
+case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
+    asofViewId: AttributeReference, asofValue: AttributeReference)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output :+ asofViewId :+ asofValue
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(left.output(1))) ::
+      ClusteredDistribution(Seq(right.output(0))) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(left.output(1), Ascending), SortOrder(left.output(2), Ascending),
+      SortOrder(left.output(0), Ascending)),
+    Seq(SortOrder(right.output(0), Ascending), SortOrder(right.output(1), Ascending),
+      SortOrder(right.output(2), Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val types = output.map(_.dataType).toArray
+    left.execute().zipPartitions(right.execute()) { (clicks, views) =>
+      val proj = UnsafeProjection.create(types)
+      val out = new GenericInternalRow(5)
+      // latest view folded so far (valid when hasView && vUser matches)
+      var vUser = 0L; var vTs = 0L; var vId = 0L; var vVal = 0.0; var hasView = false
+      // one look-ahead view row not yet folded
+      var pUser = 0L; var pTs = 0L; var pId = 0L; var pVal = 0.0; var pending = false
+      clicks.map { c =>
+        val cUser = c.getLong(1)
+        val cTs = c.getLong(2)
+        var continue = true
+        while (continue && (pending || views.hasNext)) {
+          if (!pending) {
+            val v = views.next()
+            pUser = v.getLong(0); pTs = v.getLong(1)
+            pId = v.getLong(2); pVal = v.getDouble(3)
+            pending = true
+          }
+          if (pUser < cUser) pending = false // earlier user's views: obsolete
+          else if (pUser == cUser && pTs <= cTs) {
+            // at-or-before: fold; sort order guarantees (ts, id) ascending,
+            // so the last fold is the (ts DESC, id DESC) winner
+            vUser = pUser; vTs = pTs; vId = pId; vVal = pVal
+            hasView = true; pending = false
+          } else continue = false // this view is for a later time/user
+        }
+        out.update(0, c.getLong(0))
+        out.update(1, cUser)
+        out.update(2, cTs)
+        if (hasView && vUser == cUser) {
+          out.update(3, vId); out.update(4, vVal)
+        } else {
+          out.update(3, null); out.update(4, null)
+        }
+        proj(out)
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsofJoin {
+  /** `views` must carry (user_id, ts, v_id, v_value); `clicks`
+    * (event_id, user_id, ts) — the same contract as
+    * ops.Relational.asofJoin, same output schema, same tie rules. */
+  def join(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val spark = clicks.sparkSession
+    // idempotent planner registration for sessions built without
+    // spark.sql.extensions=graft.GraftExtensions
+    if (!spark.experimental.extraStrategies.contains(AsofStrategy))
+      spark.experimental.extraStrategies =
+        AsofStrategy +: spark.experimental.extraStrategies
+    val c = clicks.select(col("event_id").cast("long").as("event_id"),
+      col("user_id").cast("long").as("user_id"), col("ts"))
+    val v = views.select(col("user_id").cast("long").as("user_id"),
+      col("ts"), col("v_id").cast("long").as("v_id"),
+      col("v_value").cast("double").as("v_value"))
+    PlanBridge.dataset(spark, AsofJoinPlan(
+      c.queryExecution.analyzed, v.queryExecution.analyzed,
+      AttributeReference("asof_view_id", LongType, nullable = true)(),
+      AttributeReference("asof_value", DoubleType, nullable = true)()))
+  }
+}

@@ -14,3 +14,13 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** LogicalPlan → DataFrame bridge for custom whole-operator nodes
+  * (same rationale as [[ColumnBridge]]: `Dataset.ofRows` lives behind
+  * `private[sql]` in the classic implementation). */
+object PlanBridge {
+  def dataset(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+}

@@ -74,6 +74,46 @@ class AsofTopkSpec extends AnyFunSuite {
     }
   }
 
+  test("custom as-of operator: identical to the union-window form on adversarial ties") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    for (seed <- Seq(3, 11, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (1 to 300).map { i =>
+        (i.toLong, (rnd.nextInt(6) + 1).toLong,
+          new Timestamp(1700000000000L + rnd.nextInt(8) * 1000L),
+          if (rnd.nextBoolean()) "view" else "click",
+          rnd.nextDouble())
+      }
+      val df = rows.toDF("event_id", "user_id", "ts", "event_type", "value")
+      val views = df.filter($"event_type" === "view").select($"user_id", $"ts",
+        $"event_id".as("v_id"), $"value".as("v_value"))
+      val clicks = df.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", $"ts")
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("event_id"),
+          if (r.isNullAt(r.fieldIndex("asof_view_id"))) -1L else r.getAs[Long]("asof_view_id"),
+          if (r.isNullAt(r.fieldIndex("asof_value"))) Double.NaN else r.getAs[Double]("asof_value"))
+      val window = Relational.asofJoin(views, clicks).collect().map(key).toSet
+      val native = graft.plans.AsofJoin.join(views, clicks).collect().map(key).toSet
+      assert(native == window, s"seed=$seed")
+    }
+  }
+
+  test("custom as-of operator plans AsofJoinExec with co-partitioned sorted children") {
+    import org.apache.spark.sql.functions._
+    val e = graft.io.Sources.table(spark, sf, "events")
+    val df = graft.plans.AsofJoin.join(
+      e.filter(col("event_type") === "view").select(col("user_id"), col("ts"),
+        col("event_id").as("v_id"), col("value").as("v_value")),
+      e.filter(col("event_type") === "click").select(col("event_id"),
+        col("user_id"), col("ts")))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsofJoin"), s"expected the custom operator:\n$p")
+    assert(!p.contains("Window") && !p.contains("Union"),
+      s"native path must not fall back to the union-window encoding:\n$p")
+  }
+
   test("j8_range matches the naive theta-join and plans no nested loop") {
     import org.apache.spark.sql.functions._
     val orders = graft.io.Sources.table(spark, sf, "orders")
