@@ -100,6 +100,34 @@ class AsofTopkSpec extends AnyFunSuite {
     }
   }
 
+  test("custom as-of operator survives a single-user hot key across partitions") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // 50k events, 90% on one user: the hot partition's merge must stay
+    // O(1)-state correct and ties must still resolve deterministically
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 50000).map { i =>
+      val user = if (rnd.nextInt(10) < 9) 7L else (rnd.nextInt(4) + 1).toLong
+      (i.toLong, user, new Timestamp(1700000000000L + rnd.nextInt(1000) * 100L),
+        if (rnd.nextBoolean()) "view" else "click", rnd.nextDouble())
+    }
+    val df = rows.toDF("event_id", "user_id", "ts", "event_type", "value").repartition(8)
+    val views = df.filter($"event_type" === "view").select($"user_id", $"ts",
+      $"event_id".as("v_id"), $"value".as("v_value"))
+    val clicks = df.filter($"event_type" === "click").select($"event_id", $"user_id", $"ts")
+    val native = graft.plans.AsofJoin.join(views, clicks).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (if (r.isNullAt(3)) -1L else r.getAs[Long]("asof_view_id"))).toMap
+    // brute force on the driver
+    val vArr = rows.filter(_._4 == "view")
+    val expected = rows.filter(_._4 == "click").map { case (cid, uid, cts, _, _) =>
+      val prior = vArr.filter(v => v._2 == uid && !v._3.after(cts))
+      cid -> (if (prior.isEmpty) -1L else prior.maxBy(v => (v._3.getTime, v._1))._1)
+    }.toMap
+    assert(native.size == expected.size)
+    assert(native == expected)
+  }
+
   test("custom as-of operator plans AsofJoinExec with co-partitioned sorted children") {
     import org.apache.spark.sql.functions._
     val e = graft.io.Sources.table(spark, sf, "events")
