@@ -129,6 +129,14 @@ object Dedup {
     * exactly those pairs, re-applying the ≥ 0.5 threshold. Soundness is
     * hash-gated; recall stays with the planted-near-dup ScalaTest. */
   private val ddMinhash: Q = (s, d) => {
+    val found = minhashPairs(s, d).persist()
+    graft.io.Sinks.dumpFixture(found.select("doc_a", "doc_b"), "minhash_pairs")
+    found.orderBy("doc_a", "doc_b")
+  }
+
+  /** The LSH-banded, exact-verified near-dup pair relation dd_minhash
+    * emits — shared with [[ddClusterLsh]], which clusters it. */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val docs = table(s, d, "documents")
     // persisted: the bands relation feeds both sides of the candidate
     // self-join — without it the whole shingle→minhash pipeline (the
@@ -147,15 +155,37 @@ object Dedup {
       .dropDuplicates()
     val t = docs.select(col("doc_id"), tokHashes.as("tk"))
     val inter = ArrayFns.sortedLongIntersectCount(col("tk_a"), col("tk_b")).cast("double")
-    val found = cand
+    cand
       .join(t.select(col("doc_id").as("doc_a"), col("tk").as("tk_a")), Seq("doc_a"))
       .join(t.select(col("doc_id").as("doc_b"), col("tk").as("tk_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         dround(inter / (size(col("tk_a")) + size(col("tk_b")) - inter), 4).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
-      .persist()
-    graft.io.Sinks.dumpFixture(found.select("doc_a", "doc_b"), "minhash_pairs")
-    found.orderBy("doc_a", "doc_b")
+  }
+
+  /** Clustering over the LSH pair relation — the 100 TB path: at scale
+    * the exact-Jaccard pair list behind [[ddCluster]] is replaced by
+    * the sparse, output-sensitive MinHash pair set, and the SAME
+    * connected-components code rides it. Fixture gate: the pair set is
+    * dumped; DuckDB re-verifies each pair's exact Jaccard ≥ 0.5
+    * (soundness — an unsound pair changes the oracle's edge set) and
+    * closes the verified set transitively with a recursive CTE,
+    * re-deriving sizes and longest-member survivors. */
+  private val ddClusterLsh: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = minhashPairs(s, d).select("doc_a", "doc_b").persist()
+    graft.io.Sinks.dumpFixture(pairs, "cluster_lsh_pairs")
+    val comp = connectedComponents(
+      pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+    val members = comp.join(
+      table(s, d, "documents").select(col("doc_id").as("id"), col("n_chars")), "id")
+    val rn = row_number().over(
+      Window.partitionBy("comp").orderBy(col("n_chars").desc, col("id").asc))
+    members.withColumn("rn", rn)
+      .groupBy(col("comp").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(when(col("rn") === 1, col("id"))).as("survivor_id"))
+      .orderBy("cluster_id")
   }
 
   /** Connected components over an undirected pair list, by alternating
@@ -346,6 +376,7 @@ object Dedup {
     "dd_exact" -> ddExact,
     "dd_jaccard" -> ddJaccard,
     "dd_cluster" -> ddCluster,
+    "dd_cluster_lsh" -> ddClusterLsh,
     "dd_minhash" -> ddMinhash,
     "dd_simhash" -> ddSimhash,
     "dd_lines" -> ddLines)
@@ -386,6 +417,33 @@ object Dedup {
         |   WHERE jaccard >= 0.9),
         | edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
         |           UNION SELECT doc_b, doc_a FROM pairs),
+        | reach AS (SELECT u AS id, v AS r FROM edges
+        |           UNION
+        |           SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u),
+        | comp AS (SELECT id, least(min(r), id) AS comp FROM reach GROUP BY id),
+        | m AS (SELECT c.id, c.comp, d.n_chars,
+        |       row_number() OVER (PARTITION BY c.comp
+        |                          ORDER BY d.n_chars DESC, c.id ASC) AS rn
+        |       FROM comp c JOIN documents d ON d.doc_id = c.id)
+        |SELECT comp AS cluster_id, count(*) AS n_members,
+        |       max(CASE WHEN rn = 1 THEN id END) AS survivor_id
+        |FROM m GROUP BY comp ORDER BY cluster_id""".stripMargin,
+    // LSH-cluster twin: every dumped pair's exact Jaccard re-verified
+    // (≥ 0.5 — an unsound pair changes the edge set and the hash), then
+    // the verified edges closed transitively by a recursive CTE and
+    // rolled up with the longest-member survivor rule.
+    "dd_cluster_lsh" ->
+      """WITH RECURSIVE
+        | p AS (SELECT doc_a, doc_b
+        |        FROM read_parquet('/tmp/graft_fixtures/cluster_lsh_pairs/*.parquet')),
+        | t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk FROM documents),
+        | verified AS (
+        |   SELECT p.doc_a, p.doc_b FROM p
+        |   JOIN t a ON a.doc_id = p.doc_a JOIN t b ON b.doc_id = p.doc_b
+        |   WHERE round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+        |     / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))), 4) >= 0.5),
+        | edges AS (SELECT doc_a AS u, doc_b AS v FROM verified
+        |           UNION SELECT doc_b, doc_a FROM verified),
         | reach AS (SELECT u AS id, v AS r FROM edges
         |           UNION
         |           SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u),
