@@ -199,8 +199,22 @@ object Events {
   private val w8Sessions: Q = (s, d) =>
     sessions(table(s, d, "events")).orderBy("user_id", "session_id")
 
+  /** W9 inter-event deltas — lag over (user, ts): the telemetry op
+    * behind gap detection (the same lag the sessionizer flags on,
+    * gated directly). One shuffle on user_id, same family as W3/W4. */
+  private val w9Deltas: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    table(s, d, "events").select(
+      col("event_id"), col("user_id"),
+      dround(col("ts").cast("double") - lag(col("ts"), 1).over(w).cast("double"), 6)
+        .as("delta_s"),
+      lag(col("event_type"), 1).over(w).as("prev_type"))
+  }
+
   val queries: Map[String, Q] = Map(
     "w8_sessions" -> w8Sessions,
+    "w9_deltas" -> w9Deltas,
     "w1_start" -> w1Start,
     "w2_stop" -> w2Stop,
     "w3_crossing" -> w3Crossing,
@@ -235,6 +249,13 @@ object Events {
         |  round(sum(value), 4) AS total_value
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "w9_deltas" ->
+      """SELECT event_id, user_id,
+        | round(epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id)), 6) AS delta_s,
+        | lag(event_type) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id) AS prev_type
+        |FROM events""".stripMargin,
     "w1_start" -> (startSql + " ORDER BY user_id"),
     "w2_stop" ->
       """SELECT user_id, min(CASE WHEN event_type = 'error' THEN event_id END) AS stop_id

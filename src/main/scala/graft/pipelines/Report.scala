@@ -293,8 +293,29 @@ object Report {
       .orderBy("bucket")
   }
 
+  /** A16 rank family — per-event-type user ranking by total value with
+    * rank + percent_rank. The window partitions by event_type (bounded
+    * groups), never a single global order; the upstream agg is one
+    * partial-aggregated shuffle. Rounding before ranking is not needed:
+    * rank ties come from exact-equal sums, and percent_rank is emitted
+    * rounded (not ranked on). */
+  private val a16PercentRank: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val totals = graft.io.Sources.table(s, d, "events")
+      .groupBy("event_type", "user_id")
+      .agg(dround(sum(col("value")), 4).as("total_value"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("total_value").desc, col("user_id").asc)
+    totals.select(col("event_type"), col("user_id"), col("total_value"),
+        rank().over(w).cast("long").as("rnk"),
+        dround(percent_rank().over(w), 6).as("pct_rank"))
+      .filter(col("rnk") <= 10)
+      .orderBy("event_type", "rnk")
+  }
+
   val queries: Map[String, Q] = Map(
     "a13_pivot" -> a13Pivot,
+    "a16_percent_rank" -> a16PercentRank,
     "a15_equidepth" -> a15Equidepth,
     "a14_rollup" -> a14Rollup,
     "ep3_report" -> ep3Report,
@@ -321,6 +342,17 @@ object Report {
         | round(avg(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup,
         | round(avg(CASE WHEN event_type = 'error' THEN value END), 4) AS error
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "a16_percent_rank" ->
+      """WITH t AS (SELECT event_type, user_id,
+        |    round(sum(value), 4) AS total_value
+        |  FROM events GROUP BY event_type, user_id),
+        | r AS (SELECT event_type, user_id, total_value,
+        |    CAST(rank() OVER w AS BIGINT) AS rnk,
+        |    round(percent_rank() OVER w, 6) AS pct_rank
+        |  FROM t WINDOW w AS (PARTITION BY event_type
+        |    ORDER BY total_value DESC, user_id ASC))
+        |SELECT event_type, user_id, total_value, rnk, pct_rank
+        |FROM r WHERE rnk <= 10 ORDER BY event_type, rnk""".stripMargin,
     // same cut derivation (quantile_cont = Spark's exact interpolated
     // percentile), same floor-based cent rounding, same strict-> bucket
     "a15_equidepth" ->
