@@ -244,6 +244,34 @@ object Relational {
         col("ship_day").cast("string").as("ship_day"))
   }
 
+  /** J9 runtime-bloom-pruned fact join (extension) — the 100 TB shape
+    * when NEITHER side broadcasts: Spark's InjectRuntimeFilter builds a
+    * bloom filter over the selective side's join keys and pushes a
+    * `might_contain` probe into the fact side's SCAN, so non-candidate
+    * rows are dropped before the shuffle instead of after it. The
+    * scoped session models the big-cluster regime — broadcast disabled
+    * (a TB-scale dim cannot broadcast) and the application-side size
+    * gate opened so the sf0.01 gate exercises the same plan the large
+    * deployment would choose. Semantics are untouched (a bloom false
+    * positive only passes extra rows to the exact join), so the oracle
+    * is the plain join. Plan pinned by a test: `might_contain` present,
+    * no broadcast join. */
+  private val j9BloomPrune: Q = (s, d) => {
+    val scoped = s.newSession()
+    scoped.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    scoped.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    scoped.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    scoped.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    val orders = table(scoped, d, "orders")
+      .filter(col("o_totalprice") > 400000)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    table(scoped, d, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("o_totalprice"))
+  }
+
   /** A1 multi-column distinct — play worklist (calculate_YAP.py:21). */
   private val a1DropDup: Q = (s, d) =>
     table(s, d, "events").select("user_id", "event_type").dropDuplicates()
@@ -364,6 +392,7 @@ object Relational {
     "j7_asof" -> j7Asof,
     "j7_asof_native" -> j7AsofNative,
     "j8_range" -> j8Range,
+    "j9_bloom_prune" -> j9BloomPrune,
     "a1_dropdup" -> a1DropDup,
     "a2_distinct" -> a2Distinct,
     "o2_bottomk" -> o2BottomK,
@@ -438,6 +467,11 @@ object Relational {
     // AND from the custom sort-merge operator (both keys share it).
     "j7_asof" -> asofTwinSql,
     "j7_asof_native" -> asofTwinSql,
+    // bloom pruning is semantics-free: the twin is the plain join
+    "j9_bloom_prune" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_totalprice
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_totalprice > 400000""".stripMargin,
     // Independent range-join twin: the plain BETWEEN theta-join — no
     // bucketization — over the same derived promotion windows.
     "j8_range" ->

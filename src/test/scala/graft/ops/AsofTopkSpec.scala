@@ -167,6 +167,17 @@ class AsofTopkSpec extends AnyFunSuite {
       s"bucketized range join must plan an equi-join:\n$p")
   }
 
+  test("j9_bloom_prune pushes a runtime bloom probe into the fact scan") {
+    val df = Relational.queries("j9_bloom_prune")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"),
+      s"expected a runtime bloom probe on the fact side:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"the modeled regime has no broadcastable side:\n$p")
+    // scoped-session conf must not leak into the caller (r4 wrong §1 class)
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1")
+  }
+
   test("sk_topk surfaces the planted hot keys with bounded sketch error") {
     val out = Sketches.queries("sk_topk")(spark, sf).collect()
     val items = out.map(_.getAs[String]("item")).toSet
