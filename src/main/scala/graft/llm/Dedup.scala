@@ -172,20 +172,9 @@ object Dedup {
     * closes the verified set transitively with a recursive CTE,
     * re-deriving sizes and longest-member survivors. */
   private val ddClusterLsh: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
     val pairs = minhashPairs(s, d).select("doc_a", "doc_b").persist()
     graft.io.Sinks.dumpFixture(pairs, "cluster_lsh_pairs")
-    val comp = connectedComponents(
-      pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
-    val members = comp.join(
-      table(s, d, "documents").select(col("doc_id").as("id"), col("n_chars")), "id")
-    val rn = row_number().over(
-      Window.partitionBy("comp").orderBy(col("n_chars").desc, col("id").asc))
-    members.withColumn("rn", rn)
-      .groupBy(col("comp").as("cluster_id"))
-      .agg(count(lit(1)).as("n_members"),
-        max(when(col("rn") === 1, col("id"))).as("survivor_id"))
-      .orderBy("cluster_id")
+    clusterRollup(s, d, pairs)
   }
 
   /** Connected components over an undirected pair list, by alternating
@@ -266,10 +255,15 @@ object Dedup {
     * cleaner applies before dropping the rest). Fully SQL-expressible:
     * the oracle recomputes the pair set, closes it transitively with a
     * recursive CTE, and re-derives the survivor per cluster. */
-  private val ddCluster: Q = (s, d) => {
+  /** Cluster rollup shared by [[ddCluster]] and [[ddClusterLsh]]: label
+    * the pair set's components, then one row per cluster with the
+    * longest-member survivor (ties to the smallest doc_id). Shared so
+    * the survivor rule can never silently diverge between the exact and
+    * LSH paths. */
+  private def clusterRollup(s: SparkSession, d: String, pairs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val comp = connectedComponents(
-      jaccardPairs(s, d).select(col("doc_a").as("u"), col("doc_b").as("v")))
+      pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
     val members = comp.join(
       table(s, d, "documents").select(col("doc_id").as("id"), col("n_chars")), "id")
     val rn = row_number().over(
@@ -280,6 +274,9 @@ object Dedup {
         max(when(col("rn") === 1, col("id"))).as("survivor_id"))
       .orderBy("cluster_id")
   }
+
+  private val ddCluster: Q = (s, d) =>
+    clusterRollup(s, d, jaccardPairs(s, d).select("doc_a", "doc_b"))
 
   // Planted boilerplate for the line-dedup gate: the synthetic corpus
   // has no repeated lines, so (ts_pii precedent) the query PLANTS a
@@ -481,8 +478,7 @@ object Dedup {
          |     CASE WHEN doc_id % 7 = 0 THEN ['$bpFooter'] ELSE [] END) AS lines
          |   FROM base),
          | lr AS (SELECT a.doc_id, g.i AS line_no, a.lines[g.i] AS line
-         |        FROM aug a JOIN (SELECT unnest(generate_series(1, 1000)) AS i) g
-         |          ON g.i <= len(a.lines)),
+         |        FROM aug a, LATERAL unnest(generate_series(1, len(a.lines))) g(i)),
          | freq AS (SELECT line FROM lr GROUP BY line
          |          HAVING count(DISTINCT doc_id) >= $bpMinDocs),
          | flg AS (SELECT lr.doc_id, lr.line_no, lr.line,

@@ -228,11 +228,12 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // LATERAL series sized by each doc's own token count — no magic
+    // position cap that a longer future document could silently exceed
     "ts_ngram_lm" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         | bi AS (SELECT tk[g.i] AS w1, tk[g.i+1] AS w2
-        |        FROM t, (SELECT unnest(generate_series(1, 2000)) AS i) g
-        |        WHERE g.i < len(tk)),
+        |        FROM t, LATERAL unnest(generate_series(1, len(tk) - 1)) g(i)),
         | c12 AS (SELECT w1, w2, count(*) AS n12 FROM bi GROUP BY w1, w2),
         | c1 AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM c12 GROUP BY w1)
         |SELECT c12.w1, c12.w2, c12.n12, c1.n1,

@@ -35,7 +35,9 @@ object NflQueries {
     DemoPlays.players(s), DemoPlays.tackles(s))
 
   private val fx = "/tmp/graft_fixtures"
-  private val seasonPlays = 600
+  /** Season workload size — Verify regenerates the oracle fixtures
+    * from the SAME constant, so the two can never diverge. */
+  private[graft] val seasonPlays = 600
   private[pipelines] val seasonTable = "graft_season_bucketed"
 
   /** Dump the full emit relation (raw kernel fields included) as the

@@ -163,7 +163,14 @@ object EventStream {
                 (c.ts_ms == e.ts.getTime && c.id < e.event_id))
             if (newer) cur = Some(LatestView(e.ts.getTime, e.event_id, e.value))
           } else {
-            out += AsofHit(e.event_id, userId, e.ts, cur.map(_.id), cur.map(_.value))
+            // a LATE click (older than the stored latest view) must not
+            // be enriched from its future: only an at-or-before view is
+            // eligible. The state keeps just the newest view, so a late
+            // click whose true match was superseded degrades to null —
+            // never to a wrong-direction join; batch j7_asof repairs.
+            val eligible = cur.filter(_.ts_ms <= e.ts.getTime)
+            out += AsofHit(e.event_id, userId, e.ts,
+              eligible.map(_.id), eligible.map(_.value))
           }
         }
       cur.foreach(state.update)

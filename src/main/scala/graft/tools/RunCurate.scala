@@ -22,11 +22,14 @@ import org.apache.spark.sql.SparkSession
   *   <outDir>/dedup_exact   — exact-dup groups + survivor ids
   *   <outDir>/neardup_pairs — MinHash-LSH verified near-dup pairs
   *   <outDir>/boilerplate   — line-level boilerplate removal report
-  *   <outDir>/dq_checks     — constraint-check pass/fail report
+  *   <outDir>/dq_checks     — constraint-check pass/fail report (only
+  *                            when the input dir also carries the
+  *                            star-schema tables the checks read —
+  *                            a corpus-only dir skips it)
   */
 object RunCurate {
 
-  private val artifacts = Seq(
+  private val corpusArtifacts = Seq(
     "curated" -> "ds_curated",
     "splits" -> "ds_split",
     "quality" -> "ts_quality",
@@ -34,17 +37,24 @@ object RunCurate {
     "stats" -> "ts_stats",
     "dedup_exact" -> "dd_exact",
     "neardup_pairs" -> "dd_minhash",
-    "boilerplate" -> "dd_lines",
-    "dq_checks" -> "dq_checks")
+    "boilerplate" -> "dd_lines")
 
   /** Session-agnostic body — the smoke test drives this directly.
-    * Returns row counts per artifact. */
-  def run(spark: SparkSession, in: String, out: String): Map[String, Long] =
+    * Returns row counts per artifact. dq_checks reads lineitem/orders/
+    * customer/events, which a corpus-only directory does not have, so
+    * it runs only when those tables are present (RunCurateSpec covers
+    * both layouts). */
+  def run(spark: SparkSession, in: String, out: String): Map[String, Long] = {
+    val hasStarSchema = Seq("lineitem", "orders", "customer", "events")
+      .forall(t => new java.io.File(s"$in/$t.parquet").exists)
+    val artifacts = corpusArtifacts ++
+      (if (hasStarSchema) Seq("dq_checks" -> "dq_checks") else Nil)
     artifacts.map { case (name, query) =>
       val df = graft.SparkEntry.queries(query)(spark, in)
       df.write.mode("overwrite").parquet(s"$out/$name")
       name -> spark.read.parquet(s"$out/$name").count()
     }.toMap
+  }
 
   def main(args: Array[String]): Unit = {
     val Array(in, out) = args.take(2)

@@ -236,6 +236,31 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming as-of never enriches a late click from its future") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[EventStream.AsofEv]
+    val q = EventStream.asofStream(spark, source.toDS())
+      .writeStream.format("memory").queryName("asof_late_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: only a view at t=60
+      source.addData(EventStream.AsofEv(10, 1, ts(60), "view", 5.0))
+      q.processAllAvailable()
+      // batch 2: a LATE click at t=30 — the stored view is in its
+      // future, so the enrichment must be null, not view 10
+      source.addData(EventStream.AsofEv(11, 1, ts(30), "click", 0.0))
+      q.processAllAvailable()
+      // and an on-time click at t=90 still gets the view
+      source.addData(EventStream.AsofEv(12, 1, ts(90), "click", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("asof_late_out").as[EventStream.AsofHit]
+        .collect().map(h => h.event_id -> h.asof_view_id).toMap
+      assert(rows(11L).isEmpty, s"late click joined from its future: $rows")
+      assert(rows(12L).contains(10L))
+    } finally q.stop()
+  }
+
   test("custom-state sessionize matches the oracle-gated w8_sessions on real data") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"

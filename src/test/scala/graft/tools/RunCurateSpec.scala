@@ -25,4 +25,20 @@ class RunCurateSpec extends AnyFunSuite {
     // idempotent: a second run overwrites to the same counts
     assert(RunCurate.run(spark, sf, out) == counts)
   }
+
+  test("RunCurate works on a corpus-only directory (documented layout)") {
+    // the documented input is just documents/embeddings — dq_checks
+    // (which reads the star schema) must be skipped, not crash the run
+    val root = java.nio.file.Files.createTempDirectory("runcurate2").toString
+    val in = s"$root/in"; val out = s"$root/out"
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .write.parquet(s"$in/documents.parquet")
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .write.parquet(s"$in/embeddings.parquet")
+    val counts = RunCurate.run(spark, in, out)
+    assert(!counts.contains("dq_checks"))
+    assert(counts.keySet == Set("curated", "splits", "quality", "langid",
+      "stats", "dedup_exact", "neardup_pairs", "boilerplate"))
+    assert(counts.values.forall(_ > 0))
+  }
 }
