@@ -152,6 +152,27 @@ case class TokensInSetCount(child: Expression, tokens: Seq[String]) extends Unar
 }
 
 object TextHashes {
+  /** DuckDB replay of the FNV-1a/64 byte fold (the [[RollingHash]]
+    * kernel) over a SQL string expression — the ONE definition every
+    * oracle twin builds from (TextOps, Curate, Multimodal); a fix to
+    * the fold lands everywhere at once. HUGEINT keeps the 104-bit
+    * products exact; xor only touches the low byte. `string_split(x,
+    * '')` yields chars = bytes on the ASCII corpora these twins run
+    * against. Returns the raw unsigned fold as HUGEINT. */
+  def fnvFoldSql(expr: String): String =
+    s"""list_reduce(
+       |    list_prepend(14695981039346656037::HUGEINT,
+       |      [ord(c)::HUGEINT for c in string_split($expr, '')]),
+       |    (acc, x) -> ((acc - (acc % 256) + xor((acc % 256)::BIGINT, x::BIGINT)::HUGEINT)
+       |                 * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+       |  )""".stripMargin
+
+  /** The fold reinterpreted as the engine's signed Long. Takes the name
+    * of a column holding the HUGEINT fold. */
+  def fnvSignedSql(hu: String): String =
+    s"""CASE WHEN $hu >= 9223372036854775808::HUGEINT
+       |   THEN ($hu - 18446744073709551616::HUGEINT)::BIGINT ELSE $hu::BIGINT END""".stripMargin
+
   /** [[RollingHash]] as a Column, no registry needed. */
   def rollHash(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.graft.ColumnBridge.column(

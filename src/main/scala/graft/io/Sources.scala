@@ -140,13 +140,18 @@ object Sources {
     * the cell and keeps the job alive; the corruption stays VISIBLE
     * (ADVICE r4) through [[csvRejects]], the dead-letter-shaped sweep
     * that reports exactly the rows where a non-null token nulled. */
-  def csv(spark: SparkSession, path: String, schema: StructType): DataFrame = {
-    val raw = spark.read
+  // ONE raw read shared by csv() and csvRejects(): the reject sweep
+  // must parse the file with byte-identical options to the pipeline it
+  // audits, or it reports rejects the real read never saw.
+  private def rawCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
       .option("header", "true")
       .option("nullValue", "NA")   // Kaggle convention; "" is null too
       .csv(path)
-    raw.select(schema.fields.toIndexedSeq.map(f => col(f.name).try_cast(f.dataType)): _*)
-  }
+
+  def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    rawCsv(spark, path).select(
+      schema.fields.toIndexedSeq.map(f => col(f.name).try_cast(f.dataType)): _*)
 
   /** Parse-reject companion to [[csv]]: the rows where any schema field
     * held a non-null raw token that [[csv]]'s `try_cast` nulled, with a
@@ -156,10 +161,7 @@ object Sources {
     * path tolerant (ADVICE r4: corruption must surface, but not by
     * killing the job the way an ANSI cast / FAILFAST would). */
   def csvRejects(spark: SparkSession, path: String, schema: StructType): DataFrame = {
-    val raw = spark.read
-      .option("header", "true")
-      .option("nullValue", "NA")
-      .csv(path)
+    val raw = rawCsv(spark, path)
     val badNames = array(schema.fields.toIndexedSeq.map { f =>
       when(col(f.name).isNotNull && col(f.name).try_cast(f.dataType).isNull, lit(f.name))
     }: _*)

@@ -39,16 +39,12 @@ object Curate {
   // Shared FNV replay for the oracle twins: signed 64-bit fp per doc,
   // identical to the engine's roll_hash (ts_fingerprint_roll pattern).
   // -------------------------------------------------------------------
+  // single-sourced FNV replay (TextHashes.fnvFoldSql — shared with the
+  // TextOps and Multimodal twins)
   private val fnvCte =
-    """WITH h AS (SELECT *, list_reduce(
-      |    list_prepend(14695981039346656037::HUGEINT,
-      |      [ord(c)::HUGEINT for c in string_split(text, '')]),
-      |    (acc, x) -> ((acc - (acc % 256) + xor((acc % 256)::BIGINT, x::BIGINT)::HUGEINT)
-      |                 * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
-      |  ) AS hu FROM documents),
-      | f AS (SELECT *, CASE WHEN hu >= 9223372036854775808::HUGEINT
-      |   THEN (hu - 18446744073709551616::HUGEINT)::BIGINT ELSE hu::BIGINT END AS fp
-      |   FROM h)""".stripMargin
+    s"""WITH h AS (SELECT *, ${graft.functions.TextHashes.fnvFoldSql("text")} AS hu FROM documents),
+       | f AS (SELECT *, ${graft.functions.TextHashes.fnvSignedSql("hu")} AS fp
+       |   FROM h)""".stripMargin
 
   /** Non-negative hash bucket in [0, m): engine side of the oracle's
     * `((fp % m) + m) % m`. */
@@ -140,14 +136,11 @@ object Curate {
     val ratio = nStop.cast("double") / nTokens
     val scored = docs.select(
       col("doc_id"), col("lang"), col("n_chars"), col("text"),
-      (col("n_chars").between(100, 2000) && ratio.between(0.05, 0.6)).as("q_ok"))
+      TextOps.qualityOk(col("n_chars"), ratio).as("q_ok"))
     val pred = TextOps.markers.foldLeft(scored) { case (df, (n, set)) =>
       df.withColumn(n, graft.functions.ArrayFns.tokensInSetCount(col("text"), set))
     }.withColumn("lang_pred",
-      when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") && col("s_en") >= col("s_de"), "en")
-        .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_de"), "es")
-        .when(col("s_fr") >= col("s_de"), "fr")
-        .otherwise("de"))
+      TextOps.langArgmax(col("s_en"), col("s_es"), col("s_fr"), col("s_de")))
     val survivor = col("doc_id") ===
       min(col("doc_id")).over(Window.partitionBy(md5(col("text").cast("binary"))))
     pred

@@ -198,16 +198,11 @@ object Multimodal {
     * formula) and the float32 feature quotients from scratch. */
   val oracle: Map[String, String] = Map(
     "mm_features" ->
-      """WITH m AS (SELECT media_id, kind, n_bytes FROM read_parquet('/tmp/graft_fixtures/demo_media_meta/*.parquet')),
-        | b AS (
-        |  SELECT m.media_id, t.j,
-        |   list_reduce(
-        |     list_prepend(14695981039346656037::HUGEINT,
-        |       [ord(c)::HUGEINT for c in string_split(m.media_id || ':' || t.j, '')]),
-        |     (acc, x) -> ((acc - (acc % 256) + xor((acc % 256)::BIGINT, x::BIGINT)::HUGEINT)
-        |                  * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
-        |   ) % 256 AS byte
-        |  FROM m, LATERAL unnest(generate_series(0, m.n_bytes::INT - 1)) t(j)),
+      s"""WITH m AS (SELECT media_id, kind, n_bytes FROM read_parquet('/tmp/graft_fixtures/demo_media_meta/*.parquet')),
+         | b AS (
+         |  SELECT m.media_id, t.j,
+         |   ${graft.functions.TextHashes.fnvFoldSql("m.media_id || ':' || t.j")} % 256 AS byte
+         |  FROM m, LATERAL unnest(generate_series(0, m.n_bytes::INT - 1)) t(j)),
         | hist AS (
         |  SELECT media_id, (byte // 16)::INT AS bin, count(*)::BIGINT AS c
         |  FROM b GROUP BY media_id, (byte // 16)::INT),
@@ -234,17 +229,12 @@ object Multimodal {
     // (i·len div 9216), and fingerprint the reconstructed payload —
     // upper-case hex to match Spark's hex()
     "mm_resize" ->
-      """WITH m AS (SELECT media_id, width, height, n_bytes
-        |           FROM read_parquet('/tmp/graft_fixtures/demo_media_meta/*.parquet') WHERE kind='image'),
-        | src AS (
-        |  SELECT m.media_id, t.j,
-        |   (list_reduce(
-        |     list_prepend(14695981039346656037::HUGEINT,
-        |       [ord(c)::HUGEINT for c in string_split(m.media_id || ':' || t.j, '')]),
-        |     (acc, x) -> ((acc - (acc % 256) + xor((acc % 256)::BIGINT, x::BIGINT)::HUGEINT)
-        |                  * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
-        |   ) % 256)::INT AS b
-        |  FROM m, LATERAL unnest(generate_series(0, m.n_bytes::INT - 1)) t(j)),
+      s"""WITH m AS (SELECT media_id, width, height, n_bytes
+         |           FROM read_parquet('/tmp/graft_fixtures/demo_media_meta/*.parquet') WHERE kind='image'),
+         | src AS (
+         |  SELECT m.media_id, t.j,
+         |   (${graft.functions.TextHashes.fnvFoldSql("m.media_id || ':' || t.j")} % 256)::INT AS b
+         |  FROM m, LATERAL unnest(generate_series(0, m.n_bytes::INT - 1)) t(j)),
         | outb AS (
         |  SELECT m.media_id, t.i, s.b
         |  FROM m
@@ -260,18 +250,13 @@ object Multimodal {
     // bytes = FNV("seed:j")), then grouped — a wrong survivor rule, a
     // fabricated copy count, or a single wrong byte all diverge
     "mm_dedup" ->
-      """WITH m AS (SELECT i AS media_id, (i % 24) AS seed,
-        |             256 + ((i % 24) * 37) % 512 AS n_bytes
-        |           FROM (SELECT unnest(generate_series(0, 63)) AS i)),
-        | b AS (
-        |  SELECT m.media_id, t.j,
-        |   (list_reduce(
-        |     list_prepend(14695981039346656037::HUGEINT,
-        |       [ord(c)::HUGEINT for c in string_split(m.seed || ':' || t.j, '')]),
-        |     (acc, x) -> ((acc - (acc % 256) + xor((acc % 256)::BIGINT, x::BIGINT)::HUGEINT)
-        |                  * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
-        |   ) % 256)::INT AS byte
-        |  FROM m, LATERAL unnest(generate_series(0, m.n_bytes::INT - 1)) t(j)),
+      s"""WITH m AS (SELECT i AS media_id, (i % 24) AS seed,
+         |             256 + ((i % 24) * 37) % 512 AS n_bytes
+         |           FROM (SELECT unnest(generate_series(0, 63)) AS i)),
+         | b AS (
+         |  SELECT m.media_id, t.j,
+         |   (${graft.functions.TextHashes.fnvFoldSql("m.seed || ':' || t.j")} % 256)::INT AS byte
+         |  FROM m, LATERAL unnest(generate_series(0, m.n_bytes::INT - 1)) t(j)),
         | fp AS (SELECT media_id, md5(string_agg(printf('%02X', byte), '' ORDER BY j)) AS content_md5
         |        FROM b GROUP BY media_id)
         |SELECT content_md5, min(media_id) AS keep_id, count(*) AS n_copies

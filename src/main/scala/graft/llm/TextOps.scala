@@ -32,6 +32,20 @@ object TextOps {
   private def countIn(set: Seq[String]): Column =
     ArrayFns.tokensInSetCount(col("text"), set)
 
+  /** The quality window — shared with Curate.dsCurated so the curated
+    * corpus can never silently drift from the published ts_quality
+    * flags when a threshold is tuned. */
+  private[llm] def qualityOk(nChars: Column, stopRatio: Column): Column =
+    nChars.between(100, 2000) && stopRatio.between(0.05, 0.6)
+
+  /** The marker-vote argmax with its fixed precedence — shared with
+    * Curate.dsCurated (same rationale as [[qualityOk]]). */
+  private[llm] def langArgmax(en: Column, es: Column, fr: Column, de: Column): Column =
+    when(en >= es && en >= fr && en >= de, "en")
+      .when(es >= fr && es >= de, "es")
+      .when(fr >= de, "fr")
+      .otherwise("de")
+
   /** Token counting + length stats: whitespace tokens and a BPE-ish
     * regex word count (regexp_count — counts without materializing the
     * match array the way regexp_extract_all would). */
@@ -56,7 +70,7 @@ object TextOps {
     base.select(
       col("doc_id"), col("n_stop"),
       dround(ratio, 4).as("stop_ratio"),
-      when(col("n_chars").between(100, 2000) && ratio.between(0.05, 0.6), "ok")
+      when(qualityOk(col("n_chars"), ratio), "ok")
         .otherwise("suspect").as("quality_flag"))
       .orderBy("doc_id")
   }
@@ -76,10 +90,7 @@ object TextOps {
       .select(col("doc_id") +: markers.map { case (n, set) => countIn(set).as(n) }: _*)
     scored.select(
       col("doc_id"), col("s_en"), col("s_es"), col("s_fr"), col("s_de"),
-      when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") && col("s_en") >= col("s_de"), "en")
-        .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_de"), "es")
-        .when(col("s_fr") >= col("s_de"), "fr")
-        .otherwise("de").as("lang_pred"))
+      langArgmax(col("s_en"), col("s_es"), col("s_fr"), col("s_de")).as("lang_pred"))
       .orderBy("doc_id")
   }
 
@@ -246,15 +257,9 @@ object TextOps {
     // the final CASE maps the unsigned fold back to the engine's signed
     // Long. `string_split(text, '')` yields chars = bytes (ASCII corpus).
     "ts_fingerprint_roll" ->
-      """WITH h AS (SELECT doc_id, list_reduce(
-        |    list_prepend(14695981039346656037::HUGEINT,
-        |      [ord(c)::HUGEINT for c in string_split(text, '')]),
-        |    (acc, x) -> ((acc - (acc % 256) + xor((acc % 256)::BIGINT, x::BIGINT)::HUGEINT)
-        |                 * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
-        |  ) AS hu FROM documents)
-        |SELECT doc_id, CASE WHEN hu >= 9223372036854775808::HUGEINT
-        |  THEN (hu - 18446744073709551616::HUGEINT)::BIGINT ELSE hu::BIGINT END AS fp_roll
-        |FROM h ORDER BY doc_id""".stripMargin,
+      s"""WITH h AS (SELECT doc_id, ${TextHashes.fnvFoldSql("text")} AS hu FROM documents)
+         |SELECT doc_id, ${TextHashes.fnvSignedSql("hu")} AS fp_roll
+         |FROM h ORDER BY doc_id""".stripMargin,
     "ts_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         | s AS (SELECT doc_id, list_transform(generate_series(1, len(tk)-2),

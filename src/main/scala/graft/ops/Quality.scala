@@ -104,8 +104,12 @@ object Quality {
         |  FROM lineitem
         |  UNION ALL
         |  SELECT 'orders_custkey_fk',
-        |    (SELECT count(*) FROM orders
-        |     WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |    -- NOT EXISTS, not NOT IN: NOT IN goes UNKNOWN-everywhere the
+        |    -- moment any c_custkey is NULL, while the engine's left_anti
+        |    -- (and NOT EXISTS) count real orphans regardless
+        |    (SELECT count(*) FROM orders o
+        |     WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                       WHERE c.c_custkey = o.o_custkey))
         |  UNION ALL
         |  SELECT 'events_value_in_0_100',
         |    (SELECT count(*) FROM events WHERE value < 0 OR value > 100)

@@ -172,22 +172,32 @@ object Relational {
     * adversarial tied timestamps (AsofTopkSpec). */
   private[graft] def asofJoin(views: DataFrame, clicks: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val v = views.select(
-      col("user_id"), col("ts"), col("v_id"), col("v_value"),
-      lit(null).cast("long").as("event_id"), lit(0).as("side"))
+    // SQL-equality null semantics, same as the correlated twin: a view
+    // with a null key/time can never win (filtered), and a null-keyed
+    // click gets a null enrichment (its window frame holds no views —
+    // nulls sort first, ahead of every real view). The (v_id, v_value)
+    // pair travels as ONE struct: two independent last(ignoreNulls)
+    // columns would let a null v_value fall back to an OLDER view's
+    // value while v_id comes from the newer one.
+    val v = views
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("ts"),
+        struct(col("v_id"), col("v_value")).as("vrec"),
+        lit(null).cast("long").as("event_id"), lit(0).as("side"))
     val c = clicks.select(
       col("user_id"), col("ts"),
-      lit(null).cast("long").as("v_id"), lit(null).cast("double").as("v_value"),
+      lit(null).cast("struct<v_id:bigint,v_value:double>").as("vrec"),
       col("event_id"), lit(1).as("side"))
     val w = Window.partitionBy("user_id")
-      .orderBy(col("ts"), col("side"), col("v_id"))
+      .orderBy(col("ts"), col("side"), col("vrec").getField("v_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     v.unionByName(c)
       .select(col("event_id"), col("user_id"), col("ts"), col("side"),
-        last(col("v_id"), ignoreNulls = true).over(w).as("asof_view_id"),
-        last(col("v_value"), ignoreNulls = true).over(w).as("asof_value"))
+        last(col("vrec"), ignoreNulls = true).over(w).as("rec"))
       .filter(col("side") === 1)
-      .select("event_id", "user_id", "ts", "asof_view_id", "asof_value")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("rec").getField("v_id").as("asof_view_id"),
+        col("rec").getField("v_value").as("asof_value"))
   }
 
   private val j7Asof: Q = (s, d) => {
@@ -256,12 +266,21 @@ object Relational {
     * positive only passes extra rows to the exact join), so the oracle
     * is the plain join. Plan pinned by a test: `might_contain` present,
     * no broadcast join. */
+  // one scoped no-broadcast session per parent session, memoized: a
+  // fresh SessionState per bench/warmup invocation would charge its
+  // analyzer/optimizer init to the timed query and leak sessions
+  private val bloomSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
   private val j9BloomPrune: Q = (s, d) => {
-    val scoped = s.newSession()
-    scoped.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-    scoped.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    scoped.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
-    scoped.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    val scoped = bloomSessions.computeIfAbsent(s, { parent =>
+      val n = parent.newSession()
+      n.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      n.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      n.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      n.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      n
+    })
     val orders = table(scoped, d, "orders")
       .filter(col("o_totalprice") > 400000)
       .select(col("o_orderkey"), col("o_totalprice"))

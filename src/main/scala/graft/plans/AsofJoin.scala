@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Dist
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graft.PlanBridge
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, TimestampType}
 
 /** Whole-operator as-of join — the one operator in this engine where a
   * custom LogicalPlan + Strategy + physical operator is genuinely
@@ -87,33 +87,48 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
       val proj = UnsafeProjection.create(types)
       val out = new GenericInternalRow(5)
       // latest view folded so far (valid when hasView && vUser matches)
-      var vUser = 0L; var vTs = 0L; var vId = 0L; var vVal = 0.0; var hasView = false
+      var vUser = 0L; var vTs = 0L; var vId = 0L; var hasView = false
+      var vVal = 0.0; var vValNull = false
       // one look-ahead view row not yet folded
-      var pUser = 0L; var pTs = 0L; var pId = 0L; var pVal = 0.0; var pending = false
+      var pUser = 0L; var pTs = 0L; var pId = 0L; var pending = false
+      var pVal = 0.0; var pValNull = false
       clicks.map { c =>
-        val cUser = c.getLong(1)
-        val cTs = c.getLong(2)
-        var continue = true
+        // null join/time keys never match under equality/≤ (the
+        // union-window and the correlated twin both emit NULL for
+        // them), so a null-keyed click gets a null enrichment and a
+        // null-keyed view is skipped — never coerced to 0
+        val cKeyed = !c.isNullAt(1) && !c.isNullAt(2)
+        val cUser = if (cKeyed) c.getLong(1) else 0L
+        val cTs = if (cKeyed) c.getLong(2) else 0L
+        var continue = cKeyed
         while (continue && (pending || views.hasNext)) {
           if (!pending) {
             val v = views.next()
-            pUser = v.getLong(0); pTs = v.getLong(1)
-            pId = v.getLong(2); pVal = v.getDouble(3)
-            pending = true
+            if (v.isNullAt(0) || v.isNullAt(1)) pending = false // unkeyed view
+            else {
+              pUser = v.getLong(0); pTs = v.getLong(1); pId = v.getLong(2)
+              pValNull = v.isNullAt(3)
+              pVal = if (pValNull) 0.0 else v.getDouble(3)
+              pending = true
+            }
           }
-          if (pUser < cUser) pending = false // earlier user's views: obsolete
-          else if (pUser == cUser && pTs <= cTs) {
-            // at-or-before: fold; sort order guarantees (ts, id) ascending,
-            // so the last fold is the (ts DESC, id DESC) winner
-            vUser = pUser; vTs = pTs; vId = pId; vVal = pVal
-            hasView = true; pending = false
-          } else continue = false // this view is for a later time/user
+          if (pending) {
+            if (pUser < cUser) pending = false // earlier user's views: obsolete
+            else if (pUser == cUser && pTs <= cTs) {
+              // at-or-before: fold; sort order guarantees (ts, id)
+              // ascending, so the last fold is the (ts DESC, id DESC) winner
+              vUser = pUser; vTs = pTs; vId = pId
+              vVal = pVal; vValNull = pValNull
+              hasView = true; pending = false
+            } else continue = false // this view is for a later time/user
+          }
         }
-        out.update(0, c.getLong(0))
-        out.update(1, cUser)
-        out.update(2, cTs)
-        if (hasView && vUser == cUser) {
-          out.update(3, vId); out.update(4, vVal)
+        if (c.isNullAt(0)) out.update(0, null) else out.update(0, c.getLong(0))
+        if (c.isNullAt(1)) out.update(1, null) else out.update(1, c.getLong(1))
+        if (c.isNullAt(2)) out.update(2, null) else out.update(2, c.getLong(2))
+        if (cKeyed && hasView && vUser == cUser) {
+          out.update(3, vId)
+          if (vValNull) out.update(4, null) else out.update(4, vVal)
         } else {
           out.update(3, null); out.update(4, null)
         }
@@ -142,6 +157,14 @@ object AsofJoin {
     if (!spark.experimental.extraStrategies.contains(AsofStrategy))
       spark.experimental.extraStrategies =
         AsofStrategy +: spark.experimental.extraStrategies
+    // the exec reads ts as a long (timestamp micros) by ordinal — any
+    // other backing type would be read as garbage bytes, so fail loudly
+    def requireTime(df: DataFrame, name: String): Unit = {
+      val dt: DataType = df.schema(name).dataType
+      require(dt == TimestampType || dt == LongType,
+        s"as-of time column '$name' must be timestamp or long, got $dt")
+    }
+    requireTime(clicks, "ts"); requireTime(views, "ts")
     val c = clicks.select(col("event_id").cast("long").as("event_id"),
       col("user_id").cast("long").as("user_id"), col("ts"))
     val v = views.select(col("user_id").cast("long").as("user_id"),

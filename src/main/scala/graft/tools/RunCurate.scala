@@ -45,8 +45,15 @@ object RunCurate {
     * it runs only when those tables are present (RunCurateSpec covers
     * both layouts). */
   def run(spark: SparkSession, in: String, out: String): Map[String, Long] = {
-    val hasStarSchema = Seq("lineitem", "orders", "customer", "events")
-      .forall(t => new java.io.File(s"$in/$t.parquet").exists)
+    // Hadoop FS, not java.io.File: the input dir may be hdfs://, s3a://,
+    // or any other scheme Spark can read — a local-only probe would
+    // silently skip the dq report on remote layouts that do have the
+    // tables.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val hasStarSchema = Seq("lineitem", "orders", "customer", "events").forall { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$in/$t.parquet")
+      p.getFileSystem(hconf).exists(p)
+    }
     val artifacts = corpusArtifacts ++
       (if (hasStarSchema) Seq("dq_checks" -> "dq_checks") else Nil)
     artifacts.map { case (name, query) =>

@@ -128,6 +128,39 @@ class AsofTopkSpec extends AnyFunSuite {
     assert(native == expected)
   }
 
+  test("custom as-of operator: null keys and null values match the union-window form") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(m: Long) = new Timestamp(1700000000000L + m * 1000L)
+    val views = Seq[(Option[Long], Option[Timestamp], Long, Option[Double])](
+      (Some(1L), Some(t(1)), 10L, Some(5.0)),
+      (Some(1L), Some(t(2)), 11L, None),          // null v_value, keyed
+      (None, Some(t(1)), 12L, Some(7.0)),          // null user: never matches
+      (Some(2L), None, 13L, Some(8.0)))            // null ts: never matches
+      .toDF("user_id", "ts", "v_id", "v_value")
+    val clicks = Seq[(Long, Option[Long], Option[Timestamp])](
+      (100L, Some(1L), Some(t(3))),                // matches view 11 (null value)
+      (101L, None, Some(t(3))),                    // null user → null enrichment
+      (102L, Some(2L), Some(t(3))),                // only null-ts view → null
+      (103L, Some(2L), None))                      // null ts → null
+      .toDF("event_id", "user_id", "ts")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (if (r.isNullAt(0)) -1L else r.getAs[Long]("event_id"),
+        if (r.isNullAt(r.fieldIndex("asof_view_id"))) -1L else r.getAs[Long]("asof_view_id"),
+        if (r.isNullAt(r.fieldIndex("asof_value"))) -999.0 else r.getAs[Double]("asof_value"))
+    }.toSet
+    val window = canon(Relational.asofJoin(views, clicks))
+    val native = canon(graft.plans.AsofJoin.join(views, clicks))
+    assert(native == window, s"native=$native window=$window")
+    assert(native.contains((100L, 11L, -999.0))) // null value carried, not 0.0
+    assert(native.contains((101L, -1L, -999.0)))
+    // a non-time-backed ts column fails loudly instead of reading garbage
+    val bad = clicks.withColumn("ts", org.apache.spark.sql.functions.lit("oops"))
+    val err = intercept[IllegalArgumentException](
+      graft.plans.AsofJoin.join(views, bad))
+    assert(err.getMessage.contains("timestamp or long"))
+  }
+
   test("custom as-of operator plans AsofJoinExec with co-partitioned sorted children") {
     import org.apache.spark.sql.functions._
     val e = graft.io.Sources.table(spark, sf, "events")
