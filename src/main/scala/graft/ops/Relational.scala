@@ -228,13 +228,17 @@ object Relational {
     * Spark plans BroadcastNestedLoop — O(facts × intervals), dead at
     * scale the moment the interval side outgrows a broadcast. The scale
     * shape: BUCKETIZE the intervals — explode each into the calendar
-    * months it overlaps (bounded length ⇒ ≤ 2 rows each), equi-join
-    * facts on their month bucket, then re-apply the exact containment
+    * WEEKS it overlaps (30-day windows ⇒ ≤ 6 rows each), equi-join
+    * facts on their week bucket, then re-apply the exact containment
     * as a residual filter. The equi-key turns the plan into a hash join
     * (broadcast here; sort-merge on the same key when the interval side
     * is huge), partitions by a natural time key, and the residual keeps
-    * the semantics exact. Promotion windows are derived
-    * deterministically from `orders` so the oracle replays them. */
+    * the semantics exact. Bucket granularity is a skew dial: week keys
+    * give ~4× the cardinality of month keys over the same span, so at
+    * 100 TB the per-key shuffle width stays bounded (finer still —
+    * days, or a (bucket, salt) pair — if one week is globally hot).
+    * Promotion windows are derived deterministically from `orders` so
+    * the oracle replays them. */
   private val j8Range: Q = (s, d) => {
     val promos = table(s, d, "orders")
       .filter(col("o_orderkey") % 997 === 1)
@@ -242,13 +246,13 @@ object Relational {
         col("o_orderdate").cast("date").as("p_start"),
         date_add(col("o_orderdate").cast("date"), 29).as("p_end"))
     val buckets = promos.select(col("promo_id"), col("p_start"), col("p_end"),
-      explode(sequence(trunc(col("p_start"), "month"), trunc(col("p_end"), "month"),
-        expr("interval 1 month"))).as("mon"))
+      explode(sequence(trunc(col("p_start"), "week"), trunc(col("p_end"), "week"),
+        expr("interval 1 week"))).as("wk"))
     table(s, d, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_shipdate").cast("date").as("ship_day"))
-      .withColumn("mon", trunc(col("ship_day"), "month"))
-      .join(buckets, Seq("mon"))
+      .withColumn("wk", trunc(col("ship_day"), "week"))
+      .join(buckets, Seq("wk"))
       .filter(col("ship_day").between(col("p_start"), col("p_end")))
       .select(col("l_orderkey"), col("l_linenumber"), col("promo_id"),
         col("ship_day").cast("string").as("ship_day"))
