@@ -109,12 +109,24 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    // Self-contained artifact (VERDICT r5 wrong §1): BENCH_r05 landed
+    // with parsed:null because the driver's capture truncated the one
+    // long JSON line mid-suite and lost the leading total. Three
+    // defenses: (1) per-query seconds rounded to 0.1 ms — halves the
+    // line; (2) total/n/sf REPEATED at the END of the full line, so a
+    // tail capture still carries them; (3) a short summary line printed
+    // LAST (and the full JSON written to SPARK_GRAFT_BENCH_OUT), so
+    // whichever end survives, the headline numbers are machine-readable.
+    def r4(v: Double): Double = math.rint(v * 10000) / 10000
+    val qs = timings.map { case (k, v) => s"${jstr(k)}:${r4(v)}" }.mkString("{", ",", "}")
     val fs = failed.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-    val total = timings.values.sum
+    val total = r4(timings.values.sum)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,""" +
+        s""""sf":${jstr(sfDir)},"n":${timings.size},"total":$total}"""
     println(json)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${timings.size},""" +
+      s""""failed_n":${failed.size},"sf":${jstr(sfDir)}}""")
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p => Files.writeString(Paths.get(p), json))
     spark.stop()
   }

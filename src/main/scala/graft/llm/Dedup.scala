@@ -303,7 +303,10 @@ object Dedup {
     * boilerplate is what repeats — so the membership join broadcasts and
     * the fact side never shuffles for it; (3) the rejoin groups once on
     * doc_id. Two shuffles total, both on natural keys. */
-  private val ddLines: Q = (s, d) => {
+  /** The shared (doc_id, line_no, line) exploded view both boilerplate
+    * queries detect over: planted header/footer + 10-token body chunks
+    * (chunk construction is a pure array expression — zero shuffle). */
+  private def boilerplateLineRows(s: SparkSession, d: String): DataFrame = {
     val arr = split(col("text"), " ")
     val nChunks = ceil(size(arr).cast("double") / 10).cast("int")
     val chunks = transform(sequence(lit(0), nChunks - 1),
@@ -314,12 +317,15 @@ object Dedup {
       chunks,
       when(col("doc_id") % 7 === 0, array(lit(bpFooter)))
         .otherwise(array().cast("array<string>")))
-    val lineRows = table(s, d, "documents")
+    table(s, d, "documents")
       .filter(size(arr) > 0)
       .select(col("doc_id"), posexplode(lines).as(Seq("line_no", "line")))
-    // At 100 TB the groupBy key would be xxhash64(line) with an example
-    // string carried along; on this corpus the string key is fine and
-    // keeps the oracle twin exact.
+  }
+
+  private val ddLines: Q = (s, d) => {
+    val lineRows = boilerplateLineRows(s, d)
+    // String-keyed frequency — keeps the oracle twin exact on this
+    // corpus; [[ddLinesHashed]] is the same plan with the 100 TB key.
     val frequent = lineRows.groupBy("line")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= bpMinDocs)
@@ -331,6 +337,43 @@ object Dedup {
         md5(array_join(
           transform(
             array_sort(collect_list(when(col("bp").isNull,
+              struct(col("line_no"), col("line"))))),
+            x => x.getField("line")),
+          "\n").cast("binary")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** The 100 TB variant of [[ddLines]] (VERDICT r5 next §7): the
+    * frequency aggregation keys on `xxhash64(line)` instead of the line
+    * string, so the detection shuffle carries 8-byte keys instead of
+    * arbitrary-length text — on a web corpus the lines being counted ARE
+    * the documents' bytes, and this is the difference between shuffling
+    * the corpus and shuffling a fixed-width digest of it. An example
+    * string (`min(line)`) rides along in the frequent-set aggregate —
+    * the human-inspection payload a production boilerplate report needs
+    * — and its presence doubles as the membership flag after the
+    * broadcast join. The rejoin stage is unchanged: cleaned text is
+    * reassembled from each row's OWN line string (narrow, never
+    * shuffled by the detection).
+    *
+    * Gate: the oracle is dd_lines' fully-independent string-keyed twin,
+    * UNCHANGED — the hashed plan must reproduce the byte-exact result
+    * of string-keyed detection (an xxhash64 collision, a wrong example,
+    * or a dropped line all diverge the md5s). */
+  private val ddLinesHashed: Q = (s, d) => {
+    val lineRows = boilerplateLineRows(s, d)
+    val frequent = lineRows.groupBy(xxhash64(col("line")).as("line_h"))
+      .agg(countDistinct(col("doc_id")).as("nd"), min(col("line")).as("example"))
+      .filter(col("nd") >= bpMinDocs)
+      .select(col("line_h"), col("example"))
+    lineRows.withColumn("line_h", xxhash64(col("line")))
+      .join(broadcast(frequent), Seq("line_h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("example").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(col("example").isNull,
               struct(col("line_no"), col("line"))))),
             x => x.getField("line")),
           "\n").cast("binary")).as("clean_md5"))
@@ -376,7 +419,29 @@ object Dedup {
     "dd_cluster_lsh" -> ddClusterLsh,
     "dd_minhash" -> ddMinhash,
     "dd_simhash" -> ddSimhash,
-    "dd_lines" -> ddLines)
+    "dd_lines" -> ddLines,
+    "dd_lines_hashed" -> ddLinesHashed)
+
+  private val linesTwinSql =
+    s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS tk
+       |              FROM documents WHERE len(string_split(text, ' ')) > 0),
+       | aug AS (SELECT doc_id, list_concat(list_concat(
+       |     CASE WHEN doc_id % 5 = 0 THEN ['$bpHeader'] ELSE [] END,
+       |     list_transform(generate_series(1, CAST(ceil(len(tk)/10.0) AS INT)),
+       |       i -> array_to_string(tk[(i-1)*10+1:(i-1)*10+10], ' '))),
+       |     CASE WHEN doc_id % 7 = 0 THEN ['$bpFooter'] ELSE [] END) AS lines
+       |   FROM base),
+       | lr AS (SELECT a.doc_id, g.i AS line_no, a.lines[g.i] AS line
+       |        FROM aug a, LATERAL unnest(generate_series(1, len(a.lines))) g(i)),
+       | freq AS (SELECT line FROM lr GROUP BY line
+       |          HAVING count(DISTINCT doc_id) >= $bpMinDocs),
+       | flg AS (SELECT lr.doc_id, lr.line_no, lr.line,
+       |           lr.line IN (SELECT line FROM freq) AS bp FROM lr)
+       |SELECT doc_id, count(*) AS n_lines,
+       |  CAST(sum(CASE WHEN bp THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |  md5(coalesce(string_agg(CASE WHEN NOT bp THEN line END,
+       |        chr(10) ORDER BY line_no), '')) AS clean_md5
+       |FROM flg GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "dd_exact" ->
@@ -467,27 +532,11 @@ object Dedup {
     // doc_id, re-chunks the body, recomputes per-line document
     // frequency, re-applies the ≥K rule, and re-derives the cleaned
     // text's md5 with an ordered string_agg — detection, removal, AND
-    // reassembly are all recomputed from `documents` alone.
-    "dd_lines" ->
-      s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS tk
-         |              FROM documents WHERE len(string_split(text, ' ')) > 0),
-         | aug AS (SELECT doc_id, list_concat(list_concat(
-         |     CASE WHEN doc_id % 5 = 0 THEN ['$bpHeader'] ELSE [] END,
-         |     list_transform(generate_series(1, CAST(ceil(len(tk)/10.0) AS INT)),
-         |       i -> array_to_string(tk[(i-1)*10+1:(i-1)*10+10], ' '))),
-         |     CASE WHEN doc_id % 7 = 0 THEN ['$bpFooter'] ELSE [] END) AS lines
-         |   FROM base),
-         | lr AS (SELECT a.doc_id, g.i AS line_no, a.lines[g.i] AS line
-         |        FROM aug a, LATERAL unnest(generate_series(1, len(a.lines))) g(i)),
-         | freq AS (SELECT line FROM lr GROUP BY line
-         |          HAVING count(DISTINCT doc_id) >= $bpMinDocs),
-         | flg AS (SELECT lr.doc_id, lr.line_no, lr.line,
-         |           lr.line IN (SELECT line FROM freq) AS bp FROM lr)
-         |SELECT doc_id, count(*) AS n_lines,
-         |  CAST(sum(CASE WHEN bp THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
-         |  md5(coalesce(string_agg(CASE WHEN NOT bp THEN line END,
-         |        chr(10) ORDER BY line_no), '')) AS clean_md5
-         |FROM flg GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // reassembly are all recomputed from `documents` alone. The SAME
+    // twin gates dd_lines_hashed: the hash-keyed plan must reproduce
+    // the string-keyed result byte for byte.
+    "dd_lines" -> linesTwinSql,
+    "dd_lines_hashed" -> linesTwinSql,
     // Completeness+soundness twin: GIVEN the dumped signatures, the
     // hamming-≤-3 pair set is recomputed exhaustively (no banding) —
     // both a missed pair and a spurious pair diverge the compare.

@@ -53,8 +53,13 @@ object Quality {
   /** Declarative constraint checks → (check, n_violations, status). */
   private val dqChecks: Q = (s, d) => {
     val li = table(s, d, "lineitem")
+    // countDistinct over a STRUCT, not the bare column pair: the
+    // multi-arg form drops rows where either key is null, while the
+    // DuckDB twin's count(DISTINCT (a, b)) counts null-containing row
+    // structs — a struct value is never null, so both engines agree
+    // even if the corpus ever gains a null key (ADVICE r5).
     val pk = li.agg((count(lit(1)) -
-        countDistinct(col("l_orderkey"), col("l_linenumber"))).as("n_violations"))
+        countDistinct(struct(col("l_orderkey"), col("l_linenumber")))).as("n_violations"))
       .select(lit("lineitem_pk_unique").as("check"), col("n_violations"))
     val fk = table(s, d, "orders")
       .join(table(s, d, "customer").select(col("c_custkey")),

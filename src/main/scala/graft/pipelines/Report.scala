@@ -265,6 +265,23 @@ object Report {
         dround(sum(col("l_quantity")), 4).as("sum_qty"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
+  /** A17 cube — the full grouping-set lattice over (flag, status):
+    * per-pair totals, per-flag and per-status marginals, and the grand
+    * total in ONE pass (the one OLAP grouping shape rollup doesn't
+    * cover — rollup omits the per-status marginal). `grouping_id`
+    * disambiguates a rolled-up level from a genuine NULL data value.
+    * Same scale posture as A14: Spark expands the grouping sets and
+    * partial-aggregates every level map-side — one scan, one shuffle,
+    * and sums over integral doubles so accumulation order cannot drift
+    * across engines. */
+  private val a17Cube: Q = (s, d) =>
+    graft.io.Sources.table(s, d, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        dround(sum(col("l_quantity")), 4).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
   /** A15 equi-depth histogram — decile buckets of lineitem price. The
     * naive form is `ntile(10)` over a GLOBAL order: one range exchange
     * into effectively one sorting task at 100 TB. The scale shape used
@@ -318,6 +335,7 @@ object Report {
     "a16_percent_rank" -> a16PercentRank,
     "a15_equidepth" -> a15Equidepth,
     "a14_rollup" -> a14Rollup,
+    "a17_cube" -> a17Cube,
     "ep3_report" -> ep3Report,
     "ep3_player_report" -> ep3PlayerReport,
     "ep3_max_params_report" -> ep3MaxParamsReport,
@@ -369,6 +387,15 @@ object Report {
       """SELECT l_returnflag, l_linestatus,
         | count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    // grouping() in DuckDB returns the same bitmask convention as
+    // Spark's grouping_id (bit set = column rolled up, first arg most
+    // significant), so gid is compared directly, not just the aggregates
+    "a17_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        | count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "ep3_player_report" ->
       """WITH yap AS (

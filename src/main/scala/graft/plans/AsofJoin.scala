@@ -165,6 +165,13 @@ object AsofJoin {
         s"as-of time column '$name' must be timestamp or long, got $dt")
     }
     requireTime(clicks, "ts"); requireTime(views, "ts")
+    // ... and the SAME type on both sides: timestamp is micros-since-
+    // epoch under the ordinal read, a raw long is caller-defined units —
+    // mixing them would compare micros against arbitrary integers and
+    // silently mis-join instead of failing loudly (ADVICE r5)
+    require(clicks.schema("ts").dataType == views.schema("ts").dataType,
+      s"as-of time columns must have the SAME type on both sides, got " +
+        s"clicks=${clicks.schema("ts").dataType} views=${views.schema("ts").dataType}")
     val c = clicks.select(col("event_id").cast("long").as("event_id"),
       col("user_id").cast("long").as("user_id"), col("ts"))
     val v = views.select(col("user_id").cast("long").as("user_id"),
