@@ -72,6 +72,28 @@ class PlanShapeSpec extends AnyFunSuite {
       s"AQE should broadcast the small play-side relations at test scale:\n$p")
   }
 
+  test("j8 range join plans as an equi hash join on week buckets, never a theta BNLJ") {
+    // the exploded interval side is tiny (≤6 rows per promo window) so
+    // it must broadcast, and the containment predicate must survive
+    // only as a residual filter — the BroadcastNestedLoopJoin the naive
+    // BETWEEN theta-join would plan means the bucketization regressed
+    val p = plan("j8_range")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast equi join on wk:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join must not fall back to a theta join:\n$p")
+  }
+
+  test("j9 bloom-pruned join probes a runtime bloom filter at the fact scan") {
+    // the no-broadcast session must inject might_contain into the fact
+    // side (rows dropped BEFORE the shuffle) and plan the exact join as
+    // sort-merge — a BroadcastHashJoin would mean the scoped big-cluster
+    // conf leaked away and the gate stopped exercising the 100 TB plan
+    val p = plan("j9_bloom_prune")
+    assert(p.contains("might_contain"), s"expected a runtime bloom probe:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"the scoped session disables broadcast; the exact join must sort-merge:\n$p")
+  }
+
   test("whole-stage codegen covers the custom expressions") {
     // the native kernels (vec_dot, sorted_intersect_count) must not
     // break codegen spans around them; AQE only finalizes the plan on
