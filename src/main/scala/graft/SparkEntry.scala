@@ -35,6 +35,7 @@ object SparkEntry {
       llm.Similarity.queries ++
       llm.Multimodal.queries ++
       llm.Curate.queries ++
+      streaming.StreamQueries.queries ++
       io.IoQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -53,5 +54,6 @@ object SparkEntry {
       llm.Similarity.oracle ++
       llm.Multimodal.oracle ++
       llm.Curate.oracle ++
+      streaming.StreamQueries.oracle ++
       io.IoQueries.oracle
 }

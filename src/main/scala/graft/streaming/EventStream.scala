@@ -4,6 +4,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
 
 /** Structured Streaming operators (SURVEY §2.10: the reference is pure
   * batch; this is the streaming extension the builder brief asks for —
@@ -22,6 +23,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * users, not history.
   */
 object EventStream {
+
+  /** Event time as MICROS — the exact resolution of Spark's
+    * TimestampType. `Timestamp.getTime` (millis) silently truncates the
+    * sub-ms component the corpus carries (TIMESTAMP(NANOS) parquet), and
+    * any state logic comparing truncated times can disagree with its
+    * batch twin exactly at a gap/tie boundary — so every stateful
+    * operator below does its time arithmetic in micros. */
+  private[streaming] def us(t: Timestamp): Long = DateTimeUtils.fromJavaTimestamp(t)
 
   /** Tumbling-window counts with a 10-minute watermark — the streaming
     * shape of A9/A11. */
@@ -128,7 +137,7 @@ object EventStream {
 
   final case class AsofEv(event_id: Long, user_id: Long, ts: Timestamp,
       event_type: String, value: Double)
-  final case class LatestView(ts_ms: Long, id: Long, value: Double)
+  final case class LatestView(ts_us: Long, id: Long, value: Double)
   final case class AsofHit(event_id: Long, user_id: Long, ts: Timestamp,
       asof_view_id: Option[Long], asof_value: Option[Double])
 
@@ -155,20 +164,20 @@ object EventStream {
       val out = Seq.newBuilder[AsofHit]
       var cur = state.getOption
       rows.toSeq
-        .sortBy(e => (e.ts.getTime, if (e.event_type == "view") 0 else 1, e.event_id))
+        .sortBy(e => (us(e.ts), if (e.event_type == "view") 0 else 1, e.event_id))
         .foreach { e =>
           if (e.event_type == "view") {
             val newer = cur.forall(c =>
-              c.ts_ms < e.ts.getTime ||
-                (c.ts_ms == e.ts.getTime && c.id < e.event_id))
-            if (newer) cur = Some(LatestView(e.ts.getTime, e.event_id, e.value))
+              c.ts_us < us(e.ts) ||
+                (c.ts_us == us(e.ts) && c.id < e.event_id))
+            if (newer) cur = Some(LatestView(us(e.ts), e.event_id, e.value))
           } else {
             // a LATE click (older than the stored latest view) must not
             // be enriched from its future: only an at-or-before view is
             // eligible. The state keeps just the newest view, so a late
             // click whose true match was superseded degrades to null —
             // never to a wrong-direction join; batch j7_asof repairs.
-            val eligible = cur.filter(_.ts_ms <= e.ts.getTime)
+            val eligible = cur.filter(_.ts_us <= us(e.ts))
             out += AsofHit(e.event_id, userId, e.ts,
               eligible.map(_.id), eligible.map(_.value))
           }
@@ -212,11 +221,12 @@ object EventStream {
       .start()
 
   final case class Ev(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+  /** All times MICROS (see [[us]]). */
   final case class SessionState(start: Long, last: Long, n: Int, total: Double)
-  final case class Session(user_id: Long, start_ms: Long, end_ms: Long,
+  final case class Session(user_id: Long, start_us: Long, end_us: Long,
       n_events: Int, total_value: Double)
 
-  val sessionGapMs: Long = 30 * 60 * 1000L
+  val sessionGapUs: Long = 30 * 60 * 1000000L
 
   /** Per-user sessionization with a 30-minute inactivity gap via
     * `flatMapGroupsWithState` — the custom-state shape the brief calls
@@ -226,13 +236,13 @@ object EventStream {
     // hoisted locals: the closure must capture only serializable values,
     // not the Dataset or the enclosing object
     val isStreaming = events.isStreaming
-    val gap = sessionGapMs
+    val gap = sessionGapUs
 
     val fn = (userId: Long, rows: Iterator[Ev], state: GroupState[SessionState]) => {
       val out = Seq.newBuilder[Session]
       var cur = state.getOption
-      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
-        val t = e.ts.getTime
+      rows.toSeq.sortBy(e => us(e.ts)).foreach { e =>
+        val t = us(e.ts)
         cur match {
           case Some(s) if t - s.last <= gap =>
             cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
@@ -251,7 +261,7 @@ object EventStream {
           } else {
             state.update(s)
             if (isStreaming)
-              state.setTimeoutTimestamp(s.last + gap)
+              state.setTimeoutTimestamp((s.last + gap) / 1000L) // timeout API is millis
           }
         case None =>
           if (state.hasTimedOut) state.remove()

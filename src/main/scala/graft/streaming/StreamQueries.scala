@@ -1,0 +1,122 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming operators promoted into the driver's CORRECTNESS gate
+  * (VERDICT r5 next §2): each query here runs a REAL incremental
+  * Structured Streaming job — MemoryStream source, micro-batches,
+  * state store, event-time timeouts — to completion over the bounded
+  * events table, and must hash-match the SAME DuckDB oracle as its
+  * batch twin. Until r5 the streaming layer was pinned only by
+  * ScalaTest parity specs; these rows put it under the stronger gate.
+  *
+  * The MemoryStream ingest necessarily stages the bounded input through
+  * the driver — that is the sanctioned test-harness shape for gating a
+  * stream (the production source is `readStream` over files/Kafka; the
+  * operators under test are identical). Everything downstream of the
+  * source — sessionization state, as-of state, the sink — runs
+  * distributed, exactly as it would against an unbounded stream.
+  */
+object StreamQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Unique memory-sink names: Bench/Verify invoke each query several
+    * times (warmup + rotated passes) in one session. */
+  private val seq = new AtomicLong(0L)
+
+  /** W8 as a stream: the custom-state sessionizer over the full events
+    * table delivered through a MemoryStream, with every session FLUSHED
+    * via the event-time-timeout path — two sentinel events from a
+    * reserved user push the watermark past `last + gap` for all real
+    * users (watermark advances between batches, so two hops: one to
+    * carry it past the data, one to fire the timeouts), and the
+    * sentinel user is excluded from the result. Session ids are
+    * re-derived by per-user start-time order — the same numbering the
+    * batch gaps-and-islands twin produces — so the oracle SQL is
+    * `w8_sessions`' verbatim. */
+  private val stSessions: Q = (s, d) => {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val evs = graft.io.Sources.table(s, d, "events")
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .as[EventStream.Ev].collect()
+    val maxMs = evs.iterator.map(_.ts.getTime).max
+    val flushMs = maxMs + EventStream.sessionGapUs / 1000L + 3600000L
+    val source = MemoryStream[EventStream.Ev]
+    val name = s"st_sessions_${seq.incrementAndGet()}"
+    val q = EventStream.sessionize(s,
+        source.toDS().withWatermark("ts", "0 seconds"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val rows = try {
+      source.addData(evs.toIndexedSeq)
+      q.processAllAvailable()
+      source.addData(EventStream.Ev(-1L, new Timestamp(flushMs), "click", 0.0))
+      q.processAllAvailable()
+      source.addData(EventStream.Ev(-1L, new Timestamp(flushMs + 3600000L), "click", 0.0))
+      q.processAllAvailable()
+      s.table(name).as[EventStream.Session].collect().filter(_.user_id >= 0L)
+    } finally {
+      q.stop()
+      s.catalog.dropTempView(name)
+    }
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("start_us")
+    s.createDataset(rows.toIndexedSeq).toDF()
+      .select(col("user_id"),
+        row_number().over(w).cast("long").as("session_id"),
+        expr("start_us DIV 1000000").as("start_s"),
+        expr("end_us DIV 1000000").as("end_s"),
+        col("n_events").cast("long").as("n_events"),
+        graft.functions.Numeric.dround(col("total_value"), 4).as("total_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** J7 as a stream: the O(1)-state as-of enrichment over the real
+    * view/click events, delivered across three micro-batches in
+    * event-time order (ts micros, views before clicks at ties — the
+    * batch operator's total order, so the incremental result is the
+    * batch result row for row). No flush sentinel needed: clicks emit
+    * the moment they are processed. Oracle: `j7_asof`'s correlated
+    * twin, verbatim. */
+  private val stAsof: Q = (s, d) => {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val evs = graft.io.Sources.table(s, d, "events")
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+      .as[EventStream.AsofEv].collect()
+      .sortBy(e => (EventStream.us(e.ts), if (e.event_type == "view") 0 else 1, e.event_id))
+    val source = MemoryStream[EventStream.AsofEv]
+    val name = s"st_asof_${seq.incrementAndGet()}"
+    val q = EventStream.asofStream(s, source.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val rows = try {
+      evs.grouped((evs.length + 2) / 3).foreach { chunk =>
+        source.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      s.table(name).as[EventStream.AsofHit].collect()
+    } finally {
+      q.stop()
+      s.catalog.dropTempView(name)
+    }
+    s.createDataset(rows.toIndexedSeq).toDF()
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_view_id"), col("asof_value"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "st_sessions" -> stSessions,
+    "st_asof" -> stAsof)
+
+  /** The batch twins' oracles apply UNCHANGED — that is the point: the
+    * incremental operators must reproduce the batch semantics exactly. */
+  val oracle: Map[String, String] = Map(
+    "st_sessions" -> graft.ops.Events.oracle("w8_sessions"),
+    "st_asof" -> graft.ops.Relational.oracle("j7_asof"))
+}

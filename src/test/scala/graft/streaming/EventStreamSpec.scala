@@ -57,7 +57,7 @@ class EventStreamSpec extends AnyFunSuite {
       val u1 = sessions.filter(_.user_id == 1L)
       assert(u1.length == 1, s"expected one closed session, got ${u1.toSeq}")
       assert(u1.head.n_events == 2 && u1.head.total_value == 3.0)
-      assert(u1.head.end_ms - u1.head.start_ms == 5 * 60000L)
+      assert(u1.head.end_us - u1.head.start_us == 5 * 60000000L)
     } finally q.stop()
   }
 
@@ -268,8 +268,8 @@ class EventStreamSpec extends AnyFunSuite {
     val streamed = EventStream.sessionize(spark,
         events.select($"user_id", $"ts", $"event_type", $"value").as[EventStream.Ev])
       .collect()
-      .map(s => (s.user_id, s.start_ms / 1000) ->
-        (s.end_ms / 1000, s.n_events.toLong, s.total_value))
+      .map(s => (s.user_id, s.start_us / 1000000) ->
+        (s.end_us / 1000000, s.n_events.toLong, s.total_value))
       .toMap
     // batch-mode flatMapGroupsWithState emits only CLOSED sessions (the
     // tail session per user stays in state), so drop each user's last
