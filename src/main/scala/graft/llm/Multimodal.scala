@@ -1,19 +1,33 @@
 package graft.llm
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.TextHashKernels
+import graft.functions.{TextHashKernels, TextHashes}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Multimodal column plumbing for the LLM-data-pipeline extension:
   * image/audio/video as opaque `binary` columns with a typed metadata
   * struct, processed per partition.
   *
-  * The DECODE step is a clearly-marked STUB (this container ships no
-  * image/audio codecs): `decodeStub` derives deterministic fake pixels/
-  * samples from the payload bytes. Everything AROUND the stub is the
-  * real Spark shape a production pipeline needs and what the tests
-  * pin down:
+  * IMAGE rows are REAL: the demo corpus carries genuine PNG payloads
+  * (encoded with the JDK's ImageIO over deterministic pixels), the
+  * feature path DECODES them with `javax.imageio.ImageIO.read`, and the
+  * resize path decodes + resamples with an exact integer bilinear
+  * kernel. Because the source pixels derive from id arithmetic alone
+  * (FNV-1a of "id:x:y:c") and PNG is lossless, the DuckDB oracle
+  * regenerates every pixel INDEPENDENTLY and recomputes features and
+  * resampled fingerprints from scratch — a wrong decode, a dropped
+  * channel, or an off-by-one in the resample all diverge the hashes.
+  *
+  * AUDIO/VIDEO rows remain a DECLARED deterministic fake at the decode
+  * step (the JDK ships no MP3/PCM-container/H264 codec and this
+  * environment has no external codec libraries): features derive from
+  * the raw payload bytes. The Spark-side shape — schema, per-partition
+  * codec init, fixed-width feature vector, bounded frame fanout — is
+  * identical to production and is what the tests pin:
   *  - schema: (media_id, kind, bytes BINARY, meta STRUCT) — parquet-
   *    friendly, splittable, column-prunable (a metadata-only query never
   *    reads the payload bytes);
@@ -31,21 +45,55 @@ object Multimodal {
       byte_entropy: Double, feature: Array[Float])
   final case class FrameSample(media_id: Long, frame_idx: Int, frame_fp: String)
 
-  /** Deterministic demo corpus (payload = seeded pseudo-bytes). */
+  /** FNV-derived channel value in [0, 256) — the ONE definition both
+    * the corpus generator and (via `TextHashes.fnvFoldSql`) the oracle
+    * replay build from. */
+  private def fnvByte(key: String): Int =
+    (TextHashKernels.rollingHash(UTF8String.fromString(key)) & 0xff).toInt
+
+  /** A real PNG payload over deterministic pixels: channel (x, y, c) of
+    * image `id` is FNV("id:x:y:c") mod 256. PNG is lossless, so decoding
+    * MUST reproduce exactly these values — the property the oracle
+    * exploits to verify the decode without trusting it. */
+  private[llm] def encodePng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = fnvByte(s"$id:$x:$y:0")
+        val g = fnvByte(s"$id:$x:$y:1")
+        val b = fnvByte(s"$id:$x:$y:2")
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Deterministic demo corpus: image rows carry real PNGs; audio/video
+    * payloads are seeded pseudo-bytes (no codec in the JDK to target). */
   def demoMedia(spark: SparkSession, n: Int = 64): Dataset[Media] = {
     import spark.implicits._
     spark.createDataset((0 until n).map { i =>
       val kind = Seq("image", "audio", "video")(i % 3)
-      val len = 256 + (i * 37) % 512
-      val bytes = Array.tabulate[Byte](len) { j =>
-        (TextHashKernels.rollingHash(UTF8String.fromString(s"$i:$j")) & 0xff).toByte
+      kind match {
+        case "image" =>
+          // strict downscale targets (w ≥ 16, h ≥ 12) for the resize path
+          val w = 24 + i % 16
+          val h = 16 + i % 12
+          Media(i.toLong, kind, encodePng(i.toLong, w, h), MediaMeta(w, h, 0, 1))
+        case _ =>
+          val len = 256 + (i * 37) % 512
+          val bytes = Array.tabulate[Byte](len)(j => fnvByte(s"$i:$j").toByte)
+          val meta =
+            if (kind == "audio") MediaMeta(0, 0, 16000, 0)
+            else MediaMeta(320, 240, 0, 8 + i % 24)
+          Media(i.toLong, kind, bytes, meta)
       }
-      val meta = kind match {
-        case "image" => MediaMeta(64 + i % 64, 64 + i % 48, 0, 1)
-        case "audio" => MediaMeta(0, 0, 16000, 0)
-        case _ => MediaMeta(320, 240, 0, 8 + i % 24)
-      }
-      Media(i.toLong, kind, bytes, meta)
     })
   }
 
@@ -53,53 +101,78 @@ object Multimodal {
     * gate: bytes (and length) derive from `media_id % distinct`, so ids
     * sharing a seed are byte-identical copies — seeds 0–15 appear 3×,
     * 16–23 appear 2× at the defaults. The oracle reproduces every byte
-    * from the id arithmetic alone (no fixture needed). */
+    * from the id arithmetic alone (no fixture needed). Payloads stay
+    * raw pseudo-bytes: dedup treats media as opaque binary by design. */
   def demoMediaDups(spark: SparkSession, n: Int = 64, distinct: Int = 24): Dataset[Media] = {
     import spark.implicits._
     spark.createDataset((0 until n).map { i =>
       val seed = i % distinct
       val kind = Seq("image", "audio", "video")(i % 3)
       val len = 256 + (seed * 37) % 512
-      val bytes = Array.tabulate[Byte](len) { j =>
-        (TextHashKernels.rollingHash(UTF8String.fromString(s"$seed:$j")) & 0xff).toByte
-      }
+      val bytes = Array.tabulate[Byte](len)(j => fnvByte(s"$seed:$j").toByte)
       Media(i.toLong, kind, bytes, MediaMeta(64, 48, 0, 1))
     })
   }
 
-  /** ??? STUB ???  A real implementation decodes the payload with a
-    * codec (JPEG/PNG/PCM/H264) and emits pixel/sample tensors. No codec
-    * libraries exist in this environment, so features are derived
-    * deterministically from the raw bytes — the SHAPE (per-partition
-    * init, fixed-width Float vector, entropy scalar) is the contract. */
-  private def decodeStub(m: Media): MediaFeatures = {
+  /** REAL image decode: ImageIO reads the PNG payload and the features
+    * come from the decoded pixels — 16-bin histogram over all channel
+    * values, Shannon entropy, and an 8-dim bin-pair density vector.
+    * `n_bytes` stays the ENCODED payload size (the storage-cost column);
+    * entropy/features are over the w·h·3 decoded values. */
+  private def imageFeatures(m: Media): MediaFeatures = {
+    val img = ImageIO.read(new ByteArrayInputStream(m.bytes))
+    val w = img.getWidth
+    val h = img.getHeight
     val hist = new Array[Int](16)
-    m.bytes.foreach(b => hist((b & 0xff) >> 4) += 1)
-    val n = m.bytes.length.toDouble
-    val entropy = -hist.filter(_ > 0)
-      .map(c => (c / n) * math.log(c / n) / math.log(2)).sum
-    val feature = Array.tabulate(8)(k =>
-      (hist(2 * k) + hist(2 * k + 1)).toFloat / m.bytes.length)
-    MediaFeatures(m.media_id, m.kind, m.bytes.length, entropy, feature)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        hist(((rgb >> 16) & 0xff) >> 4) += 1
+        hist(((rgb >> 8) & 0xff) >> 4) += 1
+        hist((rgb & 0xff) >> 4) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val nv = w * h * 3
+    MediaFeatures(m.media_id, m.kind, m.bytes.length, entropyOf(hist, nv),
+      Array.tabulate(8)(k => (hist(2 * k) + hist(2 * k + 1)).toFloat / nv))
   }
 
+  /** Audio/video: DECLARED deterministic fake decode (no codec libs in
+    * the JDK/environment) — the same feature shape over the raw payload
+    * bytes instead of decoded samples. */
+  private def byteFeatures(m: Media): MediaFeatures = {
+    val hist = new Array[Int](16)
+    m.bytes.foreach(b => hist((b & 0xff) >> 4) += 1)
+    MediaFeatures(m.media_id, m.kind, m.bytes.length, entropyOf(hist, m.bytes.length),
+      Array.tabulate(8)(k => (hist(2 * k) + hist(2 * k + 1)).toFloat / m.bytes.length))
+  }
+
+  private def entropyOf(hist: Array[Int], n: Int): Double =
+    -hist.filter(_ > 0)
+      .map(c => (c.toDouble / n) * math.log(c.toDouble / n) / math.log(2)).sum
+
   /** Feature extraction: one pass, partition-wise. The `mapPartitions`
-    * boundary is where a real decoder would be constructed once per
-    * partition (expensive codec init amortized over the batch). */
+    * boundary is where decoder state is constructed once per partition
+    * (expensive codec init amortized over the batch); ImageIO's reader
+    * registry is JVM-static, so here it is a warm lookup. */
   def extractFeatures(spark: SparkSession, media: Dataset[Media]): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { it =>
-      // per-partition "codec" init would happen here
-      it.map(decodeStub)
+      it.map(m => if (m.kind == "image") imageFeatures(m) else byteFeatures(m))
     }
   }
 
   /** Frame sampling for video rows: every k-th frame index, fingerprint
-    * from the payload (STUB for an actual frame decode — a real one
-    * hashes the decoded frame). 1 → n generator with fanout bounded by
-    * meta.nFrames / stride. The stub fingerprint is the md5 prefix of
-    * the canonical "id:frame:len" string, so the WHOLE sampling pattern
-    * (video-only, stride, fanout, fp derivation) has a DuckDB twin. */
+    * from the payload (a DECLARED stand-in for an actual frame decode —
+    * no H264 codec exists here; a real one hashes the decoded frame).
+    * 1 → n generator with fanout bounded by meta.nFrames / stride. The
+    * fingerprint is the md5 prefix of the canonical "id:frame:len"
+    * string, so the WHOLE sampling pattern (video-only, stride, fanout,
+    * fp derivation) has a DuckDB twin. */
   def sampleFrames(spark: SparkSession, media: Dataset[Media], stride: Int = 4): Dataset[FrameSample] = {
     import spark.implicits._
     media.filter(_.kind == "video").flatMap { m =>
@@ -112,29 +185,71 @@ object Multimodal {
     }
   }
 
-  /** Resized image row: original dims from meta, fixed target dims,
-    * resized payload. */
+  /** Resized image row: original dims from the DECODED image, fixed
+    * target dims, raw RGB payload (row-major y, x, channel). */
   final case class ResizedMedia(media_id: Long, in_w: Int, in_h: Int,
       out_w: Int, out_h: Int, bytes: Array[Byte])
 
+  /** Exact integer bilinear resample of a decoded image to (ow × oh).
+    * Standard half-pixel-center mapping, fx = (2·ox+1)·w/(2·ow) − 1/2,
+    * carried in EXACT integer arithmetic over the fixed denominators
+    * 2·ow / 2·oh — no floating point anywhere, so the DuckDB twin
+    * replays it bit-for-bit with BIGINT math (a float kernel would be
+    * correct too, but its last-ulp behavior is not SQL-reproducible).
+    * Rounding is half-up on a non-negative numerator. Downscale-only
+    * targets keep source coordinates in range (fxn ≥ 0 ⇐ w ≥ ow). */
+  private[llm] def bilinearResize(img: BufferedImage, ow: Int, oh: Int): Array[Byte] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Byte](ow * oh * 3)
+    val dwx = 2 * ow // denominator of the x weight
+    val dwy = 2 * oh
+    val d = 4L * ow * oh
+    var oy = 0
+    while (oy < oh) {
+      val fyn = (2 * oy + 1) * h - oh
+      val y0 = fyn / dwy
+      val dyn = fyn % dwy
+      val y1 = math.min(y0 + 1, h - 1)
+      var ox = 0
+      while (ox < ow) {
+        val fxn = (2 * ox + 1) * w - ow
+        val x0 = fxn / dwx
+        val dxn = fxn % dwx
+        val x1 = math.min(x0 + 1, w - 1)
+        val p00 = img.getRGB(x0, y0); val p01 = img.getRGB(x1, y0)
+        val p10 = img.getRGB(x0, y1); val p11 = img.getRGB(x1, y1)
+        var c = 0
+        while (c < 3) {
+          val sh = 16 - 8 * c
+          val num = (dwy - dyn).toLong * ((dwx - dxn).toLong * ((p00 >> sh) & 0xff)
+              + dxn.toLong * ((p01 >> sh) & 0xff)) +
+            dyn.toLong * ((dwx - dxn).toLong * ((p10 >> sh) & 0xff)
+              + dxn.toLong * ((p11 >> sh) & 0xff))
+          out((oy * ow + ox) * 3 + c) = ((num + d / 2) / d).toByte
+          c += 1
+        }
+        ox += 1
+      }
+      oy += 1
+    }
+    out
+  }
+
   /** Image resize to a fixed target: the batch-normalization step a
-    * multimodal training pipeline runs before feature extraction.
-    * ??? STUB ???  A real implementation decodes, resamples
-    * (bilinear/Lanczos), and re-encodes; with no codec in this
-    * environment the payload is a deterministic nearest-neighbor
-    * subsample of the raw bytes at the target pixel count (w·h·3, fake
-    * RGB). The CONTRACT is real and tested: image rows only, one codec
-    * init per partition, output size independent of input size. */
+    * multimodal training pipeline runs before feature extraction. REAL:
+    * ImageIO decodes the PNG payload, [[bilinearResize]] resamples the
+    * decoded pixels. Image rows only, one decoder init per partition,
+    * output size independent of input size (out bytes = ow·oh·3 raw
+    * RGB — the tensor-shaped layout the training side consumes). */
   def resizeImages(spark: SparkSession, media: Dataset[Media],
-      outW: Int = 64, outH: Int = 48): Dataset[ResizedMedia] = {
+      outW: Int = 16, outH: Int = 12): Dataset[ResizedMedia] = {
     import spark.implicits._
     media.filter(_.kind == "image").mapPartitions { it =>
-      // per-partition "decoder/encoder" init would happen here
       it.map { m =>
-        val n = outW * outH * 3
-        val out = Array.tabulate[Byte](n)(i =>
-          m.bytes((i.toLong * m.bytes.length / n).toInt))
-        ResizedMedia(m.media_id, m.meta.width, m.meta.height, outW, outH, out)
+        val img = ImageIO.read(new ByteArrayInputStream(m.bytes))
+        ResizedMedia(m.media_id, img.getWidth, img.getHeight, outW, outH,
+          bilinearResize(img, outW, outH))
       }
     }
   }
@@ -165,10 +280,17 @@ object Multimodal {
       sampleFrames(s, demoMedia(s)).toDF().orderBy("media_id", "frame_idx")),
     "mm_meta_stats" -> ((s, _) => metaStats(demoMedia(s))),
     // size contract (out bytes = out_w·out_h·3, independent of input
-    // size) PLUS a content fingerprint: md5 over the hex of the payload
-    // — the oracle regenerates the source bytes (FNV, as mm_features),
-    // replays the nearest-neighbor index mapping, and re-derives the
-    // same fingerprint, so the resample is verified byte-for-byte
+    // size) PLUS a content fingerprint: md5 over the hex of the raw RGB
+    // payload — the oracle regenerates the SOURCE pixels from id
+    // arithmetic (never touching the PNG), replays the integer bilinear
+    // kernel in BIGINT SQL, and re-derives the same fingerprint: the
+    // decode AND the resample are verified byte-for-byte.
+    "mm_resize" -> ((s, _) =>
+      resizeImages(s, demoMedia(s)).toDF()
+        .select(col("media_id"), col("in_w"), col("in_h"),
+          col("out_w"), col("out_h"), length(col("bytes")).cast("long").as("n_bytes_out"),
+          md5(hex(col("bytes")).cast("binary")).as("content_fp"))
+        .orderBy("media_id")),
     // exact dedup over BINARY payloads (the cross-modal face of
     // dd_exact): partial aggregation maps each row to its 16-byte
     // content hash + id before the shuffle, so the payloads themselves
@@ -178,43 +300,50 @@ object Multimodal {
       demoMediaDups(s).toDF()
         .groupBy(md5(hex(col("bytes")).cast("binary")).as("content_md5"))
         .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-        .orderBy("content_md5")),
-    "mm_resize" -> ((s, _) =>
-      resizeImages(s, demoMedia(s)).toDF()
-        .select(col("media_id"), col("in_w"), col("in_h"),
-          col("out_w"), col("out_h"), length(col("bytes")).cast("long").as("n_bytes_out"),
-          md5(hex(col("bytes")).cast("binary")).as("content_fp"))
-        .orderBy("media_id")))
+        .orderBy("content_md5")))
 
-  /** DuckDB twin over the demo-media metadata fixture Verify dumps to
-    * /tmp/graft_fixtures (payload bytes excluded — the metadata-only
-    * aggregation is exactly what the query must compute without them).
+  /** DuckDB twins over the demo-media metadata fixture Verify dumps to
+    * /tmp/graft_fixtures (payload bytes excluded — image content is
+    * regenerated from id arithmetic, so the oracle never needs the
+    * PNGs).
     *
-    * mm_features is fully recomputed: the stub's payload bytes are
-    * FNV-1a of "id:j" (demoMedia above), and FNV is SQL-expressible
-    * with HUGEINT modular arithmetic (the ts_fingerprint_roll fold) —
-    * so the oracle regenerates every byte, rebuilds the nibble
-    * histogram, and recomputes entropy (ln/ln2, matching the stub's
-    * formula) and the float32 feature quotients from scratch. */
+    * mm_features is fully recomputed per kind: image rows regenerate
+    * every decoded channel value as FNV("id:x:y:c") % 256 (the exact
+    * pixels the lossless PNG must decode back to), audio/video rows
+    * regenerate payload bytes as FNV("id:j") % 256 — then histogram,
+    * entropy (ln/ln2, the kernel's formula) and the float32 bin-pair
+    * densities are rebuilt from scratch. A decode that returned
+    * anything but the true pixels would shift the histogram and go red. */
   val oracle: Map[String, String] = Map(
     "mm_features" ->
-      s"""WITH m AS (SELECT media_id, kind, n_bytes FROM read_parquet('/tmp/graft_fixtures/demo_media_meta/*.parquet')),
-         | b AS (
-         |  SELECT m.media_id, t.j,
-         |   ${graft.functions.TextHashes.fnvFoldSql("m.media_id || ':' || t.j")} % 256 AS byte
-         |  FROM m, LATERAL unnest(generate_series(0, m.n_bytes::INT - 1)) t(j)),
+      s"""WITH m AS (SELECT media_id, kind, width, height, n_bytes
+         |           FROM read_parquet('/tmp/graft_fixtures/demo_media_meta/*.parquet')),
+         | imgv AS (
+         |  SELECT m.media_id,
+         |   ${TextHashes.fnvFoldSql("m.media_id || ':' || x.x || ':' || y.y || ':' || c.c")} % 256 AS v
+         |  FROM m, LATERAL unnest(generate_series(0, m.width - 1)) x(x),
+         |       LATERAL unnest(generate_series(0, m.height - 1)) y(y),
+         |       LATERAL unnest([0, 1, 2]) c(c)
+         |  WHERE m.kind = 'image'),
+         | avv AS (
+         |  SELECT m.media_id,
+         |   ${TextHashes.fnvFoldSql("m.media_id || ':' || t.j")} % 256 AS v
+         |  FROM m, LATERAL unnest(generate_series(0, m.n_bytes::INT - 1)) t(j)
+         |  WHERE m.kind <> 'image'),
+        | vals AS (SELECT * FROM imgv UNION ALL SELECT * FROM avv),
+        | denom AS (SELECT media_id, count(*)::BIGINT AS nv FROM vals GROUP BY media_id),
         | hist AS (
-        |  SELECT media_id, (byte // 16)::INT AS bin, count(*)::BIGINT AS c
-        |  FROM b GROUP BY media_id, (byte // 16)::INT),
+        |  SELECT media_id, (v // 16)::INT AS bin, count(*)::BIGINT AS c
+        |  FROM vals GROUP BY media_id, (v // 16)::INT),
         | ent AS (
-        |  SELECT media_id,
-        |   round(-sum((c::DOUBLE / n_bytes) * ln(c::DOUBLE / n_bytes) / ln(2)), 4) AS byte_entropy
-        |  FROM hist JOIN m USING (media_id) GROUP BY media_id),
+        |  SELECT h.media_id,
+        |   round(-sum((c::DOUBLE / nv) * ln(c::DOUBLE / nv) / ln(2)), 4) AS byte_entropy
+        |  FROM hist h JOIN denom USING (media_id) GROUP BY h.media_id),
         | feat AS (
         |  SELECT media_id, string_agg(fv, ',' ORDER BY k) AS feature FROM (
         |    SELECT h.media_id, (h.bin // 2) AS k,
-        |     CAST(round((sum(h.c)::FLOAT / max(m.n_bytes)::FLOAT)::DOUBLE, 4) AS VARCHAR) AS fv
-        |    FROM hist h JOIN m USING (media_id)
+        |     CAST(round((sum(h.c)::FLOAT / max(d.nv)::FLOAT)::DOUBLE, 4) AS VARCHAR) AS fv
+        |    FROM hist h JOIN denom d USING (media_id)
         |    GROUP BY h.media_id, (h.bin // 2))
         |  GROUP BY media_id)
         |SELECT m.media_id, m.kind, m.n_bytes::INT AS n_bytes, e.byte_entropy, f.feature
@@ -224,26 +353,44 @@ object Multimodal {
       """SELECT kind, count(*) AS n, max(width) AS max_w, max(nFrames) AS max_frames
         |FROM read_parquet('/tmp/graft_fixtures/demo_media_meta/*.parquet')
         |GROUP BY kind ORDER BY kind""".stripMargin,
-    // full content verification: regenerate the source bytes (FNV, as
-    // mm_features), replay the nearest-neighbor index map
-    // (i·len div 9216), and fingerprint the reconstructed payload —
-    // upper-case hex to match Spark's hex()
+    // full content verification of decode + resample: regenerate the
+    // SOURCE pixels from id arithmetic, replay the exact integer
+    // bilinear (denominators 2·16=32 / 2·12=24, half-up over 768), and
+    // fingerprint the reconstructed raw-RGB payload in the kernel's
+    // (y, x, channel) layout — upper-case hex to match Spark's hex()
     "mm_resize" ->
-      s"""WITH m AS (SELECT media_id, width, height, n_bytes
-         |           FROM read_parquet('/tmp/graft_fixtures/demo_media_meta/*.parquet') WHERE kind='image'),
+      s"""WITH m AS (SELECT media_id, width AS w, height AS h
+         |           FROM read_parquet('/tmp/graft_fixtures/demo_media_meta/*.parquet')
+         |           WHERE kind = 'image'),
          | src AS (
-         |  SELECT m.media_id, t.j,
-         |   (${graft.functions.TextHashes.fnvFoldSql("m.media_id || ':' || t.j")} % 256)::INT AS b
-         |  FROM m, LATERAL unnest(generate_series(0, m.n_bytes::INT - 1)) t(j)),
-        | outb AS (
-        |  SELECT m.media_id, t.i, s.b
-        |  FROM m
-        |  CROSS JOIN LATERAL unnest(generate_series(0, 9215)) t(i)
-        |  JOIN src s ON s.media_id = m.media_id AND s.j = (t.i * m.n_bytes) // 9216),
-        | fp AS (SELECT media_id, md5(string_agg(printf('%02X', b), '' ORDER BY i)) AS content_fp
-        |        FROM outb GROUP BY media_id)
-        |SELECT m.media_id, m.width AS in_w, m.height AS in_h, 64 AS out_w, 48 AS out_h,
-        | CAST(9216 AS BIGINT) AS n_bytes_out, fp.content_fp
+         |  SELECT m.media_id, x.x, y.y, c.c,
+         |   (${TextHashes.fnvFoldSql("m.media_id || ':' || x.x || ':' || y.y || ':' || c.c")} % 256)::BIGINT AS p
+         |  FROM m, LATERAL unnest(generate_series(0, m.w - 1)) x(x),
+         |       LATERAL unnest(generate_series(0, m.h - 1)) y(y),
+         |       LATERAL unnest([0, 1, 2]) c(c)),
+        | o AS (
+        |  SELECT m.media_id, m.w, m.h, oy.oy, ox.ox, c.c,
+        |   ((2 * ox.ox + 1) * m.w - 16) // 32 AS x0,
+        |   ((2 * ox.ox + 1) * m.w - 16) % 32 AS dxn,
+        |   ((2 * oy.oy + 1) * m.h - 12) // 24 AS y0,
+        |   ((2 * oy.oy + 1) * m.h - 12) % 24 AS dyn
+        |  FROM m, LATERAL unnest(generate_series(0, 15)) ox(ox),
+        |       LATERAL unnest(generate_series(0, 11)) oy(oy),
+        |       LATERAL unnest([0, 1, 2]) c(c)),
+        | o2 AS (SELECT *, least(x0 + 1, w - 1) AS x1, least(y0 + 1, h - 1) AS y1 FROM o),
+        | v AS (
+        |  SELECT o2.media_id, o2.oy, o2.ox, o2.c,
+        |   ((24 - o2.dyn) * ((32 - o2.dxn) * s00.p + o2.dxn * s01.p)
+        |    + o2.dyn * ((32 - o2.dxn) * s10.p + o2.dxn * s11.p) + 384) // 768 AS val
+        |  FROM o2
+        |  JOIN src s00 ON s00.media_id = o2.media_id AND s00.x = o2.x0 AND s00.y = o2.y0 AND s00.c = o2.c
+        |  JOIN src s01 ON s01.media_id = o2.media_id AND s01.x = o2.x1 AND s01.y = o2.y0 AND s01.c = o2.c
+        |  JOIN src s10 ON s10.media_id = o2.media_id AND s10.x = o2.x0 AND s10.y = o2.y1 AND s10.c = o2.c
+        |  JOIN src s11 ON s11.media_id = o2.media_id AND s11.x = o2.x1 AND s11.y = o2.y1 AND s11.c = o2.c),
+        | fp AS (SELECT media_id, md5(string_agg(printf('%02X', val), '' ORDER BY oy, ox, c)) AS content_fp
+        |        FROM v GROUP BY media_id)
+        |SELECT m.media_id, m.w AS in_w, m.h AS in_h, 16 AS out_w, 12 AS out_h,
+        | CAST(576 AS BIGINT) AS n_bytes_out, fp.content_fp
         |FROM m JOIN fp USING (media_id) ORDER BY media_id""".stripMargin,
     // fully self-contained: payload bytes AND lengths regenerated from
     // media_id arithmetic (seed = id % 24, len = 256 + (seed*37) % 512,
@@ -255,7 +402,7 @@ object Multimodal {
          |           FROM (SELECT unnest(generate_series(0, 63)) AS i)),
          | b AS (
          |  SELECT m.media_id, t.j,
-         |   (${graft.functions.TextHashes.fnvFoldSql("m.seed || ':' || t.j")} % 256)::INT AS byte
+         |   (${TextHashes.fnvFoldSql("m.seed || ':' || t.j")} % 256)::INT AS byte
          |  FROM m, LATERAL unnest(generate_series(0, m.n_bytes::INT - 1)) t(j)),
         | fp AS (SELECT media_id, md5(string_agg(printf('%02X', byte), '' ORDER BY j)) AS content_md5
         |        FROM b GROUP BY media_id)

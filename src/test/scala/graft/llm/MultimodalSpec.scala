@@ -35,11 +35,37 @@ class MultimodalSpec extends AnyFunSuite {
     val resized = Multimodal.resizeImages(spark, media).collect()
     val imageIds = media.collect().filter(_.kind == "image").map(_.media_id).toSet
     assert(resized.map(_.media_id).toSet == imageIds)
-    assert(resized.forall(r => r.bytes.length == 64 * 48 * 3 && r.out_w == 64 && r.out_h == 48))
+    assert(resized.forall(r => r.bytes.length == 16 * 12 * 3 && r.out_w == 16 && r.out_h == 12))
     // deterministic: same input → same resized payload
     val again = Multimodal.resizeImages(spark, media).collect()
     assert(resized.sortBy(_.media_id).zip(again.sortBy(_.media_id))
       .forall { case (a, b) => a.bytes.sameElements(b.bytes) })
+  }
+
+  test("PNG payloads decode back to the exact generated pixels (lossless round-trip)") {
+    // the property the mm oracles lean on: source pixels derive from id
+    // arithmetic, PNG is lossless, so ImageIO.read must reproduce them
+    val m = Multimodal.demoMedia(spark).collect().find(_.kind == "image").get
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.bytes))
+    assert(img.getWidth == m.meta.width && img.getHeight == m.meta.height)
+    def fnv(x: Int, y: Int, c: Int): Int =
+      (graft.functions.TextHashKernels.rollingHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          s"${m.media_id}:$x:$y:$c")) & 0xff).toInt
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+      val rgb = img.getRGB(x, y)
+      assert(((rgb >> 16) & 0xff) == fnv(x, y, 0)
+        && ((rgb >> 8) & 0xff) == fnv(x, y, 1)
+        && (rgb & 0xff) == fnv(x, y, 2), s"pixel ($x,$y) diverged after round-trip")
+    }
+  }
+
+  test("bilinear kernel: weights sum exactly (constant image → constant output)") {
+    val img = new java.awt.image.BufferedImage(33, 21,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 21; x <- 0 until 33) img.setRGB(x, y, 0x7b7b7b)
+    val out = Multimodal.bilinearResize(img, 16, 12)
+    assert(out.length == 16 * 12 * 3 && out.forall(b => (b & 0xff) == 0x7b))
   }
 
   test("mm_dedup collapses the planted duplicate payloads exactly") {
