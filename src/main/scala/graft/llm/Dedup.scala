@@ -362,10 +362,24 @@ object Dedup {
     * or a dropped line all diverge the md5s). */
   private val ddLinesHashed: Q = (s, d) => {
     val lineRows = boilerplateLineRows(s, d)
-    val frequent = lineRows.groupBy(xxhash64(col("line")).as("line_h"))
-      .agg(countDistinct(col("doc_id")).as("nd"), min(col("line")).as("example"))
+    // Detection shuffle carries ONLY (8-byte hash, doc_id) — the
+    // count-distinct partial expands on exactly that pair, map-side.
+    // Carrying the example through this aggregate would re-widen it to
+    // string width (measured: it cost MORE than the string key); the
+    // example is fetched in a second, tiny pass instead.
+    val freqHashes = lineRows
+      .select(xxhash64(col("line")).as("line_h"), col("doc_id"))
+      .groupBy("line_h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= bpMinDocs)
-      .select(col("line_h"), col("example"))
+    // example strings for the frequent set only: broadcast the (tiny by
+    // construction) hash set, filter the lines to boilerplate rows, and
+    // partial-aggregated min collapses to one candidate per partition
+    // per hash before the shuffle — string bytes shuffled: O(frequent ×
+    // partitions), independent of corpus size.
+    val frequent = lineRows.withColumn("line_h", xxhash64(col("line")))
+      .join(broadcast(freqHashes.select("line_h")), Seq("line_h"))
+      .groupBy("line_h").agg(min(col("line")).as("example"))
     lineRows.withColumn("line_h", xxhash64(col("line")))
       .join(broadcast(frequent), Seq("line_h"), "left")
       .groupBy("doc_id")
