@@ -29,6 +29,23 @@ object StreamQueries {
     * times (warmup + rotated passes) in one session. */
   private val seq = new AtomicLong(0L)
 
+  /** One forked session per parent (memoized, the j9 pattern) with a
+    * state-appropriate shuffle width: a stateful micro-batch pays
+    * per-partition state-store commit overhead EVERY batch, and 32
+    * partitions for ~10k session keys is pure overhead — 8 roughly
+    * halves both gates (measured at sf0.1: st_sessions 6.5 → 3.6 s,
+    * st_asof 3.0 → 1.8 s). At production
+    * scale this is the knob sized to state volume, not to the batch
+    * compute width. */
+  private val streamSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  private def scoped(parent: SparkSession): SparkSession =
+    streamSessions.computeIfAbsent(parent, { p =>
+      val n = p.newSession()
+      n.conf.set("spark.sql.shuffle.partitions", "8")
+      n
+    })
+
   /** W8 as a stream: the custom-state sessionizer over the full events
     * table delivered through a MemoryStream, with every session FLUSHED
     * via the event-time-timeout path — two sentinel events from a
@@ -39,7 +56,8 @@ object StreamQueries {
     * re-derived by per-user start-time order — the same numbering the
     * batch gaps-and-islands twin produces — so the oracle SQL is
     * `w8_sessions`' verbatim. */
-  private val stSessions: Q = (s, d) => {
+  private val stSessions: Q = (parent, d) => {
+    val s = scoped(parent)
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
     val evs = graft.io.Sources.table(s, d, "events")
@@ -83,7 +101,8 @@ object StreamQueries {
     * batch result row for row). No flush sentinel needed: clicks emit
     * the moment they are processed. Oracle: `j7_asof`'s correlated
     * twin, verbatim. */
-  private val stAsof: Q = (s, d) => {
+  private val stAsof: Q = (parent, d) => {
+    val s = scoped(parent)
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
     val evs = graft.io.Sources.table(s, d, "events")

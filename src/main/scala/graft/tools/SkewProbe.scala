@@ -69,6 +69,17 @@ object SkewProbe {
         val s = scoped(noBcast :+ ("spark.sql.adaptive.skewJoin.enabled" -> "true"): _*)
         rollup(facts(s).join(dim(s), Seq("key")))
       }),
+      "aqe_tuned" -> (() => {
+        // AQE only splits a partition larger than BOTH factor×median AND
+        // skewedPartitionThresholdInBytes (256 MB default) — a hot key
+        // under that still serializes one task. Tuned thresholds make
+        // the split fire on this workload.
+        val s = scoped(noBcast ++ Seq(
+          "spark.sql.adaptive.skewJoin.enabled" -> "true",
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32MB",
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16MB"): _*)
+        rollup(facts(s).join(dim(s), Seq("key")))
+      }),
       "smj_plain" -> (() => {
         val s = scoped(noBcast :+ ("spark.sql.adaptive.skewJoin.enabled" -> "false"): _*)
         rollup(facts(s).join(dim(s), Seq("key")))
