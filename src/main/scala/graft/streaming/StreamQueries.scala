@@ -129,13 +129,56 @@ object StreamQueries {
         col("asof_view_id"), col("asof_value"))
   }
 
+  /** The watermarked tumbling-window aggregate as a stream: hour
+    * windows over the full events table, every window FLUSHED by two
+    * watermark-advancing sentinel batches (append mode emits a window
+    * only once the watermark passes its end; the sentinel event_type is
+    * excluded from the result). The batch twin is the plain
+    * date_trunc-hour GROUP BY — windowed streaming aggregation must
+    * reproduce it exactly on bounded input. */
+  private val stWindowed: Q = (parent, d) => {
+    val s = scoped(parent)
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val evs = graft.io.Sources.table(s, d, "events")
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .as[EventStream.Ev].collect()
+    val maxMs = evs.iterator.map(_.ts.getTime).max
+    val source = MemoryStream[EventStream.Ev]
+    val name = s"st_windowed_${seq.incrementAndGet()}"
+    val q = EventStream.windowedStats(source.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val (schema, rows) = try {
+      source.addData(evs.toIndexedSeq)
+      q.processAllAvailable()
+      source.addData(EventStream.Ev(-1L, new Timestamp(maxMs + 7200000L), "sentinel__", 0.0))
+      q.processAllAvailable()
+      source.addData(EventStream.Ev(-1L, new Timestamp(maxMs + 10800000L), "sentinel__", 0.0))
+      q.processAllAvailable()
+      val tbl = s.table(name)
+      (tbl.schema, tbl.filter(col("event_type") =!= "sentinel__").collect())
+    } finally {
+      q.stop()
+      s.catalog.dropTempView(name)
+    }
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      .select(col("win_start"), col("event_type"), col("n"),
+        graft.functions.Numeric.dround(col("total_value"), 4).as("total_value"))
+      .orderBy("win_start", "event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "st_sessions" -> stSessions,
-    "st_asof" -> stAsof)
+    "st_asof" -> stAsof,
+    "st_windowed" -> stWindowed)
 
   /** The batch twins' oracles apply UNCHANGED — that is the point: the
     * incremental operators must reproduce the batch semantics exactly. */
   val oracle: Map[String, String] = Map(
     "st_sessions" -> graft.ops.Events.oracle("w8_sessions"),
-    "st_asof" -> graft.ops.Relational.oracle("j7_asof"))
+    "st_asof" -> graft.ops.Relational.oracle("j7_asof"),
+    "st_windowed" ->
+      """SELECT date_trunc('hour', ts) AS win_start, event_type,
+        | count(*) AS n, round(sum(value), 4) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

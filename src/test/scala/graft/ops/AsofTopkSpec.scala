@@ -159,6 +159,14 @@ class AsofTopkSpec extends AnyFunSuite {
     val err = intercept[IllegalArgumentException](
       graft.plans.AsofJoin.join(views, bad))
     assert(err.getMessage.contains("timestamp or long"))
+    // MIXED time types fail loudly too (ADVICE r5): timestamp micros on
+    // one side vs caller-defined long units on the other would compare
+    // incomparable numbers by ordinal and silently mis-join
+    val longClicks = clicks.withColumn("ts",
+      org.apache.spark.sql.functions.col("ts").cast("long"))
+    val err2 = intercept[IllegalArgumentException](
+      graft.plans.AsofJoin.join(views, longClicks))
+    assert(err2.getMessage.contains("SAME type"))
   }
 
   test("custom as-of operator plans AsofJoinExec with co-partitioned sorted children") {

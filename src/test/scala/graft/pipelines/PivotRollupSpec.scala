@@ -38,6 +38,42 @@ class PivotRollupSpec extends AnyFunSuite {
     }
   }
 
+  test("a17_cube: full lattice consistency + per-status marginal rollup lacks") {
+    val rows = Report.queries("a17_cube")(spark, sf).collect()
+    def n(r: org.apache.spark.sql.Row) = r.getAs[Long]("n")
+    def gid(r: org.apache.spark.sql.Row) = r.getAs[Long]("gid")
+    val leaves = rows.filter(gid(_) == 0L)
+    val byFlag = rows.filter(gid(_) == 1L)   // l_linestatus rolled up
+    val byStatus = rows.filter(gid(_) == 2L) // l_returnflag rolled up
+    val grand = rows.filter(gid(_) == 3L)
+    assert(grand.length == 1 && n(grand.head) == leaves.map(n).sum)
+    // the marginal rollup can't produce: per-status totals
+    for (st <- byStatus) {
+      val s = st.getString(1)
+      assert(n(st) == leaves.filter(_.getString(1) == s).map(n).sum, s"status $s")
+    }
+    assert(byFlag.map(n).sum == leaves.map(n).sum)
+  }
+
+  test("a17_cube: grouping_id separates rolled-up rows from genuine NULL data") {
+    // the NULL-semantics trap of grouping sets (memory note): a NULL in
+    // the DATA and a NULL meaning "rolled up" are different rows; only
+    // gid tells them apart, in Spark and DuckDB with the same bitmask
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(("a", 1.0), (null: String, 2.0), (null: String, 3.0))
+      .toDF("k", "v")
+    val out = df.cube("k").agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"), sum("v").as("sv")).collect()
+    val nullData = out.filter(r => r.isNullAt(0) && r.getAs[Long]("gid") == 0L)
+    val rolledUp = out.filter(r => r.isNullAt(0) && r.getAs[Long]("gid") == 1L)
+    assert(nullData.length == 1 && nullData.head.getAs[Long]("n") == 2L
+      && nullData.head.getAs[Double]("sv") == 5.0,
+      s"NULL-keyed data rows must aggregate as their own group: ${out.toSeq}")
+    assert(rolledUp.length == 1 && rolledUp.head.getAs[Long]("n") == 3L,
+      s"the rolled-up row must cover ALL rows: ${out.toSeq}")
+  }
+
   test("a15_equidepth: ten buckets of near-equal depth, no global sort in the plan") {
     val df = Report.queries("a15_equidepth")(spark, "/root/testdata/sf0.01")
     val rows = df.collect()
