@@ -288,24 +288,10 @@ object Dedup {
   private[llm] val bpFooter = "all rights reserved terms of service apply privacy policy here"
   private[llm] val bpMinDocs = 20
 
-  /** Line-level boilerplate removal (CCNet/RefinedWeb-style): split each
-    * document into lines, count DISTINCT documents per exact line across
-    * the corpus, mark lines appearing in ≥ [[bpMinDocs]] docs as
-    * boilerplate, and emit each doc's size, removed-line count, and the
-    * md5 of the cleaned text (order-preserving rejoin) — the removal is
-    * gated byte-for-byte, not just counted.
-    *
-    * The corpus has no newlines, so "lines" are the planted header/footer
-    * plus the body in 10-token chunks (chunk construction is a pure
-    * array expression — zero shuffle). Scale shape: (1) frequency agg
-    * shuffles once on the line (partial map-side count-distinct); (2)
-    * the frequent set after the ≥K filter is TINY by construction —
-    * boilerplate is what repeats — so the membership join broadcasts and
-    * the fact side never shuffles for it; (3) the rejoin groups once on
-    * doc_id. Two shuffles total, both on natural keys. */
   /** The shared (doc_id, line_no, line) exploded view both boilerplate
-    * queries detect over: planted header/footer + 10-token body chunks
-    * (chunk construction is a pure array expression — zero shuffle). */
+    * queries detect over. The corpus has no newlines, so "lines" are the
+    * planted header/footer plus the body in 10-token chunks (chunk
+    * construction is a pure array expression — zero shuffle). */
   private def boilerplateLineRows(s: SparkSession, d: String): DataFrame = {
     val arr = split(col("text"), " ")
     val nChunks = ceil(size(arr).cast("double") / 10).cast("int")
@@ -322,10 +308,21 @@ object Dedup {
       .select(col("doc_id"), posexplode(lines).as(Seq("line_no", "line")))
   }
 
+  /** Line-level boilerplate removal (CCNet/RefinedWeb-style): count
+    * DISTINCT documents per exact line across the corpus, mark lines
+    * appearing in ≥ [[bpMinDocs]] docs as boilerplate, and emit each
+    * doc's size, removed-line count, and the md5 of the cleaned text
+    * (order-preserving rejoin) — the removal is gated byte-for-byte,
+    * not just counted. Scale shape: (1) frequency agg shuffles once on
+    * the line (partial map-side count-distinct); (2) the frequent set
+    * after the ≥K filter is TINY by construction — boilerplate is what
+    * repeats — so the membership join broadcasts and the fact side
+    * never shuffles for it; (3) the rejoin groups once on doc_id. Two
+    * shuffles total, both on natural keys. String-keyed frequency keeps
+    * the oracle twin exact on this corpus; [[ddLinesHashed]] is the
+    * same plan with the 100 TB key. */
   private val ddLines: Q = (s, d) => {
     val lineRows = boilerplateLineRows(s, d)
-    // String-keyed frequency — keeps the oracle twin exact on this
-    // corpus; [[ddLinesHashed]] is the same plan with the 100 TB key.
     val frequent = lineRows.groupBy("line")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= bpMinDocs)

@@ -48,7 +48,7 @@ object Multimodal {
   /** FNV-derived channel value in [0, 256) — the ONE definition both
     * the corpus generator and (via `TextHashes.fnvFoldSql`) the oracle
     * replay build from. */
-  private def fnvByte(key: String): Int =
+  private[llm] def fnvByte(key: String): Int =
     (TextHashKernels.rollingHash(UTF8String.fromString(key)) & 0xff).toInt
 
   /** A real PNG payload over deterministic pixels: channel (x, y, c) of
@@ -201,6 +201,10 @@ object Multimodal {
   private[llm] def bilinearResize(img: BufferedImage, ow: Int, oh: Int): Array[Byte] = {
     val w = img.getWidth
     val h = img.getHeight
+    // enforce the documented precondition instead of wrapping negative
+    // weights into garbage bytes: fxn ≥ 0 requires w ≥ ow (and h ≥ oh)
+    require(w >= ow && h >= oh,
+      s"bilinearResize is downscale-only: input ${w}x$h < target ${ow}x$oh")
     val out = new Array[Byte](ow * oh * 3)
     val dwx = 2 * ow // denominator of the x weight
     val dwy = 2 * oh

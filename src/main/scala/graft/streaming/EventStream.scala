@@ -261,7 +261,10 @@ object EventStream {
           } else {
             state.update(s)
             if (isStreaming)
-              state.setTimeoutTimestamp((s.last + gap) / 1000L) // timeout API is millis
+              // timeout API is millis — round UP, or the timeout could
+              // fire up to 999 µs before the gap has actually elapsed
+              // and close a session an in-gap event would have extended
+              state.setTimeoutTimestamp((s.last + gap + 999L) / 1000L)
           }
         case None =>
           if (state.hasTimedOut) state.remove()

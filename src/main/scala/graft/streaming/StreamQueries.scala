@@ -63,7 +63,7 @@ object StreamQueries {
     val evs = graft.io.Sources.table(s, d, "events")
       .select(col("user_id"), col("ts"), col("event_type"), col("value"))
       .as[EventStream.Ev].collect()
-    val maxMs = evs.iterator.map(_.ts.getTime).max
+    val maxMs = if (evs.isEmpty) 0L else evs.iterator.map(_.ts.getTime).max
     val flushMs = maxMs + EventStream.sessionGapUs / 1000L + 3600000L
     val source = MemoryStream[EventStream.Ev]
     val name = s"st_sessions_${seq.incrementAndGet()}"
@@ -115,7 +115,7 @@ object StreamQueries {
     val q = EventStream.asofStream(s, source.toDS())
       .writeStream.format("memory").queryName(name).outputMode("append").start()
     val rows = try {
-      evs.grouped((evs.length + 2) / 3).foreach { chunk =>
+      evs.grouped(math.max(1, (evs.length + 2) / 3)).foreach { chunk =>
         source.addData(chunk.toIndexedSeq)
         q.processAllAvailable()
       }
@@ -143,7 +143,7 @@ object StreamQueries {
     val evs = graft.io.Sources.table(s, d, "events")
       .select(col("user_id"), col("ts"), col("event_type"), col("value"))
       .as[EventStream.Ev].collect()
-    val maxMs = evs.iterator.map(_.ts.getTime).max
+    val maxMs = if (evs.isEmpty) 0L else evs.iterator.map(_.ts.getTime).max
     val source = MemoryStream[EventStream.Ev]
     val name = s"st_windowed_${seq.incrementAndGet()}"
     val q = EventStream.windowedStats(source.toDF())
@@ -156,7 +156,9 @@ object StreamQueries {
       source.addData(EventStream.Ev(-1L, new Timestamp(maxMs + 10800000L), "sentinel__", 0.0))
       q.processAllAvailable()
       val tbl = s.table(name)
-      (tbl.schema, tbl.filter(col("event_type") =!= "sentinel__").collect())
+      // null-safe exclusion: a NULL event_type is a real group the
+      // oracle's GROUP BY keeps; =!= would silently drop it
+      (tbl.schema, tbl.filter(!(col("event_type") <=> "sentinel__")).collect())
     } finally {
       q.stop()
       s.catalog.dropTempView(name)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew-mitigation probe (VERDICT r5 next §6): one deterministic
-  * Zipf-shaped join measured four ways, so BASELINE.md can state WHEN
+  * Zipf-shaped join measured five ways, so BASELINE.md can state WHEN
   * the manual salt in ops.Skew beats AQE's runtime skew-join split and
   * when it is unnecessary.
   *
@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   *   bcast      — broadcast join (the floor: a small dim should never
   *                shuffle at all; skew is irrelevant)
   *   aqe_skew   — broadcast disabled (TB-scale dim regime), sort-merge
-  *                join with AQE skewJoin ON: Spark splits the oversized
-  *                partition at runtime
+  *                join with AQE skewJoin ON at DEFAULT thresholds
+  *   aqe_tuned  — same with lowered skew thresholds (32 MB / 16 MB
+  *                advisory), probing whether the split engages at all
   *   smj_plain  — broadcast disabled, skewJoin OFF: the straggler
   *                baseline (one task owns half the input)
   *   salted     — broadcast disabled, skewJoin OFF, ops.Skew.saltedJoin

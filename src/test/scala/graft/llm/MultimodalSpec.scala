@@ -49,9 +49,7 @@ class MultimodalSpec extends AnyFunSuite {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.bytes))
     assert(img.getWidth == m.meta.width && img.getHeight == m.meta.height)
     def fnv(x: Int, y: Int, c: Int): Int =
-      (graft.functions.TextHashKernels.rollingHash(
-        org.apache.spark.unsafe.types.UTF8String.fromString(
-          s"${m.media_id}:$x:$y:$c")) & 0xff).toInt
+      Multimodal.fnvByte(s"${m.media_id}:$x:$y:$c")
     for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
       val rgb = img.getRGB(x, y)
       assert(((rgb >> 16) & 0xff) == fnv(x, y, 0)
