@@ -30,10 +30,14 @@ object Sources {
     * `events.parquet` carries INT64 TIMESTAMP(NANOS) which Spark's parquet
     * reader rejects outright; we read it as raw nanos
     * (`spark.sql.legacy.parquet.nanosAsLong`) and rebuild a proper
-    * TimestampType column. The testdata's nanos are micro-aligned
-    * (ns % 1000 == 0 for every row), so `ts div 1000` is lossless. The
-    * division must be integral: epoch-nanos ≈ 1.7e18 exceeds a double's
-    * 53-bit mantissa, so a floating-point detour would corrupt timestamps.
+    * TimestampType column. The testdata's nanos are NOT micro-aligned
+    * (rows carry sub-µs components); `ts div 1000` TRUNCATES toward the
+    * microsecond — exactly what DuckDB's micros-native TIMESTAMP does
+    * when it reads the same NANOS column (verified: both render
+    * …07.179575 for raw …575175 ns), so every oracle twin sees the
+    * identical truncated instant. The division must be integral:
+    * epoch-nanos ≈ 1.7e18 exceeds a double's 53-bit mantissa, so a
+    * floating-point detour would corrupt timestamps.
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // Runtime-set defensively: the driver's smoke gate may hand us a

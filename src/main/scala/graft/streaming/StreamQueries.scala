@@ -169,10 +169,123 @@ object StreamQueries {
       .orderBy("win_start", "event_type")
   }
 
+  /** Streaming exact dedup under the gate: every event delivered once
+    * in batch 1, then a PLANTED re-delivery (event_id % 10 == 3) in
+    * batch 2 — the at-least-once ingest failure dedup exists for. A
+    * re-delivered key still in state is dropped by the state match; one
+    * already past the watermark horizon is dropped as late data — both
+    * paths land on the same answer, so the gate is the strongest kind:
+    * the output must equal the PLAIN events table row for row (a leaked
+    * duplicate fails on row count; a wrongly-dropped first delivery
+    * fails on content). */
+  private val stDedup: Q = (parent, d) => {
+    val s = scoped(parent)
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val evs = graft.io.Sources.table(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+      .as[EventStream.AsofEv].collect()
+    val source = MemoryStream[EventStream.AsofEv]
+    val name = s"st_dedup_${seq.incrementAndGet()}"
+    val q = EventStream.dedupStream(
+        source.toDF().withColumnRenamed("event_id", "content_key"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val rows = try {
+      source.addData(evs.toIndexedSeq)
+      q.processAllAvailable()
+      source.addData(evs.filter(_.event_id % 10 == 3).toIndexedSeq) // re-delivery
+      q.processAllAvailable()
+      s.table(name).collect()
+    } finally {
+      q.stop()
+      s.catalog.dropTempView(name)
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.Encoders.product[EventStream.AsofEv].schema
+        .map(f => if (f.name == "event_id") f.copy(name = "content_key") else f))
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      .select(col("content_key").as("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"))
+  }
+
+  /** The exactly-once-EFFECT parquet sink under the gate: the events
+    * stream lands in batch_id partitions via foreachBatch + dynamic
+    * partition overwrite, then batch 0 is RE-DELIVERED with identical
+    * content (the crash-between-write-and-offset-commit replay). The
+    * read-back — batch_id dropped — must equal the plain events table
+    * row for row: an appending (non-idempotent) sink fails on row
+    * count, a lossy one on content. */
+  private val stSink: Q = (parent, d) => {
+    val s = scoped(parent)
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val evs = graft.io.Sources.table(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+      .as[EventStream.AsofEv].collect()
+    val root = java.nio.file.Files.createTempDirectory("graft_stsink").toString
+    val out = s"$root/out"
+    val half = evs.length / 2
+    val source = MemoryStream[EventStream.AsofEv]
+    val q = EventStream.idempotentParquetSink(source.toDF(), out, s"$root/ckpt")
+    try {
+      source.addData(evs.take(half).toIndexedSeq)
+      q.processAllAvailable()
+      source.addData(evs.drop(half).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    // crash-replay of batch 0: same id, same content — must overwrite
+    EventStream.writeBatch(s.createDataset(evs.take(half).toIndexedSeq).toDF(), 0L, out)
+    s.read.parquet(out)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+  }
+
+  /** The watermarked stream-stream interval join under the gate: every
+    * click paired with the same user's views in the preceding 10
+    * minutes, streamed across two batches plus a sentinel pair that
+    * pushes both watermarks past the data (defensive flush — inner
+    * joins emit eagerly, the sentinel guarantees no buffered residue),
+    * with the sentinel user excluded. Oracle: the plain interval
+    * theta-join. */
+  private val stInterval: Q = (parent, d) => {
+    val s = scoped(parent)
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val evs = graft.io.Sources.table(s, d, "events")
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+      .as[EventStream.AsofEv].collect()
+      .sortBy(e => (EventStream.us(e.ts), e.event_id))
+    val maxMs = if (evs.isEmpty) 0L else evs.iterator.map(_.ts.getTime).max
+    val source = MemoryStream[EventStream.AsofEv]
+    val name = s"st_interval_${seq.incrementAndGet()}"
+    val q = EventStream.clickViewJoin(source.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val (schema, rows) = try {
+      val half = evs.length / 2
+      source.addData(evs.take(half).toIndexedSeq)
+      q.processAllAvailable()
+      source.addData(evs.drop(half).toIndexedSeq)
+      q.processAllAvailable()
+      source.addData(IndexedSeq(
+        EventStream.AsofEv(-1L, -1L, new Timestamp(maxMs + 3600000L), "view", 0.0),
+        EventStream.AsofEv(-2L, -1L, new Timestamp(maxMs + 3600000L), "click", 0.0)))
+      q.processAllAvailable()
+      val tbl = s.table(name)
+      (tbl.schema, tbl.filter(col("user_id") >= 0L).collect())
+    } finally {
+      q.stop()
+      s.catalog.dropTempView(name)
+    }
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
   val queries: Map[String, Q] = Map(
     "st_sessions" -> stSessions,
     "st_asof" -> stAsof,
-    "st_windowed" -> stWindowed)
+    "st_windowed" -> stWindowed,
+    "st_dedup" -> stDedup,
+    "st_sink" -> stSink,
+    "st_interval" -> stInterval)
 
   /** The batch twins' oracles apply UNCHANGED — that is the point: the
     * incremental operators must reproduce the batch semantics exactly. */
@@ -182,5 +295,18 @@ object StreamQueries {
     "st_windowed" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type,
         | count(*) AS n, round(sum(value), 4) AS total_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the planted re-delivery must vanish: output == the plain table
+    "st_dedup" ->
+      "SELECT event_id, user_id, ts, event_type, value FROM events",
+    // the replayed batch must overwrite, not append: output == the table
+    "st_sink" ->
+      "SELECT event_id, user_id, ts, event_type, value FROM events",
+    "st_interval" ->
+      """SELECT c.event_id AS c_id, v.user_id, c.ts AS c_ts,
+        | v.event_id AS v_id, v.ts AS v_ts
+        |FROM events v JOIN events c
+        |  ON v.user_id = c.user_id
+        | AND v.event_type = 'view' AND c.event_type = 'click'
+        | AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 10 MINUTE""".stripMargin)
 }
