@@ -94,6 +94,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the scoped session disables broadcast; the exact join must sort-merge:\n$p")
   }
 
+  test("dd_lines_hashed keys its detection shuffle on the 8-byte hash, dd_lines on the string") {
+    // the 100 TB claim behind the pair (BASELINE r6: 3.74 → 2.29 MB
+    // measured): the hashed variant's frequency aggregate must exchange
+    // on line_h, never on the line string
+    val hashed = plan("dd_lines_hashed")
+    assert(hashed.contains("hashpartitioning(line_h"),
+      s"detection exchange must key on xxhash64(line):\n$hashed")
+    val stringKeyed = plan("dd_lines")
+    assert(stringKeyed.contains("hashpartitioning(line#") ||
+      stringKeyed.contains("hashpartitioning(line,"),
+      s"string variant keys its detection exchange on the line itself:\n$stringKeyed")
+  }
+
   test("whole-stage codegen covers the custom expressions") {
     // the native kernels (vec_dot, sorted_intersect_count) must not
     // break codegen spans around them; AQE only finalizes the plan on
