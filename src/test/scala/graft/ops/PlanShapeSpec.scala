@@ -101,6 +101,8 @@ class PlanShapeSpec extends AnyFunSuite {
     val hashed = plan("dd_lines_hashed")
     assert(hashed.contains("hashpartitioning(line_h"),
       s"detection exchange must key on xxhash64(line):\n$hashed")
+    assert(!hashed.contains("hashpartitioning(line#"),
+      s"no exchange in the hashed plan may key on the line string:\n$hashed")
     val stringKeyed = plan("dd_lines")
     assert(stringKeyed.contains("hashpartitioning(line#") ||
       stringKeyed.contains("hashpartitioning(line,"),
