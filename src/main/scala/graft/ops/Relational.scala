@@ -258,6 +258,26 @@ object Relational {
         col("ship_day").cast("string").as("ship_day"))
   }
 
+  /** [[j8Range]] in the big-interval-side regime: the same week-bucket
+    * plan forced through sort-merge by a scoped no-broadcast session
+    * (when the interval table outgrows a broadcast — say, per-SKU promo
+    * calendars — the SAME bucketized equi-key carries an SMJ; only the
+    * physical strategy changes, the residual and results are
+    * identical, and the oracle is j8_range's verbatim). Plan pinned:
+    * SortMergeJoin on wk, still never a theta BNLJ. */
+  private val noBcastSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
+  private val j8RangeSmj: Q = (s, d) => {
+    val scoped = noBcastSessions.computeIfAbsent(s, { parent =>
+      val n = parent.newSession()
+      n.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      n.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      n
+    })
+    j8Range(scoped, d)
+  }
+
   /** J9 runtime-bloom-pruned fact join (extension) — the 100 TB shape
     * when NEITHER side broadcasts: Spark's InjectRuntimeFilter builds a
     * bloom filter over the selective side's join keys and pushes a
@@ -415,6 +435,7 @@ object Relational {
     "j7_asof" -> j7Asof,
     "j7_asof_native" -> j7AsofNative,
     "j8_range" -> j8Range,
+    "j8_range_smj" -> j8RangeSmj,
     "j9_bloom_prune" -> j9BloomPrune,
     "a1_dropdup" -> a1DropDup,
     "a2_distinct" -> a2Distinct,
@@ -427,6 +448,16 @@ object Relational {
     "x_recode_clamp" -> xRecodeClamp,
     "x_strings" -> xStrings,
     "x_datetime" -> xDatetime)
+
+  private val rangeTwinSql =
+    """WITH promos AS (SELECT o_orderkey AS promo_id,
+      |    CAST(o_orderdate AS DATE) AS p_start,
+      |    CAST(o_orderdate AS DATE) + 29 AS p_end
+      |  FROM orders WHERE o_orderkey % 997 = 1)
+      |SELECT l.l_orderkey, l.l_linenumber, p.promo_id,
+      |  strftime(CAST(l.l_shipdate AS DATE), '%Y-%m-%d') AS ship_day
+      |FROM lineitem l JOIN promos p
+      |  ON CAST(l.l_shipdate AS DATE) BETWEEN p.p_start AND p.p_end""".stripMargin
 
   private val asofTwinSql =
     """WITH v AS (SELECT user_id, ts, event_id AS v_id, value AS v_value
@@ -496,16 +527,11 @@ object Relational {
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE o.o_totalprice > 400000""".stripMargin,
     // Independent range-join twin: the plain BETWEEN theta-join — no
-    // bucketization — over the same derived promotion windows.
-    "j8_range" ->
-      """WITH promos AS (SELECT o_orderkey AS promo_id,
-        |    CAST(o_orderdate AS DATE) AS p_start,
-        |    CAST(o_orderdate AS DATE) + 29 AS p_end
-        |  FROM orders WHERE o_orderkey % 997 = 1)
-        |SELECT l.l_orderkey, l.l_linenumber, p.promo_id,
-        |  strftime(CAST(l.l_shipdate AS DATE), '%Y-%m-%d') AS ship_day
-        |FROM lineitem l JOIN promos p
-        |  ON CAST(l.l_shipdate AS DATE) BETWEEN p.p_start AND p.p_end""".stripMargin,
+    // bucketization — over the same derived promotion windows. The SAME
+    // twin gates the forced-SMJ variant: physical strategy must not
+    // change results.
+    "j8_range" -> rangeTwinSql,
+    "j8_range_smj" -> rangeTwinSql,
     "a1_dropdup" ->
       "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
     "a2_distinct" ->

@@ -83,6 +83,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"range join must not fall back to a theta join:\n$p")
   }
 
+  test("j8_range_smj carries the same bucketized equi-key through a sort-merge join") {
+    // the big-interval-side regime: no broadcast available, the week
+    // bucket must become an SMJ key — never a theta BNLJ
+    val p = plan("j8_range_smj")
+    assert(p.contains("SortMergeJoin"), s"expected SMJ on wk:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"no-broadcast range join must not fall back to a theta join:\n$p")
+  }
+
   test("j9 bloom-pruned join probes a runtime bloom filter at the fact scan") {
     // the no-broadcast session must inject might_contain into the fact
     // side (rows dropped BEFORE the shuffle) and plan the exact join as
