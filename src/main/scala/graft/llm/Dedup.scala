@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.io.Sources.table
 import graft.functions.Numeric.dround
@@ -391,6 +392,80 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Exact substring-span dedup (the "dedup training data at the
+    * substring level" operator of Lee et al. 2021, re-expressed as a
+    * k-gram plan): find every maximal token span that appears verbatim
+    * in ≥ 2 DISTINCT documents, where a span is any run of ≥ [[spanK]]
+    * consecutive tokens. Suffix arrays don't distribute; the
+    * equivalent-for-fixed-k formulation does: a duplicated run of
+    * length L ≥ k is exactly a run of L−k+1 consecutive duplicated
+    * k-grams, so (1) explode each doc into its k-grams, keyed by
+    * xxhash64 of the gram — the detection shuffle carries 8-byte
+    * hashes, never gram text (the dd_lines_hashed lesson); (2) a
+    * k-gram is duplicated iff ≥ 2 distinct docs contain it (map-side
+    * partial count-distinct on (hash, doc_id)); (3) per doc, merge the
+    * duplicated k-gram positions' [pos, pos+k−1] coverage intervals
+    * into maximal spans — the classic running-max window walk, one
+    * shuffle on doc_id whose partitioning the span rollups then reuse
+    * (HashPartitioning(doc_id) satisfies both downstream groupBys, no
+    * further Exchange). Emits per doc: span count, tokens covered, and
+    * an md5 over the ordered "start:end" span list so a single
+    * off-by-one position turns the gate red.
+    *
+    * The duplicated-gram set is what repeats across the corpus — tiny
+    * relative to the corpus by definition of near-deduplicated data —
+    * so the membership join broadcasts; at 100 TB (or on a pre-dedup
+    * crawl where it isn't small) the same plan swaps to a shuffle join
+    * on the 8-byte key. Within-doc self-repeats are out of scope by
+    * the ≥ 2 DISTINCT docs rule (cross-document contamination is the
+    * training-data concern; a doc repeating itself is ts_repetition's
+    * job). Oracle: fully independent DuckDB twin — string-keyed grams
+    * (vs the engine's xxhash64, so a hash collision diverges it), its
+    * own lateral-unnest explode, and its own window-function interval
+    * merge. */
+  private[llm] val spanK = 10
+
+  private val ddSpans: Q = (s, d) => {
+    val tk = split(col("text"), " ")
+    val docs = table(s, d, "documents")
+      .filter(size(tk) >= spanK)
+      .select(col("doc_id"), tk.as("tk"))
+    val kg = docs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), size(col("tk")) - spanK),
+        i => xxhash64(array_join(slice(col("tk"), i + 1, lit(spanK)), " "))))
+        .as(Seq("pos", "h")))
+    val dupH = kg.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("h")
+    val hits = kg.join(broadcast(dupH), Seq("h"))
+      .select(col("doc_id"), col("pos"), (col("pos") + spanK - 1).as("e"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val prevCoverEnd =
+      max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = hits
+      // a hit starts a new span iff its coverage is disjoint from (and
+      // not adjacent to) everything before it: pos > max(prior e) + 1
+      .withColumn("ns",
+        when(col("pos") > coalesce(prevCoverEnd, lit(-2)) + 1, 1).otherwise(0))
+      .withColumn("grp",
+        sum(col("ns")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").as("s"), max("e").as("e"))
+    spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).cast("long").as("dup_tokens"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("s"), col("e")))),
+            x => concat(x.getField("s").cast("string"), lit(":"),
+              x.getField("e").cast("string"))),
+          ",").cast("binary")).as("spans_md5"))
+      .join(docs.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens")),
+        Seq("doc_id"))
+      .select("doc_id", "n_spans", "dup_tokens", "spans_md5", "n_tokens")
+      .orderBy("doc_id")
+  }
+
   /** SimHash near-dup: 64-bit fingerprint per doc (native Catalyst
     * expression), bucketed by 16-bit chunks — two docs within hamming
     * distance 3 of each other share at least one exact chunk, so
@@ -431,7 +506,8 @@ object Dedup {
     "dd_minhash" -> ddMinhash,
     "dd_simhash" -> ddSimhash,
     "dd_lines" -> ddLines,
-    "dd_lines_hashed" -> ddLinesHashed)
+    "dd_lines_hashed" -> ddLinesHashed,
+    "dd_spans" -> ddSpans)
 
   private val linesTwinSql =
     s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS tk
@@ -548,6 +624,38 @@ object Dedup {
     // the string-keyed result byte for byte.
     "dd_lines" -> linesTwinSql,
     "dd_lines_hashed" -> linesTwinSql,
+    // Fully independent substring-span twin: DuckDB re-explodes the
+    // k-grams (STRING-keyed, vs the engine's xxhash64 — a collision
+    // diverges the compare), recounts distinct-doc frequency, and
+    // re-merges coverage intervals with its own window walk; the
+    // ordered start:end md5 pins every span boundary exactly.
+    "dd_spans" ->
+      s"""WITH tkv AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+         |             WHERE len(string_split(text, ' ')) >= $spanK),
+         | kg AS (SELECT t.doc_id, g.i - 1 AS pos,
+         |          array_to_string(t.tk[g.i:g.i+${spanK - 1}], ' ') AS gram
+         |        FROM tkv t, LATERAL unnest(generate_series(1, len(t.tk) - ${spanK - 1})) g(i)),
+         | dup AS (SELECT gram FROM kg GROUP BY gram
+         |         HAVING count(DISTINCT doc_id) >= 2),
+         | hits AS (SELECT doc_id, pos, pos + ${spanK - 1} AS e
+         |          FROM kg WHERE gram IN (SELECT gram FROM dup)),
+         | m AS (SELECT doc_id, pos, e,
+         |         CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+         |              THEN 1 ELSE 0 END AS ns
+         |       FROM hits),
+         | g2 AS (SELECT doc_id, pos, e,
+         |          sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |        FROM m),
+         | sp AS (SELECT doc_id, grp, min(pos) AS s, max(e) AS e
+         |        FROM g2 GROUP BY doc_id, grp)
+         |SELECT sp.doc_id, count(*) AS n_spans,
+         |  CAST(sum(sp.e - sp.s + 1) AS BIGINT) AS dup_tokens,
+         |  md5(string_agg(sp.s || ':' || sp.e, ',' ORDER BY sp.s)) AS spans_md5,
+         |  CAST(min(len(t.tk)) AS BIGINT) AS n_tokens
+         |FROM sp JOIN tkv t ON t.doc_id = sp.doc_id
+         |GROUP BY sp.doc_id ORDER BY sp.doc_id""".stripMargin,
     // Completeness+soundness twin: GIVEN the dumped signatures, the
     // hamming-≤-3 pair set is recomputed exhaustively (no banding) —
     // both a missed pair and a spurious pair diverge the compare.
