@@ -392,6 +392,75 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Incremental dedup — the continuous-crawl production shape: a new
+    * batch of documents (doc_id ≡ 7 mod 10) is deduplicated against
+    * the already-curated corpus (everything else) WITHOUT ever forming
+    * a corpus×corpus pair. Two layers, both batch-side driven: an
+    * exact layer joining 16-byte content hashes against the corpus
+    * (at 100 TB this hash relation is the persisted dedup index — the
+    * IvfBuild pattern — and the join shuffles 16 B/doc, never text),
+    * and a near layer running the dd_jaccard banding (lang × length
+    * band × token band, size-ratio prefilter, hashed-token merge
+    * walk) with the batch on the build side, so candidate pairs are
+    * O(batch × bucket density), independent of corpus-internal
+    * redundancy. Verdict per batch doc: `exact` beats `near` beats
+    * `unique`; `match_id` = the smallest matching corpus doc
+    * (−1 sentinel when unique — keeps the column non-null BIGINT on
+    * both engines).
+    *
+    * The synthetic corpus has no natural exact duplicates (dd_exact:
+    * every hash unique), so the query PLANTS them (ts_pii/dd_lines
+    * precedent): every batch doc with doc_id ≡ 7 mod 30 arrives as a
+    * bit-identical copy of corpus neighbor doc_id−1 (never ≡ 7 mod
+    * 10, hence always in the corpus). The oracle replays the plant
+    * verbatim and re-derives both layers independently; the near
+    * layer's matches occur naturally (the corpus is near-dup-rich). */
+  private val ddIncremental: Q = (s, d) => {
+    val raw = table(s, d, "documents")
+    val corpus = raw.filter(col("doc_id") % 10 =!= 7).persist()
+    val planted = col("doc_id") % 30 === 7
+    val donors = corpus.select((col("doc_id") + 1).as("doc_id"),
+      col("text").as("d_text"), col("lang").as("d_lang"),
+      col("n_chars").as("d_n"))
+    val batch = raw.filter(col("doc_id") % 10 === 7)
+      .join(donors, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(planted, col("d_text")).otherwise(col("text")).as("text"),
+        when(planted, col("d_lang")).otherwise(col("lang")).as("lang"),
+        when(planted, col("d_n")).otherwise(col("n_chars")).as("n_chars"))
+      .persist()
+    val exact = batch
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("ch"))
+      .join(corpus.select(md5(col("text").cast("binary")).as("ch"),
+        col("doc_id").as("cid")), Seq("ch"))
+      .groupBy("doc_id").agg(min("cid").as("exact_match"))
+    def sig(df: DataFrame) = df.select(col("doc_id"), col("lang"),
+      floor(col("n_chars") / 100).cast("int").as("len_band"), tokHashes.as("tk"))
+      .withColumn("tok_band", (size(col("tk")) / 4).cast("int"))
+    val inter =
+      ArrayFns.sortedLongIntersectCount(col("tk_b"), col("tk_c")).cast("double")
+    val near = sig(batch)
+      .select(col("lang"), col("len_band"), col("tok_band"),
+        col("doc_id"), col("tk").as("tk_b"))
+      .join(sig(corpus).select(col("lang"), col("len_band"), col("tok_band"),
+        col("doc_id").as("cid"), col("tk").as("tk_c")),
+        Seq("lang", "len_band", "tok_band"))
+      .filter(least(size(col("tk_b")), size(col("tk_c"))) * 10 >=
+        greatest(size(col("tk_b")), size(col("tk_c"))) * 9)
+      .filter(dround(inter /
+        (size(col("tk_b")) + size(col("tk_c")) - inter), 4) >= 0.9)
+      .groupBy("doc_id").agg(min("cid").as("near_match"))
+    batch.select("doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_match").isNotNull, lit("exact"))
+          .when(col("near_match").isNotNull, lit("near"))
+          .otherwise(lit("unique")).as("verdict"),
+        coalesce(col("exact_match"), col("near_match"), lit(-1L)).as("match_id"))
+      .orderBy("doc_id")
+  }
+
   /** Exact substring-span dedup (the "dedup training data at the
     * substring level" operator of Lee et al. 2021, re-expressed as a
     * k-gram plan): find every maximal token span that appears verbatim
@@ -507,7 +576,8 @@ object Dedup {
     "dd_simhash" -> ddSimhash,
     "dd_lines" -> ddLines,
     "dd_lines_hashed" -> ddLinesHashed,
-    "dd_spans" -> ddSpans)
+    "dd_spans" -> ddSpans,
+    "dd_incremental" -> ddIncremental)
 
   private val linesTwinSql =
     s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS tk
@@ -656,6 +726,41 @@ object Dedup {
          |  CAST(min(len(t.tk)) AS BIGINT) AS n_tokens
          |FROM sp JOIN tkv t ON t.doc_id = sp.doc_id
          |GROUP BY sp.doc_id ORDER BY sp.doc_id""".stripMargin,
+    // Fully independent incremental twin: DuckDB replays the plant
+    // (donor text/lang/n_chars from doc_id−1), re-derives the exact
+    // layer by direct text equality (vs the engine's md5 — a hash
+    // collision diverges it) and the near layer with its own list
+    // intersection over the same banding, then re-applies the
+    // exact-beats-near verdict rule.
+    "dd_incremental" ->
+      """WITH c AS (SELECT doc_id, text, lang, n_chars FROM documents
+        |           WHERE doc_id % 10 != 7),
+        | b AS (SELECT b0.doc_id,
+        |        CASE WHEN b0.doc_id % 30 = 7 THEN d.text ELSE b0.text END AS text,
+        |        CASE WHEN b0.doc_id % 30 = 7 THEN d.lang ELSE b0.lang END AS lang,
+        |        CASE WHEN b0.doc_id % 30 = 7 THEN d.n_chars ELSE b0.n_chars END AS n_chars
+        |       FROM documents b0 LEFT JOIN c d ON d.doc_id = b0.doc_id - 1
+        |       WHERE b0.doc_id % 10 = 7),
+        | ex AS (SELECT b.doc_id, min(c.doc_id) AS exact_match
+        |        FROM b JOIN c ON b.text = c.text GROUP BY b.doc_id),
+        | tb AS (SELECT doc_id, lang, CAST(floor(n_chars/100) AS INT) AS len_band,
+        |               list_distinct(string_split(text, ' ')) AS tk FROM b),
+        | tc AS (SELECT doc_id, lang, CAST(floor(n_chars/100) AS INT) AS len_band,
+        |               list_distinct(string_split(text, ' ')) AS tk FROM c),
+        | nr AS (SELECT tb.doc_id, min(tc.doc_id) AS near_match FROM tb JOIN tc
+        |          ON tb.lang = tc.lang AND tb.len_band = tc.len_band
+        |         AND CAST(floor(len(tb.tk)/4) AS INT) = CAST(floor(len(tc.tk)/4) AS INT)
+        |        WHERE round(CAST(len(list_intersect(tb.tk, tc.tk)) AS DOUBLE)
+        |          / (len(tb.tk) + len(tc.tk) - len(list_intersect(tb.tk, tc.tk))), 4) >= 0.9
+        |        GROUP BY tb.doc_id)
+        |SELECT b.doc_id,
+        |  CASE WHEN ex.exact_match IS NOT NULL THEN 'exact'
+        |       WHEN nr.near_match IS NOT NULL THEN 'near'
+        |       ELSE 'unique' END AS verdict,
+        |  coalesce(ex.exact_match, nr.near_match, -1) AS match_id
+        |FROM b LEFT JOIN ex ON ex.doc_id = b.doc_id
+        |       LEFT JOIN nr ON nr.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     // Completeness+soundness twin: GIVEN the dumped signatures, the
     // hamming-≤-3 pair set is recomputed exhaustively (no banding) —
     // both a missed pair and a spurious pair diverge the compare.

@@ -1,0 +1,86 @@
+package graft.tools
+
+import scala.jdk.CollectionConverters._
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.functions._
+
+/** Measures what the z-order layout buys: for three physical layouts
+  * of the same events table (time-sorted, user-sorted, z-ordered by
+  * both) and three predicate shapes (user slice, time slice, both),
+  * counts the parquet row groups whose footer min/max statistics
+  * overlap the predicate — i.e. the row groups a stats-pruning reader
+  * (Spark, DuckDB, Trino alike) must actually read. Deterministic
+  * evidence, no timing noise. Results recorded in BASELINE.md.
+  *
+  * The time dimension is materialized as an epoch-seconds long column
+  * so the footer statistics under measurement are plain INT64 on
+  * every engine (timestamp physical encodings vary). */
+object ZorderProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val files = 32
+    val base = "/tmp/graft_zorder_probe"
+
+    val src = graft.io.Sources.table(spark, sf, "events")
+      .withColumn("ts_s", unix_timestamp(col("ts"))).drop("ts")
+
+    val layouts = Seq(
+      "time_sorted" -> ((out: String) =>
+        src.repartitionByRange(files, col("ts_s"))
+          .sortWithinPartitions("ts_s")
+          .write.mode("overwrite").parquet(out)),
+      "user_sorted" -> ((out: String) =>
+        src.repartitionByRange(files, col("user_id"))
+          .sortWithinPartitions("user_id")
+          .write.mode("overwrite").parquet(out)),
+      "zorder" -> ((out: String) =>
+        graft.ops.Layout.zorderWrite(src, Seq("user_id", "ts_s"), out, files)))
+    layouts.foreach { case (name, write) => write(s"$base/$name") }
+
+    // predicate bounds: a ~1.4% user slice and a ~13% time slice
+    val (uLo, uHi) = (100L, 120L)
+    val (tLo, tHi) = (1704844800L, 1705190400L) // 2024-01-10 .. 01-14 UTC
+
+    def stats(dir: String): Seq[Map[String, (Long, Long)]] = {
+      val fs = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && f.length > 0)
+      fs.toSeq.flatMap { f =>
+        val r = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new Path(f.getAbsolutePath), new Configuration()))
+        try r.getFooter.getBlocks.asScala.toSeq.map { b =>
+          b.getColumns.asScala
+            .filter(c => Set("user_id", "ts_s")(c.getPath.toDotString))
+            .map(c => c.getPath.toDotString ->
+              (c.getStatistics.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+                c.getStatistics.genericGetMax.asInstanceOf[java.lang.Long].longValue))
+            .toMap
+        } finally r.close()
+      }
+    }
+
+    def overlaps(s: Map[String, (Long, Long)], col: String, lo: Long, hi: Long) =
+      s(col)._1 <= hi && s(col)._2 >= lo
+
+    println(f"${"layout"}%-12s ${"user-slice"}%-12s ${"time-slice"}%-12s both")
+    layouts.foreach { case (name, _) =>
+      val blocks = stats(s"$base/$name")
+      val n = blocks.size
+      val u = blocks.count(overlaps(_, "user_id", uLo, uHi))
+      val t = blocks.count(overlaps(_, "ts_s", tLo, tHi))
+      val b = blocks.count(s => overlaps(s, "user_id", uLo, uHi) &&
+        overlaps(s, "ts_s", tLo, tHi))
+      println(f"$name%-12s $u%3d/$n%-8d $t%3d/$n%-8d $b%3d/$n")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Z-order layout: the Morton interleave must be bit-exact, the
+  * clustered copy must be a row-for-row permutation of the source,
+  * and — the point of the curve — every written file must cover a
+  * narrow range of BOTH clustered dimensions at once (a single-key
+  * sort can only ever localize one). */
+class LayoutSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("interleave is the bit-exact Morton curve") {
+    import spark.implicits._
+    // (x, y, expected z) with bit b of dim i at position b*2+i:
+    // x=3,y=1 -> x0@0, y0@1, x1@2 -> 0b0111 = 7
+    // x=0,y=2 -> y1@3 -> 8 ; x=0xFFFF,y=0 -> even bits set
+    val cases = Seq((3L, 1L, 7L), (0L, 2L, 8L), (1L, 1L, 3L),
+      (0xFFFFL, 0L, 0x55555555L), (0L, 0xFFFFL, 0xAAAAAAAAL),
+      (0xFFFFL, 0xFFFFL, 0xFFFFFFFFL))
+    val got = cases.toDF("x", "y", "want")
+      .select(Layout.interleave(Seq(col("x"), col("y"))).as("z"), col("want"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("quantize maps bounds to [0, 65535] and degenerate spans to 0") {
+    import spark.implicits._
+    val r = Seq((0L, 0L, 100L), (100L, 0L, 100L), (50L, 0L, 100L),
+      (7L, 7L, 7L))
+      .toDF("v", "mn", "mx")
+      .select(Layout.quantize(col("v"), col("mn"), col("mx")).as("q"))
+      .collect().map(_.getLong(0))
+    assert(r(0) == 0L && r(1) == 65535L && r(3) == 0L)
+    assert(r(2) == 32767L) // floor(0.5 * 65535)
+  }
+
+  test("z-ordered copy is a permutation of the source, localized in BOTH dims") {
+    val src = graft.io.Sources.table(spark, "/root/testdata/sf0.01", "events")
+    val out = java.nio.file.Files.createTempDirectory("graft_zo").toString +
+      "/events.parquet"
+    Layout.zorderWrite(src, Seq("user_id", "ts"), out, 8)
+    val copy = spark.read.parquet(out)
+
+    // identity: same multiset of rows (counts + key-sum fingerprints)
+    assert(copy.count() == src.count())
+    val fp = (df: org.apache.spark.sql.DataFrame) =>
+      df.agg(sum(col("event_id")), sum(col("user_id")),
+        sum(unix_timestamp(col("ts")))).collect()(0).toSeq
+    assert(fp(copy) == fp(src))
+
+    // locality: most files span well under the global range in BOTH
+    // user_id and time — impossible for any single-key sort layout
+    val glob = src.agg(
+      (max("user_id") - min("user_id")).cast("double").as("us"),
+      (max(unix_timestamp(col("ts"))) - min(unix_timestamp(col("ts"))))
+        .cast("double").as("ts")).collect()(0)
+    val perFile = copy
+      .groupBy(input_file_name().as("f"))
+      .agg((max("user_id") - min("user_id")).cast("double").as("us"),
+        (max(unix_timestamp(col("ts"))) - min(unix_timestamp(col("ts"))))
+          .cast("double").as("ts"))
+      .collect()
+    assert(perFile.length >= 6, s"expected ~8 files, got ${perFile.length}")
+    val localized = perFile.count(r =>
+      r.getAs[Double]("us") <= 0.7 * glob.getAs[Double]("us") &&
+        r.getAs[Double]("ts") <= 0.7 * glob.getAs[Double]("ts"))
+    assert(localized >= perFile.length - 2,
+      s"only $localized/${perFile.length} files localized in both dims: " +
+        perFile.map(r => (r.getAs[Double]("us"), r.getAs[Double]("ts")))
+          .mkString(", "))
+  }
+}
