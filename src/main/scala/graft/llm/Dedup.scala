@@ -499,10 +499,15 @@ object Dedup {
     val docs = table(s, d, "documents")
       .filter(size(tk) >= spanK)
       .select(col("doc_id"), tk.as("tk"))
+    // persisted: both the detection aggregate and the hits join read
+    // this relation — without it the tokenize + per-position
+    // slice/join/hash pipeline (the dominant cost) runs twice (the
+    // jaccardPairs rationale)
     val kg = docs.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), size(col("tk")) - spanK),
         i => xxhash64(array_join(slice(col("tk"), i + 1, lit(spanK)), " "))))
         .as(Seq("pos", "h")))
+      .persist()
     val dupH = kg.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)

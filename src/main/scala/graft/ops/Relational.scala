@@ -265,18 +265,10 @@ object Relational {
     * physical strategy changes, the residual and results are
     * identical, and the oracle is j8_range's verbatim). Plan pinned:
     * SortMergeJoin on wk, still never a theta BNLJ. */
-  private val noBcastSessions =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
-
-  private val j8RangeSmj: Q = (s, d) => {
-    val scoped = noBcastSessions.computeIfAbsent(s, { parent =>
-      val n = parent.newSession()
-      n.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      n.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-      n
-    })
-    j8Range(scoped, d)
-  }
+  private val j8RangeSmj: Q = (s, d) =>
+    j8Range(ScopedSession(s, "j8-no-bcast",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1"), d)
 
   /** J9 runtime-bloom-pruned fact join (extension) — the 100 TB shape
     * when NEITHER side broadcasts: Spark's InjectRuntimeFilter builds a
@@ -290,21 +282,12 @@ object Relational {
     * positive only passes extra rows to the exact join), so the oracle
     * is the plain join. Plan pinned by a test: `might_contain` present,
     * no broadcast join. */
-  // one scoped no-broadcast session per parent session, memoized: a
-  // fresh SessionState per bench/warmup invocation would charge its
-  // analyzer/optimizer init to the timed query and leak sessions
-  private val bloomSessions =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
-
   private val j9BloomPrune: Q = (s, d) => {
-    val scoped = bloomSessions.computeIfAbsent(s, { parent =>
-      val n = parent.newSession()
-      n.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-      n.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      n.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
-      n.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
-      n
-    })
+    val scoped = ScopedSession(s, "j9-bloom",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
     val orders = table(scoped, d, "orders")
       .filter(col("o_totalprice") > 400000)
       .select(col("o_orderkey"), col("o_totalprice"))

@@ -37,14 +37,9 @@ object StreamQueries {
     * st_asof 3.0 → 1.8 s). At production
     * scale this is the knob sized to state volume, not to the batch
     * compute width. */
-  private val streamSessions =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
   private def scoped(parent: SparkSession): SparkSession =
-    streamSessions.computeIfAbsent(parent, { p =>
-      val n = p.newSession()
-      n.conf.set("spark.sql.shuffle.partitions", "8")
-      n
-    })
+    graft.ops.ScopedSession(parent, "stream-narrow",
+      "spark.sql.shuffle.partitions" -> "8")
 
   /** W8 as a stream: the custom-state sessionizer over the full events
     * table delivered through a MemoryStream, with every session FLUSHED

@@ -68,17 +68,20 @@ object ZorderProbe {
       }
     }
 
-    def overlaps(s: Map[String, (Long, Long)], col: String, lo: Long, hi: Long) =
-      s(col)._1 <= hi && s(col)._2 >= lo
+    // user slice is BETWEEN (inclusive); time slice models zo_events'
+    // half-open [tLo, tHi) — a block starting exactly at tHi is prunable
+    def userHit(s: Map[String, (Long, Long)]) =
+      s("user_id")._1 <= uHi && s("user_id")._2 >= uLo
+    def timeHit(s: Map[String, (Long, Long)]) =
+      s("ts_s")._1 < tHi && s("ts_s")._2 >= tLo
 
     println(f"${"layout"}%-12s ${"user-slice"}%-12s ${"time-slice"}%-12s both")
     layouts.foreach { case (name, _) =>
       val blocks = stats(s"$base/$name")
       val n = blocks.size
-      val u = blocks.count(overlaps(_, "user_id", uLo, uHi))
-      val t = blocks.count(overlaps(_, "ts_s", tLo, tHi))
-      val b = blocks.count(s => overlaps(s, "user_id", uLo, uHi) &&
-        overlaps(s, "ts_s", tLo, tHi))
+      val u = blocks.count(userHit)
+      val t = blocks.count(timeHit)
+      val b = blocks.count(s => userHit(s) && timeHit(s))
       println(f"$name%-12s $u%3d/$n%-8d $t%3d/$n%-8d $b%3d/$n")
     }
     spark.stop()
