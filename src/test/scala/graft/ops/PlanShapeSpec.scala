@@ -118,6 +118,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"string variant keys its detection exchange on the line itself:\n$stringKeyed")
   }
 
+  test("dd_spans detection shuffles 8-byte gram hashes, never gram text") {
+    // the k-gram strings must never materialize as a shuffled column:
+    // detection exchanges carry (h, doc_id) and the interval walk
+    // exchanges doc_id — no exchange may key on or carry `text`/grams
+    val p = plan("dd_spans")
+    assert(p.contains("hashpartitioning(h#"),
+      s"detection exchange must key on the gram hash:\n$p")
+    assert(!p.split("\n").exists(l => l.contains("Exchange") && l.contains("text#")),
+      s"no exchange may carry document text:\n$p")
+  }
+
   test("whole-stage codegen covers the custom expressions") {
     // the native kernels (vec_dot, sorted_intersect_count) must not
     // break codegen spans around them; AQE only finalizes the plan on
