@@ -1,0 +1,44 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** dd_incremental: the batch-vs-corpus verdicts on a fully controlled
+  * corpus — a planted exact twin (the operator's own doc_id−1 plant),
+  * a constructed 39/41-token near-dup (jaccard 0.9512, same
+  * lang/len/tok bands), and disjoint-token uniques — checked against
+  * hand-derived expectations, including the exact-beats-near rule and
+  * the −1 sentinel. */
+class IncrementalDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("dd_incremental verdicts: planted exact, constructed near, unique") {
+    import spark.implicits._
+    def toks(id: Long): Seq[String] = (1 to 40).map(i => s"d${id}_t$i")
+    val donor = toks(20L)
+    val rows = (0L until 60L).map { id =>
+      // batch doc 17 shares 39 of corpus doc 20's 40 distinct tokens:
+      // jaccard 39/41 = 0.9512 >= 0.9, same bands (lang, n_chars, 40
+      // tokens); every other doc's token set is disjoint
+      val text =
+        if (id == 17L) (donor.take(39) :+ "x_unique_17").mkString(" ")
+        else toks(id).mkString(" ")
+      (id, text, "en", 250L)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    rows.toDF("doc_id", "text", "lang", "n_chars").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+
+    val out = Dedup.queries("dd_incremental")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("verdict"),
+        r.getAs[Long]("match_id"))).toSeq
+    // docs 7 and 37 (≡7 mod 30) arrive as bit-identical copies of
+    // corpus docs 6 and 36 via the operator's plant — and must come
+    // back 'exact' even though they ALSO near-match their donor at
+    // jaccard 1.0 (exact beats near)
+    val expected = Seq(
+      (7L, "exact", 6L), (17L, "near", 20L), (27L, "unique", -1L),
+      (37L, "exact", 36L), (47L, "unique", -1L), (57L, "unique", -1L))
+    assert(out == expected)
+  }
+}
