@@ -359,7 +359,43 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** Int8 symmetric per-vector quantization — the 4× memory cut an
+    * ANN index takes at 100 TB before IVF/LSH even starts. Per
+    * vector: scale = 127 / max|x_i| (zero vector → all zeros),
+    * q_i = clamp(floor(x_i·s + 0.5), −127, 127) — half-up rounding,
+    * chosen because it replays exactly as integer arithmetic on any
+    * engine (banker's rounding would not). The gate is integer-exact:
+    * q-sum / |q|-sum / min / max pin every rounded component (an
+    * off-by-one in ANY of the 64 lanes shifts a sum), and the
+    * original↔dequantized cosine — x·q / (‖x‖‖q‖); the scale cancels,
+    * so no float division enters the quantized side — is the recall-
+    * relevant quality metric, dround(4). The oracle recomputes the
+    * whole path from the raw float[] with its own list lambdas. */
+  private val embQuant: Q = (s, d) => {
+    val qAbsSum = aggregate(col("q"), lit(0L), (a, e) => a + abs(e))
+    table(s, d, "embeddings")
+      .select(col("vec_id"), asDouble.as("v"))
+      .withColumn("maxabs", array_max(transform(col("v"), e => abs(e))))
+      .withColumn("sc",
+        when(col("maxabs") > 0d, lit(127.0) / col("maxabs")).otherwise(lit(0d)))
+      .withColumn("q", transform(col("v"), e =>
+        least(lit(127L), greatest(lit(-127L),
+          floor(e * col("sc") + lit(0.5d)).cast("long")))))
+      .withColumn("qd", col("q").cast("array<double>"))
+      .select(col("vec_id"),
+        aggregate(col("q"), lit(0L), (a, e) => a + e).as("q_sum"),
+        qAbsSum.as("q_abs_sum"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"),
+        when(qAbsSum > 0L,
+          dround(dot(col("v"), col("qd")) /
+            (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("qd"), col("qd")))), 4))
+          .otherwise(lit(null).cast("double")).as("cos_dq"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "emb_quant" -> embQuant,
     "knn_cosine" -> knnCosine,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
@@ -383,6 +419,31 @@ object Similarity {
        |ORDER BY qid, rk""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Fully independent quantization twin: DuckDB re-derives scale,
+    // rounding, clamping, and the dequantized cosine from the raw
+    // float[] with its own list lambdas — the integer sums/extrema
+    // make any rounding or clamping divergence exact-visible.
+    "emb_quant" ->
+      """WITH m AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        | sc AS (SELECT vec_id, v,
+        |    CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+        |         THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+        |         ELSE 0 END AS sc FROM m),
+        | qq AS (SELECT vec_id, v,
+        |    list_transform(v, x -> least(127, greatest(-127,
+        |      CAST(floor(x * sc + 0.5) AS BIGINT)))) AS q FROM sc),
+        | qd AS (SELECT vec_id, v, q,
+        |    list_transform(q, x -> CAST(x AS DOUBLE)) AS qdv FROM qq)
+        |SELECT vec_id,
+        |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+        |  CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_abs_sum,
+        |  list_min(q) AS q_min, list_max(q) AS q_max,
+        |  CASE WHEN list_sum(list_transform(q, x -> abs(x))) > 0 THEN
+        |    round(list_dot_product(v, qdv)
+        |      / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qdv, qdv))), 4)
+        |  ELSE NULL END AS cos_dq
+        |FROM qd ORDER BY vec_id""".stripMargin,
     "knn_cosine" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < $nProbes),
          | c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings),
