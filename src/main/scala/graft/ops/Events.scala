@@ -212,9 +212,40 @@ object Events {
       lag(col("event_type"), 1).over(w).as("prev_type"))
   }
 
+  /** W10 ordered funnel (extension): view → click → purchase per
+    * user, each step the EARLIEST event strictly after the previous
+    * step (greedy-first semantics, declared; micros-precision longs so
+    * the strict inequalities replay exactly cross-engine). Three tiny
+    * per-step aggregates chained by user_id equi-joins — every shuffle
+    * keys on user_id and the step relations are aggregate-small, so
+    * AQE broadcasts them back against the big scan; nothing ever
+    * shuffles the full events table more than once. −1 sentinels keep
+    * the step columns non-null BIGINT on both engines. */
+  private val w10Funnel: Q = (s, d) => {
+    val ev = table(s, d, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("t").as("t_view"))
+    val c = ev.filter(col("event_type") === "click").join(v, Seq("user_id"))
+      .filter(col("t") > col("t_view"))
+      .groupBy("user_id").agg(min("t").as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, Seq("user_id"))
+      .filter(col("t") > col("t_click"))
+      .groupBy("user_id").agg(min("t").as("t_purchase"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"),
+        (lit(1L) + when(col("t_click").isNotNull, 1L).otherwise(0L)
+          + when(col("t_purchase").isNotNull, 1L).otherwise(0L)).as("steps"),
+        col("t_view").as("t_view_us"),
+        coalesce(col("t_click"), lit(-1L)).as("t_click_us"),
+        coalesce(col("t_purchase"), lit(-1L)).as("t_purchase_us"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "w8_sessions" -> w8Sessions,
     "w9_deltas" -> w9Deltas,
+    "w10_funnel" -> w10Funnel,
     "w1_start" -> w1Start,
     "w2_stop" -> w2Stop,
     "w3_crossing" -> w3Crossing,
@@ -233,6 +264,31 @@ object Events {
       |FROM events GROUP BY user_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Independent funnel twin: same greedy-first semantics derived
+    // with DuckDB's own step CTEs over micros-exact longs.
+    "w10_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |            CAST(epoch_us(ts) AS BIGINT) AS t FROM events),
+        | v AS (SELECT user_id, min(t) AS t_view FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        | c AS (SELECT e.user_id, min(e.t) AS t_click FROM e
+        |       JOIN v ON v.user_id = e.user_id
+        |       WHERE e.event_type = 'click' AND e.t > v.t_view
+        |       GROUP BY e.user_id),
+        | p AS (SELECT e.user_id, min(e.t) AS t_purchase FROM e
+        |       JOIN c ON c.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND e.t > c.t_click
+        |       GROUP BY e.user_id)
+        |SELECT v.user_id,
+        |  CAST(1 + CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END
+        |         + CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END
+        |       AS BIGINT) AS steps,
+        |  v.t_view AS t_view_us,
+        |  coalesce(c.t_click, -1) AS t_click_us,
+        |  coalesce(p.t_purchase, -1) AS t_purchase_us
+        |FROM v LEFT JOIN c ON c.user_id = v.user_id
+        |       LEFT JOIN p ON p.user_id = v.user_id
+        |ORDER BY v.user_id""".stripMargin,
     "w8_sessions" ->
       """WITH o AS (SELECT user_id, ts, event_id, value,
         |    CASE WHEN lag(ts) OVER w IS NULL
