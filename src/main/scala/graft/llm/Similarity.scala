@@ -374,6 +374,9 @@ object Similarity {
   private val embQuant: Q = (s, d) => {
     val qAbsSum = aggregate(col("q"), lit(0L), (a, e) => a + abs(e))
     table(s, d, "embeddings")
+      // empty vectors out of scope on BOTH sides: Spark's aggregate()
+      // would return the 0L seed where DuckDB's list_sum([]) is NULL
+      .filter(size(col("embedding")) > 0)
       .select(col("vec_id"), asDouble.as("v"))
       .withColumn("maxabs", array_max(transform(col("v"), e => abs(e))))
       .withColumn("sc",
@@ -425,7 +428,8 @@ object Similarity {
     // make any rounding or clamping divergence exact-visible.
     "emb_quant" ->
       """WITH m AS (SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE len(embedding) > 0),
         | sc AS (SELECT vec_id, v,
         |    CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
         |         THEN 127.0 / list_max(list_transform(v, x -> abs(x)))

@@ -16,10 +16,15 @@ object ScopedSession {
     new ConcurrentHashMap[(SparkSession, String), SparkSession]()
 
   def apply(parent: SparkSession, tag: String,
-      confs: (String, String)*): SparkSession =
-    cache.computeIfAbsent((parent, tag), { _ =>
+      confs: (String, String)*): SparkSession = {
+    // the confs participate in the key: a call site that changes its
+    // conf set gets a fresh session rather than silently inheriting
+    // the stale one another invocation order registered first
+    val key = (parent, tag + confs.sortBy(_._1).mkString("|", "|", ""))
+    cache.computeIfAbsent(key, { _ =>
       val n = parent.newSession()
       confs.foreach { case (k, v) => n.conf.set(k, v) }
       n
     })
+  }
 }

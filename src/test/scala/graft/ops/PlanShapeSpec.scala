@@ -121,12 +121,25 @@ class PlanShapeSpec extends AnyFunSuite {
   test("dd_spans detection shuffles 8-byte gram hashes, never gram text") {
     // the k-gram strings must never materialize as a shuffled column:
     // detection exchanges carry (h, doc_id) and the interval walk
-    // exchanges doc_id — no exchange may key on or carry `text`/grams
+    // exchanges doc_id. The toString plan only renders partitioning
+    // KEYS on Exchange lines, so the carried columns are checked in
+    // the formatted plan: every Exchange node's Input list must be
+    // free of text/gram columns
     val p = plan("dd_spans")
     assert(p.contains("hashpartitioning(h#"),
       s"detection exchange must key on the gram hash:\n$p")
-    assert(!p.split("\n").exists(l => l.contains("Exchange") && l.contains("text#")),
-      s"no exchange may carry document text:\n$p")
+    val fmt = SparkEntry.queries("dd_spans")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    val lines = fmt.split("\n")
+    val exchangeInputs = lines.zipWithIndex.collect {
+      case (l, i) if l.matches("""\(\d+\) Exchange.*""") =>
+        lines.drop(i + 1).find(_.startsWith("Input")).getOrElse("")
+    }
+    assert(exchangeInputs.nonEmpty, s"expected Exchange nodes:\n$fmt")
+    exchangeInputs.foreach(in =>
+      assert(!in.contains("text#") && !in.contains("gram"),
+        s"an exchange carries document text/grams: $in\n$fmt"))
   }
 
   test("whole-stage codegen covers the custom expressions") {
