@@ -22,6 +22,8 @@ import org.apache.spark.sql.SparkSession
   *   <outDir>/dedup_exact   — exact-dup groups + survivor ids
   *   <outDir>/neardup_pairs — MinHash-LSH verified near-dup pairs
   *   <outDir>/boilerplate   — line-level boilerplate removal report
+  *   <outDir>/dup_spans     — cross-doc duplicated substring spans
+  *   <outDir>/incremental   — new-batch vs corpus dedup verdicts
   *   <outDir>/dq_checks     — constraint-check pass/fail report (only
   *                            when the input dir also carries the
   *                            star-schema tables the checks read —
@@ -37,7 +39,9 @@ object RunCurate {
     "stats" -> "ts_stats",
     "dedup_exact" -> "dd_exact",
     "neardup_pairs" -> "dd_minhash",
-    "boilerplate" -> "dd_lines")
+    "boilerplate" -> "dd_lines",
+    "dup_spans" -> "dd_spans",
+    "incremental" -> "dd_incremental")
 
   /** Session-agnostic body — the smoke test drives this directly.
     * Returns row counts per artifact. dq_checks reads lineitem/orders/

@@ -13,7 +13,8 @@ class RunCurateSpec extends AnyFunSuite {
     val out = java.nio.file.Files.createTempDirectory("runcurate").toString
     val counts = RunCurate.run(spark, sf, out)
     assert(counts.keySet == Set("curated", "splits", "quality", "langid",
-      "stats", "dedup_exact", "neardup_pairs", "boilerplate", "dq_checks"))
+      "stats", "dedup_exact", "neardup_pairs", "boilerplate", "dup_spans",
+      "incremental", "dq_checks"))
     // per-doc reports cover the whole corpus; counts agree with the
     // direct query (same code path, but through the written artifact)
     val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
@@ -38,7 +39,8 @@ class RunCurateSpec extends AnyFunSuite {
     val counts = RunCurate.run(spark, in, out)
     assert(!counts.contains("dq_checks"))
     assert(counts.keySet == Set("curated", "splits", "quality", "langid",
-      "stats", "dedup_exact", "neardup_pairs", "boilerplate"))
+      "stats", "dedup_exact", "neardup_pairs", "boilerplate", "dup_spans",
+      "incremental"))
     assert(counts.values.forall(_ > 0))
   }
 }
