@@ -494,7 +494,10 @@ object Dedup {
     * merge. */
   private[llm] val spanK = 10
 
-  private val ddSpans: Q = (s, d) => {
+  /** The (docs, spans) pair both span queries derive from: docs =
+    * (doc_id, tk) with ≥ k tokens; spans = the maximal merged
+    * [s, e] coverage intervals of duplicated k-grams per doc. */
+  private def spanFrames(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val tk = split(col("text"), " ")
     val docs = table(s, d, "documents")
       .filter(size(tk) >= spanK)
@@ -526,6 +529,11 @@ object Dedup {
         sum(col("ns")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy("doc_id", "grp")
       .agg(min("pos").as("s"), max("e").as("e"))
+    (docs, spans)
+  }
+
+  private val ddSpans: Q = (s, d) => {
+    val (docs, spans) = spanFrames(s, d)
     spans.groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         sum(col("e") - col("s") + 1).cast("long").as("dup_tokens"),
@@ -537,6 +545,35 @@ object Dedup {
       .join(docs.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens")),
         Seq("doc_id"))
       .select("doc_id", "n_spans", "dup_tokens", "spans_md5", "n_tokens")
+      .orderBy("doc_id")
+  }
+
+  /** The ACTION half of [[ddSpans]] (detect → remove, completing the
+    * Lee et al. loop): scrub every duplicated span from every doc —
+    * the conservative variant; canonical-occurrence retention is a
+    * survivor-rule layer over the same spans — and gate the cleaned
+    * text byte-for-byte (dd_lines' clean_md5 pattern). The span list
+    * per doc is tiny (it's the merged duplication regions), so the
+    * removal is a narrow left join + an index-aware array filter —
+    * no extra shuffle beyond [[spanFrames]]'s own. Docs shorter than
+    * k tokens cannot contain a span and are out of scope, same as
+    * the report query. */
+  private val ddSpansScrub: Q = (s, d) => {
+    val (docs, spans) = spanFrames(s, d)
+    val spanList = spans.groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("sp"))
+    docs.join(spanList, Seq("doc_id"), "left")
+      .withColumn("kept", expr(
+        """filter(
+          |  transform(tk, (x, i) ->
+          |    CASE WHEN sp IS NOT NULL
+          |              AND exists(sp, r -> i >= r.s AND i <= r.e)
+          |         THEN NULL ELSE x END),
+          |  x -> x IS NOT NULL)""".stripMargin))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        (size(col("tk")) - size(col("kept"))).cast("long").as("n_removed"),
+        md5(array_join(col("kept"), " ").cast("binary")).as("clean_md5"))
       .orderBy("doc_id")
   }
 
@@ -582,7 +619,32 @@ object Dedup {
     "dd_lines" -> ddLines,
     "dd_lines_hashed" -> ddLinesHashed,
     "dd_spans" -> ddSpans,
+    "dd_spans_scrub" -> ddSpansScrub,
     "dd_incremental" -> ddIncremental)
+
+  // shared CTE prefix of the two substring-span twins: string-keyed
+  // k-grams → ≥2-distinct-doc frequency → coverage-interval merge
+  private val spanCtes =
+    s"""WITH tkv AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+       |             WHERE len(string_split(text, ' ')) >= $spanK),
+       | kg AS (SELECT t.doc_id, g.i - 1 AS pos,
+       |          array_to_string(t.tk[g.i:g.i+${spanK - 1}], ' ') AS gram
+       |        FROM tkv t, LATERAL unnest(generate_series(1, len(t.tk) - ${spanK - 1})) g(i)),
+       | dup AS (SELECT gram FROM kg GROUP BY gram
+       |         HAVING count(DISTINCT doc_id) >= 2),
+       | hits AS (SELECT doc_id, pos, pos + ${spanK - 1} AS e
+       |          FROM kg WHERE gram IN (SELECT gram FROM dup)),
+       | m AS (SELECT doc_id, pos, e,
+       |         CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+       |              THEN 1 ELSE 0 END AS ns
+       |       FROM hits),
+       | g2 AS (SELECT doc_id, pos, e,
+       |          sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+       |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+       |        FROM m),
+       | sp AS (SELECT doc_id, grp, min(pos) AS s, max(e) AS e
+       |        FROM g2 GROUP BY doc_id, grp)""".stripMargin
 
   private val linesTwinSql =
     s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS tk
@@ -705,32 +767,30 @@ object Dedup {
     // re-merges coverage intervals with its own window walk; the
     // ordered start:end md5 pins every span boundary exactly.
     "dd_spans" ->
-      s"""WITH tkv AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
-         |             WHERE len(string_split(text, ' ')) >= $spanK),
-         | kg AS (SELECT t.doc_id, g.i - 1 AS pos,
-         |          array_to_string(t.tk[g.i:g.i+${spanK - 1}], ' ') AS gram
-         |        FROM tkv t, LATERAL unnest(generate_series(1, len(t.tk) - ${spanK - 1})) g(i)),
-         | dup AS (SELECT gram FROM kg GROUP BY gram
-         |         HAVING count(DISTINCT doc_id) >= 2),
-         | hits AS (SELECT doc_id, pos, pos + ${spanK - 1} AS e
-         |          FROM kg WHERE gram IN (SELECT gram FROM dup)),
-         | m AS (SELECT doc_id, pos, e,
-         |         CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
-         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
-         |              THEN 1 ELSE 0 END AS ns
-         |       FROM hits),
-         | g2 AS (SELECT doc_id, pos, e,
-         |          sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
-         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
-         |        FROM m),
-         | sp AS (SELECT doc_id, grp, min(pos) AS s, max(e) AS e
-         |        FROM g2 GROUP BY doc_id, grp)
+      s"""$spanCtes
          |SELECT sp.doc_id, count(*) AS n_spans,
          |  CAST(sum(sp.e - sp.s + 1) AS BIGINT) AS dup_tokens,
          |  md5(string_agg(sp.s || ':' || sp.e, ',' ORDER BY sp.s)) AS spans_md5,
          |  CAST(min(len(t.tk)) AS BIGINT) AS n_tokens
          |FROM sp JOIN tkv t ON t.doc_id = sp.doc_id
          |GROUP BY sp.doc_id ORDER BY sp.doc_id""".stripMargin,
+    // The removal twin reuses the SAME independently-derived span set
+    // and re-performs the scrub its own way: explode every token with
+    // its position, anti-join against span coverage, and reassemble
+    // the cleaned text with an ordered string_agg — byte-for-byte.
+    "dd_spans_scrub" ->
+      s"""$spanCtes,
+         | tokpos AS (SELECT t.doc_id, g.i - 1 AS pos, t.tk[g.i] AS tok
+         |            FROM tkv t, LATERAL unnest(generate_series(1, len(t.tk))) g(i)),
+         | keptt AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp
+         |           WHERE NOT EXISTS (SELECT 1 FROM sp
+         |                  WHERE sp.doc_id = tp.doc_id
+         |                    AND tp.pos BETWEEN sp.s AND sp.e))
+         |SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+         |  CAST(len(t.tk) - count(k.tok) AS BIGINT) AS n_removed,
+         |  md5(coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '')) AS clean_md5
+         |FROM tkv t LEFT JOIN keptt k ON k.doc_id = t.doc_id
+         |GROUP BY t.doc_id, len(t.tk) ORDER BY t.doc_id""".stripMargin,
     // Fully independent incremental twin: DuckDB replays the plant
     // (donor text/lang/n_chars from doc_id−1), re-derives the exact
     // layer by direct text equality (vs the engine's md5 — a hash

@@ -80,6 +80,45 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(out == expected)
   }
 
+  test("dd_spans_scrub removes exactly the spanned tokens, byte-for-byte") {
+    import spark.implicits._
+    val ids = 0L until 30L
+    val docs = ids.map(id => id -> tokensOf(id)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft_scrub").toString
+    ids.map(id => (id, docs(id).mkString(" "))).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val spans = referenceSpans(docs, Dedup.spanK)
+    val out = Dedup.queries("dd_spans_scrub")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("clean_md5"))).toMap
+    assert(out.keySet == ids.toSet) // every doc reported, spanned or not
+    for (id <- ids) {
+      val tk = docs(id)
+      // covered positions = union of duplicated-hit intervals, which
+      // the interval merge never changes — so this check is
+      // independent of the merge step too
+      val coveredPos: Set[Int] = if (spans.contains(id)) {
+        // reference algorithm re-run to get the span list itself
+        val gramDocs = docs.toSeq.flatMap { case (i2, t2) =>
+          t2.sliding(Dedup.spanK).map(_.mkString(" ")).map(_ -> i2)
+        }.groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).distinct.size }
+        val hits = tk.sliding(Dedup.spanK).zipWithIndex.collect {
+          case (g, pos) if gramDocs(g.mkString(" ")) >= 2 =>
+            (pos, pos + Dedup.spanK - 1)
+        }.toSeq
+        hits.flatMap { case (s0, e0) => s0 to e0 }.toSet
+      } else Set.empty[Int]
+      val kept = tk.zipWithIndex.collect {
+        case (t, i) if !coveredPos(i) => t
+      }
+      val (nTok, nRem, md5v) = out(id)
+      assert(nTok == tk.size && nRem == coveredPos.size, s"doc $id counts")
+      assert(md5v == md5hex(kept.mkString(" ")), s"doc $id clean_md5")
+    }
+  }
+
   test("dd_spans broadcast-joins the duplicated-gram set") {
     val p = Dedup.queries("dd_spans")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
