@@ -242,10 +242,41 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** W11 weekly cohort retention (extension): cohort = the Monday
+    * week of each user's first signup; a cohort's week-k retention is
+    * the distinct users active (any event) in cohort-week + k. Both
+    * engines truncate weeks to Monday and the week starts are exact
+    * 7-day multiples apart, so the day-diff ÷ 7 offset replays
+    * exactly. Shuffles: one distinct on (user, week), one cohort
+    * aggregate, rollups on the tiny (cohort, k) key — the user-keyed
+    * join sides are aggregate-small, AQE broadcasts. */
+  private val w11Retention: Q = (s, d) => {
+    val ev = table(s, d, "events")
+    val cohort = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("cw"))
+    val active = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).as("aw"))
+      .distinct()
+    val sizes = cohort.groupBy("cw")
+      .agg(countDistinct(col("user_id")).as("n_cohort"))
+    active.join(cohort, Seq("user_id"))
+      .filter(col("aw") >= col("cw"))
+      .withColumn("week_k", (datediff(col("aw"), col("cw")) / 7).cast("long"))
+      .groupBy("cw", "week_k")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(sizes, Seq("cw"))
+      .select(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_k"), col("n_cohort"), col("n_active"),
+        dround(col("n_active").cast("double") / col("n_cohort"), 4).as("rate"))
+      .orderBy("cohort_week", "week_k")
+  }
+
   val queries: Map[String, Q] = Map(
     "w8_sessions" -> w8Sessions,
     "w9_deltas" -> w9Deltas,
     "w10_funnel" -> w10Funnel,
+    "w11_retention" -> w11Retention,
     "w1_start" -> w1Start,
     "w2_stop" -> w2Stop,
     "w3_crossing" -> w3Crossing,
@@ -264,6 +295,27 @@ object Events {
       |FROM events GROUP BY user_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Independent retention twin: Monday-truncated weeks, integer
+    // day-diff // 7 offsets, distinct-user counts re-derived.
+    "w11_retention" ->
+      """WITH cohort AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+        |                FROM events WHERE event_type = 'signup'
+        |                GROUP BY user_id),
+        | active AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw
+        |            FROM events),
+        | j AS (SELECT a.user_id, c.cw,
+        |         CAST(date_diff('day', c.cw, a.aw) // 7 AS BIGINT) AS week_k
+        |       FROM active a JOIN cohort c ON c.user_id = a.user_id
+        |       WHERE a.aw >= c.cw),
+        | sizes AS (SELECT cw, count(DISTINCT user_id) AS n_cohort
+        |           FROM cohort GROUP BY cw),
+        | act AS (SELECT cw, week_k, count(DISTINCT user_id) AS n_active
+        |         FROM j GROUP BY cw, week_k)
+        |SELECT strftime(act.cw, '%Y-%m-%d') AS cohort_week, act.week_k,
+        |  sizes.n_cohort, act.n_active,
+        |  round(CAST(act.n_active AS DOUBLE) / sizes.n_cohort, 4) AS rate
+        |FROM act JOIN sizes ON sizes.cw = act.cw
+        |ORDER BY cohort_week, week_k""".stripMargin,
     // Independent funnel twin: same greedy-first semantics derived
     // with DuckDB's own step CTEs over micros-exact longs.
     "w10_funnel" ->
