@@ -258,8 +258,9 @@ object Events {
     val active = ev
       .select(col("user_id"), date_trunc("week", col("ts")).as("aw"))
       .distinct()
-    val sizes = cohort.groupBy("cw")
-      .agg(countDistinct(col("user_id")).as("n_cohort"))
+    // cohort is one row per user_id already — a plain count avoids the
+    // two-phase distinct aggregate a countDistinct would plan
+    val sizes = cohort.groupBy("cw").agg(count(lit(1)).as("n_cohort"))
     active.join(cohort, Seq("user_id"))
       .filter(col("aw") >= col("cw"))
       .withColumn("week_k", (datediff(col("aw"), col("cw")) / 7).cast("long"))

@@ -12,15 +12,17 @@ import org.apache.spark.sql.SparkSession
   * analyzer/optimizer init to every timed invocation — and avoids
   * leaking a session per call. */
 object ScopedSession {
-  private val cache =
-    new ConcurrentHashMap[(SparkSession, String), SparkSession]()
+  private val cache = new ConcurrentHashMap[
+    (SparkSession, String, Seq[(String, String)]), SparkSession]()
 
   def apply(parent: SparkSession, tag: String,
       confs: (String, String)*): SparkSession = {
-    // the confs participate in the key: a call site that changes its
-    // conf set gets a fresh session rather than silently inheriting
-    // the stale one another invocation order registered first
-    val key = (parent, tag + confs.sortBy(_._1).mkString("|", "|", ""))
+    // the confs participate STRUCTURALLY in the key (no string
+    // serialization — concatenation could collide distinct conf
+    // sets): a call site that changes its conf set gets a fresh
+    // session rather than silently inheriting the stale one another
+    // invocation order registered first
+    val key = (parent, tag, confs.sortBy(_._1).toSeq)
     cache.computeIfAbsent(key, { _ =>
       val n = parent.newSession()
       confs.foreach { case (k, v) => n.conf.set(k, v) }

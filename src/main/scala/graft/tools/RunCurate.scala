@@ -63,6 +63,13 @@ object RunCurate {
     artifacts.map { case (name, query) =>
       val df = graft.SparkEntry.queries(query)(spark, in)
       df.write.mode("overwrite").parquet(s"$out/$name")
+      // per-artifact hygiene (the Bench idiom): queries persist their
+      // working relations (dd_spans' k-grams, dd_incremental's corpus);
+      // release them so later artifacts don't run against a heap
+      // pinned by earlier ones
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       name -> spark.read.parquet(s"$out/$name").count()
     }.toMap
   }

@@ -28,17 +28,27 @@ class SpanDedupSpec extends AnyFunSuite {
     if (id % 7 == 2) withA ++ passageB.split(" ") else withA
   }
 
-  /** Reference algorithm: string-keyed k-grams, ≥2-distinct-doc
-    * frequency, coverage-interval merge — brute force, no Spark. */
-  private def referenceSpans(docs: Map[Long, Seq[String]], k: Int)
-      : Map[Long, (Long, Long, String, Long)] = {
+  /** Duplicated-hit intervals per doc: string-keyed k-grams,
+    * ≥2-distinct-doc frequency — brute force, no Spark. Computed once
+    * per corpus; both the report and scrub references derive from it. */
+  private def referenceHits(docs: Map[Long, Seq[String]], k: Int)
+      : Map[Long, Seq[(Int, Int)]] = {
     val gramDocs = docs.toSeq
       .flatMap { case (id, tk) => tk.sliding(k).map(_.mkString(" ")).map(_ -> id) }
       .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).distinct.size }
-    docs.flatMap { case (id, tk) =>
-      val hits = tk.sliding(k).zipWithIndex.collect {
+    docs.map { case (id, tk) =>
+      id -> tk.sliding(k).zipWithIndex.collect {
         case (g, pos) if gramDocs(g.mkString(" ")) >= 2 => (pos, pos + k - 1)
       }.toSeq
+    }
+  }
+
+  /** Reference algorithm: hit intervals + coverage-interval merge. */
+  private def referenceSpans(docs: Map[Long, Seq[String]], k: Int)
+      : Map[Long, (Long, Long, String, Long)] = {
+    val hitMap = referenceHits(docs, k)
+    docs.flatMap { case (id, tk) =>
+      val hits = hitMap(id)
       if (hits.isEmpty) None
       else {
         val spans = hits.tail.foldLeft(List(hits.head)) {
@@ -88,7 +98,7 @@ class SpanDedupSpec extends AnyFunSuite {
     ids.map(id => (id, docs(id).mkString(" "))).toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
-    val spans = referenceSpans(docs, Dedup.spanK)
+    val hitMap = referenceHits(docs, Dedup.spanK)
     val out = Dedup.queries("dd_spans_scrub")(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
@@ -99,17 +109,8 @@ class SpanDedupSpec extends AnyFunSuite {
       // covered positions = union of duplicated-hit intervals, which
       // the interval merge never changes — so this check is
       // independent of the merge step too
-      val coveredPos: Set[Int] = if (spans.contains(id)) {
-        // reference algorithm re-run to get the span list itself
-        val gramDocs = docs.toSeq.flatMap { case (i2, t2) =>
-          t2.sliding(Dedup.spanK).map(_.mkString(" ")).map(_ -> i2)
-        }.groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).distinct.size }
-        val hits = tk.sliding(Dedup.spanK).zipWithIndex.collect {
-          case (g, pos) if gramDocs(g.mkString(" ")) >= 2 =>
-            (pos, pos + Dedup.spanK - 1)
-        }.toSeq
-        hits.flatMap { case (s0, e0) => s0 to e0 }.toSet
-      } else Set.empty[Int]
+      val coveredPos: Set[Int] =
+        hitMap(id).flatMap { case (s0, e0) => s0 to e0 }.toSet
       val kept = tk.zipWithIndex.collect {
         case (t, i) if !coveredPos(i) => t
       }

@@ -134,7 +134,14 @@ class PlanShapeSpec extends AnyFunSuite {
     val lines = fmt.split("\n")
     val exchangeInputs = lines.zipWithIndex.collect {
       case (l, i) if l.matches("""\(\d+\) Exchange.*""") =>
-        lines.drop(i + 1).find(_.startsWith("Input")).getOrElse("")
+        // search only within THIS node's detail block (up to the next
+        // "(n) Node" header) so a missing Input line fails loudly
+        // instead of matching a later node's or passing vacuously
+        val block = lines.drop(i + 1)
+          .takeWhile(!_.matches("""\(\d+\) \S.*"""))
+        val in = block.find(_.startsWith("Input"))
+        assert(in.isDefined, s"Exchange at line $i has no Input list:\n$fmt")
+        in.get
     }
     assert(exchangeInputs.nonEmpty, s"expected Exchange nodes:\n$fmt")
     exchangeInputs.foreach(in =>
