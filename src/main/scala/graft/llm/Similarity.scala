@@ -397,7 +397,92 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  // Product quantization (the FAISS PQ architecture): split the 64-dim
+  // vector into 8 contiguous 8-dim blocks, k-means each block to 16
+  // centroids, and encode every vector as 8 four-bit codes — 256 B of
+  // float32 becomes 4 B, the memory layout a billion-vector ANN index
+  // actually ships. Training runs on the corpus here (a SAMPLE at
+  // 100 TB — standard practice); ENCODING deliberately does not use
+  // model.transform: the 128-row codebook broadcasts and the argmin is
+  // computed by our own codegen'd ‖x‖²−2x·c+‖c‖² expression, so the
+  // encode is a map-side broadcast join at any scale AND the oracle
+  // can replay the exact same double arithmetic (vecDot is
+  // bit-identical to DuckDB's list_dot_product).
+  private val pqBlocks = 8
+  private val pqDim = 8
+  private val pqK = 16
+
+  /** Per-block codebooks as one (block, cl, ce) relation, 128 rows. */
+  private def pqCodebooks(s: SparkSession, emb: DataFrame): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    (0 until pqBlocks).map { b =>
+      val feats = emb.select(
+        array_to_vector(slice(col("ve"), b * pqDim + 1, pqDim)).as("features"))
+      val model = new KMeans().setK(pqK).setSeed(7L + b).setMaxIter(5).fit(feats)
+      s.createDataFrame(model.clusterCenters.toIndexedSeq.zipWithIndex
+          .map { case (c, i) => (b, i, c.toArray) })
+        .toDF("block", "cl", "ce")
+    }.reduce(_ unionByName _)
+  }
+
+  /** On-disk PQ codebook location — the ivfIndexPath discipline
+    * (VERDICT r3 next-4 §3: an in-query fit benches index BUILD, not
+    * the operator): training is the separate build-once job, the
+    * query encodes against the persisted 128-row codebook. */
+  private def pqIndexPath(d: String): String = ivfIndexPath(d) + "-pq"
+
+  private[graft] def pqBuild(s: SparkSession, d: String): String = {
+    val path = pqIndexPath(d)
+    val emb = table(s, d, "embeddings")
+      .filter(size(col("embedding")) === pqBlocks * pqDim)
+      .select(col("vec_id"), asDouble.as("ve"))
+    pqCodebooks(s, emb).write.mode("overwrite").parquet(s"$path/codebooks")
+    path
+  }
+
+  private def ensurePqIndex(s: SparkSession, d: String): String = {
+    val path = pqIndexPath(d)
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$path/codebooks/_SUCCESS")))
+      pqBuild(s, d)
+    path
+  }
+
+  /** PQ encode, gated: the query dumps the trained codebooks as a
+    * fixture (the k-means fit itself is engine-specific, like the
+    * minhash seeds) and emits each vector's code string + exact
+    * reconstruction error; the oracle re-derives every assignment
+    * from the raw embeddings and the dumped codebooks with the same
+    * distance algebra — one flipped code or a wrong error diverges
+    * the hash. */
+  private val pqEncode: Q = (s, d) => {
+    val emb = table(s, d, "embeddings")
+      .filter(size(col("embedding")) === pqBlocks * pqDim)
+      .select(col("vec_id"), asDouble.as("ve"))
+    val codebook = s.read.parquet(s"${ensurePqIndex(s, d)}/codebooks").persist()
+    graft.io.Sinks.dumpFixture(codebook, "pq_codebooks")
+    val blocks = emb.select(col("vec_id"),
+      posexplode(transform(sequence(lit(0), lit(pqBlocks - 1)),
+        b => slice(col("ve"), b * pqDim + 1, lit(pqDim)))).as(Seq("block", "xb")))
+    val dist = dot(col("xb"), col("xb")) - lit(2.0) * dot(col("xb"), col("ce")) +
+      dot(col("ce"), col("ce"))
+    val assigned = blocks.join(broadcast(codebook), Seq("block"))
+      .select(col("vec_id"), col("block"), struct(dist.as("d"), col("cl")).as("dc"))
+      .groupBy("vec_id", "block")
+      .agg(min(col("dc")).as("best"))
+    assigned.groupBy("vec_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("block"),
+            col("best.cl").as("cl")))),
+          x => x.getField("cl").cast("string")), "-").as("codes"),
+        dround(sum(col("best.d")), 6).as("recon_err"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "pq_encode" -> pqEncode,
     "emb_quant" -> embQuant,
     "knn_cosine" -> knnCosine,
     "ann_lsh" -> annLsh,
@@ -422,6 +507,32 @@ object Similarity {
        |ORDER BY qid, rk""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // PQ twin (fixture pattern): GIVEN the dumped codebooks, every
+    // assignment is determined — DuckDB recomputes each block's
+    // argmin with the same ‖x‖²−2x·c+‖c‖² algebra over the raw
+    // embeddings, rebuilds the code string, and re-sums the
+    // reconstruction error.
+    "pq_encode" ->
+      s"""WITH cb AS (SELECT block, cl, ce
+         |            FROM read_parquet('/tmp/graft_fixtures/pq_codebooks/*.parquet')),
+         | v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+         |       FROM embeddings WHERE len(embedding) = ${pqBlocks * pqDim}),
+         | blk AS (SELECT v.vec_id, g.b AS block,
+         |           v.ve[g.b*$pqDim+1 : g.b*$pqDim+$pqDim] AS xb
+         |         FROM v, LATERAL unnest(generate_series(0, ${pqBlocks - 1})) g(b)),
+         | dists AS (SELECT blk.vec_id, blk.block, cb.cl,
+         |             list_dot_product(blk.xb, blk.xb)
+         |               - 2 * list_dot_product(blk.xb, cb.ce)
+         |               + list_dot_product(cb.ce, cb.ce) AS d
+         |           FROM blk JOIN cb ON cb.block = blk.block),
+         | best AS (SELECT vec_id, block, cl, d, row_number() OVER (
+         |            PARTITION BY vec_id, block ORDER BY d, cl) AS rk
+         |          FROM dists)
+         |SELECT vec_id,
+         |  string_agg(cl, '-' ORDER BY block) AS codes,
+         |  round(sum(d), 6) AS recon_err
+         |FROM best WHERE rk = 1
+         |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     // Fully independent quantization twin: DuckDB re-derives scale,
     // rounding, clamping, and the dequantized cosine from the raw
     // float[] with its own list lambdas — the integer sums/extrema
