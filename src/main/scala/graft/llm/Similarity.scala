@@ -434,10 +434,14 @@ object Similarity {
 
   private[graft] def pqBuild(s: SparkSession, d: String): String = {
     val path = pqIndexPath(d)
+    // persisted across the 8 per-block fits — each KMeans otherwise
+    // re-scans and re-projects the embeddings table from parquet
     val emb = table(s, d, "embeddings")
       .filter(size(col("embedding")) === pqBlocks * pqDim)
       .select(col("vec_id"), asDouble.as("ve"))
-    pqCodebooks(s, emb).write.mode("overwrite").parquet(s"$path/codebooks")
+      .persist()
+    try pqCodebooks(s, emb).write.mode("overwrite").parquet(s"$path/codebooks")
+    finally emb.unpersist(blocking = false)
     path
   }
 
@@ -471,13 +475,19 @@ object Similarity {
       .select(col("vec_id"), col("block"), struct(dist.as("d"), col("cl")).as("dc"))
       .groupBy("vec_id", "block")
       .agg(min(col("dc")).as("best"))
+    // both outputs fold the per-block structs in BLOCK order: a plain
+    // sum() merges doubles in partition-dependent order, and a
+    // boundary-straddling ulp would flip the rounded 6th decimal
+    // between runs — the sorted sequential fold is deterministic (the
+    // twin sums its block-ordered list the same way)
     assigned.groupBy("vec_id")
-      .agg(
-        array_join(transform(
-          array_sort(collect_list(struct(col("block"),
-            col("best.cl").as("cl")))),
+      .agg(array_sort(collect_list(struct(col("block"),
+        col("best.cl").as("cl"), col("best.d").as("d")))).as("bl"))
+      .select(col("vec_id"),
+        array_join(transform(col("bl"),
           x => x.getField("cl").cast("string")), "-").as("codes"),
-        dround(sum(col("best.d")), 6).as("recon_err"))
+        dround(aggregate(transform(col("bl"), x => x.getField("d")),
+          lit(0d), (a, e) => a + e), 6).as("recon_err"))
       .orderBy("vec_id")
   }
 
@@ -530,7 +540,7 @@ object Similarity {
          |          FROM dists)
          |SELECT vec_id,
          |  string_agg(cl, '-' ORDER BY block) AS codes,
-         |  round(sum(d), 6) AS recon_err
+         |  round(list_sum(list(d ORDER BY block)), 6) AS recon_err
          |FROM best WHERE rk = 1
          |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     // Fully independent quantization twin: DuckDB re-derives scale,
