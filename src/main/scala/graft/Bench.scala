@@ -63,6 +63,35 @@ object Bench {
       }
     }
 
+    // Host-speed canary (VERDICT r6 next §4): a fixed 10-query subset
+    // timed once right after warmup and once after the full timed pass.
+    // BENCH totals drift ~1.3× with same-day host load (BASELINE.md's
+    // measured band), and r6's 183.7 s vs the predicted 89–145 s was
+    // only adjudicable by cross-referencing r5 artifacts — these two
+    // numbers make every future artifact self-adjudicating: compare
+    // canary_first/second against BASELINE.md's pinned canary band to
+    // price the host before suspecting a regression, and first-vs-
+    // second prices drift WITHIN the run. Spans the families that
+    // drifted in r6 (k4 kernel, joins) plus scan/agg/window/dedup/text.
+    val canaryNames = Seq("a4_group_stats", "dd_exact", "f4_range",
+      "j1_enrich_bcast", "j6_self_align", "k4_deadletter", "k4_yap",
+      "ts_quality", "w6_prefix", "x_math")
+    def runCanary(): Double = {
+      val t = canaryNames.flatMap { n =>
+        SparkEntry.queries.get(n).map { fn =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+      }.sum
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      t
+    }
+    // skipped in SPARK_GRAFT_ONLY isolation runs: a micro-bench of one
+    // query should not pay (or report) a 10-query canary
+    val canaryFirst = if (only.isEmpty) Some(runCanary()) else None
+
     // Timed PASSES, per-query minimum across passes: the host is a
     // shared microVM whose multi-core throughput gets throttled in
     // multi-second bursts invisible to the guest (single-core speed
@@ -117,16 +146,23 @@ object Bench {
     // tail capture still carries them; (3) a short summary line printed
     // LAST (and the full JSON written to SPARK_GRAFT_BENCH_OUT), so
     // whichever end survives, the headline numbers are machine-readable.
+    val canarySecond = if (only.isEmpty) Some(runCanary()) else None
+
     def r4(v: Double): Double = math.rint(v * 10000) / 10000
     val qs = timings.map { case (k, v) => s"${jstr(k)}:${r4(v)}" }.mkString("{", ",", "}")
     val fs = failed.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = r4(timings.values.sum)
+    val canary = (canaryFirst, canarySecond) match {
+      case (Some(a), Some(b)) =>
+        s""""canary_first":${r4(a)},"canary_second":${r4(b)},"""
+      case _ => ""
+    }
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,""" +
-        s""""sf":${jstr(sfDir)},"n":${timings.size},"total":$total}"""
+        s"""$canary"sf":${jstr(sfDir)},"n":${timings.size},"total":$total}"""
     println(json)
     println(s"""{"metric":"total","value":$total,"unit":"sec","n":${timings.size},""" +
-      s""""failed_n":${failed.size},"sf":${jstr(sfDir)}}""")
+      s""""failed_n":${failed.size},$canary"sf":${jstr(sfDir)}}""")
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p => Files.writeString(Paths.get(p), json))
     spark.stop()
   }

@@ -65,6 +65,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // per-query cache hygiene (ADVICE r6, the Bench/RunCurate idiom):
+      // several queries persist() working relations and rely on the
+      // caller to release them; without this the dump accumulates
+      // cached partitions across all 120+ queries and leans on LRU
+      // eviction under heap pressure
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

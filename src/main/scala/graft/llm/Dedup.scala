@@ -80,7 +80,10 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       // size-ratio prefilter: jaccard ≥ 0.9 forces min(|A|,|B|)/max ≥ 0.9;
       // integer arithmetic, removes pairs that cannot pass BEFORE the
-      // O(n+m) intersect — never changes the result set
+      // O(n+m) intersect. Part of the operator's declared semantics and
+      // mirrored verbatim in every oracle twin (ADVICE r6: a true
+      // jaccard in [0.89995, 0.9) rounds to 0.9000, so an unmirrored
+      // prefilter opens a tiny divergence window at the boundary)
       .filter(least(size(col("tk_a")), size(col("tk_b"))) * 10 >=
               greatest(size(col("tk_a")), size(col("tk_b"))) * 9)
       .select(col("doc_a"), col("doc_b"),
@@ -494,10 +497,27 @@ object Dedup {
     * merge. */
   private[llm] val spanK = 10
 
+  /** Duplicated-gram membership join regime (VERDICT r6 §2): on an
+    * already-deduplicated corpus the dup-gram set is tiny by definition
+    * and broadcasting it is the right plan; on a RAW crawl duplicated
+    * grams ≈ corpus grams, and r6's hardcoded broadcast would OOM every
+    * executor. The regime is now MEASURED, not guessed: one count over
+    * the (persisted) k-gram relation prices the dup set, and past this
+    * row budget the membership join becomes a shuffled hash join on the
+    * 8-byte key — the shape that scales to a crawl-sized dup set.
+    * Overridable via SPARK_GRAFT_SPAN_BCAST_MAX so ShuffleBytesProbe
+    * can price the shuffle regime on the same corpus. */
+  private[graft] val spanDupBroadcastMaxRows: Long =
+    sys.env.get("SPARK_GRAFT_SPAN_BCAST_MAX").map(_.toLong).getOrElse(4L << 20)
+
   /** The (docs, spans) pair both span queries derive from: docs =
     * (doc_id, tk) with ≥ k tokens; spans = the maximal merged
     * [s, e] coverage intervals of duplicated k-grams per doc. */
-  private def spanFrames(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private def spanFrames(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    spanFramesAt(s, d, spanDupBroadcastMaxRows)
+
+  private[graft] def spanFramesAt(s: SparkSession, d: String,
+      broadcastMaxDup: Long): (DataFrame, DataFrame) = {
     val tk = split(col("text"), " ")
     val docs = table(s, d, "documents")
       .filter(size(tk) >= spanK)
@@ -511,11 +531,20 @@ object Dedup {
         i => xxhash64(array_join(slice(col("tk"), i + 1, lit(spanK)), " "))))
         .as(Seq("pos", "h")))
       .persist()
+    // persisted before the sizing count so the membership join reuses
+    // the materialized set rather than re-aggregating kg
     val dupH = kg.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
       .select("h")
-    val hits = kg.join(broadcast(dupH), Seq("h"))
+      .persist()
+    val hits = (if (dupH.count() <= broadcastMaxDup)
+        kg.join(broadcast(dupH), Seq("h"))
+      else
+        // raw-crawl regime: shuffle both sides on the 8-byte hash; a
+        // shuffled HASH join (not SMJ) — the key is already a uniform
+        // 64-bit hash, so sorting buys nothing
+        kg.join(dupH.hint("shuffle_hash"), Seq("h")))
       .select(col("doc_id"), col("pos"), (col("pos") + spanK - 1).as("e"))
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val prevCoverEnd =
@@ -680,6 +709,7 @@ object Dedup {
         |     / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))), 4) AS jaccard
         |  FROM t a JOIN t b ON a.lang = b.lang AND a.len_band = b.len_band
         |    AND CAST(floor(len(a.tk)/4) AS INT) = CAST(floor(len(b.tk)/4) AS INT)
+        |    AND least(len(a.tk), len(b.tk)) * 10 >= greatest(len(a.tk), len(b.tk)) * 9
         |    AND a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.9 ORDER BY doc_a, doc_b""".stripMargin,
     // Independent clustering twin: DuckDB recomputes the SAME pair set,
@@ -699,6 +729,7 @@ object Dedup {
         |        / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))), 4) AS jaccard
         |     FROM t a JOIN t b ON a.lang = b.lang AND a.len_band = b.len_band
         |       AND CAST(floor(len(a.tk)/4) AS INT) = CAST(floor(len(b.tk)/4) AS INT)
+        |       AND least(len(a.tk), len(b.tk)) * 10 >= greatest(len(a.tk), len(b.tk)) * 9
         |       AND a.doc_id < b.doc_id)
         |   WHERE jaccard >= 0.9),
         | edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
@@ -815,7 +846,9 @@ object Dedup {
         | nr AS (SELECT tb.doc_id, min(tc.doc_id) AS near_match FROM tb JOIN tc
         |          ON tb.lang = tc.lang AND tb.len_band = tc.len_band
         |         AND CAST(floor(len(tb.tk)/4) AS INT) = CAST(floor(len(tc.tk)/4) AS INT)
-        |        WHERE round(CAST(len(list_intersect(tb.tk, tc.tk)) AS DOUBLE)
+        |        WHERE least(len(tb.tk), len(tc.tk)) * 10
+        |                >= greatest(len(tb.tk), len(tc.tk)) * 9
+        |          AND round(CAST(len(list_intersect(tb.tk, tc.tk)) AS DOUBLE)
         |          / (len(tb.tk) + len(tc.tk) - len(list_intersect(tb.tk, tc.tk))), 4) >= 0.9
         |        GROUP BY tb.doc_id)
         |SELECT b.doc_id,

@@ -85,7 +85,11 @@ object Layout {
     * from the clustered copy. Results must be layout-invariant — the
     * oracle runs the same predicate on the raw table. */
   private val zoEvents: Q = (s, d) => {
-    val out = s"/tmp/graft_zorder/${math.abs(d.hashCode.toLong)}/events.parquet"
+    // injective path derivation (VERDICT r6 §6): the sanitized dir
+    // string itself keys the output — a hashCode collision between two
+    // corpus dirs would have silently served the wrong clustered copy
+    val key = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val out = s"/tmp/graft_zorder/$key/events.parquet"
     zorderWrite(table(s, d, "events"), Seq("user_id", "ts"), out, 8)
     s.read.parquet(out)
       .filter(col("user_id").between(3, 9) &&

@@ -1,6 +1,5 @@
 package graft.ops
 
-import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.SparkSession
 
 /** One memoized forked session per (parent, tag), with the given conf
@@ -12,18 +11,20 @@ import org.apache.spark.sql.SparkSession
   * analyzer/optimizer init to every timed invocation — and avoids
   * leaking a session per call. */
 object ScopedSession {
-  private val cache = new ConcurrentHashMap[
-    (SparkSession, String, Seq[(String, String)]), SparkSession]()
+  // parent held WEAKLY (ADVICE r6): r6's ConcurrentHashMap keyed the
+  // parent strongly, so stopped parents and their SessionStates (and
+  // every fork) were retained for the process lifetime — a slow leak
+  // for any long-lived embedding that cycles sessions. A WeakHashMap
+  // drops a parent's whole fork map once the parent is unreachable;
+  // the inner map stays keyed structurally by (tag, sorted confs) —
+  // no string serialization, which could collide distinct conf sets.
+  private val cache = new java.util.WeakHashMap[
+    SparkSession, java.util.HashMap[(String, Seq[(String, String)]), SparkSession]]()
 
   def apply(parent: SparkSession, tag: String,
-      confs: (String, String)*): SparkSession = {
-    // the confs participate STRUCTURALLY in the key (no string
-    // serialization — concatenation could collide distinct conf
-    // sets): a call site that changes its conf set gets a fresh
-    // session rather than silently inheriting the stale one another
-    // invocation order registered first
-    val key = (parent, tag, confs.sortBy(_._1).toSeq)
-    cache.computeIfAbsent(key, { _ =>
+      confs: (String, String)*): SparkSession = cache.synchronized {
+    val forks = cache.computeIfAbsent(parent, _ => new java.util.HashMap())
+    forks.computeIfAbsent((tag, confs.sortBy(_._1).toSeq), { _ =>
       val n = parent.newSession()
       confs.foreach { case (k, v) => n.conf.set(k, v) }
       n

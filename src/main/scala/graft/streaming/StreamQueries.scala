@@ -228,7 +228,12 @@ object StreamQueries {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
     val evs = eventRows(s, d, viewClickOnly = false)
-    val root = s"/tmp/graft_stsink_${sys.props.getOrElse("user.name", "u")}"
+    // pid-scoped root (ADVICE r6): one fixed per-user path let two
+    // concurrent graft processes (a bench overlapping a verify) wipe
+    // each other's sink + checkpoint mid-query; still deleted at entry
+    // so repeated in-process invocations don't accumulate in /tmp
+    val root = s"/tmp/graft_stsink_${sys.props.getOrElse("user.name", "u")}" +
+      s"_${ProcessHandle.current().pid()}"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     val out = s"$root/out"
     val half = evs.length / 2

@@ -149,6 +149,27 @@ class PlanShapeSpec extends AnyFunSuite {
         s"an exchange carries document text/grams: $in\n$fmt"))
   }
 
+  test("dd_spans membership join broadcasts the dup-gram set below the row budget") {
+    // deduplicated-corpus regime (the default threshold, testdata is
+    // far under it): the measured dup set is tiny → broadcast join
+    val (_, spans) = graft.llm.Dedup.spanFramesAt(spark, sf,
+      graft.llm.Dedup.spanDupBroadcastMaxRows)
+    val p = spans.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"small dup set must broadcast the membership join:\n$p")
+  }
+
+  test("dd_spans membership join shuffles on the 8-byte hash past the row budget") {
+    // raw-crawl regime (threshold forced to 0): dup grams ≈ corpus —
+    // the membership join must become a shuffled HASH join on h, never
+    // a broadcast (which would OOM executors on a real crawl)
+    val (_, spans) = graft.llm.Dedup.spanFramesAt(spark, sf, 0L)
+    spans.collect() // AQE finalizes on execution
+    val p = spans.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"),
+      s"crawl-regime membership join must be a shuffled hash join:\n$p")
+  }
+
   test("whole-stage codegen covers the custom expressions") {
     // the native kernels (vec_dot, sorted_intersect_count) must not
     // break codegen spans around them; AQE only finalizes the plan on
