@@ -395,21 +395,72 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** On-disk incremental-dedup index location: the ivfIndexPath
+    * build-once/consult-many discipline, with the Layout injective-path
+    * fix (the sanitized dir string keys the output, not its hashCode —
+    * a collision would serve a different corpus's index). */
+  private def dedupIndexPath(d: String): String = {
+    val root = sys.env.getOrElse("SPARK_GRAFT_DEDUP_DIR", "/tmp/graft_dedup_index")
+    s"$root/${d.replaceAll("[^A-Za-z0-9._-]", "_")}"
+  }
+
+  /** The corpus side of the incremental regime: everything not in
+    * today's batch (doc_id ≡ 7 mod 10 models the arriving crawl). */
+  private def incrCorpus(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents").filter(col("doc_id") % 10 =!= 7)
+
+  /** The banded near-dup signature both sides of the incremental near
+    * layer project to: (lang × 100-char length band × width-4 distinct
+    * -token band) blocking keys + the sorted token-hash array the
+    * merge-walk verifier consumes. */
+  private def incrSig(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("lang"),
+      floor(col("n_chars") / 100).cast("int").as("len_band"), tokHashes.as("tk"))
+      .withColumn("tok_band", (size(col("tk")) / 4).cast("int"))
+
+  /** Build and persist the incremental-dedup index (VERDICT r6 §3 —
+    * r6 recomputed the corpus relations from text on every run): the
+    * 16-byte content-hash relation (the exact layer's build side) and
+    * the banded token-hash signatures (the near layer's). This is the
+    * standing index a continuous-crawl pipeline maintains: (re)built
+    * per corpus version by a separate job (tools/DedupIndexBuild —
+    * one full-corpus scan, completely different resource shape from
+    * the per-batch probe), consulted by every arriving batch; the
+    * query below never touches corpus TEXT again. */
+  private[graft] def dedupIndexBuild(s: SparkSession, d: String): String = {
+    val path = dedupIndexPath(d)
+    val corpus = incrCorpus(s, d).persist()
+    try {
+      corpus.select(md5(col("text").cast("binary")).as("ch"), col("doc_id"))
+        .write.mode("overwrite").parquet(s"$path/hashes")
+      incrSig(corpus).write.mode("overwrite").parquet(s"$path/signatures")
+    } finally corpus.unpersist(blocking = false)
+    path
+  }
+
+  private def ensureDedupIndex(s: SparkSession, d: String): String = {
+    val path = dedupIndexPath(d)
+    val ok = Seq("hashes", "signatures").forall(p =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/$p/_SUCCESS")))
+    if (!ok) dedupIndexBuild(s, d)
+    path
+  }
+
   /** Incremental dedup — the continuous-crawl production shape: a new
     * batch of documents (doc_id ≡ 7 mod 10) is deduplicated against
     * the already-curated corpus (everything else) WITHOUT ever forming
-    * a corpus×corpus pair. Two layers, both batch-side driven: an
-    * exact layer joining 16-byte content hashes against the corpus
-    * (at 100 TB this hash relation is the persisted dedup index — the
-    * IvfBuild pattern — and the join shuffles 16 B/doc, never text),
-    * and a near layer running the dd_jaccard banding (lang × length
-    * band × token band, size-ratio prefilter, hashed-token merge
-    * walk) with the batch on the build side, so candidate pairs are
-    * O(batch × bucket density), independent of corpus-internal
-    * redundancy. Verdict per batch doc: `exact` beats `near` beats
-    * `unique`; `match_id` = the smallest matching corpus doc
-    * (−1 sentinel when unique — keeps the column non-null BIGINT on
-    * both engines).
+    * a corpus×corpus pair. Two layers, both batch-side driven, both
+    * probing the PERSISTED corpus index (build-once, [[dedupIndexBuild]]):
+    * an exact layer joining the batch's 16-byte content hashes against
+    * the index's hash relation (the join shuffles 16 B/doc, never
+    * text), and a near layer running the dd_jaccard banding (lang ×
+    * length band × token band, size-ratio prefilter, hashed-token
+    * merge walk) against the index's signature relation with the batch
+    * on the build side, so candidate pairs are O(batch × bucket
+    * density), independent of corpus-internal redundancy. Verdict per
+    * batch doc: `exact` beats `near` beats `unique`; `match_id` = the
+    * smallest matching corpus doc (−1 sentinel when unique — keeps the
+    * column non-null BIGINT on both engines).
     *
     * The synthetic corpus has no natural exact duplicates (dd_exact:
     * every hash unique), so the query PLANTS them (ts_pii/dd_lines
@@ -419,10 +470,13 @@ object Dedup {
     * verbatim and re-derives both layers independently; the near
     * layer's matches occur naturally (the corpus is near-dup-rich). */
   private val ddIncremental: Q = (s, d) => {
+    val idx = ensureDedupIndex(s, d)
     val raw = table(s, d, "documents")
-    val corpus = raw.filter(col("doc_id") % 10 =!= 7).persist()
     val planted = col("doc_id") % 30 === 7
-    val donors = corpus.select((col("doc_id") + 1).as("doc_id"),
+    // the PLANT is gate scaffolding, not algorithm: corpus text is read
+    // here only to fabricate the batch's bit-identical copies — the
+    // dedup layers themselves consult the persisted index exclusively
+    val donors = incrCorpus(s, d).select((col("doc_id") + 1).as("doc_id"),
       col("text").as("d_text"), col("lang").as("d_lang"),
       col("n_chars").as("d_n"))
     val batch = raw.filter(col("doc_id") % 10 === 7)
@@ -434,19 +488,17 @@ object Dedup {
       .persist()
     val exact = batch
       .select(col("doc_id"), md5(col("text").cast("binary")).as("ch"))
-      .join(corpus.select(md5(col("text").cast("binary")).as("ch"),
-        col("doc_id").as("cid")), Seq("ch"))
+      .join(s.read.parquet(s"$idx/hashes")
+        .select(col("ch"), col("doc_id").as("cid")), Seq("ch"))
       .groupBy("doc_id").agg(min("cid").as("exact_match"))
-    def sig(df: DataFrame) = df.select(col("doc_id"), col("lang"),
-      floor(col("n_chars") / 100).cast("int").as("len_band"), tokHashes.as("tk"))
-      .withColumn("tok_band", (size(col("tk")) / 4).cast("int"))
     val inter =
       ArrayFns.sortedLongIntersectCount(col("tk_b"), col("tk_c")).cast("double")
-    val near = sig(batch)
+    val near = incrSig(batch)
       .select(col("lang"), col("len_band"), col("tok_band"),
         col("doc_id"), col("tk").as("tk_b"))
-      .join(sig(corpus).select(col("lang"), col("len_band"), col("tok_band"),
-        col("doc_id").as("cid"), col("tk").as("tk_c")),
+      .join(s.read.parquet(s"$idx/signatures")
+        .select(col("lang"), col("len_band"), col("tok_band"),
+          col("doc_id").as("cid"), col("tk").as("tk_c")),
         Seq("lang", "len_band", "tok_band"))
       .filter(least(size(col("tk_b")), size(col("tk_c"))) * 10 >=
         greatest(size(col("tk_b")), size(col("tk_c"))) * 9)

@@ -109,6 +109,36 @@ class LlmOpsSpec extends AnyFunSuite {
       .exists(_.getDouble(2) >= 0.99))
   }
 
+  test("PQ ADC: planted near-twin survives table-lookup scoring; recall floor holds") {
+    import spark.implicits._
+    // probe 1's near-twin 2 (cos ≈ 0.999) reconstructs to near-identical
+    // codes, so the ADC shortlist must contain it and the exact rerank
+    // must score it near 1 — end-to-end through the PERSISTED index
+    // (build → codes parquet → table-lookup scan → rerank)
+    def vec(seed: Int, jitter: Float): Array[Float] =
+      Array.tabulate(64)(i => (Similarity.planeSign(seed, i).toFloat + (if (i == 0) jitter else 0f)))
+    val rows = Seq(
+      (1L, vec(100, 0f)), (2L, vec(100, 0.05f))) ++
+      (3L to 60L).map(k => (k, vec(k.toInt, 0f)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    rows.toDF("vec_id", "embedding").write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.queries("ann_pq")(spark, dir).collect()
+    assert(out.exists(r => r.getLong(0) == 1L && r.getLong(2) == 2L && r.getDouble(3) > 0.9),
+      s"planted twin missing from PQ-ADC results: ${out.mkString(", ")}")
+    // on the real corpus the ADC path must clear the shared recall floor
+    val knn = Similarity.queries("knn_cosine")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = Similarity.queries("ann_pq")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (knn & pq).size.toDouble / knn.size
+    assert(recall >= 0.2, s"PQ-ADC recall vs brute force = $recall")
+    // and the recall QUERY's arithmetic agrees with the recomputation here
+    val row = Similarity.queries("ann_pq_recall")(spark, sf).collect().head
+    assert(row.getAs[Long]("n_exact") == knn.size.toLong)
+    assert(math.abs(row.getAs[Double]("recall") - recall) < 1e-9,
+      s"recall row ${row} vs recomputed $recall")
+  }
+
   test("exact dedup groups by content hash (all-unique corpus)") {
     val out = Dedup.queries("dd_exact")(spark, sf).collect()
     assert(out.length == 500)
