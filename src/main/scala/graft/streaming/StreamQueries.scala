@@ -258,6 +258,43 @@ object StreamQueries {
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
   }
 
+  /** Genuine restart-from-checkpoint under the gate (VERDICT r6 §7 —
+    * until r7 the restart path was exercised only by specs): the first
+    * half of the events stream lands through the checkpointed
+    * idempotent parquet sink, the query is STOPPED (planned shutdown —
+    * st_sink covers the crash-between-write-and-commit replay), the
+    * remainder arrives while NO query is running, and a NEW query
+    * started from the same checkpoint + source must resume from the
+    * offset log and deliver exactly the backlog. The read-back —
+    * batch_id dropped — must equal the plain events table row for row:
+    * a restart that re-reads committed offsets without the idempotent
+    * overwrite fails on row count, one that loses the backlog fails on
+    * content. */
+  private val stRestart: Q = (parent, d) => {
+    val s = scoped(parent)
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val evs = eventRows(s, d, viewClickOnly = false)
+    val root = s"/tmp/graft_strestart_${sys.props.getOrElse("user.name", "u")}" +
+      s"_${ProcessHandle.current().pid()}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val out = s"$root/out"
+    val half = evs.length / 2
+    val source = MemoryStream[EventStream.AsofEv]
+    val q1 = EventStream.idempotentParquetSink(source.toDF(), out, s"$root/ckpt")
+    try {
+      source.addData(evs.take(half).toIndexedSeq)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // the backlog arrives while the query is down; the restarted query
+    // finds it via the source's offsets, not via any live trigger
+    source.addData(evs.drop(half).toIndexedSeq)
+    val q2 = EventStream.idempotentParquetSink(source.toDF(), out, s"$root/ckpt")
+    try q2.processAllAvailable() finally q2.stop()
+    s.read.parquet(out)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+  }
+
   /** The watermarked stream-stream interval join under the gate: every
     * click paired with the same user's views in the preceding 10
     * minutes, streamed across two batches plus a sentinel pair that
@@ -301,6 +338,7 @@ object StreamQueries {
     "st_windowed" -> stWindowed,
     "st_dedup" -> stDedup,
     "st_sink" -> stSink,
+    "st_restart" -> stRestart,
     "st_interval" -> stInterval)
 
   /** The batch twins' oracles apply UNCHANGED — that is the point: the
@@ -317,6 +355,9 @@ object StreamQueries {
       "SELECT event_id, user_id, ts, event_type, value FROM events",
     // the replayed batch must overwrite, not append: output == the table
     "st_sink" ->
+      "SELECT event_id, user_id, ts, event_type, value FROM events",
+    // restart from checkpoint must deliver exactly the backlog
+    "st_restart" ->
       "SELECT event_id, user_id, ts, event_type, value FROM events",
     "st_interval" ->
       """SELECT c.event_id AS c_id, v.user_id, c.ts AS c_ts,
