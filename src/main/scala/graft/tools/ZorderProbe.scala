@@ -44,12 +44,17 @@ object ZorderProbe {
           .sortWithinPartitions("user_id")
           .write.mode("overwrite").parquet(out)),
       "zorder" -> ((out: String) =>
-        graft.ops.Layout.zorderWrite(src, Seq("user_id", "ts_s"), out, files)))
+        graft.ops.Layout.zorderWrite(src, Seq("user_id", "ts_s"), out, files)),
+      "zorder3" -> ((out: String) =>
+        graft.ops.Layout.zorderWriteBudgeted(src,
+          Seq("user_id" -> 16, "ts_s" -> 24, "event_id" -> 16), out, files)))
     layouts.foreach { case (name, write) => write(s"$base/$name") }
 
-    // predicate bounds: a ~1.4% user slice and a ~13% time slice
+    // predicate bounds: a ~1.4% user slice, a ~13% time slice, and a
+    // 10% event_id slice (the 3-dim layout's third dimension)
     val (uLo, uHi) = (100L, 120L)
     val (tLo, tHi) = (1704844800L, 1705190400L) // 2024-01-10 .. 01-14 UTC
+    val (eLo, eHi) = (20000L, 29999L)
 
     def stats(dir: String): Seq[Map[String, (Long, Long)]] = {
       val fs = new java.io.File(dir).listFiles()
@@ -59,7 +64,7 @@ object ZorderProbe {
           HadoopInputFile.fromPath(new Path(f.getAbsolutePath), new Configuration()))
         try r.getFooter.getBlocks.asScala.toSeq.map { b =>
           b.getColumns.asScala
-            .filter(c => Set("user_id", "ts_s")(c.getPath.toDotString))
+            .filter(c => Set("user_id", "ts_s", "event_id")(c.getPath.toDotString))
             .map(c => c.getPath.toDotString ->
               (c.getStatistics.genericGetMin.asInstanceOf[java.lang.Long].longValue,
                 c.getStatistics.genericGetMax.asInstanceOf[java.lang.Long].longValue))
@@ -74,15 +79,20 @@ object ZorderProbe {
       s("user_id")._1 <= uHi && s("user_id")._2 >= uLo
     def timeHit(s: Map[String, (Long, Long)]) =
       s("ts_s")._1 < tHi && s("ts_s")._2 >= tLo
+    def evtHit(s: Map[String, (Long, Long)]) =
+      s("event_id")._1 <= eHi && s("event_id")._2 >= eLo
 
-    println(f"${"layout"}%-12s ${"user-slice"}%-12s ${"time-slice"}%-12s both")
+    println(f"${"layout"}%-12s ${"user-slice"}%-12s ${"time-slice"}%-12s " +
+      f"${"evt-slice"}%-12s ${"user+time"}%-12s all3")
     layouts.foreach { case (name, _) =>
       val blocks = stats(s"$base/$name")
       val n = blocks.size
       val u = blocks.count(userHit)
       val t = blocks.count(timeHit)
+      val e = blocks.count(evtHit)
       val b = blocks.count(s => userHit(s) && timeHit(s))
-      println(f"$name%-12s $u%3d/$n%-8d $t%3d/$n%-8d $b%3d/$n")
+      val a = blocks.count(s => userHit(s) && timeHit(s) && evtHit(s))
+      println(f"$name%-12s $u%3d/$n%-8d $t%3d/$n%-8d $e%3d/$n%-8d $b%3d/$n%-8d $a%3d/$n")
     }
     spark.stop()
   }

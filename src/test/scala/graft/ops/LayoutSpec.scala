@@ -26,6 +26,26 @@ class LayoutSpec extends AnyFunSuite {
     got.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("budgeted interleave: equal budgets reproduce Morton; surplus bits top out") {
+    import spark.implicits._
+    // budgets (2,1), MSB-aligned: coarse level 0 places y0@2, x1@1;
+    // x's surplus LOW bit lands at 0 — so (x,y) z = 4*y0 + 2*x1 + x0
+    val cases = Seq((3L, 1L, 7L), (2L, 1L, 6L), (3L, 0L, 3L), (1L, 1L, 5L))
+    val got = cases.toDF("x", "y", "want")
+      .select(Layout.interleaveBudgeted(
+        Seq(col("x") -> 2, col("y") -> 1)).as("z"), col("want"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // equal budgets == the classic curve the 2-dim spec pins
+    val eq = Seq((0xFFFFL, 0L), (0L, 0xFFFFL), (0xABCDL, 0x1234L))
+      .toDF("x", "y")
+      .select(Layout.interleave(Seq(col("x"), col("y"))).as("a"),
+        Layout.interleaveBudgeted(
+          Seq(col("x") -> 16, col("y") -> 16)).as("b"))
+      .collect()
+    eq.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("quantize maps bounds to [0, 65535] and degenerate spans to 0") {
     import spark.implicits._
     val r = Seq((0L, 0L, 100L), (100L, 0L, 100L), (50L, 0L, 100L),
@@ -71,5 +91,40 @@ class LayoutSpec extends AnyFunSuite {
       s"only $localized/${perFile.length} files localized in both dims: " +
         perFile.map(r => (r.getAs[Double]("us"), r.getAs[Double]("ts")))
           .mkString(", "))
+  }
+
+  test("3-dim budgeted layout localizes every clustered dimension at once") {
+    val src = graft.io.Sources.table(spark, "/root/testdata/sf0.01", "events")
+    val out = java.nio.file.Files.createTempDirectory("graft_zo3").toString +
+      "/events.parquet"
+    Layout.zorderWriteBudgeted(src,
+      Seq("user_id" -> 16, "ts" -> 24, "event_id" -> 16), out, 8)
+    val copy = spark.read.parquet(out)
+    assert(copy.count() == src.count())
+    val glob = src.agg(
+      (max("user_id") - min("user_id")).cast("double").as("us"),
+      (max(unix_timestamp(col("ts"))) - min(unix_timestamp(col("ts"))))
+        .cast("double").as("ts"),
+      (max("event_id") - min("event_id")).cast("double").as("ev")).collect()(0)
+    val perFile = copy
+      .groupBy(input_file_name().as("f"))
+      .agg((max("user_id") - min("user_id")).cast("double").as("us"),
+        (max(unix_timestamp(col("ts"))) - min(unix_timestamp(col("ts"))))
+          .cast("double").as("ts"),
+        (max("event_id") - min("event_id")).cast("double").as("ev"))
+      .collect()
+    assert(perFile.length >= 6, s"expected ~8 files, got ${perFile.length}")
+    // three dims share the z-value, so per-dim locality is looser than
+    // the 2-dim layout's — but every file must still span well under
+    // the global range in ALL THREE dims simultaneously, which no
+    // single- or double-key sort can do
+    val localized = perFile.count(r =>
+      r.getAs[Double]("us") <= 0.8 * glob.getAs[Double]("us") &&
+        r.getAs[Double]("ts") <= 0.8 * glob.getAs[Double]("ts") &&
+        r.getAs[Double]("ev") <= 0.8 * glob.getAs[Double]("ev"))
+    assert(localized >= perFile.length - 2,
+      s"only $localized/${perFile.length} files localized in all 3 dims: " +
+        perFile.map(r => (r.getAs[Double]("us"), r.getAs[Double]("ts"),
+          r.getAs[Double]("ev"))).mkString(", "))
   }
 }
