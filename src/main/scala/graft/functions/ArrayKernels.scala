@@ -48,6 +48,21 @@ object ArrayKernels {
     n
   }
 
+  /** PQ asymmetric-distance score: Σ_b lut[b·k + codes[b]] — the ADC
+    * serving inner loop, one lookup-table read per code block and
+    * nothing else. Spark's `aggregate` higher-order function is
+    * CodegenFallback (interpreted per row, per lambda step) — exactly
+    * wrong for the 10⁹-row code scan this expression exists for; the
+    * loop form stays inside whole-stage codegen like every kernel
+    * here. Fold order is block order, matching the ann_pq oracle. */
+  def adcDot(codes: ArrayData, lut: ArrayData, k: Int): Double = {
+    var s = 0.0
+    var b = 0
+    val n = codes.numElements()
+    while (b < n) { s += lut.getDouble(b * k + codes.getInt(b)); b += 1 }
+    s
+  }
+
   /** Sequential left-fold dot product of two double arrays —
     * bit-identical to DuckDB's list_dot_product accumulation order, so
     * oracle-checked cosine similarities hash-match exactly. */
@@ -152,6 +167,23 @@ case class SignLshKeys(child: Expression, nTables: Int, planesPerTable: Int)
     copy(child = newChild)
 }
 
+/** `adc_dot(codes, lut)` — PQ table-lookup score over array<int>
+  * codes and the flattened [block·k + cl] array<double> table. */
+case class AdcDot(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"needs (array<int>, array<double>), got $other")
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ArrayKernels.adcDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ArrayKernels.adcDot($a, $b, $k)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** `vec_dot(a, b)` over array<double>. */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -188,4 +220,8 @@ object ArrayFns {
 
   def signLshKeys(vec: Column, nTables: Int, planesPerTable: Int): Column =
     ColumnBridge.column(SignLshKeys(ColumnBridge.expression(vec), nTables, planesPerTable))
+
+  def adcDot(codes: Column, lut: Column, k: Int): Column =
+    ColumnBridge.column(AdcDot(
+      ColumnBridge.expression(codes), ColumnBridge.expression(lut), k))
 }

@@ -542,45 +542,30 @@ object Similarity {
     * and dumped as a fixture, and GIVEN that set the scoring + ranking
     * are fully determined, so the compare is hash-gated. Recall vs the
     * exact baseline is pinned by [[annPqRecall]]. */
-  private val annPq: Q = (s, d) => {
-    val idx = ensurePqIndex(s, d)
-    val codebook = s.read.parquet(s"$idx/codebooks")
-    val codes = s.read.parquet(s"$idx/codes")
-    val emb = table(s, d, "embeddings").select(col("vec_id"), asDouble.as("ve"))
-    val probes = emb.filter(col("vec_id") < nProbes)
-      .select(col("vec_id").as("qid"), col("ve").as("qe"))
-    // per-probe lookup table: (qid, lut[128]) laid out [block*16 + cl]
-    // — array_sort on (block, cl, d) structs gives exactly that order.
-    // Entries are DOT PRODUCTS q_b·c, not L2 distances: the baseline
-    // metric is cosine, and with per-vector norms stored in the index
-    // the ADC score Σ_b lut[b,code_b] / |c| approximates cosine·|q|
-    // directly — an L2 table over unnormalized vectors ranks by the
-    // wrong metric (measured: recall 0.2 vs the exact baseline).
+  /** Per-probe ADC lookup table: (qid, lut[128]) laid out
+    * [block*16 + cl] — array_sort on (block, cl, d) structs gives
+    * exactly that order. Entries are DOT PRODUCTS q_b·c, not L2
+    * distances: the baseline metric is cosine, and with per-vector
+    * norms stored in the index the ADC score Σ_b lut[b,code_b] / |c|
+    * approximates cosine·|q| directly — an L2 table over unnormalized
+    * vectors ranks by the wrong metric (measured: recall 0.2 vs the
+    * exact baseline). */
+  private def probeLut(codebook: DataFrame, probes: DataFrame): DataFrame = {
     val qblocks = probes.select(col("qid"),
       posexplode(transform(sequence(lit(0), lit(pqBlocks - 1)),
         b => slice(col("qe"), b * pqDim + 1, lit(pqDim)))).as(Seq("block", "xb")))
-    val lut = qblocks.join(broadcast(codebook), Seq("block"))
+    qblocks.join(broadcast(codebook), Seq("block"))
       .select(col("qid"),
         struct(col("block"), col("cl"), dot(col("xb"), col("ce")).as("d")).as("e"))
       .groupBy("qid")
       .agg(array_sort(collect_list(col("e"))).as("es"))
       .select(col("qid"), transform(col("es"), e => e.getField("d")).as("lut"))
-    // ADC scan: one pass over the code table × broadcast probe LUTs;
-    // the fold is sequential over blocks 0..7 — deterministic
-    val adcDot = aggregate(sequence(lit(0), lit(pqBlocks - 1)), lit(0d),
-      (acc, b) => acc + element_at(col("lut"),
-        b * pqK + element_at(col("codes"), b + 1) + 1))
-    val shortlist = codes.filter(col("nrm") > 0d).crossJoin(broadcast(lut))
-      .filter(col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("vec_id").as("cid"), (adcDot / col("nrm")).as("adc"))
-      .withColumn("ark", row_number().over(
-        Window.partitionBy("qid").orderBy(desc("adc"), asc("cid"))))
-      .filter(col("ark") <= pqShortlist)
-      .select("qid", "cid")
-      .persist()
-    graft.io.Sinks.dumpFixture(shortlist, "annpq_cands")
-    // exact rerank of the shortlist only — the vectors are touched for
-    // shortlist·nProbes rows, never for the scan
+  }
+
+  /** Exact-cosine rerank of a (qid, cid) shortlist to the shared
+    * top-k output shape — the vectors are touched for
+    * shortlist·nProbes rows only, never for the scan. */
+  private def exactRerank(shortlist: DataFrame, emb: DataFrame): DataFrame = {
     val sims = shortlist
       .join(emb.select(col("vec_id").as("qid"), col("ve").as("qe")), Seq("qid"))
       .join(emb.select(col("vec_id").as("cid"), col("ve").as("ce")), Seq("cid"))
@@ -592,16 +577,111 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
-  /** ann_pq recall vs the exact baseline at the production operating
-    * point (kNeighbors of nProbes, shortlist [[pqShortlist]]): the
-    * served top-k is dumped as a fixture and BOTH sides re-derive the
-    * exact top-k independently — the engine from knnCosine, the oracle
-    * from the raw embeddings — then count the overlap. A fabricated
-    * recall, a missed true neighbor, or a drifted fixture all
-    * hash-mismatch. */
-  private val annPqRecall: Q = (s, d) => {
-    val served = annPq(s, d).select("qid", "cid").persist()
-    graft.io.Sinks.dumpFixture(served, "annpq_topk")
+  private val annPq: Q = (s, d) => {
+    val idx = ensurePqIndex(s, d)
+    val codebook = s.read.parquet(s"$idx/codebooks")
+    val codes = s.read.parquet(s"$idx/codes")
+    val emb = table(s, d, "embeddings").select(col("vec_id"), asDouble.as("ve"))
+    val probes = emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("qid"), col("ve").as("qe"))
+    val lut = probeLut(codebook, probes)
+    // ADC scan: one pass over the code table × broadcast probe LUTs.
+    // The fold is the native codegen'd AdcDot kernel (sequential over
+    // blocks 0..7, deterministic) — the `aggregate` HOF it replaces is
+    // CodegenFallback, i.e. an interpreted lambda per scanned row,
+    // which would dominate a billion-row code scan.
+    val shortlist = codes.filter(col("nrm") > 0d).crossJoin(broadcast(lut))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        (graft.functions.ArrayFns.adcDot(col("codes"), col("lut"), pqK)
+          / col("nrm")).as("adc"))
+      .withColumn("ark", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("adc"), asc("cid"))))
+      .filter(col("ark") <= pqShortlist)
+      .select("qid", "cid")
+      .persist()
+    graft.io.Sinks.dumpFixture(shortlist, "annpq_cands")
+    exactRerank(shortlist, emb)
+  }
+
+  /** On-disk composed IVF-PQ index: the PQ code rows joined to their
+    * IVF cell and written `partitionBy(cl)` — the inverted-list
+    * layout. Each cell directory IS one inverted list of 4-bit codes;
+    * at 100 TB the routing join below prunes to nProbe/ivfK of the
+    * FILES, not just the rows. Build-once like its two parents. */
+  private def ivfPqIndexPath(d: String): String = ivfIndexPath(d) + "-ivfpq"
+
+  private[graft] def ivfPqBuild(s: SparkSession, d: String): String = {
+    val path = ivfPqIndexPath(d)
+    val assigned = s.read.parquet(s"${ensureIvfIndex(s, d)}/assignments")
+    val codes = s.read.parquet(s"${ensurePqIndex(s, d)}/codes")
+    codes.join(assigned.select("vec_id", "cl"), Seq("vec_id"))
+      .select("cl", "vec_id", "codes", "nrm")
+      .write.mode("overwrite").partitionBy("cl").parquet(s"$path/cells")
+    path
+  }
+
+  private def ensureIvfPqIndex(s: SparkSession, d: String): String = {
+    val path = ivfPqIndexPath(d)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/cells/_SUCCESS")))
+      ivfPqBuild(s, d)
+    path
+  }
+
+  /** The composed IVF∘PQ serving path — cell routing AND table-lookup
+    * scoring, the actual billion-vector index shape (ann_ivf touches
+    * full vectors in probed cells; ann_pq ADC-scans the whole corpus;
+    * this does neither). Per probe: rank the 16 stored centroids
+    * (quantizer, broadcast), keep nProbe cells, then ADC-score ONLY
+    * code rows in those cells — the cells table is cl-partitioned, so
+    * the broadcast routing join prunes partitions dynamically (DPP)
+    * and the scan reads nProbe/ivfK of the index files, each row
+    * costing 8 LUT lookups on 4 B of codes. Shortlist → exact rerank,
+    * same gate shape as the other ANN ops: the candidate set is
+    * fixture-dumped, and GIVEN that set scoring + ranking are
+    * oracle-recomputable, so the compare is hash-gated; recall vs the
+    * exact baseline is pinned by [[annIvfPqRecall]]. */
+  private val annIvfPq: Q = (s, d) => {
+    val cells = s.read.parquet(s"${ensureIvfPqIndex(s, d)}/cells")
+    val centroids = s.read.parquet(s"${ensureIvfIndex(s, d)}/centroids")
+    val codebook = s.read.parquet(s"${ensurePqIndex(s, d)}/codebooks")
+    val emb = table(s, d, "embeddings").select(col("vec_id"), asDouble.as("ve"))
+    val probes = emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("qid"), col("ve").as("qe"))
+    val probeCells = probes.crossJoin(broadcast(centroids))
+      .withColumn("cdist", -cosine(col("qe"), col("ce")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("qid").orderBy(asc("cdist"), asc("cl"))))
+      .filter(col("crk") <= ivfNProbe)
+      .select("qid", "cl")
+    // routing relation: each probe's LUT keyed by its probed cells —
+    // tiny (nProbes·nProbe rows), broadcast against the partitioned
+    // code table; the join key is the PARTITION column
+    val routed = probeCells.join(probeLut(codebook, probes), Seq("qid"))
+    val shortlist = cells.filter(col("nrm") > 0d)
+      .join(broadcast(routed), Seq("cl"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        (graft.functions.ArrayFns.adcDot(col("codes"), col("lut"), pqK)
+          / col("nrm")).as("adc"))
+      .withColumn("ark", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("adc"), asc("cid"))))
+      .filter(col("ark") <= pqShortlist)
+      .select("qid", "cid")
+      .persist()
+    graft.io.Sinks.dumpFixture(shortlist, "annivfpq_cands")
+    exactRerank(shortlist, emb)
+  }
+
+  /** Recall vs the exact baseline at the production operating point
+    * (kNeighbors of nProbes, shortlist [[pqShortlist]]): the served
+    * top-k is dumped as a fixture and BOTH sides re-derive the exact
+    * top-k independently — the engine from knnCosine, the oracle from
+    * the raw embeddings — then count the overlap. A fabricated recall,
+    * a missed true neighbor, or a drifted fixture all hash-mismatch. */
+  private def annRecall(servedQ: Q, fixture: String): Q = (s, d) => {
+    val served = servedQ(s, d).select("qid", "cid").persist()
+    graft.io.Sinks.dumpFixture(served, fixture)
     val exact = knnCosine(s, d).select("qid", "cid")
     val hits = exact.join(served, Seq("qid", "cid"), "left_semi")
       .agg(count(lit(1)).as("hits"))
@@ -610,10 +690,15 @@ object Similarity {
         dround(col("hits").cast("double") / col("n_exact"), 4).as("recall"))
   }
 
+  private val annPqRecall: Q = annRecall(annPq, "annpq_topk")
+  private val annIvfPqRecall: Q = annRecall(annIvfPq, "annivfpq_topk")
+
   val queries: Map[String, Q] = Map(
     "pq_encode" -> pqEncode,
     "ann_pq" -> annPq,
     "ann_pq_recall" -> annPqRecall,
+    "ann_ivf_pq" -> annIvfPq,
+    "ann_ivf_pq_recall" -> annIvfPqRecall,
     "emb_quant" -> embQuant,
     "knn_cosine" -> knnCosine,
     "ann_lsh" -> annLsh,
@@ -636,6 +721,24 @@ object Similarity {
        |  FROM sims)
        |SELECT qid, rk, cid, round(sim, 4) AS sim FROM ranked WHERE rk <= $kNeighbors
        |ORDER BY qid, rk""".stripMargin
+
+  private def annRecallOracle(fixture: String): String =
+    s"""WITH p AS (SELECT qid, cid FROM read_parquet('/tmp/graft_fixtures/$fixture/*.parquet')),
+       | q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < $nProbes),
+       | c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings),
+       | sims AS (
+       |  SELECT q.qid, c.cid,
+       |   list_dot_product(q.qe, c.ce)
+       |     / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.ce, c.ce))) AS sim
+       |  FROM q CROSS JOIN c WHERE q.qid <> c.cid),
+       | ranked AS (
+       |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+       |  FROM sims),
+       | ex AS (SELECT qid, cid FROM ranked WHERE rk <= $kNeighbors)
+       |SELECT (SELECT count(*) FROM ex) AS n_exact,
+       |       (SELECT count(*) FROM ex JOIN p USING (qid, cid)) AS hits,
+       |       round((SELECT count(*) FROM ex JOIN p USING (qid, cid))::DOUBLE
+       |         / (SELECT count(*) FROM ex), 4) AS recall""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // PQ twin (fixture pattern): GIVEN the dumped codebooks, every
@@ -710,28 +813,14 @@ object Similarity {
     "ann_lsh" -> annCandOracle("annlsh_cands"),
     "ann_ivf" -> annCandOracle("annivf_cands"),
     "ann_pq" -> annCandOracle("annpq_cands"),
-    // Recall twin: the exact top-k is re-derived from the raw
+    "ann_ivf_pq" -> annCandOracle("annivfpq_cands"),
+    // Recall twins: the exact top-k is re-derived from the raw
     // embeddings on the DuckDB side (same algebra as knn_cosine's
     // twin) and intersected with the SERVED top-k fixture — the
     // engine's recall arithmetic and its fixture must both agree
     // with an independently recomputed baseline.
-    "ann_pq_recall" ->
-      s"""WITH p AS (SELECT qid, cid FROM read_parquet('/tmp/graft_fixtures/annpq_topk/*.parquet')),
-         | q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < $nProbes),
-         | c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings),
-         | sims AS (
-         |  SELECT q.qid, c.cid,
-         |   list_dot_product(q.qe, c.ce)
-         |     / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.ce, c.ce))) AS sim
-         |  FROM q CROSS JOIN c WHERE q.qid <> c.cid),
-         | ranked AS (
-         |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
-         |  FROM sims),
-         | ex AS (SELECT qid, cid FROM ranked WHERE rk <= $kNeighbors)
-         |SELECT (SELECT count(*) FROM ex) AS n_exact,
-         |       (SELECT count(*) FROM ex JOIN p USING (qid, cid)) AS hits,
-         |       round((SELECT count(*) FROM ex JOIN p USING (qid, cid))::DOUBLE
-         |         / (SELECT count(*) FROM ex), 4) AS recall""".stripMargin,
+    "ann_pq_recall" -> annRecallOracle("annpq_topk"),
+    "ann_ivf_pq_recall" -> annRecallOracle("annivfpq_topk"),
     "dd_embcos_exact" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
          |            sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm

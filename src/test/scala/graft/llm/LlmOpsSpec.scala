@@ -139,6 +139,40 @@ class LlmOpsSpec extends AnyFunSuite {
       s"recall row ${row} vs recomputed $recall")
   }
 
+  test("IVF-PQ: routed ADC finds the planted twin; recall floor holds vs brute force") {
+    import spark.implicits._
+    // same planted geometry as the PQ ADC test, but served through the
+    // COMPOSED index: the twin must land in probe 1's IVF cell (cos ≈
+    // 0.999 → same nearest centroids), survive the cell-pruned ADC
+    // shortlist, and exact-rerank near 1
+    def vec(seed: Int, jitter: Float): Array[Float] =
+      Array.tabulate(64)(i => (Similarity.planeSign(seed, i).toFloat + (if (i == 0) jitter else 0f)))
+    val rows = Seq(
+      (1L, vec(100, 0f)), (2L, vec(100, 0.05f))) ++
+      (3L to 60L).map(k => (k, vec(k.toInt, 0f)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    rows.toDF("vec_id", "embedding").write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.queries("ann_ivf_pq")(spark, dir).collect()
+    assert(out.exists(r => r.getLong(0) == 1L && r.getLong(2) == 2L && r.getDouble(3) > 0.9),
+      s"planted twin missing from IVF-PQ results: ${out.mkString(", ")}")
+    // cell routing can only shrink the candidate set vs the full ADC
+    // scan, so the floor is the shared ANN one; the recall row must
+    // agree with an independent recomputation
+    val knn = Similarity.queries("knn_cosine")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val served = Similarity.queries("ann_ivf_pq")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (knn & served).size.toDouble / knn.size
+    assert(recall >= 0.2, s"IVF-PQ recall vs brute force = $recall")
+    val row = Similarity.queries("ann_ivf_pq_recall")(spark, sf).collect().head
+    assert(row.getAs[Long]("n_exact") == knn.size.toLong)
+    // the row's recall is dround(·,4); compare the unrounded inputs
+    assert(row.getAs[Long]("hits") == (knn & served).size.toLong,
+      s"recall row ${row} vs recomputed hits ${(knn & served).size}")
+    assert(math.abs(row.getAs[Double]("recall") - recall) < 5e-5,
+      s"recall row ${row} vs recomputed $recall")
+  }
+
   test("exact dedup groups by content hash (all-unique corpus)") {
     val out = Dedup.queries("dd_exact")(spark, sf).collect()
     assert(out.length == 500)

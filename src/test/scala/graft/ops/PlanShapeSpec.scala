@@ -170,6 +170,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"crawl-regime membership join must be a shuffled hash join:\n$p")
   }
 
+  test("ann_ivf_pq cell routing prunes index partitions dynamically (DPP)") {
+    // the cells table is written partitionBy(cl); the broadcast routing
+    // join on cl must plan a dynamic-partition-pruning filter so a
+    // 100 TB index reads nProbe/ivfK of its FILES, not all of them.
+    // At sf0.001 the whole index is one file, so the default session's
+    // stats-based benefit check collapses the filter to `true` — pin
+    // the shape with the benefit heuristic off and broadcast reuse not
+    // required (the mechanism, not the toy-scale cost call, is the
+    // 100 TB property under test)
+    val s = graft.ops.ScopedSession(spark, "dpp-pin",
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false")
+    val df = SparkEntry.queries("ann_ivf_pq")(s, sf)
+    df.collect() // AQE finalizes on execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains(" IN dynamicpruning#"),
+      s"cells scan should carry a dynamic partition-pruning filter on cl:\n$p")
+  }
+
   test("whole-stage codegen covers the custom expressions") {
     // the native kernels (vec_dot, sorted_intersect_count) must not
     // break codegen spans around them; AQE only finalizes the plan on
