@@ -27,17 +27,22 @@ object Sources {
   /** One testdata parquet table. Schema comes from the parquet footer —
     * authoritative and free (no inference scan).
     *
-    * `events.parquet` carries INT64 TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects outright; we read it as raw nanos
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and rebuild a proper
-    * TimestampType column. The testdata's nanos are NOT micro-aligned
-    * (rows carry sub-µs components); `ts div 1000` TRUNCATES toward the
-    * microsecond — exactly what DuckDB's micros-native TIMESTAMP does
-    * when it reads the same NANOS column (verified: both render
-    * …07.179575 for raw …575175 ns), so every oracle twin sees the
-    * identical truncated instant. The division must be integral:
-    * epoch-nanos ≈ 1.7e18 exceeds a double's 53-bit mantissa, so a
-    * floating-point detour would corrupt timestamps.
+    * `events.parquet` has shipped in two physical layouts across driver
+    * generations, and both must read to the SAME TimestampType instants:
+    *
+    *  - INT64 TIMESTAMP(NANOS), which Spark's parquet reader rejects
+    *    outright: read raw (`spark.sql.legacy.parquet.nanosAsLong`) and
+    *    rebuild with `timestamp_micros(ts div 1000)`. The nanos are not
+    *    micro-aligned; integral `div` TRUNCATES toward the microsecond —
+    *    exactly what DuckDB's micros-native TIMESTAMP does on the same
+    *    column (both render …07.179575 for raw …575175 ns). The division
+    *    must be integral: epoch-nanos ≈ 1.7e18 exceeds a double's 53-bit
+    *    mantissa.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark 4 reads as
+    *    TIMESTAMP_NTZ: cast to TimestampType. The session zone is pinned
+    *    UTC, so the naive datetime reinterprets as the identical instant
+    *    DuckDB's (naive) TIMESTAMP sees — verified micro-for-micro equal
+    *    to the truncated-nanos values of the older layout.
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // Runtime-set defensively: the driver's smoke gate may hand us a
@@ -45,8 +50,12 @@ object Sources {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      raw.schema("ts").dataType match {
+        case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => raw // already TimestampType
+      }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }
