@@ -180,6 +180,46 @@ object Curate {
   }
 
   // -------------------------------------------------------------------
+  // ds_decontam_bloom: the same decontamination, restructured for the
+  // 100 TB regime where even the hashed-shingle semi-join is too much
+  // shuffle: the eval side's distinct shingle hashes are folded into a
+  // BLOOM FILTER (distributed treeAggregate build; ~1.2 MB per million
+  // eval shingles at 1% fpp) that ships with the plan, and the train
+  // side probes it SCAN-LOCALLY through the native codegen'd
+  // `bloom_might_contain` — only true hits plus the fpp-bounded false
+  // positives ever reach the exact confirm join, so the train-side
+  // shuffle shrinks from "every distinct train shingle" to "≈ the
+  // contamination". The confirm join then removes the false positives,
+  // which is what makes this gateable: the result is BIT-IDENTICAL to
+  // ds_decontam, so the exact twin's oracle applies verbatim — the
+  // bloom is pure pruning, invisible in the answer, exactly like
+  // Spark's own InjectRuntimeFilter rewrite (j9_bloom_prune's
+  // optimizer-driven cousin, here applied explicitly so the filter
+  // crosses the build/probe boundary of OUR pipeline shape).
+  // -------------------------------------------------------------------
+  private val dsDecontamBloom: Q = (s, d) => {
+    val withBucket = table(s, d, "documents")
+      .select(col("doc_id"), col("text"), bucket(1000L).as("bucket"))
+    val train = withBucket.filter(col("bucket") < 800).select("doc_id", "text")
+    val heldOut = withBucket.filter(col("bucket") >= 900).select("doc_id", "text")
+    val evalSh = Dedup.shingleRows(heldOut)
+      .select(xxhash64(col("sh")).as("shh")).distinct().persist()
+    val bloom = graft.functions.BloomFns.buildLong(
+      evalSh, "shh", evalSh.count(), 0.01)
+    // the bloom probe sits BELOW the distinct: the prune must run in
+    // the scan stage, before the (doc_id, shh) dedup shuffles anything
+    val trainSh = Dedup.shingleRows(train)
+      .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
+      .filter(graft.functions.BloomFns.mightContainLong(col("shh"), bloom))
+      .distinct()
+    val out = trainSh.join(evalSh, Seq("shh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit_shingles"))
+      .orderBy("doc_id")
+    out
+  }
+
+  // -------------------------------------------------------------------
   // ds_sample: deterministic per-stratum sampling — the k docs with the
   // SMALLEST content hash per language. Statistically a uniform sample
   // (the hash is uniform and content-derived), but reproducible across
@@ -206,11 +246,28 @@ object Curate {
     "ds_pack" -> dsPack,
     "ds_curated" -> dsCurated,
     "ds_decontam" -> dsDecontam,
+    "ds_decontam_bloom" -> dsDecontamBloom,
     "ds_sample" -> dsSample)
 
   private def sqlMixtureThr: String =
     mixtureWeights.map { case (l, t) => s"WHEN '$l' THEN $t" }
       .mkString("CASE lang ", " ", " ELSE 0 END")
+
+  /** The exact decontamination twin — shared by ds_decontam and its
+    * bloom-accelerated variant, whose results are identical by design. */
+  private def decontamSql: String = {
+    val sh3 = "list_transform(generate_series(1, len(tk)-2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])"
+    s"""$fnvCte,
+       | sp AS (SELECT doc_id, string_split(text, ' ') AS tk,
+       |          ((fp % 1000) + 1000) % 1000 AS bucket FROM f),
+       | trs AS (SELECT DISTINCT doc_id, sh
+       |         FROM (SELECT doc_id, tk FROM sp WHERE bucket < 800), UNNEST($sh3) AS u(sh)),
+       | evs AS (SELECT DISTINCT sh
+       |         FROM (SELECT tk FROM sp WHERE bucket >= 900), UNNEST($sh3) AS u(sh))
+       |SELECT doc_id, count(*) AS n_hit_shingles
+       |FROM trs JOIN evs USING (sh)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "ds_split" ->
@@ -250,19 +307,12 @@ object Curate {
     // shingle twin joins on the STRING shingle (DuckDB has no xxhash64);
     // identical result unless the engine's 64-bit shingle hashing
     // collides across distinct shingles — the documented ~1e-11 bound
-    "ds_decontam" -> {
-      val sh3 = "list_transform(generate_series(1, len(tk)-2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])"
-      s"""$fnvCte,
-         | sp AS (SELECT doc_id, string_split(text, ' ') AS tk,
-         |          ((fp % 1000) + 1000) % 1000 AS bucket FROM f),
-         | trs AS (SELECT DISTINCT doc_id, sh
-         |         FROM (SELECT doc_id, tk FROM sp WHERE bucket < 800), UNNEST($sh3) AS u(sh)),
-         | evs AS (SELECT DISTINCT sh
-         |         FROM (SELECT tk FROM sp WHERE bucket >= 900), UNNEST($sh3) AS u(sh))
-         |SELECT doc_id, count(*) AS n_hit_shingles
-         |FROM trs JOIN evs USING (sh)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    },
+    "ds_decontam" -> decontamSql,
+    // the bloom is pure pruning (false positives die in the confirm
+    // join), so the exact twin applies VERBATIM — that identity is the
+    // gate: a leaked false positive or an over-pruning filter both
+    // diverge from the exact result
+    "ds_decontam_bloom" -> decontamSql,
     "ds_curated" -> {
       val stop = TextOps.sqlCountIn(TextOps.stopwords)
       val marks = TextOps.markers.map { case (n, set) =>

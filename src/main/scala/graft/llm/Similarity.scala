@@ -693,7 +693,42 @@ object Similarity {
   private val annPqRecall: Q = annRecall(annPq, "annpq_topk")
   private val annIvfPqRecall: Q = annRecall(annIvfPq, "annivfpq_topk")
 
+  // -------------------------------------------------------------------
+  // dd_semantic: SemDeDup-style semantic deduplication (Abbas et al.
+  // 2023, arXiv:2303.09540) — cluster the embedding space with the
+  // SAME persisted k-means coarse quantizer the IVF index uses, then
+  // compare pairs only WITHIN a cluster: a vector is dropped when some
+  // lower-id clustermate sits above the cosine threshold (SemDeDup
+  // keeps the member farthest from the centroid; we keep min-id — a
+  // deterministic, oracle-replayable survivor rule, same as dd_exact).
+  // The clustering is the entire scale story: all-pairs is O(n²), but
+  // n²/k within k balanced cells — the join shuffles on the cluster id
+  // alone, each cell's quadratic work is executor-local, and k is the
+  // knob that bounds cell size at 100 TB (here the IVF index's k=16).
+  // Gate: the fixture-oracle pattern — assignments are the engine's
+  // k-means fit (dumped), but GIVEN them DuckDB re-derives every
+  // within-cluster cosine, the drop set, and the final relation.
+  // -------------------------------------------------------------------
+  private val semThr = 0.3
+  private val ddSemantic: Q = (s, d) => {
+    val idx = ensureIvfIndex(s, d)
+    val assigned = s.read.parquet(s"$idx/assignments").persist()
+    graft.io.Sinks.dumpFixture(assigned.select("vec_id", "cl"), "ddsem_assign")
+    val a = assigned.select(col("cl"), col("vec_id").as("aid"), col("ve").as("ae"))
+    val b = assigned.select(col("cl"), col("vec_id").as("bid"), col("ve").as("be"))
+    val dropped = a.join(b, Seq("cl"))
+      .filter(col("aid") < col("bid"))
+      .filter(cosine(col("ae"), col("be")) > semThr)
+      .select(col("bid").as("vec_id")).distinct()
+    assigned.select("vec_id", "cl")
+      .join(dropped.withColumn("hit", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cl"),
+        coalesce(col("hit"), lit(false)).as("is_dropped"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "dd_semantic" -> ddSemantic,
     "pq_encode" -> pqEncode,
     "ann_pq" -> annPq,
     "ann_pq_recall" -> annPqRecall,
@@ -741,6 +776,26 @@ object Similarity {
        |         / (SELECT count(*) FROM ex), 4) AS recall""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // given the dumped k-means assignment, every within-cluster cosine,
+    // the min-id drop rule, and the final relation are re-derived from
+    // the raw embeddings — a wrong sim, a missed drop, or a dropped
+    // survivor all go red; the unrounded threshold cut is IEEE-exact on
+    // both engines (the dd_embcos_exact precedent)
+    "dd_semantic" ->
+      s"""WITH a AS (SELECT vec_id, cl
+         |   FROM read_parquet('/tmp/graft_fixtures/ddsem_assign/*.parquet')),
+         | e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | p AS (SELECT y.vec_id AS bid,
+         |    list_dot_product(ex.v, ey.v)
+         |      / (sqrt(list_dot_product(ex.v, ex.v))
+         |         * sqrt(list_dot_product(ey.v, ey.v))) AS sim
+         |   FROM a x JOIN a y ON x.cl = y.cl AND x.vec_id < y.vec_id
+         |   JOIN e ex ON ex.vec_id = x.vec_id
+         |   JOIN e ey ON ey.vec_id = y.vec_id),
+         | dropped AS (SELECT DISTINCT bid FROM p WHERE sim > $semThr)
+         |SELECT a.vec_id, a.cl, (d.bid IS NOT NULL) AS is_dropped
+         |FROM a LEFT JOIN dropped d ON d.bid = a.vec_id
+         |ORDER BY vec_id""".stripMargin,
     // PQ twin (fixture pattern): GIVEN the dumped codebooks, every
     // assignment is determined — DuckDB recomputes each block's
     // argmin with the same ‖x‖²−2x·c+‖c‖² algebra over the raw

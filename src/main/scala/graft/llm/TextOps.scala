@@ -222,7 +222,39 @@ object TextOps {
       .orderBy("w1", "w2")
   }
 
+  // -------------------------------------------------------------------
+  // tx_chunks: RAG-style overlapping token-window chunking — the
+  // retrieval-corpus prep step that cuts each document into fixed-size
+  // token windows with overlap (window 64, stride 48 → 16-token overlap
+  // carries context across boundaries). Chunk starts are 1, 1+48, …
+  // while ≤ n_tokens, so the tail chunk may be short but every token is
+  // covered. The whole op is scan → project → explode — scan-LOCAL, zero
+  // shuffle, full column pruning: exactly what a 100 TB chunking pass
+  // must be (the explode multiplies rows ~n/stride inside the stage; no
+  // repartition ever sees the chunk text). The md5 gates each chunk's
+  // BYTES, not just its shape.
+  // -------------------------------------------------------------------
+  private val chunkTokens = 64
+  private val chunkStride = 48
+  private val txChunks: Q = (s, d) => {
+    val base = table(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    base
+      .select(col("doc_id"), col("tk"),
+        posexplode(sequence(lit(1), greatest(size(col("tk")), lit(1)),
+          lit(chunkStride))).as(Seq("chunk_id", "tok_start")))
+      .select(col("doc_id"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        col("tok_start").cast("long").as("tok_start"),
+        slice(col("tk"), col("tok_start"), lit(chunkTokens)).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"), col("tok_start"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("chunk")).cast("binary")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "tx_chunks" -> txChunks,
     "ts_ngram_lm" -> tsNgramLm,
     "ts_stats" -> tsStats,
     "ts_quality" -> tsQuality,
@@ -239,6 +271,21 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // chunk windows re-derived from scratch: starts by generate_series
+    // with the same stride, slices clamped to the token count on both
+    // sides, md5 over the re-joined chunk text byte-for-byte
+    "tx_chunks" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         | c AS (SELECT doc_id,
+         |         CAST((u.s - 1) // $chunkStride AS BIGINT) AS chunk_id,
+         |         CAST(u.s AS BIGINT) AS tok_start,
+         |         list_slice(tk, u.s, least(u.s + ${chunkTokens - 1}, len(tk))) AS chunk
+         |       FROM t, LATERAL unnest(generate_series(1, greatest(len(tk), 1),
+         |         $chunkStride)) u(s))
+         |SELECT doc_id, chunk_id, tok_start,
+         |  CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+         |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     // LATERAL series sized by each doc's own token count — no magic
     // position cap that a longer future document could silently exceed
     "ts_ngram_lm" ->

@@ -1,8 +1,10 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Numeric.dround
+import graft.functions.TextHashes
+import graft.functions.TextHashes.rollHash
 import graft.io.Sinks
 import graft.io.Sources.table
 
@@ -112,10 +114,53 @@ object Sketches {
       .orderBy("item")
   }
 
+  // -------------------------------------------------------------------
+  // sk_cms: count-min sketch — the mergeable point-frequency sketch
+  // (Cormode & Muthukrishnan 2005). d×w counters: each key increments
+  // one cell per row via d independent hashes; a point estimate is the
+  // MIN over its d cells, an overestimate by construction (collisions
+  // only ever ADD). Here d=4, w=64 — deliberately narrower than the
+  // ~153 live keys so collisions are real and the error columns are a
+  // falsifiable demonstration, not all zeros. The 100 TB shape: the
+  // sketch build is a groupBy over ≤ d·w=256 cells — map-side partials
+  // collapse every partition to ≤256 rows, so the shuffle is constant
+  // bytes regardless of corpus size (THE reason CMS exists; an exact
+  // per-key count shuffles the whole key universe) — and the probe join
+  // broadcasts the 256-row sketch. The hash is the engine's native
+  // FNV-1a roll_hash over "i:key", which the oracle replays byte for
+  // byte in HUGEINT arithmetic: sketch, estimates, and error columns
+  // are ALL re-derived independently — no fixture echo anywhere.
+  // -------------------------------------------------------------------
+  private val cmsDepth = 4
+  private val cmsWidth = 64L
+
+  /** The d cell indices of one key: pmod(fnv("i:key"), w) for each row
+    * i. 64 divides 2^64, so pmod of the signed hash equals the unsigned
+    * fold mod w — the oracle uses the unsigned form directly. */
+  private def cmsCells(item: Column): Column =
+    array((0 until cmsDepth).map(i =>
+      pmod(rollHash(concat(lit(s"$i:"), item)), lit(cmsWidth))): _*)
+
+  private val skCms: Q = (s, d) => {
+    val keyed = table(s, d, "events").select(hotKey.as("item"))
+    val cells = keyed.select(col("item"),
+      posexplode(cmsCells(col("item"))).as(Seq("i", "cell")))
+    val sketch = cells.groupBy("i", "cell").agg(count(lit(1)).as("n"))
+    val exact = keyed.groupBy("item").agg(count(lit(1)).as("n_exact"))
+    exact.select(col("item"), col("n_exact"),
+        posexplode(cmsCells(col("item"))).as(Seq("i", "cell")))
+      .join(broadcast(sketch), Seq("i", "cell"))
+      .groupBy("item", "n_exact").agg(min(col("n")).as("n_est"))
+      .select(col("item"), col("n_est"), col("n_exact"),
+        (col("n_est") - col("n_exact")).as("err_abs"))
+      .orderBy("item")
+  }
+
   val queries: Map[String, Q] = Map(
     "sk_hll" -> skHll,
     "sk_quantile" -> skQuantile,
-    "sk_topk" -> skTopk)
+    "sk_topk" -> skTopk,
+    "sk_cms" -> skCms)
 
   val oracle: Map[String, String] = Map(
     // exact side recomputed from the raw table; estimates come from the
@@ -141,6 +186,28 @@ object Sketches {
         |SELECT est.item, est.n_est, ex.n_exact,
         |  est.n_est - ex.n_exact AS err_abs
         |FROM est LEFT JOIN ex USING (item) ORDER BY item""".stripMargin,
+    // full independent replay: the planted hot-key routing, the FNV
+    // cell hashes, the d×w sketch counts, the min-estimates, AND the
+    // error columns are all re-derived from the raw events table — a
+    // wrong cell hash, a lost counter, or an understating estimate all
+    // go red. (CMS can only overestimate; err_abs < 0 is impossible by
+    // construction and would fail the hash.)
+    "sk_cms" ->
+      s"""WITH k AS (SELECT CASE WHEN event_id % 4 = 0
+         |    THEN 'hot_' || (event_id % 3)::VARCHAR
+         |    ELSE 'u' || user_id::VARCHAR END AS item FROM events),
+         | cells AS (SELECT item, u.i AS i,
+         |     (${TextHashes.fnvFoldSql("(u.i::VARCHAR || ':' || item)")}
+         |      % $cmsWidth)::BIGINT AS cell
+         |   FROM k, LATERAL unnest([0, 1, 2, 3]) u(i)),
+         | sk AS (SELECT i, cell, count(*) AS n FROM cells GROUP BY i, cell),
+         | ex AS (SELECT item, count(*) AS n_exact FROM k GROUP BY item),
+         | pr AS (SELECT DISTINCT item, i, cell FROM cells),
+         | est AS (SELECT item, min(n) AS n_est
+         |         FROM pr JOIN sk USING (i, cell) GROUP BY item)
+         |SELECT est.item, est.n_est, ex.n_exact,
+         |  est.n_est - ex.n_exact AS err_abs
+         |FROM est JOIN ex USING (item) ORDER BY item""".stripMargin,
     "sk_quantile" ->
       """WITH ex AS (SELECT l_returnflag,
         |              quantile_cont(l_extendedprice, 0.5) AS p50_exact,

@@ -135,6 +135,30 @@ object EventStream {
       .select(col("c_id"), col("user_id"), col("c_ts"), col("v_id"), col("v_ts"))
   }
 
+  /** The LEFT OUTER face of [[clickViewJoin]]: every click is
+    * preserved; one with no view in its preceding 10 minutes emits
+    * null-extended ONCE ITS STATE EXPIRES — the engine can only prove
+    * "no view matched" after both watermarks pass the click's join
+    * window, so unmatched results trail the inner results by the
+    * watermark delay. That deferred-null semantics is the entire
+    * difference from the inner join; matched rows are identical. State
+    * stays bounded exactly as in the inner join: both sides evict
+    * buffered rows once the 10-minute interval plus delay has passed. */
+  def clickViewLeftJoin(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_id"))
+      .withWatermark("v_ts", "10 minutes")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+      .withWatermark("c_ts", "10 minutes")
+    clicks.join(views,
+      expr("""v_user = user_id AND
+             |v_ts <= c_ts AND v_ts >= c_ts - interval 10 minutes""".stripMargin),
+      "leftOuter")
+      .select(col("c_id"), col("user_id"), col("c_ts"), col("v_id"), col("v_ts"))
+  }
+
   final case class AsofEv(event_id: Long, user_id: Long, ts: Timestamp,
       event_type: String, value: Double)
   final case class LatestView(ts_us: Long, id: Long, value: Double)

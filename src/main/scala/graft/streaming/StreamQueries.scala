@@ -332,6 +332,50 @@ object StreamQueries {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
+  /** The watermarked stream-stream LEFT OUTER interval join under the
+    * gate: clicks with no view in their preceding 10 minutes must still
+    * emit, null-extended — which the engine can only do after BOTH
+    * watermarks pass the click's join window, so the sentinel pair is
+    * load-bearing here (not defensive as in st_interval): without it
+    * every unmatched click near the end of the bounded stream would
+    * stay buffered forever and the row-count gate would fail. Two
+    * sentinel hops, as in st_sessions: one to carry the watermark past
+    * the data, one to trigger the state eviction that emits the nulls.
+    * Oracle: the plain batch LEFT JOIN. */
+  private val stLeftouter: Q = (parent, d) => {
+    val s = scoped(parent)
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val evs = eventRows(s, d, viewClickOnly = true)
+      .sortBy(e => (EventStream.us(e.ts), e.event_id))
+    val maxMs = if (evs.isEmpty) 0L else evs.iterator.map(_.ts.getTime).max
+    val source = MemoryStream[EventStream.AsofEv]
+    val name = s"st_leftouter_${seq.incrementAndGet()}"
+    val q = EventStream.clickViewLeftJoin(source.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val (schema, rows) = try {
+      val half = evs.length / 2
+      source.addData(evs.take(half).toIndexedSeq)
+      q.processAllAvailable()
+      source.addData(evs.drop(half).toIndexedSeq)
+      q.processAllAvailable()
+      Seq(1L, 2L).foreach { hop =>
+        source.addData(IndexedSeq(
+          EventStream.AsofEv(-hop, -1L,
+            new Timestamp(maxMs + hop * 3600000L), "view", 0.0),
+          EventStream.AsofEv(-hop - 10L, -1L,
+            new Timestamp(maxMs + hop * 3600000L), "click", 0.0)))
+        q.processAllAvailable()
+      }
+      val tbl = s.table(name)
+      (tbl.schema, tbl.filter(col("user_id") >= 0L).collect())
+    } finally {
+      q.stop()
+      s.catalog.dropTempView(name)
+    }
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
   val queries: Map[String, Q] = Map(
     "st_sessions" -> stSessions,
     "st_asof" -> stAsof,
@@ -339,7 +383,8 @@ object StreamQueries {
     "st_dedup" -> stDedup,
     "st_sink" -> stSink,
     "st_restart" -> stRestart,
-    "st_interval" -> stInterval)
+    "st_interval" -> stInterval,
+    "st_leftouter" -> stLeftouter)
 
   /** The batch twins' oracles apply UNCHANGED — that is the point: the
     * incremental operators must reproduce the batch semantics exactly. */
@@ -365,5 +410,14 @@ object StreamQueries {
         |FROM events v JOIN events c
         |  ON v.user_id = c.user_id
         | AND v.event_type = 'view' AND c.event_type = 'click'
+        | AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 10 MINUTE""".stripMargin,
+    // every click survives; unmatched ones null-extended — the batch
+    // LEFT JOIN the deferred-null streaming semantics must land on
+    "st_leftouter" ->
+      """SELECT c.event_id AS c_id, c.user_id, c.ts AS c_ts,
+        | v.event_id AS v_id, v.ts AS v_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON v.user_id = c.user_id
         | AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 10 MINUTE""".stripMargin)
 }

@@ -105,6 +105,28 @@ class CurateSpec extends AnyFunSuite {
     assert(flagged == expected)
   }
 
+  test("bloom expression: zero false negatives, fpp-bounded false positives") {
+    import spark.implicits._
+    val present = (1L to 5000L).map(_ * 7L)
+    val df = present.toDF("h")
+    val bytes = graft.functions.BloomFns.buildLong(df, "h", 5000L, 0.01)
+    val hits = df.filter(graft.functions.BloomFns
+      .mightContainLong(col("h"), bytes)).count()
+    assert(hits == 5000L, "bloom false negative — structurally impossible")
+    // absent probes: fp rate must be within a loose multiple of the
+    // requested 1% (the bound is probabilistic; 4x covers the variance)
+    val absent = (1L to 20000L).map(_ * 7L + 3L).toDF("h")
+    val fp = absent.filter(graft.functions.BloomFns
+      .mightContainLong(col("h"), bytes)).count()
+    assert(fp < 20000L * 0.04, s"fp rate ${fp / 20000.0}")
+  }
+
+  test("ds_decontam_bloom is bit-identical to the exact ds_decontam") {
+    val exact = Curate.queries("ds_decontam")(spark, sf).collect().toSeq
+    val bloom = Curate.queries("ds_decontam_bloom")(spark, sf).collect().toSeq
+    assert(bloom == exact)
+  }
+
   test("ds_curated keeps only dedup survivors with agreeing langid") {
     val rows = Curate.queries("ds_curated")(spark, sf).collect()
     val langs = rows.map(_.getString(0)).toSet

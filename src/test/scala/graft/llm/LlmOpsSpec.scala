@@ -173,6 +173,47 @@ class LlmOpsSpec extends AnyFunSuite {
       s"recall row ${row} vs recomputed $recall")
   }
 
+  test("dd_semantic never drops a cluster's min-id member, and really drops") {
+    val out = Similarity.queries("dd_semantic")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[Int]("cl")).foreach { case (cl, rows) =>
+      val minId = rows.map(_.getAs[Long]("vec_id")).min
+      val minRow = rows.find(_.getAs[Long]("vec_id") == minId).get
+      assert(!minRow.getAs[Boolean]("is_dropped"), s"cluster $cl dropped its min id")
+    }
+    // the synthetic corpus has ~900 pairs above the 0.3 threshold and
+    // similar vectors co-cluster — an all-kept result would mean the
+    // within-cluster comparison is broken
+    assert(out.count(_.getAs[Boolean]("is_dropped")) > 0)
+  }
+
+  test("tx_chunks covers every token with stride-48 windows of 64") {
+    val chunks = TextOps.queries("tx_chunks")(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val nTok = TextOps.queries("ts_stats")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    assert(chunks.nonEmpty && chunks.keySet == nTok.keySet)
+    chunks.foreach { case (doc, rows) =>
+      val n = nTok(doc)
+      val sorted = rows.sortBy(_.getAs[Long]("chunk_id"))
+      // starts are exactly 1, 49, 97, … while <= n_tokens
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Long]("chunk_id") == i.toLong)
+        assert(r.getAs[Long]("tok_start") == 1L + 48L * i)
+      }
+      assert(sorted.size == ((math.max(n, 1L) - 1) / 48 + 1), s"doc $doc")
+      // every chunk is full-width except possibly trailing ones, and the
+      // last chunk ends exactly at the doc's final token
+      sorted.foreach { r =>
+        val len = r.getAs[Long]("n_chunk_tokens")
+        val start = r.getAs[Long]("tok_start")
+        assert(len == math.min(64L, n - start + 1), s"doc $doc start $start")
+      }
+      val last = sorted.last
+      assert(last.getAs[Long]("tok_start") + last.getAs[Long]("n_chunk_tokens") - 1 == n)
+    }
+  }
+
   test("exact dedup groups by content hash (all-unique corpus)") {
     val out = Dedup.queries("dd_exact")(spark, sf).collect()
     assert(out.length == 500)

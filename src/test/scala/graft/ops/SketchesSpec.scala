@@ -30,6 +30,26 @@ class SketchesSpec extends AnyFunSuite {
     assert(math.abs(est - 45000) <= 60, s"p90=$est")
   }
 
+  test("count-min sketch only overestimates, and genuinely collides at w=64") {
+    // sf0.01, not the usual sf0.001: the gate SF's 153 live keys in 64
+    // cells make collisions certain; 18 keys at sf0.001 collide nowhere
+    val rows = Sketches.queries("sk_cms")(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    // CMS point estimates are min-over-cells of colliding counters:
+    // est >= exact always; with ~153 live keys in 64 cells per row,
+    // some key must carry a real collision (all-zero error would mean
+    // the demonstration is vacuous — a wider-than-keyspace sketch)
+    rows.foreach(r => assert(r.getAs[Long]("err_abs") >= 0L, r.toString))
+    assert(rows.map(_.getAs[Long]("err_abs")).sum > 0L, "no collisions at w=64?")
+    // the planted hot keys must remain identifiable through the sketch:
+    // every hot estimate dominates every cold key's exact count
+    val hotEst = rows.filter(_.getAs[String]("item").startsWith("hot_"))
+      .map(_.getAs[Long]("n_est"))
+    val coldExactMax = rows.filter(!_.getAs[String]("item").startsWith("hot_"))
+      .map(_.getAs[Long]("n_exact")).max
+    assert(hotEst.forall(_ > coldExactMax))
+  }
+
   test("sketch queries agree with exact at gate scale") {
     val hll = Sketches.queries("sk_hll")(spark, "/root/testdata/sf0.001").collect()
     assert(hll.nonEmpty)

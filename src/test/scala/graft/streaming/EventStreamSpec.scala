@@ -174,6 +174,34 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits null-extended clicks after watermark eviction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, user: Long, min: Long, kind: String) =
+      EventStream.AsofEv(id, user, ts(min), kind, 0.0)
+    val all = Seq(
+      ev(1, 1, 0, "view"), ev(2, 1, 8, "click"),  // matched pair
+      ev(3, 2, 0, "view"), ev(4, 2, 20, "click"), // view too old: null-extend
+      ev(5, 3, 30, "click"))                      // user with no view at all
+    val source = MemoryStream[EventStream.AsofEv]
+    val q = EventStream.clickViewLeftJoin(source.toDF())
+      .writeStream.format("memory").queryName("ssloj_out")
+      .outputMode("append").start()
+    try {
+      source.addData(all: _*)
+      q.processAllAvailable()
+      // nulls require eviction: two watermark hops past the data
+      Seq(500L, 1000L).foreach { m =>
+        source.addData(ev(-1, -1, m, "view"), ev(-2, -1, m, "click"))
+        q.processAllAvailable()
+      }
+      val out = spark.table("ssloj_out").filter("user_id >= 0").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+      // click 2 matched view 1; clicks 4 and 5 must STILL appear, null-extended
+      assert(out == Set((2L, 1L), (4L, -1L), (5L, -1L)), out.toString)
+    } finally q.stop()
+  }
+
   test("streaming as-of matches the batch j7_asof row for row") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
