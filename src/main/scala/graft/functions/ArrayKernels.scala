@@ -224,4 +224,7 @@ object ArrayFns {
   def adcDot(codes: Column, lut: Column, k: Int): Column =
     ColumnBridge.column(AdcDot(
       ColumnBridge.expression(codes), ColumnBridge.expression(lut), k))
+
+  def shingles3(text: Column): Column =
+    ColumnBridge.column(Shingles3(ColumnBridge.expression(text)))
 }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{DataType, LongType, StringType, ArrayType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -66,6 +66,53 @@ object TextHashKernels {
     count
   }
 
+  /** All 3-token shingles of `text`, assembled in ONE scan-local pass
+    * over the bytes — the shuffle-free replacement for the
+    * posexplode + window-lead shape, whose `lead` forced a full
+    * shuffle of the exploded token rows onto doc_id before a single
+    * shingle existed (at 100 TB that shuffle IS the corpus). Token
+    * boundaries match `split(text, ' ')` with limit -1 (consecutive
+    * spaces yield empty tokens; trailing empties kept), so the emitted
+    * shingles are byte-identical to the windowed form's
+    * `concat_ws(" ", tok, t1, t2)`. */
+  def shingles3(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    var m = 1
+    var i = 0
+    while (i < n) { if (bytes(i) == ' ') m += 1; i += 1 }
+    if (m < 3) return new GenericArrayData(new Array[Any](0))
+    val starts = new Array[Int](m)
+    val ends = new Array[Int](m)
+    var t = 0
+    var start = 0
+    i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == ' ') {
+        starts(t) = start; ends(t) = i; t += 1; start = i + 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](m - 2)
+    var k = 0
+    while (k < m - 2) {
+      val len = (ends(k) - starts(k)) + (ends(k + 1) - starts(k + 1)) +
+        (ends(k + 2) - starts(k + 2)) + 2
+      val sb = new Array[Byte](len)
+      var p = 0
+      var w = k
+      while (w <= k + 2) {
+        var q = starts(w)
+        while (q < ends(w)) { sb(p) = bytes(q); p += 1; q += 1 }
+        if (w < k + 2) { sb(p) = ' '; p += 1 }
+        w += 1
+      }
+      out(k) = UTF8String.fromBytes(sb)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash over a token array: each token votes its hash bits
     * (+1 for a set bit, -1 for a clear bit); the sign of each tally is
     * the fingerprint bit. Near-duplicate documents differ in few bits. */
@@ -124,6 +171,24 @@ case class SimHash(child: Expression) extends UnaryExpression with CodegenFallba
   }
   override protected def nullSafeEval(input: Any): Any =
     TextHashKernels.simHash(input.asInstanceOf[ArrayData])
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `shingles3(text)` — the 3-token shingle array of a document as one
+  * codegen'd scan-local expression (see [[TextHashKernels.shingles3]]
+  * for why: it deletes the corpus-wide window shuffle every shingle
+  * consumer used to pay before this existed). */
+case class Shingles3(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"shingles3 needs a string argument, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashKernels.shingles3(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashKernels.shingles3($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -156,7 +156,7 @@ object Curate {
   // share any 3-token shingle with the held-out test split (the overlap
   // that inflates benchmark scores when it leaks into training). Reuses
   // ds_split's hash assignment (the eval set IS the test split) and
-  // Dedup.shingleRows (posexplode + lead, fully codegen'd). Shingles
+  // Dedup.shingleRows (native scan-local shingles3, zero shuffle). Shingles
   // join hashed (xxhash64): the shuffle carries 8-byte keys, not token
   // triples; a cross-string collision (~n²/2⁶⁴, ≈1e-11 at gate scale)
   // is the same accepted bound as Dedup's hashed-token merge walk. At
@@ -204,8 +204,13 @@ object Curate {
     val heldOut = withBucket.filter(col("bucket") >= 900).select("doc_id", "text")
     val evalSh = Dedup.shingleRows(heldOut)
       .select(xxhash64(col("sh")).as("shh")).distinct().persist()
+    // the filter build runs over ONE partition: a treeAggregate over
+    // the default width ships one partial bloom PER PARTITION (32 ×
+    // filter bytes — measured to exceed the train-side saving at small
+    // scale), while the distinct eval-hash set is benchmark-suite
+    // sized and fits a single task by design
     val bloom = graft.functions.BloomFns.buildLong(
-      evalSh, "shh", evalSh.count(), 0.01)
+      evalSh.coalesce(1), "shh", evalSh.count(), 0.01)
     // the bloom probe sits BELOW the distinct: the prune must run in
     // the scan stage, before the (doc_id, shh) dedup shuffles anything
     val trainSh = Dedup.shingleRows(train)

@@ -93,18 +93,25 @@ object Dedup {
 
   private val ddJaccard: Q = (s, d) => jaccardPairs(s, d).orderBy("doc_a", "doc_b")
 
-  /** 3-token shingle rows of a document: posexplode + window lead —
-    * fully codegen'd, O(tokens) per doc. (The transform/slice HOF form
-    * is interpreted and O(tokens²): 9.5 s alone at sf0.1.) */
-  private[llm] def shingleRows(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    docs.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      .select(col("doc_id"), col("tok"),
-        lead("tok", 1).over(w).as("t1"), lead("tok", 2).over(w).as("t2"))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"))
-  }
+  /** 3-token shingle rows of a document: one native codegen'd
+    * scan-local expression (graft.functions.Shingles3) + explode —
+    * ZERO shuffle. Two prior shapes both failed at scale: the
+    * transform/slice HOF form is interpreted and O(tokens²) (9.5 s
+    * alone at sf0.1), and the posexplode + window-`lead` form used
+    * through round 6 was codegen'd but its window forced a FULL
+    * shuffle of the exploded token rows onto doc_id before a single
+    * shingle existed. On the small sf0.1 corpus that token shuffle
+    * compresses to noise (ds_decontam's total barely moved), but it
+    * scales with the CORPUS while everything downstream scales with
+    * the hash/aggregate width — at 100 TB it is the difference between
+    * shuffling the text and shuffling nothing. The immediate measured
+    * effect: filters can now reach the scan — ds_decontam_bloom's
+    * prefilter went from no-op (3.14 MB, same as exact) to −34%
+    * (2.1 MB) the moment shingle assembly stopped hiding behind a
+    * window. Emitted bytes are identical to both prior shapes. */
+  private[llm] def shingleRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(graft.functions.ArrayFns.shingles3(col("text"))).as("sh"))
 
   // 4 bands × 6 rows: on a corpus saturated with moderately-similar
   // docs (shingle-jaccard ~0.5 everywhere), 4-row bands admitted ~25%

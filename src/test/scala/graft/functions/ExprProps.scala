@@ -34,6 +34,18 @@ object ExprProps extends Properties("nativeExprs") {
       actual == expected.toLong
     }
 
+  property("shingles3 == sliding-window reference over split(-1) tokens") =
+    forAll(textGen) { text =>
+      val toks = text.split(" ", -1)
+      val expected =
+        if (toks.length < 3) Seq.empty[String]
+        else toks.sliding(3).map(_.mkString(" ")).toSeq
+      val actual = TextHashKernels.shingles3(UTF8String.fromString(text))
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.asInstanceOf[UTF8String].toString).toSeq
+      actual == expected
+    }
+
   private val vecGen = Gen.listOfN(64, Gen.choose(-3.0, 3.0)).map(_.toArray)
   private val nTables = 12
   private val planesPerTable = 6
