@@ -24,6 +24,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++
       ops.Events.queries ++
+      ops.Graph.queries ++
       ops.Layout.queries ++
       ops.Skew.queries ++
       ops.Sketches.queries ++
@@ -44,6 +45,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++
       ops.Events.oracle ++
+      ops.Graph.oracle ++
       ops.Layout.oracle ++
       ops.Skew.oracle ++
       ops.Sketches.oracle ++

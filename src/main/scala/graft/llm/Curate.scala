@@ -245,6 +245,33 @@ object Curate {
       .orderBy("lang", "rk")
   }
 
+  // -------------------------------------------------------------------
+  // ds_weighted: weighted-priority sampling (Efraimidis–Spirakis A-ES):
+  // keep the k docs with the largest u^(1/w), here w = n_chars, so
+  // inclusion probability is proportional to document length — the
+  // sampler a token-budgeted pretraining mix uses when long documents
+  // should be seen proportionally to the tokens they contribute. The
+  // "random" u is content-hash derived (ds_split discipline): stable
+  // under repartitioning and replayable by the oracle. Ranking happens
+  // on ln(u)/w QUANTIZED to integer nano-units with doc_id tiebreak, so
+  // the cross-engine order is integer-exact, never a float knife-edge.
+  // The global top-k is a rank-filtered empty-partition window: Spark's
+  // WindowGroupLimit pushes the k-filter below the sort, so each
+  // partition forwards at most k candidates to the single merge task —
+  // the scalable global-top-k shape (never a full sort of the corpus).
+  // -------------------------------------------------------------------
+  private val weightedK = 50
+  private val dsWeighted: Q = (s, d) => {
+    val u = (bucket(1000000L) + lit(1)).cast("double") / lit(1000001d)
+    val key = dround(log(u) / col("n_chars").cast("double") * lit(1e9), 0).cast("long")
+    table(s, d, "documents")
+      .select(col("doc_id"), col("n_chars"), key.as("priority_q"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("priority_q").desc, col("doc_id"))).cast("long"))
+      .filter(col("rk") <= weightedK)
+      .orderBy("rk")
+  }
+
   val queries: Map[String, Q] = Map(
     "ds_split" -> dsSplit,
     "ds_mixture" -> dsMixture,
@@ -252,7 +279,8 @@ object Curate {
     "ds_curated" -> dsCurated,
     "ds_decontam" -> dsDecontam,
     "ds_decontam_bloom" -> dsDecontamBloom,
-    "ds_sample" -> dsSample)
+    "ds_sample" -> dsSample,
+    "ds_weighted" -> dsWeighted)
 
   private def sqlMixtureThr: String =
     mixtureWeights.map { case (l, t) => s"WHEN '$l' THEN $t" }
@@ -309,6 +337,18 @@ object Curate {
          |    CAST(row_number() OVER (PARTITION BY lang ORDER BY fp, doc_id) AS BIGINT) AS rk
          |  FROM f)
          |WHERE rk <= $samplePerLang ORDER BY lang, rk""".stripMargin,
+    // A-ES priorities re-derived: the same FNV bucket → uniform u →
+    // quantized ln(u)/w key, ranked in DuckDB's own window engine
+    "ds_weighted" ->
+      s"""$fnvCte,
+         | k AS (SELECT doc_id, n_chars,
+         |         CAST(round(ln((((fp % 1000000) + 1000000) % 1000000 + 1)::DOUBLE
+         |              / 1000001) / n_chars * 1e9) AS BIGINT) AS priority_q
+         |       FROM f)
+         |SELECT doc_id, n_chars, priority_q, rk FROM (
+         |  SELECT *, CAST(row_number() OVER (ORDER BY priority_q DESC, doc_id)
+         |       AS BIGINT) AS rk FROM k)
+         |WHERE rk <= $weightedK ORDER BY rk""".stripMargin,
     // shingle twin joins on the STRING shingle (DuckDB has no xxhash64);
     // identical result unless the engine's 64-bit shingle hashing
     // collides across distinct shingles — the documented ~1e-11 bound

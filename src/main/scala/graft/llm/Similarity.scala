@@ -694,6 +694,62 @@ object Similarity {
   private val annIvfPqRecall: Q = annRecall(annIvfPq, "annivfpq_topk")
 
   // -------------------------------------------------------------------
+  // ann_ivf_upsert: incremental index maintenance — the continuous-
+  // ingest half of the IVF architecture (dd_incremental's discipline
+  // applied to vectors). A NEW batch arrives after the index was
+  // built; upserting it must cost O(batch), never a refit: each batch
+  // vector is assigned to its nearest PERSISTED centroid through one
+  // broadcast join (16 rows — map-side, zero shuffle of the batch),
+  // and the enlarged index is served unchanged. FAISS calls this
+  // `add` vs `train`; at 100 TB the batch append writes into the
+  // cl-partitioned cell layout (ivfPqBuild's) while the quantizer
+  // stays frozen until a scheduled retrain. The batch is planted as
+  // directional twins (×2-scaled, ids + upsertOffset) of vectors
+  // [0, plantN): FP-exact, so each probe's twin scores cosine exactly
+  // 1.0 and MUST surface at rank 1 — a deterministic proof the
+  // freshly-upserted rows are reachable through cell routing. Gate:
+  // the annCandOracle fixture pattern, with the oracle re-deriving
+  // the batch vectors from the same ×2 arithmetic.
+  // -------------------------------------------------------------------
+  private val upsertOffset = 2000000L
+  private val annIvfUpsert: Q = (s, d) => {
+    val idx = ensureIvfIndex(s, d)
+    val assigned = s.read.parquet(s"$idx/assignments")
+    val centroids = s.read.parquet(s"$idx/centroids")
+    val emb = table(s, d, "embeddings").select(col("vec_id"), asDouble.as("ve"))
+    val batch = emb.filter(col("vec_id") < plantN)
+      .select((col("vec_id") + upsertOffset).as("vec_id"),
+        transform(col("ve"), x => x * 2.0).as("ve"))
+    val batchAssigned = batch.crossJoin(broadcast(centroids))
+      .withColumn("cdist", -cosine(col("ve"), col("ce")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(asc("cdist"), asc("cl"))))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("ve"), col("cl"))
+    val upserted = assigned.select("vec_id", "ve", "cl")
+      .unionByName(batchAssigned)
+    val probes = emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("qid"), col("ve").as("qe"))
+    val probeCells = probes.crossJoin(broadcast(centroids))
+      .withColumn("cdist", -cosine(col("qe"), col("ce")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("qid").orderBy(asc("cdist"), asc("cl"))))
+      .filter(col("crk") <= ivfNProbe)
+      .select("qid", "qe", "cl")
+    val sims = upserted.join(broadcast(probeCells), Seq("cl"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        cosine(col("qe"), col("ve")).as("sim"))
+      .persist()
+    graft.io.Sinks.dumpFixture(sims.select("qid", "cid"), "annivfup_cands")
+    sims.withColumn("rk",
+        row_number().over(Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))))
+      .filter(col("rk") <= kNeighbors)
+      .select(col("qid"), col("rk"), col("cid"), dround(col("sim"), 4).as("sim"))
+      .orderBy("qid", "rk")
+  }
+
+  // -------------------------------------------------------------------
   // dd_semantic: SemDeDup-style semantic deduplication (Abbas et al.
   // 2023, arXiv:2303.09540) — cluster the embedding space with the
   // SAME persisted k-means coarse quantizer the IVF index uses, then
@@ -734,6 +790,7 @@ object Similarity {
     "ann_pq_recall" -> annPqRecall,
     "ann_ivf_pq" -> annIvfPq,
     "ann_ivf_pq_recall" -> annIvfPqRecall,
+    "ann_ivf_upsert" -> annIvfUpsert,
     "emb_quant" -> embQuant,
     "knn_cosine" -> knnCosine,
     "ann_lsh" -> annLsh,
@@ -869,6 +926,27 @@ object Similarity {
     "ann_ivf" -> annCandOracle("annivf_cands"),
     "ann_pq" -> annCandOracle("annpq_cands"),
     "ann_ivf_pq" -> annCandOracle("annivfpq_cands"),
+    // Upsert twin: the candidate-fixture pattern with the embedding
+    // relation EXTENDED by the re-derived batch (×2-scaled twins of
+    // vec_id < plantN, ids + upsertOffset — the scaling is FP-exact,
+    // so both engines score the upserted rows bit-identically).
+    "ann_ivf_upsert" ->
+      s"""WITH p AS (SELECT qid, cid FROM read_parquet('/tmp/graft_fixtures/annivfup_cands/*.parquet')),
+         | base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | batch AS (SELECT vec_id + $upsertOffset AS vec_id,
+         |             list_transform(v, x -> x * 2.0) AS v
+         |           FROM base WHERE vec_id < $plantN),
+         | e AS (SELECT * FROM base UNION ALL SELECT * FROM batch),
+         | sims AS (
+         |  SELECT p.qid, p.cid,
+         |   list_dot_product(q.v, c.v)
+         |     / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+         |  FROM p JOIN e q ON q.vec_id = p.qid JOIN e c ON c.vec_id = p.cid),
+         | ranked AS (
+         |  SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+         |  FROM sims)
+         |SELECT qid, rk, cid, round(sim, 4) AS sim FROM ranked WHERE rk <= $kNeighbors
+         |ORDER BY qid, rk""".stripMargin,
     // Recall twins: the exact top-k is re-derived from the raw
     // embeddings on the DuckDB side (same algebra as knn_cosine's
     // twin) and intersected with the SERVED top-k fixture — the

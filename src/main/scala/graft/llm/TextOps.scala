@@ -196,30 +196,83 @@ object TextOps {
       .orderBy("lang", "rank")
   }
 
+  /** Scan-LOCAL bigram generator: explode positions 1..n-1 and index
+    * the token array twice — `element_at` is codegen'd, so bigrams
+    * materialize inside the scan stage with ZERO shuffle (the earlier
+    * posexplode + window-`lead` shape forced a full shuffle of the
+    * exploded token rows on doc_id before a single bigram existed —
+    * the same O(corpus-text) exchange the shingles3 rewrite removed
+    * for 3-grams). Docs under 2 tokens have no bigrams and are
+    * excluded on both sides (Spark's `sequence(1, 0)` would count
+    * DOWN; DuckDB's `generate_series(1, 0)` is empty). */
+  private def bigramRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(1), size(col("tk")) - 1)).as("i"))
+      .select(col("doc_id"),
+        element_at(col("tk"), col("i")).as("w1"),
+        element_at(col("tk"), col("i") + 1).as("w2"))
+
   /** Corpus bigram LM counts (KenLM-prep shape): c(w1,w2) with a
     * min-count prune, the left-context total c(w1·), and the MLE
-    * conditional p(w2|w1) = c(w1,w2)/c(w1·). Bigrams ride the same
-    * codegen'd posexplode+lead shape as the shingle generator; counts
-    * shuffle once on (w1,w2) with map-side partials, context totals
-    * reduce THOSE counts (never re-scan the corpus), and the one float
-    * division happens per surviving bigram after integer aggregation —
-    * no accumulation-order hazard. At 100 TB the prune is the point:
-    * the (w1,w2) key space stays bounded by what survives ≥minCount,
-    * which is what an LM pipeline ships downstream. */
+    * conditional p(w2|w1) = c(w1,w2)/c(w1·). Bigrams come from the
+    * scan-local [[bigramRows]]; counts shuffle once on (w1,w2) with
+    * map-side partials, context totals reduce THOSE counts (never
+    * re-scan the corpus), and the one float division happens per
+    * surviving bigram after integer aggregation — no accumulation-order
+    * hazard. At 100 TB the prune is the point: the (w1,w2) key space
+    * stays bounded by what survives ≥minCount, which is what an LM
+    * pipeline ships downstream. */
+  private val lmMinCount = 30
   private val tsNgramLm: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val bi = table(s, d, "documents")
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w1")))
-      .select(col("w1"), lead("w1", 1).over(w).as("w2"))
-      .filter(col("w2").isNotNull)
+    val bi = bigramRows(table(s, d, "documents").select("doc_id", "text"))
     val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
     val c1 = c12.groupBy("w1").agg(sum(col("n12")).as("n1"))
     c12.join(c1, "w1")
-      .filter(col("n12") >= 30)
+      .filter(col("n12") >= lmMinCount)
       .select(col("w1"), col("w2"), col("n12"), col("n1"),
         dround(col("n12").cast("double") / col("n1"), 4).as("p_cond"))
       .orderBy("w1", "w2")
+  }
+
+  // -------------------------------------------------------------------
+  // ts_perplexity: CCNet-style LM quality scoring — score every
+  // document's cross-entropy under the corpus bigram LM and use it as a
+  // fluency filter signal (high avg-nats = the LM finds the text
+  // improbable: boilerplate, garbled encodings, wordlists). The LM is
+  // the pruned ts_ngram_lm relation, which is BOUNDED by the min-count
+  // prune regardless of corpus size, so the scoring join is an explicit
+  // broadcast: document bigrams materialize scan-locally (bigramRows),
+  // probe the broadcast LM map-side, and the only shuffle in the whole
+  // query is the final integer aggregate on doc_id. Per-bigram costs
+  // -ln p(w2|w1) are quantized to 1e-4-nat integer units BEFORE the
+  // per-doc sum: BIGINT sums are exact and order-independent, so the
+  // gate cannot drift on float accumulation order across 32 partitions
+  // vs DuckDB's single thread (the one float op per doc happens after
+  // aggregation, the tfidf discipline). Unseen bigrams get a fixed OOV
+  // cost (15 nats ≈ p=3e-7) and are counted separately.
+  // -------------------------------------------------------------------
+  private val oovCostQ = 150000L
+  private val tsPerplexity: Q = (s, d) => {
+    val docs = table(s, d, "documents").select("doc_id", "text")
+    val bi = bigramRows(docs)
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+    val c1 = c12.groupBy("w1").agg(sum(col("n12")).as("n1"))
+    val lm = c12.join(c1, "w1")
+      .filter(col("n12") >= lmMinCount)
+      .select(col("w1"), col("w2"),
+        dround(log(col("n1").cast("double") / col("n12")) * 10000, 0)
+          .cast("long").as("cost_q"))
+    bi.join(broadcast(lm), Seq("w1", "w2"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("cost_q").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(coalesce(col("cost_q"), lit(oovCostQ))).as("sum_cost_q"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_oov"), col("sum_cost_q"),
+        dround(col("sum_cost_q").cast("double") / lit(10000.0) / col("n_bigrams"), 4)
+          .as("avg_nats"))
+      .orderBy("doc_id")
   }
 
   // -------------------------------------------------------------------
@@ -256,6 +309,7 @@ object TextOps {
   val queries: Map[String, Q] = Map(
     "tx_chunks" -> txChunks,
     "ts_ngram_lm" -> tsNgramLm,
+    "ts_perplexity" -> tsPerplexity,
     "ts_stats" -> tsStats,
     "ts_quality" -> tsQuality,
     "ts_langid" -> tsLangId,
@@ -286,6 +340,26 @@ object TextOps {
          |  CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
          |  md5(array_to_string(chunk, ' ')) AS chunk_md5
          |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    // The full perplexity pipeline re-derived from scratch: LM counts,
+    // prune, per-bigram quantized cost, per-doc integer sums — the only
+    // shared constants are the prune threshold and the OOV cost.
+    "ts_perplexity" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         | bi AS (SELECT doc_id, tk[g.i] AS w1, tk[g.i+1] AS w2
+         |        FROM t, LATERAL unnest(generate_series(1, len(tk) - 1)) g(i)),
+         | c12 AS (SELECT w1, w2, count(*) AS n12 FROM bi GROUP BY w1, w2),
+         | c1 AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM c12 GROUP BY w1),
+         | lm AS (SELECT c12.w1, c12.w2,
+         |          CAST(round(ln(n1::DOUBLE / n12) * 10000) AS BIGINT) AS cost_q
+         |        FROM c12 JOIN c1 USING (w1) WHERE n12 >= $lmMinCount),
+         | sc AS (SELECT bi.doc_id, lm.cost_q
+         |        FROM bi LEFT JOIN lm ON lm.w1 = bi.w1 AND lm.w2 = bi.w2)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(sum(CASE WHEN cost_q IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |  CAST(sum(coalesce(cost_q, $oovCostQ)) AS BIGINT) AS sum_cost_q,
+         |  round(CAST(sum(coalesce(cost_q, $oovCostQ)) AS DOUBLE) / 10000
+         |        / count(*), 4) AS avg_nats
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // LATERAL series sized by each doc's own token count — no magic
     // position cap that a longer future document could silently exceed
     "ts_ngram_lm" ->

@@ -273,11 +273,42 @@ object Events {
       .orderBy("cohort_week", "week_k")
   }
 
+  /** W12 SCD type-2 dimension build (extension): the warehouse op that
+    * turns a change-event stream into versioned validity intervals —
+    * per user, collapse consecutive events with the SAME event_type
+    * (change-data-capture collapse: only transitions survive), then
+    * number the surviving versions and close each interval at the next
+    * version's start (the open current version carries a −1 sentinel
+    * and is_current = true, the w10 non-null-BIGINT discipline).
+    * Timestamps ride as micros-exact longs so the cross-engine
+    * comparison is integer-exact. Both windows share one (user_id →
+    * ts, event_id) sort, so the whole op is ONE shuffle on user_id —
+    * at 100 TB this is the partitioning the events table already has
+    * (s2's layout), making the dimension build exchange-free on a
+    * date-partitioned, user-bucketed lake. */
+  private val w12Scd2: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    val ev = table(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+    ev.filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .select(col("user_id"),
+        row_number().over(w).cast("long").as("version"),
+        col("event_type"),
+        col("t").as("valid_from_us"),
+        coalesce(lead(col("t"), 1).over(w), lit(-1L)).as("valid_to_us"),
+        lead(col("t"), 1).over(w).isNull.as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
   val queries: Map[String, Q] = Map(
     "w8_sessions" -> w8Sessions,
     "w9_deltas" -> w9Deltas,
     "w10_funnel" -> w10Funnel,
     "w11_retention" -> w11Retention,
+    "w12_scd2" -> w12Scd2,
     "w1_start" -> w1Start,
     "w2_stop" -> w2Stop,
     "w3_crossing" -> w3Crossing,
@@ -296,6 +327,23 @@ object Events {
       |FROM events GROUP BY user_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // SCD2 twin: the same CDC-collapse → version-window derivation in
+    // DuckDB's own window syntax over micros-exact longs.
+    "w12_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |            CAST(epoch_us(ts) AS BIGINT) AS t FROM events),
+        | m AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY t, event_id) AS prev_type FROM e),
+        | ch AS (SELECT user_id, event_type, t, event_id FROM m
+        |        WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id,
+        |  CAST(row_number() OVER w AS BIGINT) AS version,
+        |  event_type,
+        |  t AS valid_from_us,
+        |  coalesce(lead(t) OVER w, -1) AS valid_to_us,
+        |  (lead(t) OVER w IS NULL) AS is_current
+        |FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+        |ORDER BY user_id, version""".stripMargin,
     // Independent retention twin: Monday-truncated weeks, integer
     // day-diff // 7 offsets, distinct-user counts re-derived.
     "w11_retention" ->

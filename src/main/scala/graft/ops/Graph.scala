@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Sources.table
+
+/** Iterative graph analytics over the document corpus — the crawl-graph
+  * centrality pass an LLM data pipeline runs to prioritize/weight hosts
+  * (PageRank-weighted sampling of CommonCrawl is the canonical use).
+  *
+  * The reference repo has no graph operator; this is a pipeline
+  * extension in the dd_cluster (connected-components) family: pure
+  * DataFrame joins/aggregates, no GraphX, so the same code runs on any
+  * Spark 4 cluster and Catalyst/AQE own the physical plan.
+  *
+  * Determinism discipline: ranks are BIGINT nano-units (1e-9), every
+  * update is integer division — `r div 3` per out-edge, `(85*s) div
+  * 100` damping, `(15*init) div 100` teleport — so five iterations
+  * produce BIT-identical ranks on any partitioning, any engine, any
+  * summation order. A float PageRank would accumulate partition-order
+  * noise every iteration and could never be hash-gated.
+  *
+  * The graph is PLANTED deterministically from doc_id (the ts_pii
+  * precedent): node u links to (31·u + 17·j + 7) mod N for j ∈ {1,2,3}.
+  * Every node has out-degree exactly 3 — no dangling-mass term — and
+  * the oracle re-derives the same edges from scratch.
+  *
+  * Scale shape (100 TB): the edge relation is built once and persisted
+  * across iterations; each iteration is one shuffle-join of ranks
+  * against edges on src plus one partial-aggregated shuffle of 16-byte
+  * (dst, contrib) rows — the textbook distributed PageRank round. On a
+  * real crawl graph you bucket edges by src so the rank join is
+  * exchange-free (the k4 bucketed-path pattern), and localCheckpoint
+  * every ~10 rounds to cut lineage; 5 rounds here keeps the plan well
+  * inside Catalyst's comfort zone.
+  */
+object Graph {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val iterations = 5
+  private val rankUnit = 1000000000L // 1.0 of rank mass, in nano-units
+
+  private val prPagerank: Q = (s, d) => {
+    val docs = table(s, d, "documents").select(col("doc_id"))
+    val n = docs.agg(count(lit(1)).as("n_nodes"))
+    // (doc_id, n_nodes): the node census with the broadcast-joined
+    // count — never a collected driver-side scalar
+    val nodes = docs.crossJoin(broadcast(n))
+    val edges = nodes
+      .select(col("doc_id").as("src"),
+        explode(array(lit(1L), lit(2L), lit(3L))).as("j"), col("n_nodes"))
+      .select(col("src"),
+        pmod(col("src") * 31 + col("j") * 17 + 7, col("n_nodes")).as("dst"))
+      .persist()
+    val tele = expr(s"(15 * ($rankUnit div n_nodes)) div 100")
+    var ranks = nodes.select(col("doc_id"),
+      expr(s"$rankUnit div n_nodes").as("r"))
+    for (_ <- 1 to iterations) {
+      val contribs = ranks
+        .join(edges, ranks("doc_id") === edges("src"))
+        .select(col("dst").as("doc_id"), expr("r div 3").as("c"))
+        .groupBy("doc_id").agg(sum(col("c")).as("contrib"))
+      ranks = nodes
+        .join(contribs, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (tele + expr("(85 * coalesce(contrib, 0)) div 100")).as("r"))
+    }
+    val out = ranks.select(col("doc_id"), col("r").as("rank_q")).orderBy("doc_id")
+    edges.unpersist(blocking = false)
+    out
+  }
+
+  val queries: Map[String, Q] = Map("pr_pagerank" -> prPagerank)
+
+  // The oracle replays all five rounds as chained CTEs — same planted
+  // edges, same integer arithmetic, re-derived end to end in DuckDB.
+  private def iterCte(prev: String, cur: String): String =
+    s""" $cur AS (SELECT nd.doc_id,
+       |   (15 * ($rankUnit // n.n_nodes)) // 100
+       |   + (85 * coalesce(c.s, 0)) // 100 AS r
+       |  FROM nodes nd CROSS JOIN n
+       |  LEFT JOIN (SELECT e.dst AS doc_id, CAST(sum(p.r // 3) AS BIGINT) AS s
+       |             FROM edges e JOIN $prev p ON p.doc_id = e.src
+       |             GROUP BY e.dst) c ON c.doc_id = nd.doc_id)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "pr_pagerank" -> {
+      val chain = (1 to iterations)
+        .map(i => iterCte(if (i == 1) "r0" else s"it${i - 1}", s"it$i"))
+        .mkString(",\n")
+      s"""WITH n AS (SELECT count(*) AS n_nodes FROM documents),
+         | nodes AS (SELECT doc_id FROM documents),
+         | edges AS (SELECT doc_id AS src,
+         |             (doc_id * 31 + u.j * 17 + 7) % n.n_nodes AS dst
+         |           FROM nodes CROSS JOIN n, UNNEST([1, 2, 3]) u(j)),
+         | r0 AS (SELECT doc_id, $rankUnit // n.n_nodes AS r
+         |        FROM nodes CROSS JOIN n),
+         |$chain
+         |SELECT doc_id, CAST(r AS BIGINT) AS rank_q
+         |FROM it$iterations ORDER BY doc_id""".stripMargin
+    })
+}

@@ -138,4 +138,25 @@ class CurateSpec extends AnyFunSuite {
     val total = graft.io.Sources.table(spark, sf, "documents").count()
     assert(curated > 0 && curated < total, s"$curated of $total")
   }
+
+  test("ds_weighted: k rows, contiguous ranks, ordered by quantized priority") {
+    val rows = Curate.queries("ds_weighted")(spark, sf).collect()
+    assert(rows.length == 50)
+    assert(rows.map(_.getAs[Long]("rk")).toSeq == (1L to 50L))
+    val prios = rows.map(_.getAs[Long]("priority_q")).toSeq
+    assert(prios == prios.sorted.reverse, "not ranked by priority desc")
+    // A-ES keys are ln(u)/w with u<1: strictly negative in nano-units
+    assert(prios.forall(_ < 0))
+  }
+
+  test("ds_weighted favors long documents (length-proportional inclusion)") {
+    val picked = Curate.queries("ds_weighted")(spark, sf).collect()
+      .map(_.getAs[Long]("n_chars"))
+    val corpus = graft.io.Sources.table(spark, sf, "documents")
+      .select(avg(col("n_chars"))).head.getDouble(0)
+    // with w = n_chars the sampled mean length must sit clearly above
+    // the corpus mean (sf0.001: 50 of 500 docs — a weak but stable bar)
+    assert(picked.sum.toDouble / picked.length > corpus,
+      s"sample mean ${picked.sum.toDouble / picked.length} vs corpus $corpus")
+  }
 }

@@ -242,4 +242,55 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(flag == (if (ratio < 0.6) "repetitive" else "ok"), r.toString)
     }
   }
+
+  test("ann_ivf_upsert: every probe's freshly-upserted twin serves at rank 1") {
+    val rows = Similarity.queries("ann_ivf_upsert")(spark, sf).collect()
+    val top1 = rows.filter(_.getAs[Int]("rk") == 1)
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("cid")).toMap
+    // the ×2-scaled twin of probe q has cosine exactly 1.0 and must be
+    // reachable through the frozen quantizer's cell routing
+    top1.foreach { case (qid, cid) =>
+      assert(cid == qid + 2000000L, s"probe $qid top-1 was $cid, not its twin")
+    }
+    assert(top1.nonEmpty)
+    rows.filter(_.getAs[Int]("rk") == 1)
+      .foreach(r => assert(r.getAs[Double]("sim") == 1.0, r.toString))
+  }
+
+  test("ts_perplexity: costs are consistent and the LM join broadcasts") {
+    val df = TextOps.queries("ts_perplexity")(spark, sf)
+    val rows = df.collect()
+    // every multi-token doc is scored; integer invariants hold
+    val nDocs = graft.io.Sources.table(spark, sf, "documents")
+      .filter(size(split(col("text"), " ")) >= 2).count()
+    assert(rows.length == nDocs)
+    rows.foreach { r =>
+      val nBi = r.getAs[Long]("n_bigrams")
+      val nOov = r.getAs[Long]("n_oov")
+      val sumQ = r.getAs[Long]("sum_cost_q")
+      assert(nOov >= 0 && nOov <= nBi, r.toString)
+      // every bigram costs at least ln(1)=0 and at most the OOV cost
+      assert(sumQ >= 0 && sumQ <= nBi * 150000L, r.toString)
+      // OOV bigrams alone contribute n_oov * 150000
+      assert(sumQ >= nOov * 150000L, r.toString)
+    }
+    // the bounded LM must reach the scoring join as a broadcast — a
+    // shuffled LM join would re-shuffle every document bigram at 100 TB
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("ts_perplexity: an all-OOV document scores exactly the OOV cost") {
+    import spark.implicits._
+    // score a synthetic bigram relation against an empty LM by reusing
+    // the query's arithmetic: 3 bigrams, all unseen → 3 × 150000
+    val bi = Seq((1L, "zq1", "zq2"), (1L, "zq2", "zq3"), (1L, "zq3", "zq4"))
+      .toDF("doc_id", "w1", "w2")
+    val lm = Seq.empty[(String, String, Long)].toDF("w1", "w2", "cost_q")
+    val out = bi.join(broadcast(lm), Seq("w1", "w2"), "left")
+      .groupBy("doc_id")
+      .agg(sum(coalesce(col("cost_q"), lit(150000L))).as("s"))
+      .head
+    assert(out.getLong(1) == 3 * 150000L)
+  }
 }

@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** pr_pagerank invariants the oracle hash gate cannot see: mass
+  * conservation under integer truncation, partition-count independence
+  * of the integer formulation, and the planted graph's shape. */
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("pagerank covers every node with positive rank") {
+    val df = Graph.queries("pr_pagerank")(spark, sf).cache()
+    val n = graft.io.Sources.table(spark, sf, "documents").count()
+    assert(df.count() == n)
+    assert(df.filter(col("rank_q") <= 0).count() == 0)
+    df.unpersist()
+  }
+
+  test("pagerank mass is conserved up to integer-truncation loss") {
+    val df = Graph.queries("pr_pagerank")(spark, sf)
+    val total = df.agg(sum("rank_q")).head.getLong(0)
+    // each round loses < ~200 nano-units per node to the three integer
+    // divisions; 5 rounds over N nodes bounds the leak well under 1%
+    val unit = 1000000000L
+    assert(total <= unit, s"mass grew: $total")
+    assert(total >= unit * 95 / 100, s"mass leaked: $total")
+  }
+
+  test("integer ranks are identical under a different partition count") {
+    val a = Graph.queries("pr_pagerank")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scoped = ScopedSession(spark, "graphspec-p3",
+      "spark.sql.shuffle.partitions" -> "3")
+    val b = Graph.queries("pr_pagerank")(scoped, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+}
