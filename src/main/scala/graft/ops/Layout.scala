@@ -154,9 +154,46 @@ object Layout {
       .orderBy("event_id")
   }
 
+  // -------------------------------------------------------------------
+  // fs_compact: small-file compaction — the OPTIMIZE/rewrite-data-files
+  // operation every streaming-ingested lake needs (micro-batch sinks
+  // leave thousands of KB-sized files; at 100 TB the metadata alone
+  // throttles planning). The op first materializes the pathological
+  // input (64 shards of the events table — the ingest shape), then
+  // compacts WITHOUT a shuffle: a size-scoped session sets
+  // `spark.sql.files.maxPartitionBytes` to the target file size and
+  // `openCostInBytes` to 0, so Spark's own FilePartition packer
+  // bin-packs the small files into ≈target-byte read partitions, and
+  // writing those partitions 1:1 yields ≈total/target output files.
+  // This is exactly how table-format OPTIMIZE plans: size arithmetic
+  // over FILE METADATA (driver-side by design — the same listing the
+  // scan planner does), data movement task-local, no exchange. The
+  // gate is layout invariance at full fidelity: every row of the
+  // compacted copy must reproduce the raw table byte-for-byte (the
+  // zo_events discipline, unfiltered); file-count/size bands are
+  // pinned by LayoutSpec.
+  // -------------------------------------------------------------------
+  private val compactTargetBytes = 512L * 1024
+  private val fsCompact: Q = (s, d) => {
+    val key = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val frag = s"/tmp/graft_compact/$key/events_fragmented.parquet"
+    val out = s"/tmp/graft_compact/$key/events_compacted.parquet"
+    table(s, d, "events").repartition(64).write.mode("overwrite").parquet(frag)
+    val scoped = ScopedSession(s, "compact",
+      "spark.sql.files.maxPartitionBytes" -> compactTargetBytes.toString,
+      "spark.sql.files.openCostInBytes" -> "0")
+    scoped.read.parquet(frag).write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .select(col("event_id"),
+        unix_timestamp(col("ts")).as("ts_s"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "zo_events" -> zoEvents,
-    "zo_events3" -> zoEvents3)
+    "zo_events3" -> zoEvents3,
+    "fs_compact" -> fsCompact)
 
   val oracle: Map[String, String] = Map(
     // Layout is semantics-free: DuckDB answers the predicate on the
@@ -177,5 +214,12 @@ object Layout {
         |WHERE user_id BETWEEN 3 AND 9
         |  AND ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-14'
         |  AND event_id BETWEEN 2000 AND 3999
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+    // Compaction is semantics-free: the oracle reads the RAW table at
+    // FULL fidelity — any row lost, doubled, or mangled across the
+    // fragment → compact round-trip turns the hash red.
+    "fs_compact" ->
+      """SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |  user_id, event_type, value, props
+        |FROM events ORDER BY event_id""".stripMargin)
 }

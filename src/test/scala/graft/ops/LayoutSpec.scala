@@ -127,4 +127,27 @@ class LayoutSpec extends AnyFunSuite {
         perFile.map(r => (r.getAs[Double]("us"), r.getAs[Double]("ts"),
           r.getAs[Double]("ev"))).mkString(", "))
   }
+
+  test("fs_compact collapses the 64-shard ingest into few size-targeted files") {
+    val sf = "/root/testdata/sf0.001"
+    Layout.queries("fs_compact")(spark, sf).collect() // runs the rewrite
+    def files(p: String) = new java.io.File(p).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && f.length() > 0)
+    val key = sf.replaceAll("[^A-Za-z0-9._-]", "_")
+    val frag = files(s"/tmp/graft_compact/$key/events_fragmented.parquet")
+    val comp = files(s"/tmp/graft_compact/$key/events_compacted.parquet")
+    assert(frag.length == 64, s"expected 64 shards, got ${frag.length}")
+    // bin-packing by total/target: far fewer files out than in, and no
+    // output file exceeds the 512 KiB target by more than the packer's
+    // one-file overshoot
+    assert(comp.length < frag.length / 4,
+      s"compaction left ${comp.length} of ${frag.length} files")
+    val target = 512L * 1024
+    comp.foreach(f => assert(f.length() <= target * 3 / 2,
+      s"${f.getName} is ${f.length()} B, target $target"))
+    // row-count preservation (the full-fidelity hash gate runs in
+    // CORRECTNESS; this is the fast structural half)
+    val n = spark.read.parquet(s"/tmp/graft_compact/$key/events_compacted.parquet").count()
+    assert(n == graft.io.Sources.table(spark, sf, "events").count())
+  }
 }
