@@ -33,6 +33,7 @@ object SparkEntry {
       pipelines.NflQueries.queries ++
       pipelines.Animate.queries ++
       llm.TextOps.queries ++
+      llm.Bpe.queries ++
       llm.Dedup.queries ++
       llm.Similarity.queries ++
       llm.Multimodal.queries ++
@@ -54,6 +55,7 @@ object SparkEntry {
       pipelines.NflQueries.oracle ++
       pipelines.Animate.oracle ++
       llm.TextOps.oracle ++
+      llm.Bpe.oracle ++
       llm.Dedup.oracle ++
       llm.Similarity.oracle ++
       llm.Multimodal.oracle ++
