@@ -66,9 +66,10 @@ object Graph {
         .select(col("doc_id"),
           (tele + expr("(85 * coalesce(contrib, 0)) div 100")).as("r"))
     }
-    val out = ranks.select(col("doc_id"), col("r").as("rank_q")).orderBy("doc_id")
-    edges.unpersist(blocking = false)
-    out
+    // edges stay persisted through execution (the caller's post-query
+    // cache hygiene reclaims them — unpersisting here would fire before
+    // the lazy plan ever ran and recompute the edge build per round)
+    ranks.select(col("doc_id"), col("r").as("rank_q")).orderBy("doc_id")
   }
 
   val queries: Map[String, Q] = Map("pr_pagerank" -> prPagerank)

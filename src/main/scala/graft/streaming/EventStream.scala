@@ -301,4 +301,54 @@ object EventStream {
         if (isStreaming) GroupStateTimeout.EventTimeTimeout
         else GroupStateTimeout.NoTimeout)(fn)
   }
+
+  final case class Scd2Ev(user_id: Long, event_id: Long, ts: Timestamp,
+      event_type: String)
+  final case class Scd2State(curType: String, curFromUs: Long, version: Long)
+  final case class Scd2Row(user_id: Long, version: Long, event_type: String,
+      valid_from_us: Long, valid_to_us: Long, is_current: Boolean)
+
+  /** Flush barrier: a reserved event type that makes a group emit its
+    * OPEN version (the streaming analogue of a dimension snapshot —
+    * production would read closed versions from the stream and the
+    * open tail from the state store / changelog). */
+  val scd2Flush = " flush"
+
+  /** Streaming SCD type-2 build — the incremental face of `w12_scd2`:
+    * per user, consecutive same-value events collapse (CDC), each
+    * TRANSITION immediately emits the previous version as a closed
+    * interval [valid_from, valid_to), and state carries only the open
+    * version — O(1) per user, the same property as [[asofStream]], so
+    * state tracks live dimension keys, not event history. Within a
+    * micro-batch rows are processed in the batch operator's total
+    * order (ts, event_id); a stream delivered in event-time order
+    * therefore reproduces the batch SCD2 relation row for row, with
+    * version numbering continuing seamlessly ACROSS batches from the
+    * checkpointed state. */
+  def scd2Stream(spark: SparkSession, events: Dataset[Scd2Ev]): Dataset[Scd2Row] = {
+    import spark.implicits._
+    val flush = scd2Flush
+    val fn = (userId: Long, rows: Iterator[Scd2Ev], state: GroupState[Scd2State]) => {
+      val out = Seq.newBuilder[Scd2Row]
+      var cur = state.getOption
+      rows.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+        if (e.event_type == flush) {
+          cur.foreach(s => out += Scd2Row(userId, s.version, s.curType,
+            s.curFromUs, -1L, is_current = true))
+        } else cur match {
+          case None =>
+            cur = Some(Scd2State(e.event_type, us(e.ts), 1L))
+          case Some(s) if s.curType != e.event_type =>
+            out += Scd2Row(userId, s.version, s.curType, s.curFromUs,
+              us(e.ts), is_current = false)
+            cur = Some(Scd2State(e.event_type, us(e.ts), s.version + 1L))
+          case _ => () // same value: CDC collapse
+        }
+      }
+      cur.foreach(state.update)
+      out.result().iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
 }

@@ -132,6 +132,45 @@ object StreamQueries {
         col("asof_view_id"), col("asof_value"))
   }
 
+  /** W12 as a stream: the SCD2 state machine over the full events
+    * table, delivered across three event-time-ordered micro-batches so
+    * version numbering must continue from checkpointed state across
+    * batch boundaries. Closed versions emit the moment their successor
+    * arrives; the OPEN versions are drained by one flush barrier per
+    * user (the dimension-snapshot analogue). Oracle: `w12_scd2`'s
+    * window twin, verbatim. */
+  private val stScd2: Q = (parent, d) => {
+    val s = scoped(parent)
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val evs = eventRows(s, d, viewClickOnly = false)
+      .map(e => EventStream.Scd2Ev(e.user_id, e.event_id, e.ts, e.event_type))
+      .sortBy(e => (EventStream.us(e.ts), e.event_id))
+    val maxMs = if (evs.isEmpty) 0L else evs.iterator.map(_.ts.getTime).max
+    val source = MemoryStream[EventStream.Scd2Ev]
+    val name = s"st_scd2_${seq.incrementAndGet()}"
+    val q = EventStream.scd2Stream(s, source.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val rows = try {
+      evs.grouped(math.max(1, (evs.length + 2) / 3)).foreach { chunk =>
+        source.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val users = evs.map(_.user_id).distinct
+      source.addData(users.map(u => EventStream.Scd2Ev(u, Long.MaxValue,
+        new Timestamp(maxMs + 3600000L), EventStream.scd2Flush)).toIndexedSeq)
+      q.processAllAvailable()
+      s.table(name).as[EventStream.Scd2Row].collect()
+    } finally {
+      q.stop()
+      s.catalog.dropTempView(name)
+    }
+    s.createDataset(rows.toIndexedSeq).toDF()
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("valid_from_us"), col("valid_to_us"), col("is_current"))
+      .orderBy("user_id", "version")
+  }
+
   /** The watermarked tumbling-window aggregate as a stream: hour
     * windows over the full events table, every window FLUSHED by two
     * watermark-advancing sentinel batches (append mode emits a window
@@ -379,6 +418,7 @@ object StreamQueries {
   val queries: Map[String, Q] = Map(
     "st_sessions" -> stSessions,
     "st_asof" -> stAsof,
+    "st_scd2" -> stScd2,
     "st_windowed" -> stWindowed,
     "st_dedup" -> stDedup,
     "st_sink" -> stSink,
@@ -391,6 +431,7 @@ object StreamQueries {
   val oracle: Map[String, String] = Map(
     "st_sessions" -> graft.ops.Events.oracle("w8_sessions"),
     "st_asof" -> graft.ops.Relational.oracle("j7_asof"),
+    "st_scd2" -> graft.ops.Events.oracle("w12_scd2"),
     "st_windowed" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type,
         | count(*) AS n, round(sum(value), 4) AS total_value

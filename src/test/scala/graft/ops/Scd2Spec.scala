@@ -43,4 +43,21 @@ class Scd2Spec extends AnyFunSuite {
       .filter(col("prev_val").isNotNull && col("prev_val") === col("event_type"))
     assert(repeats.count() == 0)
   }
+
+  test("both window passes share one user_id exchange") {
+    // a static plan for the structural pin: AQE re-instantiates nodes
+    // with fresh plan ids at stage boundaries, which defeats counting
+    val s = ScopedSession(spark, "scd2-plan-pin",
+      "spark.sql.adaptive.enabled" -> "false")
+    // sf0.01, not the suite's sf0.001: the cached `dim` relation would
+    // otherwise substitute an InMemoryTableScan whose printed plan
+    // embeds the original tree again and double-counts the exchange
+    val df = Events.queries("w12_scd2")(s, "/root/testdata/sf0.01")
+    // the lag pass and the version/lead pass partition identically, so
+    // Spark must plan exactly one hash exchange on user_id (plus the
+    // presentation sort's range exchange)
+    val plan = df.queryExecution.executedPlan.toString
+    val hashExchanges = plan.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1, s"$hashExchanges hash exchanges:\n$plan")
+  }
 }

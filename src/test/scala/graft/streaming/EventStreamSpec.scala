@@ -333,4 +333,32 @@ class EventStreamSpec extends AnyFunSuite {
     // is emitted when the 100-minute event arrives
     assert(out.exists(s => s.user_id == 7L && s.n_events == 2 && s.total_value == 2.5))
   }
+
+  test("streaming SCD2 matches the batch w12_scd2 relation row for row") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamQueries.queries("st_scd2")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.ops.Events.queries("w12_scd2")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("SCD2 state machine: CDC collapse and flush barrier on a hand case") {
+    import spark.implicits._
+    // a b b a + flush → versions a[0,10) b[10,30) a[30,-1 current)
+    val evs = Seq(
+      EventStream.Scd2Ev(5, 1, ts(0), "a"),
+      EventStream.Scd2Ev(5, 2, ts(10), "b"),
+      EventStream.Scd2Ev(5, 3, ts(20), "b"),
+      EventStream.Scd2Ev(5, 4, ts(30), "a"),
+      EventStream.Scd2Ev(5, 5, ts(40), EventStream.scd2Flush)).toDS()
+    val out = EventStream.scd2Stream(spark, evs).collect()
+      .sortBy(_.version)
+    assert(out.length == 3, out.toSeq)
+    assert(out.map(_.event_type).toSeq == Seq("a", "b", "a"))
+    assert(out.map(_.valid_to_us).toSeq ==
+      Seq(EventStream.us(ts(10)), EventStream.us(ts(30)), -1L))
+    assert(out.map(_.is_current).toSeq == Seq(false, false, true))
+  }
 }
