@@ -258,6 +258,82 @@ object Multimodal {
     }
   }
 
+  /** PNG with a PERTURBED origin patch: pixels (x<3, y<3) forced to
+    * black, everything else the standard id arithmetic — the "slightly
+    * edited re-upload" a perceptual near-dup pass must catch where
+    * byte-exact dedup (mm_dedup) cannot. */
+  private[llm] def encodePngPerturbed(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb =
+          if (x < 3 && y < 3) 0
+          else (fnvByte(s"$id:$x:$y:0") << 16) |
+            (fnvByte(s"$id:$x:$y:1") << 8) | fnvByte(s"$id:$x:$y:2")
+        img.setRGB(x, y, rgb)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** The phash corpus: every demoMedia image plus, for the first
+    * [[phashPlants]] of them, a perturbed near-copy at id + 1000 —
+    * dimensions derive from the SOURCE id's arithmetic, so the oracle
+    * rebuilds both populations without any fixture. */
+  private[llm] val phashPlants = 8
+  def demoMediaPhash(spark: SparkSession): Dataset[Media] = {
+    import spark.implicits._
+    val imgIds = (0 until 64).filter(_ % 3 == 0)
+    val base = imgIds.map { i =>
+      val w = 24 + i % 16
+      val h = 16 + i % 12
+      Media(i.toLong, "image", encodePng(i.toLong, w, h), MediaMeta(w, h, 0, 1))
+    }
+    val planted = imgIds.take(phashPlants).map { i =>
+      val w = 24 + i % 16
+      val h = 16 + i % 12
+      Media(1000L + i, "image", encodePngPerturbed(i.toLong, w, h),
+        MediaMeta(w, h, 0, 1))
+    }
+    spark.createDataset(base ++ planted)
+  }
+
+  /** Perceptual dHash over the REAL decode: resample to 8×9 with the
+    * exact integer bilinear, grayscale by integer channel sum (no
+    * division — the comparison is scale-free), then 63 gradient bits
+    * (7 left>right comparisons × 9 rows, bit k = y·7+x). 63 bits, not
+    * the classic 64, so the packed value stays strictly below 2^63 and
+    * the oracle re-derives it in plain BIGINT arithmetic — a 64th bit
+    * would land on the sign and force HUGEINT contortions for zero
+    * perceptual gain. */
+  private[llm] def dhash63(m: Media): Long = {
+    val img = ImageIO.read(new ByteArrayInputStream(m.bytes))
+    val px = bilinearResize(img, 8, 9)
+    val gs = Array.tabulate(9, 8) { (y, x) =>
+      (px((y * 8 + x) * 3) & 0xff) + (px((y * 8 + x) * 3 + 1) & 0xff) +
+        (px((y * 8 + x) * 3 + 2) & 0xff)
+    }
+    var hash = 0L
+    var y = 0
+    while (y < 9) {
+      var x = 0
+      while (x < 7) {
+        if (gs(y)(x) > gs(y)(x + 1)) hash |= 1L << (y * 7 + x)
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  final case class PHash(media_id: Long, phash: Long)
+
   /** Metadata-only projection — must not touch the payload column
     * (column pruning keeps the scan narrow at 100 TB). */
   def metaStats(media: Dataset[Media]): DataFrame =
@@ -304,7 +380,36 @@ object Multimodal {
       demoMediaDups(s).toDF()
         .groupBy(md5(hex(col("bytes")).cast("binary")).as("content_md5"))
         .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-        .orderBy("content_md5")))
+        .orderBy("content_md5")),
+    // Perceptual near-dup over decoded pixels — the image face of the
+    // near-dup family (mm_dedup only catches byte-exact copies; a
+    // re-encoded or lightly edited image needs a perceptual hash).
+    // Candidates come from 16-bit BANDS of the 63-bit dHash (the
+    // dd_minhash banding pattern): hamming ≤ 3 pigeonholes at least
+    // one of 4 bands equal, so banding is COMPLETE at the threshold —
+    // the banded engine result equals the oracle's all-pairs scan by
+    // construction, and at 100 TB the self-join shuffles 4 16-byte
+    // band rows per image instead of comparing n² hashes.
+    "mm_phash" -> ((s, _) => {
+      import s.implicits._
+      val hashes = demoMediaPhash(s)
+        .mapPartitions(_.map(m => PHash(m.media_id, dhash63(m)))).toDF()
+      val bands = hashes.select(col("media_id"), col("phash"),
+          explode(array((0 until 4).map(lit): _*)).as("band"))
+        .withColumn("bv", expr("shiftrightunsigned(phash, band * 16)")
+          .bitwiseAND(lit(0xFFFFL)))
+      val pairs = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+          col("a.phash").as("ha"), col("b.phash").as("hb"))
+        .distinct()
+      pairs
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .orderBy("id_a", "id_b")
+    }))
 
   /** DuckDB twins over the demo-media metadata fixture Verify dumps to
     * /tmp/graft_fixtures (payload bytes excluded — image content is
@@ -419,5 +524,63 @@ object Multimodal {
         |  SELECT media_id, n_bytes, unnest(generate_series(0, nFrames - 1, 4)) AS frame_idx
         |  FROM read_parquet('/tmp/graft_fixtures/demo_media_meta/*.parquet')
         |  WHERE kind = 'video')
-        |ORDER BY media_id, frame_idx""".stripMargin)
+        |ORDER BY media_id, frame_idx""".stripMargin,
+    // fully self-contained end to end: both populations (base + the
+    // 8 perturbed plants at id+1000, black 3×3 origin patch) are
+    // regenerated from id arithmetic, the 8×9 bilinear is replayed in
+    // BIGINT (denominators 16/18, half-up over 288), grayscale is the
+    // integer channel sum, the 63 gradient bits pack via BIGINT
+    // shifts, and the pair scan is ALL-pairs — equal to the engine's
+    // banded join because hamming ≤ 3 pigeonholes a matching band.
+    "mm_phash" -> {
+      val fnvPix = TextHashes.fnvFoldSql("m.src || ':' || x.x || ':' || y.y || ':' || c.c")
+      s"""WITH ids AS (SELECT i AS media_id, i AS src FROM
+         |               (SELECT unnest(generate_series(0, 63)) AS i) WHERE i % 3 = 0
+         |             UNION ALL
+         |             SELECT 1000 + i, i FROM
+         |               (SELECT unnest(generate_series(0, 63)) AS i)
+         |             WHERE i % 3 = 0 AND i < ${phashPlants * 3}),
+         | m AS (SELECT media_id, src, 24 + src % 16 AS w, 16 + src % 12 AS h FROM ids),
+         | src AS (
+         |  SELECT m.media_id, x.x, y.y, c.c,
+         |   CASE WHEN m.media_id >= 1000 AND x.x < 3 AND y.y < 3 THEN 0
+         |        ELSE ($fnvPix % 256)::BIGINT END AS p
+         |  FROM m, LATERAL unnest(generate_series(0, m.w - 1)) x(x),
+         |       LATERAL unnest(generate_series(0, m.h - 1)) y(y),
+         |       LATERAL unnest([0, 1, 2]) c(c)),
+         | o AS (
+         |  SELECT m.media_id, m.w, m.h, oy.oy, ox.ox, c.c,
+         |   ((2 * ox.ox + 1) * m.w - 8) // 16 AS x0,
+         |   ((2 * ox.ox + 1) * m.w - 8) % 16 AS dxn,
+         |   ((2 * oy.oy + 1) * m.h - 9) // 18 AS y0,
+         |   ((2 * oy.oy + 1) * m.h - 9) % 18 AS dyn
+         |  FROM m, LATERAL unnest(generate_series(0, 7)) ox(ox),
+         |       LATERAL unnest(generate_series(0, 8)) oy(oy),
+         |       LATERAL unnest([0, 1, 2]) c(c)),
+         | o2 AS (SELECT *, least(x0 + 1, w - 1) AS x1, least(y0 + 1, h - 1) AS y1 FROM o),
+         | v AS (
+         |  SELECT o2.media_id, o2.oy, o2.ox, o2.c,
+         |   ((18 - o2.dyn) * ((16 - o2.dxn) * s00.p + o2.dxn * s01.p)
+         |    + o2.dyn * ((16 - o2.dxn) * s10.p + o2.dxn * s11.p) + 144) // 288 AS val
+         |  FROM o2
+         |  JOIN src s00 ON s00.media_id = o2.media_id AND s00.x = o2.x0 AND s00.y = o2.y0 AND s00.c = o2.c
+         |  JOIN src s01 ON s01.media_id = o2.media_id AND s01.x = o2.x1 AND s01.y = o2.y0 AND s01.c = o2.c
+         |  JOIN src s10 ON s10.media_id = o2.media_id AND s10.x = o2.x0 AND s10.y = o2.y1 AND s10.c = o2.c
+         |  JOIN src s11 ON s11.media_id = o2.media_id AND s11.x = o2.x1 AND s11.y = o2.y1 AND s11.c = o2.c),
+         | gs AS (SELECT media_id, oy, ox, CAST(sum(val) AS BIGINT) AS g
+         |        FROM v GROUP BY media_id, oy, ox),
+         | ph AS (
+         |  SELECT gl.media_id,
+         |   CAST(sum(CASE WHEN gl.g > gr.g
+         |        THEN (1::BIGINT << (gl.oy * 7 + gl.ox)) ELSE 0 END) AS BIGINT) AS phash
+         |  FROM gs gl JOIN gs gr
+         |    ON gr.media_id = gl.media_id AND gr.oy = gl.oy AND gr.ox = gl.ox + 1
+         |  WHERE gl.ox < 7
+         |  GROUP BY gl.media_id)
+         |SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+         |FROM ph a JOIN ph b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin
+    })
 }

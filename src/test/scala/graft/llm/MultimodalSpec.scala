@@ -77,6 +77,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.map(_._2).toSet == (0L until 24L).toSet)
   }
 
+  test("mm_phash finds every planted perturbed image and nothing else") {
+    val pairs = Multimodal.queries("mm_phash")(spark, "unused").collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Long]("hamming")))
+    // each of the 8 plants pairs with its source; the black 3×3 patch
+    // can only disturb the gradient cells at the origin (bits 0 and 7)
+    val planted = pairs.filter { case (a, b, _) => b == a + 1000L }
+    assert(planted.length == 8, pairs.toSeq)
+    planted.foreach { case (_, _, d) => assert(d <= 2, planted.toSeq) }
+    // unrelated noise images sit ~31 bits apart — no cross pairs
+    assert(pairs.length == 8, pairs.toSeq)
+  }
+
+  test("dhash63 never sets the sign bit and distinguishes noise images") {
+    val hs = Multimodal.demoMediaPhash(spark).collect()
+      .map(m => m.media_id -> Multimodal.dhash63(m)).toMap
+    hs.values.foreach(h => assert(h >= 0L, "bit 63 must stay clear"))
+    // distinct base images should not collide (63 random-ish bits)
+    val base = hs.filter(_._1 < 1000L).values.toSeq
+    assert(base.distinct.length == base.length)
+  }
+
   test("metadata-only query prunes the payload column from the scan") {
     val media = Multimodal.demoMedia(spark)
     val plan = Multimodal.metaStats(media).queryExecution.optimizedPlan.toString
