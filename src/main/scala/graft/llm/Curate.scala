@@ -129,7 +129,9 @@ object Curate {
   // survivorship (min doc_id per content hash, as dd_exact) — composed
   // in ONE pipeline: scan → project → window → filter → 5-group agg.
   // -------------------------------------------------------------------
-  private val dsCurated: Q = (s, d) => {
+  /** The shared curation core: quality window + langid agreement +
+    * exact-dedup survivorship, as a filtered per-doc relation. */
+  private def curatedDocs(s: SparkSession, d: String): DataFrame = {
     val docs = table(s, d, "documents")
     val nTokens = size(split(col("text"), " ")).cast("long")
     val nStop = graft.functions.ArrayFns.tokensInSetCount(col("text"), TextOps.stopwords)
@@ -146,8 +148,39 @@ object Curate {
     pred
       .withColumn("is_survivor", survivor)
       .where(col("q_ok") && col("lang_pred") === col("lang") && col("is_survivor"))
+  }
+
+  private val dsCurated: Q = (s, d) =>
+    curatedDocs(s, d)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang")
+
+  // -------------------------------------------------------------------
+  // ds_curated2: the curation composition extended with the LM
+  // perplexity cut — the CCNet recipe end to end (heuristic quality →
+  // langid agreement → dedup survivor → model-based fluency filter).
+  // The perplexity relation is ts_perplexity's own pipeline (broadcast
+  // LM, integer costs), joined per doc; the cut applies to the ROUNDED
+  // avg_nats, so the filter boundary is engine-exact. Per-lang nat
+  // totals ride as the integer sum of 1e-4-quantized values — no float
+  // accumulation across partitions anywhere.
+  // -------------------------------------------------------------------
+  private val perplexityCut = 9.0
+  private val dsCurated2: Q = (s, d) => {
+    val ppl = TextOps.queries("ts_perplexity")(s, d)
+      .select(col("doc_id"), col("avg_nats"))
+    curatedDocs(s, d)
+      .join(ppl, Seq("doc_id"))
+      .where(col("avg_nats") <= perplexityCut)
+      .select(col("lang"), col("n_chars"),
+        dround(col("avg_nats") * 10000, 0).cast("long").as("nats_q"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        sum(col("nats_q")).as("sum_nats_q"))
+      .select(col("lang"), col("n_docs"), col("sum_chars"),
+        dround(col("sum_nats_q").cast("double") / 10000 / col("n_docs"), 4)
+          .as("avg_nats"))
       .orderBy("lang")
   }
 
@@ -277,6 +310,7 @@ object Curate {
     "ds_mixture" -> dsMixture,
     "ds_pack" -> dsPack,
     "ds_curated" -> dsCurated,
+    "ds_curated2" -> dsCurated2,
     "ds_decontam" -> dsDecontam,
     "ds_decontam_bloom" -> dsDecontamBloom,
     "ds_sample" -> dsSample,
@@ -358,23 +392,43 @@ object Curate {
     // gate: a leaked false positive or an over-pruning filter both
     // diverge from the exact result
     "ds_decontam_bloom" -> decontamSql,
-    "ds_curated" -> {
-      val stop = TextOps.sqlCountIn(TextOps.stopwords)
-      val marks = TextOps.markers.map { case (n, set) =>
-        s"${TextOps.sqlCountIn(set)} AS $n" }.mkString(", ")
-      s"""WITH scored AS (SELECT doc_id, lang, n_chars, text,
-         |    (n_chars BETWEEN 100 AND 2000
-         |     AND ($stop::DOUBLE / len(string_split(text, ' '))) BETWEEN 0.05 AND 0.6) AS q_ok,
-         |    $marks,
-         |    (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS is_survivor
-         |  FROM documents),
-         | pred AS (SELECT *,
-         |    CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
-         |         WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
-         |         WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END AS lang_pred
-         |  FROM scored)
+    "ds_curated" ->
+      s"""WITH $curatedCte
          |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
-         |FROM pred WHERE q_ok AND lang_pred = lang AND is_survivor
-         |GROUP BY lang ORDER BY lang""".stripMargin
-    })
+         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
+    // the composed CCNet-style pipeline: the shared curation CTE joined
+    // to the shared perplexity CTE chain, cut on the rounded avg_nats,
+    // nat totals summed as 1e-4-quantized BIGINTs
+    "ds_curated2" ->
+      s"""WITH ${TextOps.perplexityCtes},
+         | $curatedCte,
+         | cut AS (SELECT k.lang, k.n_chars,
+         |           CAST(round(p.avg_nats * 10000) AS BIGINT) AS nats_q
+         |         FROM kept k JOIN ppl p USING (doc_id)
+         |         WHERE p.avg_nats <= $perplexityCut)
+         |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  round(CAST(sum(nats_q) AS DOUBLE) / 10000 / count(*), 4) AS avg_nats
+         |FROM cut GROUP BY lang ORDER BY lang""".stripMargin)
+
+  /** Shared curation CTE ending in `kept(doc_id, lang, n_chars)` —
+    * quality window, langid agreement, dedup survivorship; composed by
+    * both curated twins. */
+  private def curatedCte: String = {
+    val stop = TextOps.sqlCountIn(TextOps.stopwords)
+    val marks = TextOps.markers.map { case (n, set) =>
+      s"${TextOps.sqlCountIn(set)} AS $n" }.mkString(", ")
+    s"""scored AS (SELECT doc_id, lang, n_chars, text,
+       |    (n_chars BETWEEN 100 AND 2000
+       |     AND ($stop::DOUBLE / len(string_split(text, ' '))) BETWEEN 0.05 AND 0.6) AS q_ok,
+       |    $marks,
+       |    (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS is_survivor
+       |  FROM documents),
+       | pred AS (SELECT *,
+       |    CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+       |         WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+       |         WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END AS lang_pred
+       |  FROM scored),
+       | kept AS (SELECT doc_id, lang, n_chars FROM pred
+       |          WHERE q_ok AND lang_pred = lang AND is_survivor)""".stripMargin
+  }
 }

@@ -324,6 +324,28 @@ object TextOps {
     s"CAST(len(list_filter(string_split(text, ' '), x -> x IN ($lits))) AS BIGINT)"
   }
 
+  /** The perplexity derivation as a reusable CTE chain ending in
+    * `ppl(doc_id, n_bigrams, n_oov, sum_cost_q, avg_nats)` — shared by
+    * the ts_perplexity twin and Curate's composed-pipeline twin so the
+    * two oracles can never drift apart. */
+  private[llm] def perplexityCtes: String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       | bi AS (SELECT doc_id, tk[g.i] AS w1, tk[g.i+1] AS w2
+       |        FROM t, LATERAL unnest(generate_series(1, len(tk) - 1)) g(i)),
+       | c12 AS (SELECT w1, w2, count(*) AS n12 FROM bi GROUP BY w1, w2),
+       | c1 AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM c12 GROUP BY w1),
+       | lm AS (SELECT c12.w1, c12.w2,
+       |          CAST(round(ln(n1::DOUBLE / n12) * 10000) AS BIGINT) AS cost_q
+       |        FROM c12 JOIN c1 USING (w1) WHERE n12 >= $lmMinCount),
+       | sc AS (SELECT bi.doc_id, lm.cost_q
+       |        FROM bi LEFT JOIN lm ON lm.w1 = bi.w1 AND lm.w2 = bi.w2),
+       | ppl AS (SELECT doc_id, count(*) AS n_bigrams,
+       |   CAST(sum(CASE WHEN cost_q IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |   CAST(sum(coalesce(cost_q, $oovCostQ)) AS BIGINT) AS sum_cost_q,
+       |   round(CAST(sum(coalesce(cost_q, $oovCostQ)) AS DOUBLE) / 10000
+       |         / count(*), 4) AS avg_nats
+       |  FROM sc GROUP BY doc_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // chunk windows re-derived from scratch: starts by generate_series
     // with the same stride, slices clamped to the token count on both
@@ -344,22 +366,9 @@ object TextOps {
     // prune, per-bigram quantized cost, per-doc integer sums — the only
     // shared constants are the prune threshold and the OOV cost.
     "ts_perplexity" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-         | bi AS (SELECT doc_id, tk[g.i] AS w1, tk[g.i+1] AS w2
-         |        FROM t, LATERAL unnest(generate_series(1, len(tk) - 1)) g(i)),
-         | c12 AS (SELECT w1, w2, count(*) AS n12 FROM bi GROUP BY w1, w2),
-         | c1 AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM c12 GROUP BY w1),
-         | lm AS (SELECT c12.w1, c12.w2,
-         |          CAST(round(ln(n1::DOUBLE / n12) * 10000) AS BIGINT) AS cost_q
-         |        FROM c12 JOIN c1 USING (w1) WHERE n12 >= $lmMinCount),
-         | sc AS (SELECT bi.doc_id, lm.cost_q
-         |        FROM bi LEFT JOIN lm ON lm.w1 = bi.w1 AND lm.w2 = bi.w2)
-         |SELECT doc_id, count(*) AS n_bigrams,
-         |  CAST(sum(CASE WHEN cost_q IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-         |  CAST(sum(coalesce(cost_q, $oovCostQ)) AS BIGINT) AS sum_cost_q,
-         |  round(CAST(sum(coalesce(cost_q, $oovCostQ)) AS DOUBLE) / 10000
-         |        / count(*), 4) AS avg_nats
-         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $perplexityCtes
+         |SELECT doc_id, n_bigrams, n_oov, sum_cost_q, avg_nats
+         |FROM ppl ORDER BY doc_id""".stripMargin,
     // LATERAL series sized by each doc's own token count — no magic
     // position cap that a longer future document could silently exceed
     "ts_ngram_lm" ->

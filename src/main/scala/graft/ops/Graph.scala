@@ -72,7 +72,47 @@ object Graph {
     ranks.select(col("doc_id"), col("r").as("rank_q")).orderBy("doc_id")
   }
 
-  val queries: Map[String, Q] = Map("pr_pagerank" -> prPagerank)
+  // -------------------------------------------------------------------
+  // gr_triangles: per-node triangle counting over the same planted
+  // graph, undirected — the local-clustering signal crawl-graph
+  // curation uses next to centrality (spam farms triangulate; organic
+  // link neighborhoods are sparse). The (a<b, b<c, a<c) three-way
+  // self-join enumerates each triangle exactly once; at 100 TB the
+  // standard refinement orders endpoints by degree before joining so
+  // the join fans out on low-degree vertices — noted, not needed at
+  // out-degree 3. All integer, no fixture: the oracle re-derives the
+  // edges and re-runs the same joins.
+  // -------------------------------------------------------------------
+  private val grTriangles: Q = (s, d) => {
+    val docs = table(s, d, "documents").select(col("doc_id"))
+    val n = docs.agg(count(lit(1)).as("n_nodes"))
+    val nodes = docs.crossJoin(broadcast(n))
+    val u = nodes
+      .select(col("doc_id").as("src"),
+        explode(array(lit(1L), lit(2L), lit(3L))).as("j"), col("n_nodes"))
+      .select(col("src"),
+        pmod(col("src") * 31 + col("j") * 17 + 7, col("n_nodes")).as("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist()
+    val tri = u.as("e1")
+      .join(u.as("e2"), col("e2.a") === col("e1.b"))
+      .join(u.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val perNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
+    docs.join(perNode, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "pr_pagerank" -> prPagerank,
+    "gr_triangles" -> grTriangles)
 
   // The oracle replays all five rounds as chained CTEs — same planted
   // edges, same integer arithmetic, re-derived end to end in DuckDB.
@@ -85,16 +125,32 @@ object Graph {
        |             FROM edges e JOIN $prev p ON p.doc_id = e.src
        |             GROUP BY e.dst) c ON c.doc_id = nd.doc_id)""".stripMargin
 
+  private val edgesCte: String =
+    s"""n AS (SELECT count(*) AS n_nodes FROM documents),
+       | nodes AS (SELECT doc_id FROM documents),
+       | edges AS (SELECT doc_id AS src,
+       |             (doc_id * 31 + u.j * 17 + 7) % n.n_nodes AS dst
+       |           FROM nodes CROSS JOIN n, UNNEST([1, 2, 3]) u(j))""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "gr_triangles" ->
+      s"""WITH $edgesCte,
+         | u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |       FROM edges WHERE src <> dst),
+         | tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |         FROM u e1 JOIN u e2 ON e2.a = e1.b
+         |              JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b),
+         | pn AS (SELECT v AS doc_id, count(*) AS n_tri FROM (
+         |          SELECT unnest([x, y, z]) AS v FROM tri)
+         |        GROUP BY v)
+         |SELECT nd.doc_id, CAST(coalesce(pn.n_tri, 0) AS BIGINT) AS n_tri
+         |FROM nodes nd LEFT JOIN pn USING (doc_id)
+         |ORDER BY nd.doc_id""".stripMargin,
     "pr_pagerank" -> {
       val chain = (1 to iterations)
         .map(i => iterCte(if (i == 1) "r0" else s"it${i - 1}", s"it$i"))
         .mkString(",\n")
-      s"""WITH n AS (SELECT count(*) AS n_nodes FROM documents),
-         | nodes AS (SELECT doc_id FROM documents),
-         | edges AS (SELECT doc_id AS src,
-         |             (doc_id * 31 + u.j * 17 + 7) % n.n_nodes AS dst
-         |           FROM nodes CROSS JOIN n, UNNEST([1, 2, 3]) u(j)),
+      s"""WITH $edgesCte,
          | r0 AS (SELECT doc_id, $rankUnit // n.n_nodes AS r
          |        FROM nodes CROSS JOIN n),
          |$chain

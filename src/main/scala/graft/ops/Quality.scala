@@ -86,11 +86,80 @@ object Quality {
       .orderBy("check")
   }
 
+  // -------------------------------------------------------------------
+  // dq_drift: distribution-drift monitor (population stability index)
+  // — the check a production pipeline runs when a new crawl drop
+  // arrives: has the length distribution shifted against the reference
+  // corpus? Reference vs candidate here are the content-hash halves of
+  // `documents` (deterministic, oracle-replayable; in production the
+  // two sides are two snapshots). n_chars bins into 10 fixed-width
+  // buckets over the GLOBAL min/max — pure integer arithmetic, the
+  // one-row bounds aggregate broadcast back (the a8 pattern) — and the
+  // per-bin PSI term (p_c − p_r)·ln(p_c/p_r) with add-one smoothing is
+  // computed ONCE per bin from integer counts, quantized to 1e-6. Two
+  // scans (bounds + counts), one 10-key aggregate: flat at any scale.
+  // -------------------------------------------------------------------
+  private val psiBins = 10
+  private val dqDrift: Q = (s, d) => {
+    val docs = table(s, d, "documents")
+    val tagged = docs.select(col("n_chars"),
+      (pmod(graft.functions.TextHashes.rollHash(col("text")), lit(1000L)) < 500)
+        .as("is_ref"))
+    val bounds = docs.agg(min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"))
+    val counted = tagged.crossJoin(broadcast(bounds))
+      .select(expr(s"((n_chars - mn) * $psiBins) div (mx - mn + 1)").as("bin"),
+        col("is_ref"))
+      .groupBy("bin")
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+    // all 10 bins present even when empty (smoothing needs the full
+    // support); totals join back as a broadcast 1-row aggregate
+    val bins = s.range(psiBins).select(col("id").as("bin"))
+    val tot = counted.agg(sum("n_ref").as("t_ref"), sum("n_cur").as("t_cur"))
+    bins.join(counted, Seq("bin"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        dround((
+          (col("n_cur") + 1).cast("double") / (col("t_cur") + psiBins) -
+            (col("n_ref") + 1).cast("double") / (col("t_ref") + psiBins)) *
+          log(((col("n_cur") + 1).cast("double") / (col("t_cur") + psiBins)) /
+            ((col("n_ref") + 1).cast("double") / (col("t_ref") + psiBins))) * 1e6, 0)
+          .cast("long").as("psi_micro"))
+      .orderBy("bin")
+  }
+
   val queries: Map[String, Q] = Map(
     "dq_profile" -> dqProfile,
-    "dq_checks" -> dqChecks)
+    "dq_checks" -> dqChecks,
+    "dq_drift" -> dqDrift)
 
   val oracle: Map[String, String] = Map(
+    // the FNV split, integer binning, smoothing and quantized PSI terms
+    // re-derived from scratch (the fnv replay is the ds_split pattern)
+    "dq_drift" -> {
+      val fnv = graft.functions.TextHashes.fnvFoldSql("text")
+      val signed = graft.functions.TextHashes.fnvSignedSql("hu")
+      s"""WITH h AS (SELECT n_chars, $fnv AS hu FROM documents),
+         | f AS (SELECT n_chars, ((($signed) % 1000) + 1000) % 1000 < 500 AS is_ref FROM h),
+         | bounds AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents),
+         | c AS (SELECT ((n_chars - mn) * $psiBins) // (mx - mn + 1) AS bin,
+         |         CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         |         CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+         |       FROM f CROSS JOIN bounds GROUP BY 1),
+         | bins AS (SELECT unnest(generate_series(0, ${psiBins - 1})) AS bin),
+         | filled AS (SELECT b.bin, coalesce(c.n_ref, 0) AS n_ref,
+         |              coalesce(c.n_cur, 0) AS n_cur
+         |            FROM bins b LEFT JOIN c USING (bin)),
+         | tot AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM filled)
+         |SELECT bin, n_ref, n_cur,
+         |  CAST(round((
+         |    (n_cur + 1)::DOUBLE / (t_cur + $psiBins) -
+         |    (n_ref + 1)::DOUBLE / (t_ref + $psiBins)) *
+         |    ln(((n_cur + 1)::DOUBLE / (t_cur + $psiBins)) /
+         |       ((n_ref + 1)::DOUBLE / (t_ref + $psiBins))) * 1e6) AS BIGINT) AS psi_micro
+         |FROM filled CROSS JOIN tot ORDER BY bin""".stripMargin
+    },
     "dq_profile" -> {
       val selects = profCols.map(c =>
         s"""SELECT '$c' AS "column", count(*) AS n,

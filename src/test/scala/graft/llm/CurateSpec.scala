@@ -139,6 +139,20 @@ class CurateSpec extends AnyFunSuite {
     assert(curated > 0 && curated < total, s"$curated of $total")
   }
 
+  test("ds_curated2 is a strict refinement of ds_curated under the LM cut") {
+    val base = Curate.queries("ds_curated")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_docs")).toMap
+    val cut = Curate.queries("ds_curated2")(spark, sf).collect()
+    cut.foreach { r =>
+      val lang = r.getString(0)
+      // the perplexity filter can only REMOVE docs per language
+      assert(r.getAs[Long]("n_docs") <= base(lang), s"$lang grew: $r")
+      // surviving mean fluency must sit at or under the cut
+      assert(r.getAs[Double]("avg_nats") <= 9.0, r.toString)
+    }
+    assert(cut.nonEmpty)
+  }
+
   test("ds_weighted: k rows, contiguous ranks, ordered by quantized priority") {
     val rows = Curate.queries("ds_weighted")(spark, sf).collect()
     assert(rows.length == 50)

@@ -29,6 +29,17 @@ class GraphSpec extends AnyFunSuite {
     assert(total >= unit * 95 / 100, s"mass leaked: $total")
   }
 
+  test("triangle counts: every triangle contributes exactly 3 node units") {
+    val df = Graph.queries("gr_triangles")(spark, sf).cache()
+    val n = graft.io.Sources.table(spark, sf, "documents").count()
+    assert(df.count() == n) // all nodes present, zeros included
+    val total = df.agg(sum("n_tri")).head.getLong(0)
+    assert(total > 0, "planted graph should close some triangles")
+    assert(total % 3 == 0, s"sum $total must be 3x the triangle count")
+    assert(df.filter(col("n_tri") < 0).count() == 0)
+    df.unpersist()
+  }
+
   test("integer ranks are identical under a different partition count") {
     val a = Graph.queries("pr_pagerank")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

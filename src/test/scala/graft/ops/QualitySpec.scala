@@ -31,4 +31,15 @@ class QualitySpec extends AnyFunSuite {
     assert(rows("events_ts_nonnull") == (0L, "pass"))
     assert(rows("documents_len_consistent") == (0L, "pass"))
   }
+
+  test("dq_drift: full bin support, complete counts, no false alarm on hash halves") {
+    val rows = Quality.queries("dq_drift")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("bin")).toSeq == (0L until 10L))
+    val nDocs = graft.io.Sources.table(spark, sf, "documents").count()
+    assert(rows.map(r => r.getAs[Long]("n_ref") + r.getAs[Long]("n_cur")).sum == nDocs)
+    // the two content-hash halves are draws from the SAME distribution:
+    // total PSI must sit far below the 0.1 "significant shift" bar
+    val psi = rows.map(r => math.abs(r.getAs[Long]("psi_micro"))).sum
+    assert(psi < 100000L, s"PSI $psi micro-units on identically-distributed halves")
+  }
 }
