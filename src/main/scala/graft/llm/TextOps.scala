@@ -306,7 +306,41 @@ object TextOps {
       .orderBy("doc_id", "chunk_id")
   }
 
+  // -------------------------------------------------------------------
+  // ts_hosts: URL parsing + host-level curation (the RefinedWeb
+  // pattern): crawl curation decides per HOST, not per document — a
+  // domain whose pages are mostly low-quality is dropped wholesale.
+  // The corpus has no URL column, so the query PLANTS a deterministic
+  // URL per document (the ts_pii discipline: derived from doc_id,
+  // reproduced verbatim by the oracle — 37 hosts), parses the host
+  // with Spark's codegen'd `parse_url` (the oracle re-derives it
+  // INDEPENDENTLY by path-splitting the same URL string — a parse_url
+  // regression diverges), and aggregates the ts_quality flag per host:
+  // hosts under 50% quality-ok are dropped. One scan → project →
+  // 37-key aggregate; at 100 TB the host key is the natural partition
+  // for every downstream per-domain decision.
+  // -------------------------------------------------------------------
+  private val tsHosts: Q = (s, d) => {
+    val url = concat(lit("https://host"), (col("doc_id") % 37).cast("string"),
+      lit(".example.com/p/"), col("doc_id").cast("string"))
+    val base = table(s, d, "documents")
+      .select(col("doc_id"), col("n_chars"), url.as("url"),
+        size(toks).cast("long").as("n_tokens"), countIn(stopwords).as("n_stop"))
+    val ratio = col("n_stop").cast("double") / col("n_tokens")
+    base
+      .select(parse_url(col("url"), lit("HOST")).as("host"),
+        when(qualityOk(col("n_chars"), ratio), 1L).otherwise(0L).as("ok"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_docs"), sum(col("ok")).as("n_ok"))
+      .select(col("host"), col("n_docs"), col("n_ok"),
+        dround(col("n_ok").cast("double") / col("n_docs"), 4).as("ok_ratio"),
+        when(col("n_ok") * 2 >= col("n_docs"), "keep").otherwise("drop")
+          .as("host_flag"))
+      .orderBy("host")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ts_hosts" -> tsHosts,
     "tx_chunks" -> txChunks,
     "ts_ngram_lm" -> tsNgramLm,
     "ts_perplexity" -> tsPerplexity,
@@ -347,6 +381,27 @@ object TextOps {
        |  FROM sc GROUP BY doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // host re-derived INDEPENDENTLY of parse_url: the planted URL is
+    // rebuilt from doc_id and the authority comes from path-splitting
+    // ('https:', '', host, ...) — element 3 of the '/'-split
+    "ts_hosts" -> {
+      val stop = sqlCountIn(stopwords)
+      s"""WITH u AS (SELECT doc_id, n_chars,
+         |    'https://host' || (doc_id % 37)::VARCHAR || '.example.com/p/'
+         |      || doc_id::VARCHAR AS url,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    $stop AS n_stop
+         |  FROM documents),
+         | q AS (SELECT string_split(url, '/')[3] AS host,
+         |    CASE WHEN n_chars BETWEEN 100 AND 2000
+         |          AND (n_stop::DOUBLE / n_tokens) BETWEEN 0.05 AND 0.6
+         |         THEN 1 ELSE 0 END AS ok
+         |  FROM u)
+         |SELECT host, count(*) AS n_docs, CAST(sum(ok) AS BIGINT) AS n_ok,
+         |  round(sum(ok)::DOUBLE / count(*), 4) AS ok_ratio,
+         |  CASE WHEN sum(ok) * 2 >= count(*) THEN 'keep' ELSE 'drop' END AS host_flag
+         |FROM q GROUP BY host ORDER BY host""".stripMargin
+    },
     // chunk windows re-derived from scratch: starts by generate_series
     // with the same stride, slices clamped to the token count on both
     // sides, md5 over the re-joined chunk text byte-for-byte

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.io.Sources.table
 
@@ -110,9 +111,54 @@ object Graph {
       .orderBy("doc_id")
   }
 
+  // -------------------------------------------------------------------
+  // gr_lpa: label propagation (community detection) — the host-cluster
+  // signal crawl curation samples by (mirror farms and template
+  // networks share a community). Three SYNCHRONOUS rounds: every node
+  // adopts the most frequent label among its undirected neighbors,
+  // ties broken by the smaller label — a total order from integer
+  // counts, so the rounds are deterministic on any partitioning (the
+  // pr_pagerank discipline; async LPA is famously order-dependent and
+  // could never be hash-gated). Per round: one adjacency⋈labels join,
+  // one (node, label) count, one per-node argmax window — all keyed on
+  // node ids.
+  // -------------------------------------------------------------------
+  private val lpaRounds = 3
+  private val grLpa: Q = (s, d) => {
+    val docs = table(s, d, "documents").select(col("doc_id"))
+    val n = docs.agg(count(lit(1)).as("n_nodes"))
+    val nodes = docs.crossJoin(broadcast(n))
+    val u = nodes
+      .select(col("doc_id").as("src"),
+        explode(array(lit(1L), lit(2L), lit(3L))).as("j"), col("n_nodes"))
+      .select(col("src"),
+        pmod(col("src") * 31 + col("j") * 17 + 7, col("n_nodes")).as("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val adj = u.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(u.select(col("b").as("node"), col("a").as("nbr")))
+      .persist()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("lbl"))
+    for (_ <- 1 to lpaRounds) {
+      val counts = adj
+        .join(labels.select(col("doc_id").as("nbr"), col("lbl")), Seq("nbr"))
+        .groupBy("node", "lbl").agg(count(lit(1)).as("c"))
+      val best = counts.withColumn("rk", row_number().over(
+          Window.partitionBy("node").orderBy(desc("c"), asc("lbl"))))
+        .filter(col("rk") === 1)
+        .select(col("node").as("doc_id"), col("lbl"))
+      labels = docs.join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("lbl"))
+    }
+    labels.orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "pr_pagerank" -> prPagerank,
-    "gr_triangles" -> grTriangles)
+    "gr_triangles" -> grTriangles,
+    "gr_lpa" -> grLpa)
 
   // The oracle replays all five rounds as chained CTEs — same planted
   // edges, same integer arithmetic, re-derived end to end in DuckDB.
@@ -132,7 +178,30 @@ object Graph {
        |             (doc_id * 31 + u.j * 17 + 7) % n.n_nodes AS dst
        |           FROM nodes CROSS JOIN n, UNNEST([1, 2, 3]) u(j))""".stripMargin
 
+  private def lpaRoundCte(prev: String, i: Int): String =
+    s""" c$i AS (SELECT adj.node AS doc_id, p.lbl, count(*) AS c
+       |         FROM adj JOIN $prev p ON p.doc_id = adj.nbr
+       |         GROUP BY adj.node, p.lbl),
+       | b$i AS (SELECT doc_id, lbl FROM (
+       |           SELECT *, row_number() OVER (PARTITION BY doc_id
+       |             ORDER BY c DESC, lbl) AS rk FROM c$i) WHERE rk = 1),
+       | l$i AS (SELECT nd.doc_id, coalesce(b.lbl, nd.doc_id) AS lbl
+       |         FROM nodes nd LEFT JOIN b$i b USING (doc_id))""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "gr_lpa" -> {
+      val rounds = (1 to lpaRounds)
+        .map(i => lpaRoundCte(if (i == 1) "l0" else s"l${i - 1}", i))
+        .mkString(",\n")
+      s"""WITH $edgesCte,
+         | u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |       FROM edges WHERE src <> dst),
+         | adj AS (SELECT a AS node, b AS nbr FROM u
+         |         UNION ALL SELECT b, a FROM u),
+         | l0 AS (SELECT doc_id, doc_id AS lbl FROM nodes),
+         |$rounds
+         |SELECT doc_id, lbl FROM l$lpaRounds ORDER BY doc_id""".stripMargin
+    },
     "gr_triangles" ->
       s"""WITH $edgesCte,
          | u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b

@@ -243,6 +243,20 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ts_hosts: complete host partition with flags consistent to the ratio") {
+    val rows = TextOps.queries("ts_hosts")(spark, sf).collect()
+    assert(rows.length == 37) // every planted host appears
+    val nDocs = graft.io.Sources.table(spark, sf, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    rows.foreach { r =>
+      val ok = r.getAs[Long]("n_ok"); val nd = r.getAs[Long]("n_docs")
+      assert(ok <= nd)
+      assert(r.getAs[String]("host_flag") ==
+        (if (ok * 2 >= nd) "keep" else "drop"), r.toString)
+      assert(r.getAs[String]("host").endsWith(".example.com"))
+    }
+  }
+
   test("ann_ivf_upsert: every probe's freshly-upserted twin serves at rank 1") {
     val rows = Similarity.queries("ann_ivf_upsert")(spark, sf).collect()
     val top1 = rows.filter(_.getAs[Int]("rk") == 1)

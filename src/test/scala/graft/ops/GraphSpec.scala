@@ -40,6 +40,24 @@ class GraphSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("label propagation coarsens: fewer communities than nodes, stable under repartition") {
+    val out = Graph.queries("gr_lpa")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val n = out.length
+    val communities = out.map(_._2).distinct.length
+    // three rounds over a degree-~6 graph must merge labels aggressively
+    assert(communities < n / 2, s"$communities communities over $n nodes")
+    assert(communities > 0)
+    // every label is a real node id (labels only ever copy ids)
+    val ids = out.map(_._1).toSet
+    assert(out.forall(kv => ids.contains(kv._2)))
+    val scoped = ScopedSession(spark, "graphspec-lpa-p3",
+      "spark.sql.shuffle.partitions" -> "3")
+    val again = Graph.queries("gr_lpa")(scoped, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(again.toSeq == out.toSeq)
+  }
+
   test("integer ranks are identical under a different partition count") {
     val a = Graph.queries("pr_pagerank")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
