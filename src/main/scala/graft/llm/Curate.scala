@@ -288,20 +288,36 @@ object Curate {
   // under repartitioning and replayable by the oracle. Ranking happens
   // on ln(u)/w QUANTIZED to integer nano-units with doc_id tiebreak, so
   // the cross-engine order is integer-exact, never a float knife-edge.
-  // The global top-k is a rank-filtered empty-partition window: Spark's
-  // WindowGroupLimit pushes the k-filter below the sort, so each
-  // partition forwards at most k candidates to the single merge task —
-  // the scalable global-top-k shape (never a full sort of the corpus).
+  // The global top-k runs in TWO phases: a salted per-group top-k
+  // first — Spark's InferWindowGroupLimit pushes THAT k-filter below
+  // the sort (measured: the rule declines an EMPTY partition spec, so
+  // a naive global rank window would drag the whole corpus through one
+  // task) — then the true global rank over the ≤ salts·k survivors.
+  // The global top-k is a subset of the union of per-salt top-ks, so
+  // the result is identical and the full corpus never converges on a
+  // single task: the scalable global-top-k shape.
   // -------------------------------------------------------------------
   private val weightedK = 50
+  private val weightedSalts = 64L
   private val dsWeighted: Q = (s, d) => {
     val u = (bucket(1000000L) + lit(1)).cast("double") / lit(1000001d)
     val key = dround(log(u) / col("n_chars").cast("double") * lit(1e9), 0).cast("long")
-    table(s, d, "documents")
+    val scored = table(s, d, "documents")
       .select(col("doc_id"), col("n_chars"), key.as("priority_q"))
+    // phase 1: rank filtered over the BARE rank attribute (a cast in
+    // between would defeat the optimizer's pattern match)
+    val perSalt = scored
+      .withColumn("rk1", row_number().over(
+        Window.partitionBy(pmod(col("doc_id"), lit(weightedSalts)))
+          .orderBy(col("priority_q").desc, col("doc_id"))))
+      .filter(col("rk1") <= weightedK)
+      .drop("rk1")
+    perSalt
       .withColumn("rk", row_number().over(
-        Window.orderBy(col("priority_q").desc, col("doc_id"))).cast("long"))
+        Window.orderBy(col("priority_q").desc, col("doc_id"))))
       .filter(col("rk") <= weightedK)
+      .select(col("doc_id"), col("n_chars"), col("priority_q"),
+        col("rk").cast("long").as("rk"))
       .orderBy("rk")
   }
 

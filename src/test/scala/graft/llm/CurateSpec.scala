@@ -163,6 +163,16 @@ class CurateSpec extends AnyFunSuite {
     assert(prios.forall(_ < 0))
   }
 
+  test("ds_weighted phase-1 top-k is pushed below the sort (WindowGroupLimit)") {
+    val df = Curate.queries("ds_weighted")(spark, sf)
+    df.collect()
+    // the salted per-group rank must plan a WindowGroupLimit — the
+    // naive empty-partition global window measurably does not, and
+    // would drag the whole corpus through one sort task
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("ds_weighted favors long documents (length-proportional inclusion)") {
     val picked = Curate.queries("ds_weighted")(spark, sf).collect()
       .map(_.getAs[Long]("n_chars"))
