@@ -303,12 +303,51 @@ object Events {
       .orderBy("user_id", "version")
   }
 
+  /** W14 gap-fill resample (extension): regularize each user's event
+    * series onto an hourly grid with forward fill — the feature-store
+    * prep every time-series model consumes (training frames need
+    * fixed-frequency features, telemetry arrives irregularly). Three
+    * deterministic stages, all partitioned on user_id so the whole op
+    * is ONE shuffle family: (1) per (user, hour) keep the LATEST
+    * observation — a row_number pick by (ts, event_id), never a float
+    * aggregate, so there is nothing to accumulate cross-engine; (2)
+    * explode each user's own [first, last] hour span into the grid
+    * (scan-local from the span aggregate — grid size tracks activity
+    * span, not corpus size); (3) left-join observations onto the grid
+    * and forward-fill via last(ignoreNulls) over the hour order. The
+    * first grid hour always has an observation, so the filled column
+    * is never null. */
+  private val w14Resample: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = table(s, d, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("hour", date_trunc("hour", col("ts")))
+    val pick = Window.partitionBy("user_id", "hour")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val hourly = ev.withColumn("pick", row_number().over(pick))
+      .filter(col("pick") === 1)
+      .select(col("user_id"), col("hour"), col("value"))
+    val grid = ev.groupBy("user_id")
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
+    val fill = Window.partitionBy("user_id").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hour"), "left")
+      .select(col("user_id"), unix_timestamp(col("hour")).as("hour_s"),
+        dround(last(col("value"), ignoreNulls = true).over(fill), 4)
+          .as("value_ffill"),
+        col("value").isNull.as("filled"))
+      .orderBy("user_id", "hour_s")
+  }
+
   val queries: Map[String, Q] = Map(
     "w8_sessions" -> w8Sessions,
     "w9_deltas" -> w9Deltas,
     "w10_funnel" -> w10Funnel,
     "w11_retention" -> w11Retention,
     "w12_scd2" -> w12Scd2,
+    "w14_resample" -> w14Resample,
     "w1_start" -> w1Start,
     "w2_stop" -> w2Stop,
     "w3_crossing" -> w3Crossing,
@@ -344,6 +383,28 @@ object Events {
         |  (lead(t) OVER w IS NULL) AS is_current
         |FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
         |ORDER BY user_id, version""".stripMargin,
+    // Resample twin: same latest-pick, per-user hour grid, and
+    // IGNORE NULLS forward fill in DuckDB's own window engine.
+    "w14_resample" ->
+      """WITH e AS (SELECT user_id, ts, event_id, value,
+        |            date_trunc('hour', ts) AS hour FROM events),
+        | hourly AS (SELECT user_id, hour, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, hour
+        |      ORDER BY ts DESC, event_id DESC) AS pick FROM e)
+        |   WHERE pick = 1),
+        | spans AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1
+        |           FROM e GROUP BY user_id),
+        | grid AS (SELECT user_id,
+        |            unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        |          FROM spans),
+        | j AS (SELECT g.user_id, g.hour, h.value
+        |       FROM grid g LEFT JOIN hourly h USING (user_id, hour))
+        |SELECT user_id, CAST(floor(epoch(hour)) AS BIGINT) AS hour_s,
+        |  round(last_value(value IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+        |    AS value_ffill,
+        |  (value IS NULL) AS filled
+        |FROM j ORDER BY user_id, hour_s""".stripMargin,
     // Independent retention twin: Monday-truncated weeks, integer
     // day-diff // 7 offsets, distinct-user counts re-derived.
     "w11_retention" ->
