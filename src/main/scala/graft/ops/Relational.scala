@@ -388,6 +388,41 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** U5 MERGE (extension): the warehouse upsert — MERGE INTO target
+    * USING updates ON key, WHEN MATCHED AND del THEN DELETE, WHEN
+    * MATCHED THEN UPDATE, WHEN NOT MATCHED THEN INSERT — expressed as
+    * one full-outer join + CASE, the exact dataflow a table format's
+    * MERGE compiles to (Delta/Iceberg add the file-rewrite plumbing on
+    * top; the relational core is this join). The updates batch is
+    * PLANTED deterministically from doc_id (the ts_pii discipline):
+    * every 7th doc gets an update, every 13th a delete (13 beats 7 on
+    * conflict, the declared rule), and 20 fresh ids insert. One
+    * shuffle on the key — at 100 TB this is the partitioned merge
+    * join every CDC-apply job runs; the output row set (op + content
+    * md5 per surviving row) pins delete/update/insert arithmetic
+    * byte-for-byte. */
+  private val u5Merge: Q = (s, d) => {
+    val target = table(s, d, "documents").select(col("doc_id"), col("text"))
+    val updates = target
+      .filter(col("doc_id") % 7 === 0 || col("doc_id") % 13 === 0)
+      .select(col("doc_id"),
+        concat(lit("upd:"), col("text")).as("new_text"),
+        (col("doc_id") % 13 === 0).as("del"))
+      .unionByName(
+        table(s, d, "documents").filter(col("doc_id") < 20)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("new:"), col("doc_id").cast("string")).as("new_text"),
+            lit(false).as("del")))
+    target.join(updates, Seq("doc_id"), "full_outer")
+      .filter(!coalesce(col("del"), lit(false))) // WHEN MATCHED AND del: DELETE
+      .select(col("doc_id"),
+        when(col("new_text").isNull, "keep")
+          .when(col("text").isNull, "insert")
+          .otherwise("update").as("op"),
+        md5(coalesce(col("new_text"), col("text")).cast("binary")).as("content_md5"))
+      .orderBy("doc_id")
+  }
+
   /** X9/X10 timestamp → date, day arithmetic (optimal_pursuit.py:290,446).
     * ship_day is `cast(date).cast(string)` — same `yyyy-MM-dd` output as
     * `date_format` but without its per-row DateTimeFormatter path, which
@@ -428,6 +463,7 @@ object Relational {
     "x_json" -> xJson,
     "u3_intersect" -> u3Intersect,
     "u4_except" -> u4Except,
+    "u5_merge" -> u5Merge,
     "x_recode_clamp" -> xRecodeClamp,
     "x_strings" -> xStrings,
     "x_datetime" -> xDatetime)
@@ -527,6 +563,25 @@ object Relational {
         |UNION ALL
         |SELECT event_id, event_type FROM events WHERE event_type = 'error'
         |ORDER BY event_id""".stripMargin,
+    // MERGE twin: the same planted updates batch, replayed as a full
+    // outer join + CASE — delete wins on the 7∧13 conflict, inserts
+    // carry fresh ids, and the md5 pins the applied content bytes
+    "u5_merge" ->
+      """WITH t AS (SELECT doc_id, text FROM documents),
+        | u AS (SELECT doc_id, 'upd:' || text AS new_text,
+        |         (doc_id % 13 = 0) AS del
+        |       FROM documents WHERE doc_id % 7 = 0 OR doc_id % 13 = 0
+        |       UNION ALL
+        |       SELECT doc_id + 1000000, 'new:' || doc_id::VARCHAR, false
+        |       FROM documents WHERE doc_id < 20)
+        |SELECT coalesce(t.doc_id, u.doc_id) AS doc_id,
+        |  CASE WHEN u.new_text IS NULL THEN 'keep'
+        |       WHEN t.text IS NULL THEN 'insert'
+        |       ELSE 'update' END AS op,
+        |  md5(coalesce(u.new_text, t.text)) AS content_md5
+        |FROM t FULL OUTER JOIN u ON u.doc_id = t.doc_id
+        |WHERE NOT coalesce(u.del, false)
+        |ORDER BY doc_id""".stripMargin,
     "x_math" ->
       """SELECT event_id,
         | round(sqrt(value), 4) AS sq,
