@@ -76,6 +76,41 @@ object Sketches {
       .orderBy("l_returnflag")
   }
 
+  /** HLL set algebra: |clickers ∩ purchasers| by inclusion–exclusion
+    * over THREE conditional HLL++ states built in ONE scan (A, B,
+    * A∪B — `approx_count_distinct` ignores the `when` nulls, so the
+    * union sketch costs nothing extra). This is how sketch stores
+    * answer audience-overlap questions at 100 TB: no join, no distinct
+    * shuffle — constant sketch state per partition, one merge. The
+    * exact intersection (a distinct semi-join, the u3 shape) exists to
+    * be graded: estimates are engine-specific (fixture-dumped), but
+    * the exact side, the inclusion–exclusion arithmetic, and the error
+    * column are all re-derived by the oracle. */
+  private val skSetops: Q = (s, d) => {
+    val e = table(s, d, "events")
+    val est = e.agg(
+        approx_count_distinct(
+          when(col("event_type") === "click", col("user_id")), 0.02).as("n_a"),
+        approx_count_distinct(
+          when(col("event_type") === "purchase", col("user_id")), 0.02).as("n_b"),
+        approx_count_distinct(
+          when(col("event_type").isin("click", "purchase"), col("user_id")), 0.02)
+          .as("n_union"))
+      .persist()
+    Sinks.dumpFixture(est, "sk_setops_est")
+    val exact = e.filter(col("event_type") === "click")
+      .select("user_id").distinct()
+      .join(e.filter(col("event_type") === "purchase")
+        .select("user_id").distinct(), Seq("user_id"), "left_semi")
+      .agg(count(lit(1)).as("x_inter"))
+    est.crossJoin(exact)
+      .select(col("n_a"), col("n_b"), col("n_union"),
+        (col("n_a") + col("n_b") - col("n_union")).as("n_inter"),
+        col("x_inter"),
+        dround(abs(col("n_a") + col("n_b") - col("n_union") - col("x_inter"))
+          .cast("double") / col("x_inter"), 4).as("err_rel"))
+  }
+
   // Planted skew for the heavy-hitter gate (ts_pii precedent): the
   // synthetic events are uniform per user, so every 4th event is routed
   // to one of 3 hot keys — a top-k over 150 near-tied keys would not be
@@ -160,7 +195,8 @@ object Sketches {
     "sk_hll" -> skHll,
     "sk_quantile" -> skQuantile,
     "sk_topk" -> skTopk,
-    "sk_cms" -> skCms)
+    "sk_cms" -> skCms,
+    "sk_setops" -> skSetops)
 
   val oracle: Map[String, String] = Map(
     // exact side recomputed from the raw table; estimates come from the
@@ -174,6 +210,24 @@ object Sketches {
         |SELECT ex.event_type, est.n_approx, ex.n_exact,
         |  round(abs(est.n_approx - ex.n_exact)::DOUBLE / ex.n_exact, 4) AS err_rel
         |FROM ex JOIN est USING (event_type) ORDER BY event_type""".stripMargin,
+    // exact intersection recomputed via DuckDB's own semi-join; the
+    // estimates come from the fixture, but inclusion–exclusion AND the
+    // error column are re-derived — fabricating any of the three
+    // sketch counts breaks the n_inter/err arithmetic
+    "sk_setops" ->
+      """WITH ex AS (
+        |  SELECT count(*) AS x_inter FROM (
+        |    SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        |    INTERSECT
+        |    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')),
+        | est AS (SELECT n_a, n_b, n_union
+        |         FROM read_parquet('/tmp/graft_fixtures/sk_setops_est/*.parquet'))
+        |SELECT est.n_a, est.n_b, est.n_union,
+        |  est.n_a + est.n_b - est.n_union AS n_inter,
+        |  ex.x_inter,
+        |  round(abs(est.n_a + est.n_b - est.n_union - ex.x_inter)::DOUBLE
+        |        / ex.x_inter, 4) AS err_rel
+        |FROM est CROSS JOIN ex""".stripMargin,
     // exact counts for the DUMPED top-k items recomputed from events
     // (the planted hot-key routing replayed verbatim); err re-derived
     "sk_topk" ->

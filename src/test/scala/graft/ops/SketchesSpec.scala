@@ -61,4 +61,15 @@ class SketchesSpec extends AnyFunSuite {
       assert(r.getAs[Double]("p95_err") <= 0.01, r.toString)
     }
   }
+
+  test("HLL inclusion-exclusion lands within the compounded sketch error") {
+    val r = Sketches.queries("sk_setops")(spark, "/root/testdata/sf0.001").head
+    val exact = r.getAs[Long]("x_inter")
+    assert(exact > 0, "corpus should have a click∩purchase audience")
+    // three 2%-rsd sketches compound through the subtraction; 15% is a
+    // loose falsifiable ceiling at these cardinalities
+    assert(r.getAs[Double]("err_rel") <= 0.15, r.toString)
+    // union can never exceed |A| + |B|, and the estimate is integral
+    assert(r.getAs[Long]("n_union") <= r.getAs[Long]("n_a") + r.getAs[Long]("n_b"))
+  }
 }
