@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.io.Sources.table
 
@@ -10,35 +11,63 @@ import graft.io.Sources.table
   * is scanned ONCE into a (word, count) table — vocabulary-sized, not
   * corpus-sized — and all merge learning happens against that table.
   *
-  * Symbol sequences ride as space-delimited strings (" a b c "), so a
-  * merge is one codegen'd `replace(seq, ' a b ', ' ab ')` — and both
-  * Spark and DuckDB define replace() as LEFT-TO-RIGHT NON-OVERLAPPING,
-  * which IS BPE's greedy merge order, so the gate replays bit-exact
-  * (e.g. " a a a " merges to " aa a ", in both engines). Each round:
-  * pair counts (scan-local bigrams over the symbol arrays, integer
-  * sum weighted by word count), argmax with a total-order tiebreak
-  * (count desc, then lexicographic — no float anywhere), then one
-  * broadcast of the single winning row to rewrite the vocab. Ten
-  * rounds here; a production 30k-merge train batches non-conflicting
-  * merges per round, but the per-round dataflow is exactly this.
+  * MERGE SEMANTICS (exact, shared bit-for-bit with the oracle): each
+  * round ranks the not-yet-selected adjacent-symbol pairs by weighted
+  * count (total order: count desc, then lexicographic on the pair) and
+  * adds the top K to the merge table — the standard parallel-BPE batch
+  * trick that turns a 32k-merge train from 32k driver round-trips into
+  * vocabSize/K rounds. Every word's symbol sequence is then rewritten
+  * by ONE left-to-right scan over the SYMBOL ARRAY applying any
+  * accumulated merge, leftmost occurrence first: position i merges
+  * with i+1 iff (sym_i, sym_{i+1}) is a known merge and position i-1
+  * did not itself merge. That scan is canonical BPE greedy merging
+  * when K=1 (one pair per round, all occurrences merged — including
+  * back-to-back disjoint occurrences like "a b a b" → [ab, ab], which
+  * a string-space non-overlapping replace would under-merge); at K>1
+  * it is the documented batched approximation: when two batch pairs
+  * overlap at adjacent positions the LEFT one wins this round, and the
+  * blocked occurrence gets re-merged on a later round's scan because
+  * the merge table is cumulative. A round that finds no fresh pair
+  * selects nothing and leaves the table unchanged — exhaustion is a
+  * structural no-op, not a vocab-destroying edge case.
+  *
+  * The scan is expressed relationally (identically in Spark and the
+  * DuckDB oracle): explode each word into (pos, sym), pair with
+  * lead(sym), mark matches against the broadcast merge table, then
+  * gaps-and-islands + parity picks the left-to-right winners — runs of
+  * k consecutive matched positions merge at even offsets from the run
+  * start, exactly what the sequential scan does — and a sort-ordered
+  * re-concat rebuilds the sequence.
   *
   * Scale shape: the ONLY corpus-wide operation is the initial word
-  * count (one shuffle on word, map-side combined). Pair counting
-  * shuffles keys bounded by symbol-vocabulary², never corpus bytes;
-  * the merge rewrite is map-side (1-row broadcast). Encoding joins
-  * the corpus against the trained vocab — a broadcast, since a BPE
-  * vocab is bounded — and aggregates counts per doc.
+  * count (one shuffle on word, map-side combined). Each round's pair
+  * count, ranking, and rewrite shuffle keys bounded by the VOCABULARY
+  * (words × word length), never corpus bytes; the merge table rides as
+  * a broadcast (a BPE vocab is bounded by construction). Encoding
+  * joins corpus word instances against the trained vocab — broadcast —
+  * and aggregates one integer per doc. localCheckpoint per round (the
+  * dd_cluster CC-loop idiom) truncates the otherwise round-nested
+  * lineage; without it plan stringification alone dominates (measured
+  * in the round-6 string-replace version).
   *
-  * The oracle re-derives ALL ten rounds from scratch in chained CTEs
-  * (the pr_pagerank discipline): same word counts, same pair counts,
-  * same argmax tiebreak, same replace arithmetic — nothing is a
-  * fixture echo.
+  * Two corpora are trained: `bpe_train`/`bpe_encode` run the documents
+  * table to pair exhaustion (31-word synthetic vocab saturates at
+  * ~122 merges — every word collapses to one symbol), and
+  * `bpe_train_rich` runs a md5-derived 10k-word corpus for 12 rounds ×
+  * K=96 = 1,152 merges, demonstrating the ≥1000-merge regime at a
+  * round count 96× smaller than one-merge-per-round. The oracle
+  * re-derives ALL rounds from scratch in chained CTEs (the pr_pagerank
+  * discipline): same word counts, same ranking tiebreak, same
+  * islands-parity rewrite — nothing is a fixture echo.
   */
 object Bpe {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val nMerges = 10
+  private val docRounds = 20
+  private val docK = 8
+  private val richRounds = 12
+  private val richK = 96
 
   /** " a b c " — leading sentinel space + one space after every
     * char, so every symbol is space-delimited on both ends. */
@@ -52,48 +81,97 @@ object Bpe {
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("n"))
 
-  /** Run the merge loop; returns (merges, finalVocab) where merges is
-    * (step, lsym, rsym, cnt) and finalVocab is (word, n, seq) after
-    * all rounds. localCheckpoint per round (the dd_cluster CC-loop
-    * idiom): without it each round's plan nests the previous round's
-    * crossJoin + broadcast, and ten nested AQE stages spend more time
-    * stringifying/replanning the tree than executing it (measured: the
-    * un-truncated chain burned minutes of driver CPU in plan
-    * toString). The checkpoint also bounds recomputation — each round
-    * reads the vocab twice (pair counts + rewrite). */
-  private def train(docs: DataFrame): (DataFrame, DataFrame) = {
-    var seqs = wordCounts(docs)
+  /** The richer train corpus: 12-hex-char md5 prefixes of event ids —
+    * 10k distinct "words" over a 16-symbol alphabet, deterministic and
+    * re-derivable by the oracle, with enough pair diversity to sustain
+    * 96 fresh merges per round for 12 rounds. */
+  private def richWords(events: DataFrame): DataFrame =
+    events
+      .select(substring(md5(col("event_id").cast("string")), 1, 12).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+
+  private val wWord = Window.partitionBy("word").orderBy("pos")
+
+  /** Run the batched merge loop; returns (merges, finalVocab) where
+    * merges is (merge_round, rank, lsym, rsym, cnt) — cnt is the
+    * pair's weighted count at selection time — and finalVocab is
+    * (word, n, seq) after all rounds. */
+  private def train(words: DataFrame, rounds: Int, k: Int): (DataFrame, DataFrame) = {
+    var seqs = words
       .select(col("word"), col("n"), charify(col("word")).as("seq"))
       .localCheckpoint()
     var merges: DataFrame = null
-    for (i <- 1 to nMerges) {
-      val pairs = seqs
-        .select(col("n"), split(trim(col("seq")), " ").as("tk"))
-        .filter(size(col("tk")) >= 2)
-        .select(col("n"), col("tk"),
-          explode(sequence(lit(1), size(col("tk")) - 1)).as("j"))
-        .select(element_at(col("tk"), col("j")).as("lsym"),
-          element_at(col("tk"), col("j") + 1).as("rsym"), col("n"))
-        .groupBy("lsym", "rsym").agg(sum(col("n")).as("cnt"))
-      val best = pairs
-        .orderBy(desc("cnt"), asc("lsym"), asc("rsym")).limit(1)
-        .select(lit(i).cast("long").as("step"),
-          col("lsym"), col("rsym"), col("cnt"))
+    for (i <- 1 to rounds) {
+      val ex = seqs.select(col("word"), col("n"),
+          posexplode(split(trim(col("seq")), " ")).as(Seq("pos", "sym")))
+        .withColumn("nxt", lead(col("sym"), 1).over(wWord))
+      val pairs = ex.filter(col("nxt").isNotNull)
+        .groupBy(col("sym").as("lsym"), col("nxt").as("rsym"))
+        .agg(sum(col("n")).as("cnt"))
+      // fresh candidates only: a pair already in the merge table keeps
+      // merging via the cumulative rewrite but is never re-selected
+      val cand =
+        if (merges == null) pairs
+        else pairs.join(merges.select("lsym", "rsym"), Seq("lsym", "rsym"), "left_anti")
+      // global rank over the candidate pairs — a single-partition sort
+      // of a VOCAB-bounded relation (symbol-pair universe, a few
+      // thousand rows), the same driver-adjacent cost every BPE
+      // trainer pays to argmax the count table
+      val batch = cand
+        .withColumn("rank",
+          row_number().over(Window.orderBy(desc("cnt"), asc("lsym"), asc("rsym"))))
+        .filter(col("rank") <= k)
+        .select(lit(i).cast("long").as("merge_round"),
+          col("rank").cast("long").as("rank"), col("lsym"), col("rsym"), col("cnt"))
         .localCheckpoint()
-      merges = if (merges == null) best else merges.unionByName(best)
-      seqs = seqs.crossJoin(broadcast(best.select("lsym", "rsym")))
-        .select(col("word"), col("n"),
-          expr("replace(seq, concat(' ', lsym, ' ', rsym, ' '), " +
-            "concat(' ', lsym, rsym, ' '))").as("seq"))
+      merges = if (merges == null) batch else merges.unionByName(batch)
+      // one left-to-right scan applying the ACCUMULATED merge table
+      val mAll = merges.select(col("lsym"), col("rsym"))
+      val matched = ex.join(broadcast(mAll),
+          ex("sym") === mAll("lsym") && ex("nxt") === mAll("rsym"), "left")
+        .select(col("word"), col("n"), col("pos"), col("sym"), col("nxt"),
+          col("lsym").isNotNull.as("m"))
+      // islands of consecutive matched positions; within an island the
+      // sequential scan merges at even offsets from the island start
+      val isl = matched.withColumn("isl",
+        when(col("m"),
+          col("pos") - row_number().over(Window.partitionBy("word", "m").orderBy("pos"))))
+      val st = isl.withColumn("st",
+        col("m") &&
+          (row_number().over(Window.partitionBy("word", "m", "isl").orderBy("pos")) % 2 === 1))
+      val rewritten = st
+        .withColumn("prev_st", lag(col("st"), 1).over(wWord))
+        .select(col("word"), col("n"), col("pos"),
+          when(col("st"), concat(col("sym"), col("nxt")))
+            .when(col("prev_st"), lit(null))
+            .otherwise(col("sym")).as("sym2"))
+      seqs = rewritten.filter(col("sym2").isNotNull)
+        .groupBy("word", "n")
+        .agg(concat(lit(" "),
+          array_join(
+            expr("transform(array_sort(collect_list(struct(pos, sym2))), x -> x.sym2)"),
+            " "),
+          lit(" ")).as("seq"))
         .localCheckpoint()
     }
     (merges, seqs)
   }
 
-  /** bpe_train: the learned merge table — one row per round with the
-    * pair's weighted count at selection time. */
+  private def trainOut(merges: DataFrame): DataFrame =
+    merges.select(
+        row_number().over(Window.orderBy("merge_round", "rank")).cast("long").as("step"),
+        col("merge_round"), col("lsym"), col("rsym"), col("cnt"))
+      .orderBy("step")
+
+  /** bpe_train: the learned merge table over the documents corpus —
+    * run to pair exhaustion (the tail rounds select nothing). */
   private val bpeTrain: Q = (s, d) =>
-    train(table(s, d, "documents").select("text"))._1.orderBy("step")
+    trainOut(train(wordCounts(table(s, d, "documents").select("text")), docRounds, docK)._1)
+
+  /** bpe_train_rich: the ≥1000-merge regime — 12 rounds × 96 merges
+    * over the md5-derived corpus, per-round cost still vocab-resident. */
+  private val bpeTrainRich: Q = (s, d) =>
+    trainOut(train(richWords(table(s, d, "events")), richRounds, richK)._1)
 
   /** bpe_encode: tokenize the corpus with the trained merges. Word
     * instances join the encoded VOCAB (broadcast — vocabulary-sized),
@@ -101,7 +179,7 @@ object Bpe {
     * are one integer aggregation. */
   private val bpeEncode: Q = (s, d) => {
     val docs = table(s, d, "documents")
-    val enc = train(docs.select("text"))._2
+    val enc = train(wordCounts(docs.select("text")), docRounds, docK)._2
       .select(col("word"),
         size(split(trim(col("seq")), " ")).cast("long").as("n_syms"))
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
@@ -114,53 +192,94 @@ object Bpe {
 
   val queries: Map[String, Q] = Map(
     "bpe_train" -> bpeTrain,
+    "bpe_train_rich" -> bpeTrainRich,
     "bpe_encode" -> bpeEncode)
 
   // ---------------------------------------------------------------
-  // Oracle: the ten rounds as chained CTEs, re-derived from scratch.
+  // Oracle: every round re-derived from scratch in chained CTEs —
+  // identical ranking, identical islands-parity rewrite.
   // ---------------------------------------------------------------
-  private def roundCte(prev: String, i: Int): String =
-    s""" pc$i AS (SELECT tk[g.j] AS lsym, tk[g.j+1] AS rsym,
-       |            CAST(sum(n) AS BIGINT) AS cnt
-       |          FROM (SELECT n, string_split(trim(seq), ' ') AS tk FROM $prev) t,
-       |               LATERAL unnest(generate_series(1, len(tk) - 1)) g(j)
-       |          GROUP BY lsym, rsym),
-       | m$i AS (SELECT lsym, rsym, cnt FROM pc$i
-       |         ORDER BY cnt DESC, lsym, rsym LIMIT 1),
-       | s$i AS (SELECT word, n,
-       |           replace(seq, ' ' || m$i.lsym || ' ' || m$i.rsym || ' ',
-       |                        ' ' || m$i.lsym || m$i.rsym || ' ') AS seq
-       |         FROM $prev CROSS JOIN m$i)""".stripMargin
+  private def roundCtes(i: Int, k: Int): String =
+    s""" e$i AS MATERIALIZED (SELECT word, n, pos, sym,
+       |           lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+       |         FROM (SELECT word, n, g.j AS pos, tk[g.j] AS sym
+       |               FROM (SELECT word, n, string_split(trim(seq), ' ') AS tk
+       |                     FROM s${i - 1}) t,
+       |                    LATERAL unnest(generate_series(1, len(tk))) g(j))),
+       | p$i AS (SELECT sym AS lsym, nxt AS rsym, CAST(sum(n) AS BIGINT) AS cnt
+       |         FROM e$i WHERE nxt IS NOT NULL GROUP BY 1, 2),
+       | b$i AS MATERIALIZED (SELECT CAST($i AS BIGINT) AS merge_round,
+       |           CAST(rank AS BIGINT) AS rank, lsym, rsym, cnt
+       |         FROM (SELECT c.*,
+       |                 row_number() OVER (ORDER BY cnt DESC, lsym, rsym) AS rank
+       |               FROM (SELECT p.* FROM p$i p
+       |                     LEFT JOIN m${i - 1} mm
+       |                       ON p.lsym = mm.lsym AND p.rsym = mm.rsym
+       |                     WHERE mm.lsym IS NULL) c)
+       |         WHERE rank <= $k),
+       | m$i AS MATERIALIZED (SELECT lsym, rsym FROM m${i - 1}
+       |         UNION ALL SELECT lsym, rsym FROM b$i),
+       | g$i AS (SELECT e.word, e.n, e.pos, e.sym, e.nxt,
+       |           (mm.lsym IS NOT NULL) AS m
+       |         FROM e$i e LEFT JOIN m$i mm
+       |           ON e.sym = mm.lsym AND e.nxt = mm.rsym),
+       | h$i AS (SELECT *, CASE WHEN m THEN
+       |           pos - row_number() OVER (PARTITION BY word, m ORDER BY pos)
+       |         END AS isl FROM g$i),
+       | f$i AS (SELECT *, m AND
+       |           (row_number() OVER (PARTITION BY word, m, isl ORDER BY pos) % 2 = 1)
+       |           AS st FROM h$i),
+       | n$i AS (SELECT word, n, pos,
+       |           CASE WHEN st THEN sym || nxt
+       |                WHEN lag(st) OVER (PARTITION BY word ORDER BY pos) THEN NULL
+       |                ELSE sym END AS sym2
+       |         FROM f$i),
+       | s$i AS MATERIALIZED (SELECT word, n,
+       |           ' ' || string_agg(sym2, ' ' ORDER BY pos) || ' ' AS seq
+       |         FROM n$i WHERE sym2 IS NOT NULL GROUP BY word, n)""".stripMargin
 
-  private def trainChain: String = {
-    val rounds = (1 to nMerges)
-      .map(i => roundCte(if (i == 1) "s0" else s"s${i - 1}", i))
-      .mkString(",\n")
-    s"""WITH w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS n
-       |            FROM (SELECT unnest(string_split(text, ' ')) AS word
-       |                  FROM documents)
-       |            WHERE length(word) > 0 GROUP BY word),
+  /** w0Sql must yield (word, n BIGINT). */
+  private def trainChain(w0Sql: String, rounds: Int, k: Int): String = {
+    val cte = (1 to rounds).map(roundCtes(_, k)).mkString(",\n")
+    s"""WITH w0 AS ($w0Sql),
+       | m0 AS (SELECT CAST(NULL AS VARCHAR) AS lsym,
+       |               CAST(NULL AS VARCHAR) AS rsym WHERE 1 = 0),
        | s0 AS (SELECT word, n,
        |          ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq
        |        FROM w0),
-       |$rounds""".stripMargin
+       |$cte""".stripMargin
   }
 
+  private def trainSelect(rounds: Int): String = {
+    val union = (1 to rounds).map(i => s"SELECT * FROM b$i").mkString("\n UNION ALL ")
+    s"""SELECT CAST(row_number() OVER (ORDER BY merge_round, rank) AS BIGINT) AS step,
+       |  merge_round, lsym, rsym, cnt
+       |FROM ($union)
+       |ORDER BY step""".stripMargin
+  }
+
+  private val docW0 =
+    """SELECT word, CAST(count(*) AS BIGINT) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |WHERE length(word) > 0 GROUP BY word""".stripMargin
+
+  private val richW0 =
+    """SELECT substr(md5(CAST(event_id AS VARCHAR)), 1, 12) AS word,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM events GROUP BY 1""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "bpe_train" -> {
-      val union = (1 to nMerges)
-        .map(i => s"SELECT CAST($i AS BIGINT) AS step, lsym, rsym, cnt FROM m$i")
-        .mkString("\n UNION ALL ")
-      s"""$trainChain
-         |SELECT step, lsym, rsym, cnt FROM (
-         | $union)
-         |ORDER BY step""".stripMargin
-    },
+    "bpe_train" ->
+      s"""${trainChain(docW0, docRounds, docK)}
+         |${trainSelect(docRounds)}""".stripMargin,
+    "bpe_train_rich" ->
+      s"""${trainChain(richW0, richRounds, richK)}
+         |${trainSelect(richRounds)}""".stripMargin,
     "bpe_encode" ->
-      s"""$trainChain,
+      s"""${trainChain(docW0, docRounds, docK)},
          | enc AS (SELECT word,
          |           CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS n_syms
-         |         FROM s$nMerges),
+         |         FROM s$docRounds),
          | inst AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
          |          FROM documents)
          |SELECT doc_id, count(*) AS n_words,

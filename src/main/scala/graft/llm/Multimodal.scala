@@ -22,12 +22,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * resampled fingerprints from scratch — a wrong decode, a dropped
   * channel, or an off-by-one in the resample all diverge the hashes.
   *
-  * AUDIO/VIDEO rows remain a DECLARED deterministic fake at the decode
-  * step (the JDK ships no MP3/PCM-container/H264 codec and this
-  * environment has no external codec libraries): features derive from
-  * the raw payload bytes. The Spark-side shape — schema, per-partition
-  * codec init, fixed-width feature vector, bounded frame fanout — is
-  * identical to production and is what the tests pin:
+  * AUDIO rows are REAL too: the demo corpus carries genuine RIFF/WAVE
+  * containers (44-byte canonical header + 16-bit little-endian PCM over
+  * deterministic samples), the feature paths DECODE them through the
+  * JDK's own codec (`javax.sound.sampled.AudioSystem` — the same
+  * standard-library discipline as the ImageIO move), and because the
+  * samples derive from id arithmetic alone (FNV-1a of "a:id:j", low 16
+  * bits, offset to signed) and PCM is lossless, the DuckDB oracle
+  * regenerates every sample INDEPENDENTLY and recomputes the features
+  * from scratch — a wrong decode, an endianness slip, or an off-by-one
+  * in the windowing all diverge the hashes.
+  *
+  * VIDEO rows remain a DECLARED deterministic fake at the decode step
+  * (the JDK ships no H264/container codec and this environment has no
+  * external codec libraries): features derive from the raw payload
+  * bytes. The Spark-side shape — schema, per-partition codec init,
+  * fixed-width feature vector, bounded frame fanout — is identical to
+  * production and is what the tests pin:
   *  - schema: (media_id, kind, bytes BINARY, meta STRUCT) — parquet-
   *    friendly, splittable, column-prunable (a metadata-only query never
   *    reads the payload bytes);
@@ -50,6 +61,54 @@ object Multimodal {
     * replay build from. */
   private[llm] def fnvByte(key: String): Int =
     (TextHashKernels.rollingHash(UTF8String.fromString(key)) & 0xff).toInt
+
+  /** FNV-derived signed 16-bit sample — low 16 bits of the fold, offset
+    * to [-32768, 32767]. The oracle replays it as
+    * `fnvFoldSql(...) % 65536 - 32768`. */
+  private[llm] def fnvSample(key: String): Int =
+    (TextHashKernels.rollingHash(UTF8String.fromString(key)) & 0xffff).toInt - 32768
+
+  /** Samples of demo audio `id`: sample j is FNV("a:id:j") as signed
+    * 16-bit — shared by the WAV encoder and the round-trip spec. */
+  private[llm] def audioSamples(id: Long, n: Int): Array[Int] =
+    Array.tabulate(n)(j => fnvSample(s"a:$id:$j"))
+
+  /** A REAL RIFF/WAVE payload: canonical 44-byte header (PCM, mono,
+    * 16 kHz, 16-bit little-endian) + the deterministic samples. WAV is
+    * lossless, so decoding MUST reproduce exactly these values — the
+    * property the oracle exploits to verify the decode without trusting
+    * it (the encodePng pattern). */
+  private[llm] def encodeWav(id: Long, nSamples: Int, sampleRate: Int = 16000): Array[Byte] = {
+    val dataSize = nSamples * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    audioSamples(id, nSamples).foreach(s => buf.putShort(s.toShort))
+    buf.array()
+  }
+
+  /** REAL audio decode through the JDK codec: AudioSystem parses the
+    * RIFF container and hands back the PCM frames; we require the
+    * 16-bit little-endian mono format the corpus declares and rebuild
+    * the signed samples. */
+  private[llm] def decodeWav(bytes: Array[Byte]): Array[Int] = {
+    val in = javax.sound.sampled.AudioSystem
+      .getAudioInputStream(new ByteArrayInputStream(bytes))
+    val fmt = in.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+      s"expected 16-bit mono little-endian PCM, got $fmt")
+    val raw = in.readAllBytes()
+    Array.tabulate(raw.length / 2)(j => ((raw(2 * j) & 0xff) | (raw(2 * j + 1) << 8)))
+  }
 
   /** A real PNG payload over deterministic pixels: channel (x, y, c) of
     * image `id` is FNV("id:x:y:c") mod 256. PNG is lossless, so decoding
@@ -74,8 +133,9 @@ object Multimodal {
     baos.toByteArray
   }
 
-  /** Deterministic demo corpus: image rows carry real PNGs; audio/video
-    * payloads are seeded pseudo-bytes (no codec in the JDK to target). */
+  /** Deterministic demo corpus: image rows carry real PNGs, audio rows
+    * real RIFF/WAVE PCM (meta.nFrames = sample count); video payloads
+    * are seeded pseudo-bytes (no H264 codec in the JDK to target). */
   def demoMedia(spark: SparkSession, n: Int = 64): Dataset[Media] = {
     import spark.implicits._
     spark.createDataset((0 until n).map { i =>
@@ -86,13 +146,15 @@ object Multimodal {
           val w = 24 + i % 16
           val h = 16 + i % 12
           Media(i.toLong, kind, encodePng(i.toLong, w, h), MediaMeta(w, h, 0, 1))
+        case "audio" =>
+          // 2-5 windows of 256 samples, incl. a partial tail window
+          val nSamples = 600 + (i * 37) % 512
+          Media(i.toLong, kind, encodeWav(i.toLong, nSamples),
+            MediaMeta(0, 0, 16000, nSamples))
         case _ =>
           val len = 256 + (i * 37) % 512
           val bytes = Array.tabulate[Byte](len)(j => fnvByte(s"$i:$j").toByte)
-          val meta =
-            if (kind == "audio") MediaMeta(0, 0, 16000, 0)
-            else MediaMeta(320, 240, 0, 8 + i % 24)
-          Media(i.toLong, kind, bytes, meta)
+          Media(i.toLong, kind, bytes, MediaMeta(320, 240, 0, 8 + i % 24))
       }
     })
   }
@@ -141,9 +203,22 @@ object Multimodal {
       Array.tabulate(8)(k => (hist(2 * k) + hist(2 * k + 1)).toFloat / nv))
   }
 
-  /** Audio/video: DECLARED deterministic fake decode (no codec libs in
-    * the JDK/environment) — the same feature shape over the raw payload
-    * bytes instead of decoded samples. */
+  /** REAL audio decode: AudioSystem reads the WAV payload and the
+    * features come from the decoded 16-bit samples — 16-bin histogram
+    * over (sample + 32768) >> 12, same entropy + bin-pair density shape
+    * as images. `n_bytes` stays the ENCODED payload size (container +
+    * PCM); entropy/features are over the nFrames decoded samples. */
+  private def audioFeatures(m: Media): MediaFeatures = {
+    val samples = decodeWav(m.bytes)
+    val hist = new Array[Int](16)
+    samples.foreach(s => hist((s + 32768) >> 12) += 1)
+    MediaFeatures(m.media_id, m.kind, m.bytes.length, entropyOf(hist, samples.length),
+      Array.tabulate(8)(k => (hist(2 * k) + hist(2 * k + 1)).toFloat / samples.length))
+  }
+
+  /** Video: DECLARED deterministic fake decode (no H264/container codec
+    * in the JDK/environment) — the same feature shape over the raw
+    * payload bytes instead of decoded frames. */
   private def byteFeatures(m: Media): MediaFeatures = {
     val hist = new Array[Int](16)
     m.bytes.foreach(b => hist((b & 0xff) >> 4) += 1)
@@ -162,7 +237,42 @@ object Multimodal {
   def extractFeatures(spark: SparkSession, media: Dataset[Media]): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { it =>
-      it.map(m => if (m.kind == "image") imageFeatures(m) else byteFeatures(m))
+      it.map {
+        case m if m.kind == "image" => imageFeatures(m)
+        case m if m.kind == "audio" => audioFeatures(m)
+        case m => byteFeatures(m)
+      }
+    }
+  }
+
+  final case class AudioWindow(media_id: Long, win_idx: Int, n_samples: Long,
+      rms: Double, peak: Long, zcr: Long)
+
+  /** Windowed audio features over the REAL decode: per 256-sample frame
+    * window, RMS, absolute peak, and zero-crossing count (strict sign
+    * flips between consecutive samples WITHIN the window — boundary
+    * pairs belong to no window, so the windowing is unambiguous). The
+    * per-partition decode batches codec init exactly like the image
+    * paths; the fanout is bounded (nFrames / 256 windows per row). */
+  def audioWindowFeatures(spark: SparkSession, media: Dataset[Media],
+      window: Int = 256): Dataset[AudioWindow] = {
+    import spark.implicits._
+    media.filter(_.kind == "audio").mapPartitions { it =>
+      it.flatMap { m =>
+        val s = decodeWav(m.bytes)
+        s.indices.grouped(window).zipWithIndex.map { case (idx, w) =>
+          var sumSq = 0L
+          var peak = 0L
+          var zcr = 0L
+          idx.foreach { j =>
+            sumSq += s(j).toLong * s(j)
+            peak = math.max(peak, math.abs(s(j)).toLong)
+            if (j > idx.head && s(j - 1) * s(j) < 0) zcr += 1
+          }
+          AudioWindow(m.media_id, w, idx.size.toLong,
+            math.sqrt(sumSq.toDouble / idx.size), peak, zcr)
+        }
+      }
     }
   }
 
@@ -358,6 +468,16 @@ object Multimodal {
         .orderBy("media_id")),
     "mm_frame_sample" -> ((s, _) =>
       sampleFrames(s, demoMedia(s)).toDF().orderBy("media_id", "frame_idx")),
+    // windowed features over the REAL WAV decode; the oracle regenerates
+    // every sample from id arithmetic and replays the windowing — rms is
+    // sqrt over an EXACT integer sum of squares, peak/zcr pure integers,
+    // so only the final rounding touches floating point
+    "mm_audio_features" -> ((s, _) =>
+      audioWindowFeatures(s, demoMedia(s)).toDF()
+        .select(col("media_id"), col("win_idx"), col("n_samples"),
+          graft.functions.Numeric.dround(col("rms"), 4).as("rms"),
+          col("peak"), col("zcr"))
+        .orderBy("media_id", "win_idx")),
     "mm_meta_stats" -> ((s, _) => metaStats(demoMedia(s))),
     // size contract (out bytes = out_w·out_h·3, independent of input
     // size) PLUS a content fingerprint: md5 over the hex of the raw RGB
@@ -425,7 +545,7 @@ object Multimodal {
     * anything but the true pixels would shift the histogram and go red. */
   val oracle: Map[String, String] = Map(
     "mm_features" ->
-      s"""WITH m AS (SELECT media_id, kind, width, height, n_bytes
+      s"""WITH m AS (SELECT media_id, kind, width, height, nFrames, n_bytes
          |           FROM read_parquet('/tmp/graft_fixtures/demo_media_meta/*.parquet')),
          | imgv AS (
          |  SELECT m.media_id,
@@ -434,12 +554,18 @@ object Multimodal {
          |       LATERAL unnest(generate_series(0, m.height - 1)) y(y),
          |       LATERAL unnest([0, 1, 2]) c(c)
          |  WHERE m.kind = 'image'),
-         | avv AS (
+         | audv AS (
+         |  SELECT m.media_id,
+         |   (${TextHashes.fnvFoldSql("'a:' || m.media_id || ':' || t.j")} % 65536) // 256 AS v
+         |  FROM m, LATERAL unnest(generate_series(0, m.nFrames - 1)) t(j)
+         |  WHERE m.kind = 'audio'),
+         | vidv AS (
          |  SELECT m.media_id,
          |   ${TextHashes.fnvFoldSql("m.media_id || ':' || t.j")} % 256 AS v
          |  FROM m, LATERAL unnest(generate_series(0, m.n_bytes::INT - 1)) t(j)
-         |  WHERE m.kind <> 'image'),
-        | vals AS (SELECT * FROM imgv UNION ALL SELECT * FROM avv),
+         |  WHERE m.kind = 'video'),
+        | vals AS (SELECT * FROM imgv UNION ALL SELECT * FROM audv
+        |          UNION ALL SELECT * FROM vidv),
         | denom AS (SELECT media_id, count(*)::BIGINT AS nv FROM vals GROUP BY media_id),
         | hist AS (
         |  SELECT media_id, (v // 16)::INT AS bin, count(*)::BIGINT AS c
@@ -462,6 +588,27 @@ object Multimodal {
       """SELECT kind, count(*) AS n, max(width) AS max_w, max(nFrames) AS max_frames
         |FROM read_parquet('/tmp/graft_fixtures/demo_media_meta/*.parquet')
         |GROUP BY kind ORDER BY kind""".stripMargin,
+    // sample-exact replay of the WAV decode + windowing: samples from
+    // the id arithmetic (low 16 FNV bits, signed offset), windows of
+    // 256, rms over the exact integer sum of squares, zero-crossings
+    // via lag bounded to the window (j % 256 <> 0)
+    "mm_audio_features" ->
+      s"""WITH m AS (SELECT media_id, nFrames
+         |           FROM read_parquet('/tmp/graft_fixtures/demo_media_meta/*.parquet')
+         |           WHERE kind = 'audio'),
+         | s AS (
+         |  SELECT m.media_id, t.j,
+         |   ((${TextHashes.fnvFoldSql("'a:' || m.media_id || ':' || t.j")} % 65536) - 32768)::BIGINT AS v
+         |  FROM m, LATERAL unnest(generate_series(0, m.nFrames - 1)) t(j)),
+        | sl AS (SELECT *, (j // 256)::INT AS win_idx,
+        |          lag(v) OVER (PARTITION BY media_id ORDER BY j) AS pv
+        |        FROM s)
+        |SELECT media_id, win_idx, count(*)::BIGINT AS n_samples,
+        |  round(sqrt(sum(v * v)::DOUBLE / count(*)), 4) AS rms,
+        |  max(abs(v)) AS peak,
+        |  CAST(sum(CASE WHEN j % 256 <> 0 AND pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zcr
+        |FROM sl GROUP BY media_id, win_idx
+        |ORDER BY media_id, win_idx""".stripMargin,
     // full content verification of decode + resample: regenerate the
     // SOURCE pixels from id arithmetic, replay the exact integer
     // bilinear (denominators 2·16=32 / 2·12=24, half-up over 768), and

@@ -175,9 +175,17 @@ object Layout {
   // -------------------------------------------------------------------
   private val compactTargetBytes = 512L * 1024
   private val fsCompact: Q = (s, d) => {
-    val key = d.replaceAll("[^A-Za-z0-9._-]", "_")
-    val frag = s"/tmp/graft_compact/$key/events_fragmented.parquet"
-    val out = s"/tmp/graft_compact/$key/events_compacted.parquet"
+    // Working-dir key: sanitized basename PLUS a hash of the raw path
+    // (the ivfIndexPath precedent) so distinct datasets like 'a/b' and
+    // 'a_b' cannot collide after sanitization, and the root is
+    // pid-scoped (the StreamQueries checkpoint discipline) so two
+    // concurrent JVMs compacting the same dataset never read each
+    // other's half-overwritten fragment/compacted copies.
+    val key = d.replaceAll("[^A-Za-z0-9._-]", "_") +
+      f"_${d.hashCode & 0x7fffffff}%08x"
+    val root = s"/tmp/graft_compact/pid_${ProcessHandle.current().pid()}/$key"
+    val frag = s"$root/events_fragmented.parquet"
+    val out = s"$root/events_compacted.parquet"
     table(s, d, "events").repartition(64).write.mode("overwrite").parquet(frag)
     val scoped = ScopedSession(s, "compact",
       "spark.sql.files.maxPartitionBytes" -> compactTargetBytes.toString,

@@ -103,12 +103,18 @@ object Sketches {
       .join(e.filter(col("event_type") === "purchase")
         .select("user_id").distinct(), Seq("user_id"), "left_semi")
       .agg(count(lit(1)).as("x_inter"))
+    // err_rel divides by the exact intersection; on a corpus where the
+    // click∩purchase audience is empty Spark would produce Inf/NaN while
+    // DuckDB errors differently — guard with nullif semantics on BOTH
+    // sides so an empty overlap yields a clean null, not divergence.
     est.crossJoin(exact)
       .select(col("n_a"), col("n_b"), col("n_union"),
         (col("n_a") + col("n_b") - col("n_union")).as("n_inter"),
         col("x_inter"),
         dround(abs(col("n_a") + col("n_b") - col("n_union") - col("x_inter"))
-          .cast("double") / col("x_inter"), 4).as("err_rel"))
+          .cast("double") /
+          when(col("x_inter") === 0, lit(null)).otherwise(col("x_inter")),
+          4).as("err_rel"))
   }
 
   // Planted skew for the heavy-hitter gate (ts_pii precedent): the
@@ -226,7 +232,7 @@ object Sketches {
         |  est.n_a + est.n_b - est.n_union AS n_inter,
         |  ex.x_inter,
         |  round(abs(est.n_a + est.n_b - est.n_union - ex.x_inter)::DOUBLE
-        |        / ex.x_inter, 4) AS err_rel
+        |        / nullif(ex.x_inter, 0), 4) AS err_rel
         |FROM est CROSS JOIN ex""".stripMargin,
     // exact counts for the DUMPED top-k items recomputed from events
     // (the planted hot-key routing replayed verbatim); err re-derived

@@ -58,6 +58,42 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("WAV payloads decode back to the exact generated samples (lossless round-trip)") {
+    // the audio analog of the PNG property: samples derive from id
+    // arithmetic, PCM is lossless, so the AudioSystem decode must
+    // reproduce them — this pins that the decode is REAL (a byte-level
+    // fake would see the RIFF header and mangled interleaving)
+    val m = Multimodal.demoMedia(spark).collect().find(_.kind == "audio").get
+    assert(m.bytes.length == 44 + 2 * m.meta.nFrames) // canonical header
+    val decoded = Multimodal.decodeWav(m.bytes)
+    val want = Multimodal.audioSamples(m.media_id, m.meta.nFrames)
+    assert(decoded.length == want.length)
+    assert(decoded.sameElements(want), "decoded samples diverged from the generator")
+    assert(decoded.exists(_ < 0) && decoded.exists(_ > 0), "signed range must be exercised")
+  }
+
+  test("audio window features: window fanout, partial tail, and hand-checked zcr/peak") {
+    val media = Multimodal.demoMedia(spark)
+    val wins = Multimodal.audioWindowFeatures(spark, media).collect()
+    val audio = media.collect().filter(_.kind == "audio")
+    // every audio row fans out to ceil(nFrames / 256) windows
+    val byId = wins.groupBy(_.media_id)
+    audio.foreach { m =>
+      val ws = byId(m.media_id).sortBy(_.win_idx)
+      assert(ws.length == (m.meta.nFrames + 255) / 256)
+      assert(ws.map(_.n_samples).sum == m.meta.nFrames)
+      ws.init.foreach(w => assert(w.n_samples == 256L))
+      // recompute window 0 by hand from the generator samples
+      val s = Multimodal.audioSamples(m.media_id, m.meta.nFrames).take(256)
+      val peak = s.map(math.abs).max.toLong
+      val zcr = s.indices.tail.count(j => s(j - 1) * s(j) < 0).toLong
+      val rms = math.sqrt(s.map(v => v.toLong * v).sum.toDouble / s.length)
+      val w0 = ws.head
+      assert(w0.peak == peak && w0.zcr == zcr && math.abs(w0.rms - rms) < 1e-9,
+        s"window 0 mismatch for ${m.media_id}")
+    }
+  }
+
   test("bilinear kernel: weights sum exactly (constant image → constant output)") {
     val img = new java.awt.image.BufferedImage(33, 21,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
