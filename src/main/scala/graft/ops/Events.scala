@@ -316,7 +316,31 @@ object Events {
     * span, not corpus size); (3) left-join observations onto the grid
     * and forward-fill via last(ignoreNulls) over the hour order. The
     * first grid hour always has an observation, so the filled column
-    * is never null. */
+    * is never null.
+    *
+    * SPAN GUARD (VERDICT r7 next §5): "grid tracks activity span" has
+    * one pathological input — a single user with a years-long sparse
+    * span explodes `sequence(h0, h1)` into millions of rows. Spans
+    * wider than [[w14MaxSpanHours]] are excluded from the grid and
+    * routed to a dead-letter relation instead (the S4 pattern: bad
+    * units become error rows, never a blown-up stage), mirrored in the
+    * oracle so the gate stays exact on any data. */
+  private[ops] val w14MaxSpanHours = 24L * 365
+
+  /** (resampled grid input spans, dead-letter overflow rows). */
+  private[ops] def w14Spans(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val spans = table(s, d, "events")
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .groupBy("user_id")
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .withColumn("span_hours",
+        expr("(unix_timestamp(h1) - unix_timestamp(h0)) div 3600"))
+    (spans.filter(col("span_hours") <= w14MaxSpanHours),
+      spans.filter(col("span_hours") > w14MaxSpanHours)
+        .select(col("user_id"), col("span_hours"),
+          lit("span_exceeds_cap").as("reason")))
+  }
+
   private val w14Resample: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val ev = table(s, d, "events")
@@ -327,8 +351,7 @@ object Events {
     val hourly = ev.withColumn("pick", row_number().over(pick))
       .filter(col("pick") === 1)
       .select(col("user_id"), col("hour"), col("value"))
-    val grid = ev.groupBy("user_id")
-      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+    val grid = w14Spans(s, d)._1
       .select(col("user_id"),
         explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
     val fill = Window.partitionBy("user_id").orderBy("hour")
@@ -393,7 +416,8 @@ object Events {
         |      ORDER BY ts DESC, event_id DESC) AS pick FROM e)
         |   WHERE pick = 1),
         | spans AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1
-        |           FROM e GROUP BY user_id),
+        |           FROM e GROUP BY user_id
+        |           HAVING date_diff('hour', min(hour), max(hour)) <= 8760),
         | grid AS (SELECT user_id,
         |            unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
         |          FROM spans),
