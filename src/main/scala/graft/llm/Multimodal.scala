@@ -33,12 +33,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * from scratch — a wrong decode, an endianness slip, or an off-by-one
   * in the windowing all diverge the hashes.
   *
-  * VIDEO rows remain a DECLARED deterministic fake at the decode step
-  * (the JDK ships no H264/container codec and this environment has no
-  * external codec libraries): features derive from the raw payload
-  * bytes. The Spark-side shape — schema, per-partition codec init,
-  * fixed-width feature vector, bounded frame fanout — is identical to
-  * production and is what the tests pin:
+  * VIDEO rows are REAL as well: the demo corpus carries
+  * standards-compliant uncompressed-DIB RIFF/AVI containers (hdrl +
+  * 'vids'/'DIB ' stream, BI_RGB BITMAPINFOHEADER, movi '00db' frames
+  * in the DIB wire format — bottom-up rows, BGR order, 4-byte row
+  * padding, which the varying 15-18px widths force onto the padded
+  * path — plus idx1), demuxed by [[decodeAvi]], a real container
+  * parser (the JDK ships no video API, so the parser is ours; the
+  * format is the standard any external demuxer reads). Frame samples
+  * fingerprint DECODED pixels and video features histogram them; the
+  * oracle regenerates every frame value from id arithmetic. No
+  * modality's decode is a fake anymore. The Spark-side shape —
+  * schema, per-partition codec init, fixed-width feature vector,
+  * bounded frame fanout — is what the tests pin:
   *  - schema: (media_id, kind, bytes BINARY, meta STRUCT) — parquet-
   *    friendly, splittable, column-prunable (a metadata-only query never
   *    reads the payload bytes);
@@ -110,6 +117,147 @@ object Multimodal {
     Array.tabulate(raw.length / 2)(j => ((raw(2 * j) & 0xff) | (raw(2 * j + 1) << 8)))
   }
 
+  /** Deterministic video frame pixels: channel (x, y, c) of frame f of
+    * video `id` is FNV("v:id:f:x:y:c") mod 256 — the generator the AVI
+    * encoder writes and the oracle replays. */
+  private[llm] def videoPixel(id: Long, f: Int, x: Int, y: Int, c: Int): Int =
+    fnvByte(s"v:$id:$f:$x:$y:$c")
+
+  /** A REAL RIFF/AVI payload: standards-compliant uncompressed-DIB AVI
+    * (hdrl with MainAVIHeader + one 'vids'/'DIB ' stream, BI_RGB
+    * BITMAPINFOHEADER, movi '00db' frame chunks in the DIB wire format
+    * — BOTTOM-UP rows, BGR byte order, rows padded to 4 bytes — plus a
+    * compliant idx1). Any standard player/demuxer reads this; the
+    * decoder below parses the container, it does not echo a fake. */
+  private[llm] def encodeAvi(id: Long, w: Int, h: Int, nFrames: Int,
+      fps: Int = 10): Array[Byte] = {
+    val rowBytes = (w * 3 + 3) & ~3
+    val frameBytes = rowBytes * h
+    val moviSize = 4 + nFrames * (8 + frameBytes)
+    val idx1Size = nFrames * 16
+    // RIFF size = everything after the 8-byte RIFF header
+    val riffSize = 4 + (8 + 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))) +
+      (8 + moviSize) + (8 + idx1Size)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = buf.put(s.getBytes("US-ASCII"))
+    fourcc("RIFF"); buf.putInt(riffSize); fourcc("AVI ")
+    // hdrl
+    fourcc("LIST"); buf.putInt(4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40)))
+    fourcc("hdrl")
+    fourcc("avih"); buf.putInt(56)
+    buf.putInt(1000000 / fps) // dwMicroSecPerFrame
+      .putInt(frameBytes * fps) // dwMaxBytesPerSec
+      .putInt(0).putInt(0x10) // AVIF_HASINDEX
+      .putInt(nFrames).putInt(0).putInt(1) // streams
+      .putInt(frameBytes).putInt(w).putInt(h)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); buf.putInt(4 + (8 + 56) + (8 + 40)); fourcc("strl")
+    fourcc("strh"); buf.putInt(56)
+    fourcc("vids"); fourcc("DIB ")
+    buf.putInt(0).putShort(0).putShort(0).putInt(0)
+      .putInt(1).putInt(fps) // dwScale / dwRate
+      .putInt(0).putInt(nFrames).putInt(frameBytes).putInt(-1).putInt(0)
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+    fourcc("strf"); buf.putInt(40)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0) // BI_RGB
+      .putInt(frameBytes).putInt(0).putInt(0).putInt(0).putInt(0)
+    // movi
+    fourcc("LIST"); buf.putInt(moviSize); fourcc("movi")
+    val frameOffsets = new Array[Int](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      frameOffsets(f) = buf.position() - 8 // offset convention: from 'movi'
+      fourcc("00db"); buf.putInt(frameBytes)
+      var y = h - 1 // DIB: bottom row first
+      while (y >= 0) {
+        var x = 0
+        while (x < w) {
+          buf.put(videoPixel(id, f, x, y, 2).toByte) // B
+            .put(videoPixel(id, f, x, y, 1).toByte) // G
+            .put(videoPixel(id, f, x, y, 0).toByte) // R
+          x += 1
+        }
+        var p = w * 3
+        while (p < rowBytes) { buf.put(0.toByte); p += 1 }
+        y -= 1
+      }
+      f += 1
+    }
+    // idx1
+    fourcc("idx1"); buf.putInt(idx1Size)
+    f = 0
+    while (f < nFrames) {
+      fourcc("00db"); buf.putInt(0x10) // AVIIF_KEYFRAME
+      buf.putInt(frameOffsets(f) - (frameOffsets(0) - 4)) // rel to 'movi' fourcc
+      buf.putInt(frameBytes)
+      f += 1
+    }
+    buf.array()
+  }
+
+  /** REAL video decode: parse the RIFF container — walk the chunk tree
+    * to the stream format (BITMAPINFOHEADER: dims, 24-bit BI_RGB
+    * required), then demux the movi '00db' chunks and undo the DIB
+    * wire format (bottom-up rows, BGR, 4-byte row padding) into
+    * top-down row-major RGB frames. */
+  private[llm] def decodeAvi(bytes: Array[Byte]): (Int, Int, Array[Array[Int]]) = {
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    require(fourcc() == "RIFF", "not a RIFF container")
+    buf.getInt
+    require(fourcc() == "AVI ", "not an AVI")
+    var w = 0; var h = 0
+    val frames = scala.collection.mutable.ArrayBuffer[Array[Int]]()
+    def walk(end: Int): Unit = {
+      while (buf.position() + 8 <= end) {
+        val id = fourcc()
+        val size = buf.getInt
+        val next = buf.position() + size + (size & 1) // chunks are word-aligned
+        id match {
+          case "LIST" =>
+            fourcc() // list type — descend regardless
+            walk(next)
+          case "strf" =>
+            val p0 = buf.position()
+            require(buf.getInt == 40, "BITMAPINFOHEADER expected")
+            w = buf.getInt; h = buf.getInt
+            buf.getShort // planes
+            require(buf.getShort == 24, "24-bit DIB expected")
+            require(buf.getInt == 0, "BI_RGB expected")
+            buf.position(p0)
+          case "00db" =>
+            val rowBytes = (w * 3 + 3) & ~3
+            val px = new Array[Int](w * h * 3)
+            var y = h - 1
+            var off = buf.position()
+            while (y >= 0) {
+              var x = 0
+              while (x < w) {
+                val b = bytes(off + x * 3) & 0xff
+                val g = bytes(off + x * 3 + 1) & 0xff
+                val r = bytes(off + x * 3 + 2) & 0xff
+                val base = (y * w + x) * 3
+                px(base) = r; px(base + 1) = g; px(base + 2) = b
+                x += 1
+              }
+              off += rowBytes
+              y -= 1
+            }
+            frames += px
+          case _ => () // avih/strh/idx1: not needed for pixel recovery
+        }
+        buf.position(next)
+      }
+    }
+    walk(bytes.length)
+    require(w > 0 && frames.nonEmpty, "no video stream found")
+    (w, h, frames.toArray)
+  }
+
   /** A real PNG payload over deterministic pixels: channel (x, y, c) of
     * image `id` is FNV("id:x:y:c") mod 256. PNG is lossless, so decoding
     * MUST reproduce exactly these values — the property the oracle
@@ -133,9 +281,10 @@ object Multimodal {
     baos.toByteArray
   }
 
-  /** Deterministic demo corpus: image rows carry real PNGs, audio rows
-    * real RIFF/WAVE PCM (meta.nFrames = sample count); video payloads
-    * are seeded pseudo-bytes (no H264 codec in the JDK to target). */
+  /** Deterministic demo corpus — every modality REAL: image rows carry
+    * PNGs (ImageIO), audio rows RIFF/WAVE PCM (meta.nFrames = sample
+    * count), video rows standards-compliant uncompressed-DIB RIFF/AVI
+    * (meta = dims + frame count). */
   def demoMedia(spark: SparkSession, n: Int = 64): Dataset[Media] = {
     import spark.implicits._
     spark.createDataset((0 until n).map { i =>
@@ -152,9 +301,14 @@ object Multimodal {
           Media(i.toLong, kind, encodeWav(i.toLong, nSamples),
             MediaMeta(0, 0, 16000, nSamples))
         case _ =>
-          val len = 256 + (i * 37) % 512
-          val bytes = Array.tabulate[Byte](len)(j => fnvByte(s"$i:$j").toByte)
-          Media(i.toLong, kind, bytes, MediaMeta(320, 240, 0, 8 + i % 24))
+          // demo-sized frames with VARYING width 15-18 so three of four
+          // row strides hit the DIB 4-byte padding path (w·3 = 45/51/54
+          // pad to 48/52/56) — an encoder/decoder pair that only ever
+          // met aligned rows would hide a stride bug
+          val w = 15 + i % 4
+          val nFrames = 8 + i % 24
+          Media(i.toLong, kind, encodeAvi(i.toLong, w, 12, nFrames),
+            MediaMeta(w, 12, 0, nFrames))
       }
     })
   }
@@ -216,14 +370,18 @@ object Multimodal {
       Array.tabulate(8)(k => (hist(2 * k) + hist(2 * k + 1)).toFloat / samples.length))
   }
 
-  /** Video: DECLARED deterministic fake decode (no H264/container codec
-    * in the JDK/environment) — the same feature shape over the raw
-    * payload bytes instead of decoded frames. */
-  private def byteFeatures(m: Media): MediaFeatures = {
+  /** REAL video decode: the AVI demuxer recovers every frame's RGB
+    * values and the features come from the decoded pixels across ALL
+    * frames — same 16-bin histogram / entropy / bin-pair shape as the
+    * other modalities. `n_bytes` stays the ENCODED payload size
+    * (container + DIB frames). */
+  private def videoFeatures(m: Media): MediaFeatures = {
+    val (w, h, frames) = decodeAvi(m.bytes)
     val hist = new Array[Int](16)
-    m.bytes.foreach(b => hist((b & 0xff) >> 4) += 1)
-    MediaFeatures(m.media_id, m.kind, m.bytes.length, entropyOf(hist, m.bytes.length),
-      Array.tabulate(8)(k => (hist(2 * k) + hist(2 * k + 1)).toFloat / m.bytes.length))
+    frames.foreach(_.foreach(v => hist(v >> 4) += 1))
+    val nv = frames.length * w * h * 3
+    MediaFeatures(m.media_id, m.kind, m.bytes.length, entropyOf(hist, nv),
+      Array.tabulate(8)(k => (hist(2 * k) + hist(2 * k + 1)).toFloat / nv))
   }
 
   private def entropyOf(hist: Array[Int], n: Int): Double =
@@ -240,7 +398,7 @@ object Multimodal {
       it.map {
         case m if m.kind == "image" => imageFeatures(m)
         case m if m.kind == "audio" => audioFeatures(m)
-        case m => byteFeatures(m)
+        case m => videoFeatures(m)
       }
     }
   }
@@ -276,23 +434,24 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling for video rows: every k-th frame index, fingerprint
-    * from the payload (a DECLARED stand-in for an actual frame decode —
-    * no H264 codec exists here; a real one hashes the decoded frame).
-    * 1 → n generator with fanout bounded by meta.nFrames / stride. The
-    * fingerprint is the md5 prefix of the canonical "id:frame:len"
-    * string, so the WHOLE sampling pattern (video-only, stride, fanout,
-    * fp derivation) has a DuckDB twin. */
+  /** Frame sampling for video rows: every k-th frame DECODED from the
+    * AVI container and fingerprinted from its actual pixels (md5 over
+    * the uppercase hex of the RGB values, row-major — the mm_resize
+    * fingerprint convention). 1 → n generator with fanout bounded by
+    * meta.nFrames / stride; the whole pattern (video-only, stride,
+    * fanout, pixel derivation) has a DuckDB twin that regenerates the
+    * frames from id arithmetic without touching the container. */
   def sampleFrames(spark: SparkSession, media: Dataset[Media], stride: Int = 4): Dataset[FrameSample] = {
     import spark.implicits._
-    media.filter(_.kind == "video").flatMap { m =>
+    media.filter(_.kind == "video").mapPartitions(_.flatMap { m =>
       val md = java.security.MessageDigest.getInstance("MD5")
-      (0 until m.meta.nFrames by stride).map { f =>
-        val hex = md.digest(s"${m.media_id}:$f:${m.bytes.length}"
-            .getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val (_, _, frames) = decodeAvi(m.bytes)
+      (0 until frames.length by stride).map { f =>
+        val hexStr = frames(f).map(v => f"$v%02X").mkString
+        val hex = md.digest(hexStr.getBytes("UTF-8")).map("%02x".format(_)).mkString
         FrameSample(m.media_id, f, hex.substring(0, 16))
       }
-    }
+    })
   }
 
   /** Resized image row: original dims from the DECODED image, fixed
@@ -561,8 +720,12 @@ object Multimodal {
          |  WHERE m.kind = 'audio'),
          | vidv AS (
          |  SELECT m.media_id,
-         |   ${TextHashes.fnvFoldSql("m.media_id || ':' || t.j")} % 256 AS v
-         |  FROM m, LATERAL unnest(generate_series(0, m.n_bytes::INT - 1)) t(j)
+         |   ${TextHashes.fnvFoldSql(
+              "'v:' || m.media_id || ':' || f.f || ':' || x.x || ':' || y.y || ':' || c.c")} % 256 AS v
+         |  FROM m, LATERAL unnest(generate_series(0, m.nFrames - 1)) f(f),
+         |       LATERAL unnest(generate_series(0, m.width - 1)) x(x),
+         |       LATERAL unnest(generate_series(0, m.height - 1)) y(y),
+         |       LATERAL unnest([0, 1, 2]) c(c)
          |  WHERE m.kind = 'video'),
         | vals AS (SELECT * FROM imgv UNION ALL SELECT * FROM audv
         |          UNION ALL SELECT * FROM vidv),
@@ -664,13 +827,27 @@ object Multimodal {
         |        FROM b GROUP BY media_id)
         |SELECT content_md5, min(media_id) AS keep_id, count(*) AS n_copies
         |FROM fp GROUP BY content_md5 ORDER BY content_md5""".stripMargin,
+    // frame-exact replay of the AVI demux: every sampled frame's RGB
+    // values regenerated from id arithmetic (never touching the
+    // container) and fingerprinted in the decoder's (y, x, c) row-major
+    // layout — a stride bug, a BGR swap, or a bottom-up slip all
+    // diverge the fingerprints
     "mm_frame_sample" ->
-      """SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
-        | substr(md5(media_id || ':' || frame_idx || ':' || n_bytes), 1, 16) AS frame_fp
-        |FROM (
-        |  SELECT media_id, n_bytes, unnest(generate_series(0, nFrames - 1, 4)) AS frame_idx
-        |  FROM read_parquet('/tmp/graft_fixtures/demo_media_meta/*.parquet')
-        |  WHERE kind = 'video')
+      s"""WITH m AS (SELECT media_id, width AS w, height AS h, nFrames
+         |           FROM read_parquet('/tmp/graft_fixtures/demo_media_meta/*.parquet')
+         |           WHERE kind = 'video'),
+         | fr AS (SELECT m.media_id, m.w, m.h, g.f
+         |        FROM m, LATERAL unnest(generate_series(0, m.nFrames - 1, 4)) g(f)),
+         | px AS (
+         |  SELECT fr.media_id, fr.f, y.y, x.x, c.c,
+         |   (${TextHashes.fnvFoldSql(
+              "'v:' || fr.media_id || ':' || fr.f || ':' || x.x || ':' || y.y || ':' || c.c")} % 256)::BIGINT AS p
+         |  FROM fr, LATERAL unnest(generate_series(0, fr.w - 1)) x(x),
+         |       LATERAL unnest(generate_series(0, fr.h - 1)) y(y),
+         |       LATERAL unnest([0, 1, 2]) c(c))
+        |SELECT media_id, CAST(f AS INT) AS frame_idx,
+        |  substr(md5(string_agg(printf('%02X', p), '' ORDER BY y, x, c)), 1, 16) AS frame_fp
+        |FROM px GROUP BY media_id, f
         |ORDER BY media_id, frame_idx""".stripMargin,
     // fully self-contained end to end: both populations (base + the
     // 8 perturbed plants at id+1000, black 3×3 origin patch) are

@@ -85,7 +85,15 @@ object Sketches {
     * exact intersection (a distinct semi-join, the u3 shape) exists to
     * be graded: estimates are engine-specific (fixture-dumped), but
     * the exact side, the inclusion–exclusion arithmetic, and the error
-    * column are all re-derived by the oracle. */
+    * column are all re-derived by the oracle.
+    *
+    * OPERATING ENVELOPE (measured, BASELINE.md §sk_setops-envelope):
+    * inclusion–exclusion sums three ±2% sketches, so the absolute
+    * error is ~2% of the UNION regardless of the intersection — trust
+    * n_inter when it is ≳10% of n_union (measured 2.5% rel error at
+    * ∩/∪ = 1/3), and fall back to the exact semi-join below that
+    * (27% rel error at ∩/∪ = 1/25; pure noise, possibly negative, on
+    * near-disjoint audiences). */
   private val skSetops: Q = (s, d) => {
     val e = table(s, d, "events")
     val est = e.agg(

@@ -72,6 +72,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(decoded.exists(_ < 0) && decoded.exists(_ > 0), "signed range must be exercised")
   }
 
+  test("AVI payloads demux back to the exact generated frames (container round-trip, padded and aligned rows)") {
+    // the video analog of the PNG/WAV property: frame pixels derive
+    // from id arithmetic, the DIB encoding is lossless, so the demuxer
+    // must reproduce them — across widths 15-18 so both padded (45→48,
+    // 51→52, 54→56) and aligned (48) row strides are exercised
+    val vids = Multimodal.demoMedia(spark).collect().filter(_.kind == "video")
+    val widths = vids.map(_.meta.width).toSet
+    assert(widths == Set(15, 16, 17, 18), widths)
+    vids.take(8).foreach { m =>
+      val (w, h, frames) = Multimodal.decodeAvi(m.bytes)
+      assert(w == m.meta.width && h == m.meta.height)
+      assert(frames.length == m.meta.nFrames)
+      for (f <- frames.indices; y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+        val want = Multimodal.videoPixel(m.media_id, f, x, y, c)
+        val got = frames(f)((y * w + x) * 3 + c)
+        assert(got == want, s"video ${m.media_id} frame $f ($x,$y,$c): $got != $want")
+      }
+    }
+  }
+
   test("audio window features: window fanout, partial tail, and hand-checked zcr/peak") {
     val media = Multimodal.demoMedia(spark)
     val wins = Multimodal.audioWindowFeatures(spark, media).collect()

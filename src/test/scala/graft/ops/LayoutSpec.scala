@@ -133,9 +133,13 @@ class LayoutSpec extends AnyFunSuite {
     Layout.queries("fs_compact")(spark, sf).collect() // runs the rewrite
     def files(p: String) = new java.io.File(p).listFiles()
       .filter(f => f.getName.endsWith(".parquet") && f.length() > 0)
-    val key = sf.replaceAll("[^A-Za-z0-9._-]", "_")
-    val frag = files(s"/tmp/graft_compact/$key/events_fragmented.parquet")
-    val comp = files(s"/tmp/graft_compact/$key/events_compacted.parquet")
+    // mirror the query's collision-free keying (sanitized + path hash,
+    // pid-scoped root — the ADVICE r7 working-dir fix)
+    val key = sf.replaceAll("[^A-Za-z0-9._-]", "_") +
+      f"_${sf.hashCode & 0x7fffffff}%08x"
+    val root = s"/tmp/graft_compact/pid_${ProcessHandle.current().pid()}/$key"
+    val frag = files(s"$root/events_fragmented.parquet")
+    val comp = files(s"$root/events_compacted.parquet")
     assert(frag.length == 64, s"expected 64 shards, got ${frag.length}")
     // bin-packing by total/target: far fewer files out than in, and no
     // output file exceeds the 512 KiB target by more than the packer's
@@ -147,7 +151,7 @@ class LayoutSpec extends AnyFunSuite {
       s"${f.getName} is ${f.length()} B, target $target"))
     // row-count preservation (the full-fidelity hash gate runs in
     // CORRECTNESS; this is the fast structural half)
-    val n = spark.read.parquet(s"/tmp/graft_compact/$key/events_compacted.parquet").count()
+    val n = spark.read.parquet(s"$root/events_compacted.parquet").count()
     assert(n == graft.io.Sources.table(spark, sf, "events").count())
   }
 }
