@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Numeric.dround
@@ -321,7 +321,62 @@ object Curate {
       .orderBy("rk")
   }
 
+  // -------------------------------------------------------------------
+  // ds_dsir: Data Selection via Importance Resampling (Xie et al. 2023,
+  // arXiv:2302.03169) — score every raw document by the log-likelihood
+  // ratio of a TARGET domain's hashed-unigram LM over the RAW corpus
+  // LM, keep the positively-weighted docs. Feature space = 64 FNV
+  // buckets (the paper's hashed n-grams; unigrams here), add-1
+  // smoothed. Scale shape: ONE token-level shuffle builds the 64-bucket
+  // count pair (map-side combined into ≤64 rows/partition); scoring is
+  // then SCAN-LOCAL — the 64-entry log-ratio LUT broadcasts as a
+  // one-row map column and each doc folds its own tokens against it
+  // (`aggregate` HOF, no explode, no join on the corpus side). At
+  // 100 TB the LM-estimation pass can itself run on a hash-sample; the
+  // scoring pass is embarrassingly parallel either way.
+  // Float discipline: the ONLY cross-engine float op chain is
+  // ln(ratio-of-shared-integers) per bucket, immediately quantized to
+  // integer 1e-4 nats; per-doc scores are INTEGER sums of those — no
+  // float accumulation, so group order cannot perturb the hash (the
+  // ts_perplexity sum_cost_q pattern).
+  // -------------------------------------------------------------------
+  private val dsirB = 64L
+  private val dsirScale = 10000L
+  private val dsirTarget = "src0"
+
+  private val dsDsir: Q = (s, d) => {
+    val toks = split(col("text"), " ")
+    def bucketOf(w: Column): Column = pmod(rollHash(w), lit(dsirB))
+    val docs = table(s, d, "documents")
+    val counts = docs
+      .select(col("source"), explode(toks).as("w"))
+      .groupBy(bucketOf(col("w")).as("b"))
+      .agg(
+        sum(when(col("source") === dsirTarget, 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("source") =!= dsirTarget, 1L).otherwise(0L)).as("n_r"))
+    val tots = counts.agg(
+      sum("n_t").as("tot_t"), sum("n_r").as("tot_r"))
+    val lut = counts.crossJoin(broadcast(tots))
+      .select(col("b"),
+        round(log(((col("n_t") + 1).cast("double") * (col("tot_r") + dsirB)) /
+            ((col("n_r") + 1).cast("double") * (col("tot_t") + dsirB)))
+          * dsirScale).cast("long").as("lr_q"))
+    val lutRow = lut.agg(
+      map_from_entries(collect_list(struct(col("b"), col("lr_q")))).as("m"))
+    docs.crossJoin(broadcast(lutRow))
+      .select(col("doc_id"), col("source"),
+        size(toks).cast("long").as("n_tokens"),
+        aggregate(toks, lit(0L), (acc, w) =>
+          acc + coalesce(element_at(col("m"), bucketOf(w)), lit(0L)))
+          .as("score_q"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        dround(col("score_q").cast("double") / dsirScale, 4).as("logw"),
+        when(col("score_q") > 0, "keep").otherwise("drop").as("dsir_flag"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ds_dsir" -> dsDsir,
     "ds_split" -> dsSplit,
     "ds_mixture" -> dsMixture,
     "ds_pack" -> dsPack,
@@ -353,6 +408,36 @@ object Curate {
   }
 
   val oracle: Map[String, String] = Map(
+    // Independent replay: per-token FNV → bucket, the bucket-count
+    // pair, the quantized log-ratio LUT, and the per-doc INTEGER score
+    // are all re-derived from raw text; the engine's HOF fold and the
+    // oracle's explode/group-by meet on the same integers.
+    "ds_dsir" ->
+      s"""WITH t AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+         |           FROM documents),
+         | h AS (SELECT doc_id, source, ${graft.functions.TextHashes.fnvFoldSql("w")} AS hu FROM t),
+         | fb AS (SELECT doc_id, source,
+         |          ((${graft.functions.TextHashes.fnvSignedSql("hu")} % $dsirB) + $dsirB) % $dsirB AS b
+         |        FROM h),
+         | c AS (SELECT b,
+         |         CAST(sum(CASE WHEN source = '$dsirTarget' THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         |         CAST(sum(CASE WHEN source <> '$dsirTarget' THEN 1 ELSE 0 END) AS BIGINT) AS n_r
+         |       FROM fb GROUP BY b),
+         | tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS tot_t,
+         |                CAST(sum(n_r) AS BIGINT) AS tot_r FROM c),
+         | lut AS (SELECT b,
+         |           CAST(round(ln(((n_t + 1)::DOUBLE * (tot_r + $dsirB))
+         |                       / ((n_r + 1)::DOUBLE * (tot_t + $dsirB))) * $dsirScale)
+         |                AS BIGINT) AS lr_q
+         |         FROM c CROSS JOIN tot),
+         | sc AS (SELECT fb.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |          CAST(sum(coalesce(lut.lr_q, 0)) AS BIGINT) AS score_q
+         |        FROM fb LEFT JOIN lut USING (b) GROUP BY fb.doc_id)
+         |SELECT d.doc_id, d.source, sc.n_tokens,
+         | round(sc.score_q::DOUBLE / $dsirScale, 4) AS logw,
+         | CASE WHEN sc.score_q > 0 THEN 'keep' ELSE 'drop' END AS dsir_flag
+         |FROM documents d JOIN sc ON sc.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "ds_split" ->
       s"""$fnvCte
          |SELECT doc_id, ((fp % 1000) + 1000) % 1000 AS bucket,

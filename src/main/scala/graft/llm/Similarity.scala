@@ -750,6 +750,56 @@ object Similarity {
   }
 
   // -------------------------------------------------------------------
+  // ann_ivf_delete: tombstoned deletes — the other half of index
+  // maintenance next to ann_ivf_upsert. A delete is a TOMBSTONE row
+  // (vec_id), never an index rewrite: serving anti-joins the candidate
+  // cells against the broadcast tombstone relation BEFORE scoring (the
+  // FAISS IDSelector / Lucene deleted-docs pattern), so deletion is
+  // O(1) metadata now and the physical reclaim belongs to the next
+  // scheduled compaction (fs_compact's job). At 100 TB the tombstone
+  // side stays tiny (it is the recent-deletes delta, not the corpus)
+  // while the cl-partitioned index files are untouched — the
+  // broadcast-anti regime is exactly the j9_bloom_prune shape.
+  // Tombstones here: every third planted id (vec_id < plantN,
+  // vec_id % 3 = 0) — these ids seeded near-duplicate neighborhoods,
+  // so their removal MUST change top-k membership (replacements
+  // surface from the same cells), making the gate falsifiable. The
+  // oracle re-applies the tombstone predicate to the fixture
+  // candidates: an engine leak of a deleted id turns the row sets
+  // unequal, not just a value off.
+  // -------------------------------------------------------------------
+  private[llm] def isTombstoned(id: Column): Column =
+    id < plantN && id % 3 === 0
+
+  private val annIvfDelete: Q = (s, d) => {
+    val idx = ensureIvfIndex(s, d)
+    val assigned = s.read.parquet(s"$idx/assignments")
+    val centroids = s.read.parquet(s"$idx/centroids")
+    val emb = table(s, d, "embeddings").select(col("vec_id"), asDouble.as("ve"))
+    val tomb = emb.select(col("vec_id")).filter(isTombstoned(col("vec_id")))
+    val live = assigned.join(broadcast(tomb), Seq("vec_id"), "left_anti")
+    val probes = emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("qid"), col("ve").as("qe"))
+    val probeCells = probes.crossJoin(broadcast(centroids))
+      .withColumn("cdist", -cosine(col("qe"), col("ce")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("qid").orderBy(asc("cdist"), asc("cl"))))
+      .filter(col("crk") <= ivfNProbe)
+      .select("qid", "qe", "cl")
+    val sims = live.join(broadcast(probeCells), Seq("cl"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        cosine(col("qe"), col("ve")).as("sim"))
+      .persist()
+    graft.io.Sinks.dumpFixture(sims.select("qid", "cid"), "annivfdel_cands")
+    sims.withColumn("rk",
+        row_number().over(Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))))
+      .filter(col("rk") <= kNeighbors)
+      .select(col("qid"), col("rk"), col("cid"), dround(col("sim"), 4).as("sim"))
+      .orderBy("qid", "rk")
+  }
+
+  // -------------------------------------------------------------------
   // dd_semantic: SemDeDup-style semantic deduplication (Abbas et al.
   // 2023, arXiv:2303.09540) — cluster the embedding space with the
   // SAME persisted k-means coarse quantizer the IVF index uses, then
@@ -791,6 +841,7 @@ object Similarity {
     "ann_ivf_pq" -> annIvfPq,
     "ann_ivf_pq_recall" -> annIvfPqRecall,
     "ann_ivf_upsert" -> annIvfUpsert,
+    "ann_ivf_delete" -> annIvfDelete,
     "emb_quant" -> embQuant,
     "knn_cosine" -> knnCosine,
     "ann_lsh" -> annLsh,
@@ -937,6 +988,24 @@ object Similarity {
          |             list_transform(v, x -> x * 2.0) AS v
          |           FROM base WHERE vec_id < $plantN),
          | e AS (SELECT * FROM base UNION ALL SELECT * FROM batch),
+         | sims AS (
+         |  SELECT p.qid, p.cid,
+         |   list_dot_product(q.v, c.v)
+         |     / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+         |  FROM p JOIN e q ON q.vec_id = p.qid JOIN e c ON c.vec_id = p.cid),
+         | ranked AS (
+         |  SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+         |  FROM sims)
+         |SELECT qid, rk, cid, round(sim, 4) AS sim FROM ranked WHERE rk <= $kNeighbors
+         |ORDER BY qid, rk""".stripMargin,
+    // The tombstone predicate is RE-APPLIED to the fixture candidates
+    // (WHERE NOT deleted): if the engine's anti-join ever leaked a
+    // deleted id into a top-k, the oracle's relation would lack that
+    // row entirely — a row-set mismatch, not a near-miss.
+    "ann_ivf_delete" ->
+      s"""WITH p AS (SELECT qid, cid FROM read_parquet('/tmp/graft_fixtures/annivfdel_cands/*.parquet')
+         |           WHERE NOT (cid < $plantN AND cid % 3 = 0)),
+         | e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          | sims AS (
          |  SELECT p.qid, p.cid,
          |   list_dot_product(q.v, c.v)

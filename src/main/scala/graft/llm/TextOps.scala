@@ -75,6 +75,62 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // -------------------------------------------------------------------
+  // ts_gopher: the published Gopher quality-rule battery (Rae et al.
+  // 2021, arXiv:2112.11446, Appendix A1) — the filter set production
+  // pretraining pipelines actually run, next to the ts_quality
+  // stopword/length heuristic: word-count window, mean-word-length
+  // window, symbol-to-word ratio, alphabetic-word fraction, and the
+  // "contains ≥2 canonical stop words" requirement. One parquet scan →
+  // project, zero shuffle: every statistic is a codegen'd built-in or
+  // fused native expression over the token array; the keep/drop flag
+  // compares UNROUNDED doubles, and each double is a SINGLE division of
+  // two integers both engines share, so the flag is IEEE-deterministic
+  // cross-engine (the ts_tfidf float-discipline).
+  // -------------------------------------------------------------------
+  /** Gopher's stop set (arXiv:2112.11446 A1: the, be, to, of, and,
+    * that, have, with). */
+  private[llm] val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  private val tsGopher: Q = (s, d) => {
+    val nWords = size(toks).cast("long")
+    // Σ word lengths without a per-word pass: total bytes minus the
+    // separators (translate deletes the space) — exact for any spacing
+    // because split(' ') counts the same separators.
+    val sumWlen = length(translate(col("text"), " ", "")).cast("double")
+    val meanWlen = col("sum_wlen") / col("n_words")
+    val alphaFrac = col("n_alpha").cast("double") / col("n_words")
+    val symRatio = col("n_sym").cast("double") / col("n_words")
+    val base = table(s, d, "documents").select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      sumWlen.as("sum_wlen"),
+      size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("long").as("n_alpha"),
+      regexp_count(col("text"), lit("#|\\.\\.\\.")).cast("long").as("n_sym"),
+      gopherStops.map(w => array_contains(toks, w).cast("int"))
+        .reduce(_ + _).cast("long").as("n_stop_kinds"))
+    // Per-rule verdict columns: a production filter wants to know WHICH
+    // rule killed a doc (ablation/debug), and each rule stays
+    // individually gate-checkable even when the conjunction is
+    // single-class on a given corpus.
+    val rWords = col("n_words").between(50L, 100000L)
+    val rWlen = meanWlen.between(3.0, 10.0)
+    val rSym = symRatio <= 0.1
+    val rAlpha = alphaFrac >= 0.8
+    val rStop = col("n_stop_kinds") >= 2
+    base.select(
+      col("doc_id"), col("n_words"),
+      dround(meanWlen, 4).as("mean_wlen"),
+      dround(alphaFrac, 4).as("alpha_frac"),
+      dround(symRatio, 4).as("sym_ratio"),
+      col("n_stop_kinds"),
+      rWords.as("rule_words"), rWlen.as("rule_wlen"), rSym.as("rule_sym"),
+      rAlpha.as("rule_alpha"), rStop.as("rule_stop"),
+      when(rWords && rWlen && rSym && rAlpha && rStop, "keep")
+        .otherwise("drop").as("gopher_flag"))
+      .orderBy("doc_id")
+  }
+
   /** Language ID by marker-token voting (n-gram heuristic): count hits
     * per language marker set, argmax with a fixed precedence. */
   private[llm] val markers = Seq(
@@ -346,6 +402,7 @@ object TextOps {
     "ts_perplexity" -> tsPerplexity,
     "ts_stats" -> tsStats,
     "ts_quality" -> tsQuality,
+    "ts_gopher" -> tsGopher,
     "ts_langid" -> tsLangId,
     "ts_fingerprint" -> tsFingerprint,
     "ts_fingerprint_roll" -> tsFingerprintRoll,
@@ -472,6 +529,39 @@ object TextOps {
          |       AND (CAST(${sqlCountIn(stopwords)} AS DOUBLE) / len(string_split(text, ' '))) BETWEEN 0.05 AND 0.6
          |      THEN 'ok' ELSE 'suspect' END AS quality_flag
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // The flag CASE repeats the UNROUNDED expressions: both engines
+    // compare the same single int/int IEEE divisions, so the keep/drop
+    // decision cannot straddle a rounding boundary.
+    "ts_gopher" -> {
+      val stopSum = gopherStops
+        .map(w => s"list_contains(string_split(text, ' '), '$w')::INT")
+        .mkString(" + ")
+      s"""WITH g AS (SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |  CAST(length(replace(text, ' ', '')) AS DOUBLE) AS sum_wlen,
+         |  CAST(len(list_filter(string_split(text, ' '),
+         |       x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+         |  CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT) AS n_sym,
+         |  CAST($stopSum AS BIGINT) AS n_stop_kinds
+         | FROM documents)
+         |SELECT doc_id, n_words,
+         | round(sum_wlen / n_words, 4) AS mean_wlen,
+         | round(n_alpha::DOUBLE / n_words, 4) AS alpha_frac,
+         | round(n_sym::DOUBLE / n_words, 4) AS sym_ratio,
+         | n_stop_kinds,
+         | n_words BETWEEN 50 AND 100000 AS rule_words,
+         | (sum_wlen / n_words) BETWEEN 3.0 AND 10.0 AS rule_wlen,
+         | n_sym::DOUBLE / n_words <= 0.1 AS rule_sym,
+         | n_alpha::DOUBLE / n_words >= 0.8 AS rule_alpha,
+         | n_stop_kinds >= 2 AS rule_stop,
+         | CASE WHEN n_words BETWEEN 50 AND 100000
+         |       AND (sum_wlen / n_words) BETWEEN 3.0 AND 10.0
+         |       AND n_sym::DOUBLE / n_words <= 0.1
+         |       AND n_alpha::DOUBLE / n_words >= 0.8
+         |       AND n_stop_kinds >= 2
+         |      THEN 'keep' ELSE 'drop' END AS gopher_flag
+         |FROM g ORDER BY doc_id""".stripMargin
+    },
     "ts_langid" -> {
       val cols = markers.map { case (n, set) => s" ${sqlCountIn(set)} AS $n" }.mkString(",\n")
       s"""WITH scored AS (SELECT doc_id,\n$cols\nFROM documents)
