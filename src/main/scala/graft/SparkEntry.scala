@@ -23,6 +23,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++
+      ops.Materialized.queries ++
       ops.Events.queries ++
       ops.Graph.queries ++
       ops.Layout.queries ++
@@ -45,6 +46,7 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++
+      ops.Materialized.oracle ++
       ops.Events.oracle ++
       ops.Graph.oracle ++
       ops.Layout.oracle ++

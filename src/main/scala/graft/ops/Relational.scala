@@ -222,6 +222,45 @@ object Relational {
         col("user_id"), col("ts")))
   }
 
+  /** J7 with a staleness tolerance — the `tolerance` option of pandas
+    * `merge_asof` / kdb+ `wj`: the enrichment holds only when the
+    * winning view is at most [[asofTolSeconds]] old at click time; a
+    * staler match nulls out. Because the as-of winner is the MAXIMUM
+    * view ts at-or-before the click, post-filtering it on staleness is
+    * equivalent to restricting the candidate window up front (any
+    * older candidate is staler still) — the oracle takes the windowed
+    * form, the engine the post-filter form, so the gate checks the
+    * equivalence itself. Same one-shuffle union-window plan as
+    * [[asofJoin]]; the freshness compare is integer microseconds
+    * (`unix_micros`) on both sides — no float time arithmetic. */
+  private val asofTolSeconds = 86400L
+  private val j7AsofTol: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = table(s, d, "events")
+    val v = e.filter(col("event_type") === "view")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("ts"),
+        struct(col("event_id").as("v_id"), col("value").as("v_value"),
+          col("ts").as("v_ts")).as("vrec"),
+        lit(null).cast("long").as("event_id"), lit(0).as("side"))
+    val c = e.filter(col("event_type") === "click").select(
+      col("user_id"), col("ts"),
+      lit(null).cast("struct<v_id:bigint,v_value:double,v_ts:timestamp>").as("vrec"),
+      col("event_id"), lit(1).as("side"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("side"), col("vrec").getField("v_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fresh = unix_micros(col("ts")) - unix_micros(col("rec").getField("v_ts")) <=
+      asofTolSeconds * 1000000L
+    v.unionByName(c)
+      .select(col("event_id"), col("user_id"), col("ts"), col("side"),
+        last(col("vrec"), ignoreNulls = true).over(w).as("rec"))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(fresh, col("rec").getField("v_id")).as("asof_view_id"),
+        when(fresh, col("rec").getField("v_value")).as("asof_value"))
+  }
+
   /** J8 range (interval-containment) join — every lineitem shipped
     * inside a 30-day promotion window, many-to-many. The direct
     * encoding `ship BETWEEN p_start AND p_end` has no equi-key, so
@@ -451,6 +490,7 @@ object Relational {
     "j5_case_dim" -> j5CaseDim,
     "j6_self_align" -> j6SelfAlign,
     "j7_asof" -> j7Asof,
+    "j7_asof_tol" -> j7AsofTol,
     "j7_asof_native" -> j7AsofNative,
     "j8_range" -> j8Range,
     "j8_range_smj" -> j8RangeSmj,
@@ -540,6 +580,21 @@ object Relational {
     // AND from the custom sort-merge operator (both keys share it).
     "j7_asof" -> asofTwinSql,
     "j7_asof_native" -> asofTwinSql,
+    // The WINDOWED-candidate form (tolerance inside the correlated
+    // subquery) vs the engine's post-filter of the overall winner:
+    // equivalent by as-of monotonicity, and the gate checks exactly
+    // that equivalence.
+    "j7_asof_tol" ->
+      s"""WITH v AS (SELECT user_id, ts, event_id AS v_id, value AS v_value
+         |           FROM events WHERE event_type = 'view')
+         |SELECT c.event_id, c.user_id, c.ts,
+         |  (SELECT v.v_id FROM v WHERE v.user_id = c.user_id AND v.ts <= c.ts
+         |     AND epoch_us(c.ts) - epoch_us(v.ts) <= ${asofTolSeconds}000000
+         |   ORDER BY v.ts DESC, v.v_id DESC LIMIT 1) AS asof_view_id,
+         |  (SELECT v.v_value FROM v WHERE v.user_id = c.user_id AND v.ts <= c.ts
+         |     AND epoch_us(c.ts) - epoch_us(v.ts) <= ${asofTolSeconds}000000
+         |   ORDER BY v.ts DESC, v.v_id DESC LIMIT 1) AS asof_value
+         |FROM events c WHERE c.event_type = 'click'""".stripMargin,
     // bloom pruning is semantics-free: the twin is the plain join
     "j9_bloom_prune" ->
       """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_totalprice
