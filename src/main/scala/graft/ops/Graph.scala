@@ -278,7 +278,67 @@ object Graph {
     labels.orderBy("doc_id")
   }
 
+  // -------------------------------------------------------------------
+  // gr_scc: strongly connected components of a DIRECTED graph — the
+  // capability CC (dd_cluster) cannot express: mutual reachability,
+  // not mere connection. Planted structure with known answers: nodes
+  // group into rings of 5 (doc_id div 5) closed by ring edges — a
+  // 5-cycle is one SCC — except members with doc_id % 7 == 0 drop
+  // their ring edge, shattering that group into singletons; one-way
+  // BRIDGE edges chain group k → k+1, which must NOT merge SCCs (the
+  // falsifying case for any connectivity-style shortcut).
+  //
+  // Engine algorithm: bounded-diameter reachability by ITERATIVE
+  // DOUBLING — R₀ = edges ∪ identity, then R ← R∘R three times
+  // (reach ≤ 8 ≥ the planted SCC diameter 4), scc_id(v) = min{u :
+  // (v,u) ∈ R ∧ (u,v) ∈ R}. Three self-join/distinct rounds, all
+  // shuffles on node-id pairs, deterministic on any partitioning (set
+  // algebra + integer min — the pr_pagerank hash-gate property), and
+  // the round count is FIXED, so no convergence machinery. The
+  // diameter bound is the documented knob: a production graph with
+  // unknown SCC diameter doubles until the pair set stops growing
+  // (log₂(diam) rounds); the pair-set width — bounded by true
+  // reachable-set sizes, deduped every round — is what you provision,
+  // and trimming degree-0 tails first (the standard FW-trim) keeps it
+  // sparse on crawl graphs. The oracle is a genuinely INDEPENDENT
+  // algorithm: DuckDB's semi-naive recursive closure (unbounded),
+  // then the same mutual-min — if the engine's bound were too small
+  // for a planted cycle, the oracles' sets would differ.
+  // -------------------------------------------------------------------
+  private val grScc: Q = (s, d) => {
+    val docs = table(s, d, "documents").select(col("doc_id")).persist()
+    val grp = col("doc_id") - pmod(col("doc_id"), lit(5L))
+    val ring = docs.filter(pmod(col("doc_id"), lit(7L)) =!= 0L)
+      .select(col("doc_id").as("src"),
+        (grp + pmod(pmod(col("doc_id"), lit(5L)) + 1L, lit(5L))).as("dst"))
+    val bridge = docs.filter(pmod(col("doc_id"), lit(5L)) === 0L)
+      .select(col("doc_id").as("src"), (col("doc_id") + 5L).as("dst"))
+    // drop dangling dsts (replicated-corpus id gaps): edges live on
+    // the node set
+    val edges = ring.unionByName(bridge)
+      .join(docs.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+    var r = edges.unionByName(
+        docs.select(col("doc_id").as("src"), col("doc_id").as("dst")))
+      .distinct().localCheckpoint()
+    for (_ <- 1 to 3) { // reach <= 8 >= planted SCC diameter 4
+      r = r.unionByName(
+          r.select(col("src"), col("dst").as("mid"))
+            .join(r.select(col("src").as("mid"), col("dst")), Seq("mid"))
+            .select("src", "dst"))
+        .distinct().localCheckpoint()
+    }
+    val mutual = r.join(
+      r.select(col("src").as("dst"), col("dst").as("src")), Seq("src", "dst"))
+    val scc = mutual.groupBy(col("src").as("doc_id"))
+      .agg(min(col("dst")).as("scc_id"))
+    val sizes = scc.groupBy("scc_id").agg(count(lit(1)).as("scc_size"))
+    scc.join(sizes, "scc_id")
+      .select(col("doc_id"), col("scc_id"), col("scc_size"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "gr_scc" -> grScc,
     "pr_pagerank" -> prPagerank,
     "pr_pagerank_conv" -> prPagerankConv,
     "gr_triangles" -> grTriangles,
@@ -314,6 +374,35 @@ object Graph {
        |         FROM nodes nd LEFT JOIN b$i b USING (doc_id))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Independent algorithm: UNBOUNDED semi-naive recursive closure
+    // (vs the engine's bounded iterative doubling) → mutual pairs →
+    // per-node min. Reflexivity comes from the LEFT JOIN + coalesce
+    // (a node with no mutual partner is its own singleton SCC).
+    "gr_scc" ->
+      """WITH RECURSIVE d AS (SELECT doc_id FROM documents),
+        | ring AS (SELECT doc_id AS src,
+        |            (doc_id - doc_id % 5) + ((doc_id % 5 + 1) % 5) AS dst
+        |          FROM d WHERE doc_id % 7 <> 0),
+        | bridge AS (SELECT doc_id AS src, doc_id + 5 AS dst
+        |            FROM d WHERE doc_id % 5 = 0),
+        | edges AS (SELECT e.src, e.dst
+        |           FROM (SELECT * FROM ring UNION ALL SELECT * FROM bridge) e
+        |           JOIN d ON d.doc_id = e.dst),
+        | reach AS (
+        |   SELECT src, dst FROM edges
+        |   UNION
+        |   SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+        | mutual AS (
+        |   SELECT a.src AS v, a.dst AS u FROM reach a
+        |   JOIN reach b ON a.src = b.dst AND a.dst = b.src),
+        | scc AS (SELECT d.doc_id,
+        |           least(d.doc_id, coalesce(min(m.u), d.doc_id)) AS scc_id
+        |         FROM d LEFT JOIN mutual m ON m.v = d.doc_id
+        |         GROUP BY d.doc_id),
+        | sizes AS (SELECT scc_id, count(*) AS scc_size FROM scc GROUP BY scc_id)
+        |SELECT s.doc_id, s.scc_id, z.scc_size
+        |FROM scc s JOIN sizes z USING (scc_id)
+        |ORDER BY s.doc_id""".stripMargin,
     "gr_lpa" -> {
       val rounds = (1 to lpaRounds)
         .map(i => lpaRoundCte(if (i == 1) "l0" else s"l${i - 1}", i))
