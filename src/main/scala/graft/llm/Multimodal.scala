@@ -130,7 +130,7 @@ object Multimodal {
     * compliant idx1). Any standard player/demuxer reads this; the
     * decoder below parses the container, it does not echo a fake. */
   private[llm] def encodeAvi(id: Long, w: Int, h: Int, nFrames: Int,
-      fps: Int = 10): Array[Byte] = {
+      fps: Int = 10, frameKey: Int => Int = identity): Array[Byte] = {
     val rowBytes = (w * 3 + 3) & ~3
     val frameBytes = rowBytes * h
     val moviSize = 4 + nFrames * (8 + frameBytes)
@@ -174,9 +174,10 @@ object Multimodal {
       while (y >= 0) {
         var x = 0
         while (x < w) {
-          buf.put(videoPixel(id, f, x, y, 2).toByte) // B
-            .put(videoPixel(id, f, x, y, 1).toByte) // G
-            .put(videoPixel(id, f, x, y, 0).toByte) // R
+          val fk = frameKey(f)
+          buf.put(videoPixel(id, fk, x, y, 2).toByte) // B
+            .put(videoPixel(id, fk, x, y, 1).toByte) // G
+            .put(videoPixel(id, fk, x, y, 0).toByte) // R
           x += 1
         }
         var p = w * 3
@@ -603,6 +604,66 @@ object Multimodal {
 
   final case class PHash(media_id: Long, phash: Long)
 
+  /** Demo videos with PLANTED scene structure: frame f of video i
+    * repeats the pixels of its scene's anchor frame f − f % len(i),
+    * len(i) = 3 + i % 3 — so within-scene frame pairs are
+    * bit-identical in the container and scene boundaries jump to fresh
+    * FNV noise (mean per-channel |Δ| ≈ 85 across a boundary, 0
+    * inside). Everything derives from id arithmetic, so the oracle is
+    * fully self-contained (the mm_phash pattern). */
+  def demoMediaScenes(spark: SparkSession, n: Int = 24): Dataset[Media] = {
+    import spark.implicits._
+    spark.createDataset((0 until n).map { i =>
+      val w = 15 + i % 4
+      val nFrames = 8 + i % 17
+      val len = 3 + i % 3
+      Media(i.toLong, "video",
+        encodeAvi(i.toLong, w, 12, nFrames, frameKey = f => f - f % len),
+        MediaMeta(w, 12, 0, nFrames))
+    })
+  }
+
+  final case class SceneRow(media_id: Long, frame_idx: Int, sum_abs: Long,
+      is_cut: Boolean, scene_id: Long)
+
+  /** Scene-cut detection + segmentation over the REAL AVI decode — the
+    * frame-sampling upgrade a video curation pipeline actually wants
+    * (sample per SCENE, not per fixed stride): per consecutive decoded
+    * frame pair, the integer sum of absolute channel differences; a
+    * cut fires when the mean per-channel jump exceeds 30 (compared as
+    * `sum_abs > 30·npx` — pure integer arithmetic, no float
+    * thresholding), and scene_id is the running cut count. Decode and
+    * the sequential scan stay whole-group local inside `mapPartitions`
+    * (the K4 tier: a codec has no Catalyst expression), fanout is
+    * bounded by nFrames. The oracle regenerates boundary-pair pixels
+    * from id arithmetic and may emit 0 for same-anchor pairs — if the
+    * engine's decode corrupted a within-scene frame, its nonzero
+    * sum_abs would diverge from that 0, so the shortcut still
+    * falsifies. */
+  def sceneCuts(spark: SparkSession, media: Dataset[Media]): Dataset[SceneRow] = {
+    import spark.implicits._
+    media.filter(_.kind == "video").mapPartitions { it =>
+      it.flatMap { m =>
+        val (w, h, frames) = decodeAvi(m.bytes)
+        val npx = w * h * 3
+        var scene = 0L
+        frames.indices.map { f =>
+          if (f == 0) SceneRow(m.media_id, 0, 0L, is_cut = false, 0L)
+          else {
+            val a = frames(f - 1)
+            val b = frames(f)
+            var s = 0L
+            var j = 0
+            while (j < npx) { s += math.abs(b(j) - a(j)); j += 1 }
+            val cut = s > 30L * npx
+            if (cut) scene += 1
+            SceneRow(m.media_id, f, s, cut, scene)
+          }
+        }
+      }
+    }
+  }
+
   /** Metadata-only projection — must not touch the payload column
     * (column pruning keeps the scan narrow at 100 TB). */
   def metaStats(media: Dataset[Media]): DataFrame =
@@ -638,6 +699,9 @@ object Multimodal {
           col("peak"), col("zcr"))
         .orderBy("media_id", "win_idx")),
     "mm_meta_stats" -> ((s, _) => metaStats(demoMedia(s))),
+    "mm_video_scenes" -> ((s, _) =>
+      sceneCuts(s, demoMediaScenes(s)).toDF()
+        .orderBy("media_id", "frame_idx")),
     // size contract (out bytes = out_w·out_h·3, independent of input
     // size) PLUS a content fingerprint: md5 over the hex of the raw RGB
     // payload — the oracle regenerates the SOURCE pixels from id
@@ -832,6 +896,45 @@ object Multimodal {
     // container) and fingerprinted in the decoder's (y, x, c) row-major
     // layout — a stride bug, a BGR swap, or a bottom-up slip all
     // diverge the fingerprints
+    // Self-contained end to end: video dims / frame counts / scene
+    // lengths all re-derive from id arithmetic; boundary-pair pixel
+    // diffs are exact BIGINT sums of regenerated FNV channels;
+    // same-anchor pairs are 0 by the generator's construction (an
+    // engine decode corrupting a within-scene frame would emit a
+    // nonzero sum_abs and diverge). scene_id replays as a running
+    // window sum of the cut flags.
+    "mm_video_scenes" -> {
+      val fnvA = TextHashes.fnvFoldSql(
+        "'v:' || bnd.media_id || ':' || bnd.anc || ':' || x.x || ':' || y.y || ':' || c.c")
+      val fnvP = TextHashes.fnvFoldSql(
+        "'v:' || bnd.media_id || ':' || bnd.panc || ':' || x.x || ':' || y.y || ':' || c.c")
+      s"""WITH ids AS (SELECT unnest(generate_series(0, 23)) AS i),
+         | m AS (SELECT i AS media_id, 15 + i % 4 AS w, 12 AS h,
+         |         8 + i % 17 AS nf, 3 + i % 3 AS len FROM ids),
+         | fr AS (SELECT m.media_id, m.w, m.h, m.len, g.f,
+         |          g.f - g.f % m.len AS anc,
+         |          CASE WHEN g.f = 0 THEN NULL
+         |               ELSE (g.f - 1) - (g.f - 1) % m.len END AS panc
+         |        FROM m, LATERAL unnest(generate_series(0, m.nf - 1)) g(f)),
+         | bnd AS (SELECT * FROM fr WHERE panc IS NOT NULL AND anc <> panc),
+         | px AS (
+         |  SELECT bnd.media_id, bnd.f,
+         |   abs(($fnvA % 256)::BIGINT - ($fnvP % 256)::BIGINT) AS d
+         |  FROM bnd, LATERAL unnest(generate_series(0, bnd.w - 1)) x(x),
+         |       LATERAL unnest(generate_series(0, bnd.h - 1)) y(y),
+         |       LATERAL unnest([0, 1, 2]) c(c)),
+         | sums AS (SELECT media_id, f, CAST(sum(d) AS BIGINT) AS sum_abs
+         |          FROM px GROUP BY media_id, f),
+         | allf AS (SELECT fr.media_id, fr.f,
+         |            coalesce(s.sum_abs, 0) AS sum_abs,
+         |            coalesce(s.sum_abs, 0) > 30 * fr.w * fr.h * 3 AS is_cut
+         |          FROM fr LEFT JOIN sums s
+         |            ON s.media_id = fr.media_id AND s.f = fr.f)
+         |SELECT media_id, CAST(f AS INT) AS frame_idx, sum_abs, is_cut,
+         | CAST(sum(is_cut::INT) OVER (PARTITION BY media_id ORDER BY f)
+         |      AS BIGINT) AS scene_id
+         |FROM allf ORDER BY media_id, frame_idx""".stripMargin
+    },
     "mm_frame_sample" ->
       s"""WITH m AS (SELECT media_id, width AS w, height AS h, nFrames
          |           FROM read_parquet('/tmp/graft_fixtures/demo_media_meta/*.parquet')

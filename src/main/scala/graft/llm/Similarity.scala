@@ -800,6 +800,56 @@ object Similarity {
   }
 
   // -------------------------------------------------------------------
+  // ann_mrl: Matryoshka two-tier serving (Kusupati et al. 2022,
+  // arXiv:2205.13147) — MRL-trained embeddings make every PREFIX a
+  // usable lower-dim embedding, so serving goes adaptive: route by
+  // the persisted IVF cells, score every probed-cell candidate with
+  // only the FIRST 16 of 64 dims (4× less arithmetic and — on a real
+  // deployment where the scan stores the prefix columnarly — 4× less
+  // I/O), shortlist the top 10, then exact full-dim rerank to the
+  // final top-3. At 100 TB the tier-1 pass is what touches the
+  // corpus; full vectors load only for shortlist·nProbes rows (the
+  // ann_pq ADC discipline, with truncation instead of quantization).
+  // Gate: fixture candidates; the oracle re-derives BOTH tiers with
+  // list slices — a wrong slice bound, a tier mix-up, or a rerank
+  // that forgot the shortlist all diverge.
+  // -------------------------------------------------------------------
+  private val mrlDims = 16
+  private val mrlShortlist = 10
+  private val annMrl: Q = (s, d) => {
+    val idx = ensureIvfIndex(s, d)
+    val assigned = s.read.parquet(s"$idx/assignments")
+    val centroids = s.read.parquet(s"$idx/centroids")
+    val emb = table(s, d, "embeddings").select(col("vec_id"), asDouble.as("ve"))
+    val probes = emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("qid"), col("ve").as("qe"))
+    val probeCells = probes.crossJoin(broadcast(centroids))
+      .withColumn("cdist", -cosine(col("qe"), col("ce")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("qid").orderBy(asc("cdist"), asc("cl"))))
+      .filter(col("crk") <= ivfNProbe)
+      .select("qid", "qe", "cl")
+    val cands = assigned.join(broadcast(probeCells), Seq("cl"))
+      .filter(col("qid") =!= col("vec_id"))
+      .persist()
+    graft.io.Sinks.dumpFixture(
+      cands.select(col("qid"), col("vec_id").as("cid")), "annmrl_cands")
+    val short = cands
+      .select(col("qid"), col("qe"), col("vec_id").as("cid"), col("ve"),
+        cosine(slice(col("qe"), 1, mrlDims), slice(col("ve"), 1, mrlDims)).as("sim16"))
+      .withColumn("rk16", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("sim16"), asc("cid"))))
+      .filter(col("rk16") <= mrlShortlist)
+    short
+      .select(col("qid"), col("cid"), cosine(col("qe"), col("ve")).as("sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))))
+      .filter(col("rk") <= kNeighbors)
+      .select(col("qid"), col("rk"), col("cid"), dround(col("sim"), 4).as("sim"))
+      .orderBy("qid", "rk")
+  }
+
+  // -------------------------------------------------------------------
   // dd_semantic: SemDeDup-style semantic deduplication (Abbas et al.
   // 2023, arXiv:2303.09540) — cluster the embedding space with the
   // SAME persisted k-means coarse quantizer the IVF index uses, then
@@ -842,6 +892,7 @@ object Similarity {
     "ann_ivf_pq_recall" -> annIvfPqRecall,
     "ann_ivf_upsert" -> annIvfUpsert,
     "ann_ivf_delete" -> annIvfDelete,
+    "ann_mrl" -> annMrl,
     "emb_quant" -> embQuant,
     "knn_cosine" -> knnCosine,
     "ann_lsh" -> annLsh,
@@ -1014,6 +1065,34 @@ object Similarity {
          | ranked AS (
          |  SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
          |  FROM sims)
+         |SELECT qid, rk, cid, round(sim, 4) AS sim FROM ranked WHERE rk <= $kNeighbors
+         |ORDER BY qid, rk""".stripMargin,
+    // Both tiers replayed from the fixture candidates: DuckDB slices
+    // v[1:16] for the shortlist ranking, then reranks the survivors
+    // full-dim — same sequential-fold dot products, so ranks are
+    // IEEE-deterministic cross-engine.
+    "ann_mrl" ->
+      s"""WITH p AS (SELECT qid, cid FROM read_parquet('/tmp/graft_fixtures/annmrl_cands/*.parquet')),
+         | e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | t1 AS (
+         |  SELECT p.qid, p.cid,
+         |   list_dot_product(q.v[1:$mrlDims], c.v[1:$mrlDims])
+         |     / (sqrt(list_dot_product(q.v[1:$mrlDims], q.v[1:$mrlDims]))
+         |        * sqrt(list_dot_product(c.v[1:$mrlDims], c.v[1:$mrlDims]))) AS sim16
+         |  FROM p JOIN e q ON q.vec_id = p.qid JOIN e c ON c.vec_id = p.cid),
+         | short AS (
+         |  SELECT qid, cid FROM (
+         |   SELECT qid, cid, row_number() OVER (PARTITION BY qid
+         |            ORDER BY sim16 DESC, cid) AS rk16 FROM t1)
+         |  WHERE rk16 <= $mrlShortlist),
+         | t2 AS (
+         |  SELECT s.qid, s.cid,
+         |   list_dot_product(q.v, c.v)
+         |     / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+         |  FROM short s JOIN e q ON q.vec_id = s.qid JOIN e c ON c.vec_id = s.cid),
+         | ranked AS (
+         |  SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+         |  FROM t2)
          |SELECT qid, rk, cid, round(sim, 4) AS sim FROM ranked WHERE rk <= $kNeighbors
          |ORDER BY qid, rk""".stripMargin,
     // Recall twins: the exact top-k is re-derived from the raw
