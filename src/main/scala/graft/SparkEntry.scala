@@ -24,6 +24,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++
       ops.Materialized.queries ++
+      ops.Snapshot.queries ++
       ops.Events.queries ++
       ops.Graph.queries ++
       ops.Layout.queries ++
@@ -47,6 +48,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++
       ops.Materialized.oracle ++
+      ops.Snapshot.oracle ++
       ops.Events.oracle ++
       ops.Graph.oracle ++
       ops.Layout.oracle ++

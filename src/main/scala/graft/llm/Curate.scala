@@ -375,7 +375,34 @@ object Curate {
       .orderBy("doc_id")
   }
 
+  // -------------------------------------------------------------------
+  // ds_shuffle: reproducible per-epoch training order — every epoch
+  // a DIFFERENT but fully deterministic global permutation, because
+  // training-data order must reshuffle between epochs yet replay
+  // bit-identically on reruns and across clusters. The epoch-salted
+  // content hash is the sort key (never `rand()` — the module-header
+  // rationale); docs are sharded by the same hash and positioned by a
+  // per-(epoch, shard) window, the ds_pack scale shape: no global
+  // sort, shard count is the parallelism knob, and a training reader
+  // streams shard files in (shard, pos) order.
+  // -------------------------------------------------------------------
+  private val shuffleShards = 8L
+  private val dsShuffle: Q = (s, d) => {
+    val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
+    Seq(0, 1).map { e =>
+      val h = rollHash(concat(lit(s"ep$e:"), col("text")))
+      docs.select(lit(e).as("epoch"), col("doc_id"),
+        pmod(h, lit(shuffleShards)).as("shard"), h.as("hk"))
+    }.reduce(_ unionByName _)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("epoch", "shard")
+          .orderBy(col("hk"), col("doc_id"))).cast("long"))
+      .select(col("epoch"), col("doc_id"), col("shard"), col("pos"))
+      .orderBy("epoch", "shard", "pos")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ds_shuffle" -> dsShuffle,
     "ds_dsir" -> dsDsir,
     "ds_split" -> dsSplit,
     "ds_mixture" -> dsMixture,
@@ -408,6 +435,25 @@ object Curate {
   }
 
   val oracle: Map[String, String] = Map(
+    // Both epochs' salted folds re-derived from raw text; the shard
+    // window replays as a row_number over the same (hash, doc_id)
+    // order.
+    "ds_shuffle" -> {
+      def ep(e: Int) = {
+        val fold = graft.functions.TextHashes.fnvFoldSql(s"'ep$e:' || text")
+        s"""SELECT $e AS epoch, doc_id,
+           |  ${graft.functions.TextHashes.fnvSignedSql(s"($fold)")} AS hk
+           |FROM documents""".stripMargin
+      }
+      s"""WITH u AS (${ep(0)} UNION ALL ${ep(1)}),
+         | sh AS (SELECT epoch, doc_id, hk,
+         |          ((hk % $shuffleShards) + $shuffleShards) % $shuffleShards AS shard
+         |        FROM u)
+         |SELECT epoch, doc_id, shard,
+         | CAST(row_number() OVER (PARTITION BY epoch, shard
+         |        ORDER BY hk, doc_id) AS BIGINT) AS pos
+         |FROM sh ORDER BY epoch, shard, pos""".stripMargin
+    },
     // Independent replay: per-token FNV → bucket, the bucket-count
     // pair, the quantized log-ratio LUT, and the per-doc INTEGER score
     // are all re-derived from raw text; the engine's HOF fold and the

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Numeric.dround
+import graft.io.Sources.table
+
+/** Manifest-versioned table snapshots — the Iceberg/Delta time-travel
+  * core in miniature: every write creates an IMMUTABLE file group plus
+  * a new manifest listing exactly the groups visible in that version;
+  * a read resolves a version's manifest and plans from its file list
+  * alone. Appends never rewrite existing groups, so every historical
+  * version stays readable after later writes (time travel), and
+  * concurrent readers of v N are isolated from the v N+1 commit.
+  *
+  * Scale rationale (100 TB): reads plan from the MANIFEST, never from
+  * object-store listing — the file-listing scan that kills S3-scale
+  * tables is gone; appends are O(delta) file additions + an O(1)
+  * manifest commit; and version pruning/vacuum is manifest diffing.
+  * The JSON-lines manifest here stands in for Iceberg's avro manifest
+  * list; the commit protocol (write files → write manifest → bump the
+  * version pointer atomically via rename) is the same shape.
+  *
+  * Gate: fs_snapshot reads BOTH versions through the manifest after
+  * both are committed; the oracle recomputes each version's aggregate
+  * from the base/delta predicates — if an append had mutated v1's
+  * groups or a read had listed directories instead of the manifest,
+  * the v1 row would drift.
+  */
+object Snapshot {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The same ingest-batch convention as Materialized.mv_refresh: the
+    * delta is the event-id residue-0 tenth of the table. */
+  private def isDelta = pmod(col("event_id"), lit(10L)) === 0L
+
+  private[graft] def snapRoot(d: String): String = {
+    val root = sys.env.getOrElse("SPARK_GRAFT_SNAP_DIR", "/tmp/graft_snap")
+    s"$root/pid_${ProcessHandle.current().pid()}/" +
+      s"${new java.io.File(d).getName}-${math.abs(d.hashCode.toLong)}"
+  }
+
+  private def manifestPath(root: String, v: Int) = s"$root/manifest/v$v.json"
+
+  /** Commit one version: the file groups are ALREADY written (immutable
+    * dirs); the manifest lists them, written to a temp name then
+    * renamed — the atomic-pointer half of the commit protocol. */
+  private def commit(root: String, v: Int, groups: Seq[String]): Unit = {
+    val dir = java.nio.file.Paths.get(s"$root/manifest")
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = dir.resolve(s".v$v.json.tmp")
+    java.nio.file.Files.write(tmp,
+      groups.mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(manifestPath(root, v)),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def readManifest(root: String, v: Int): Seq[String] =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(manifestPath(root, v))), "UTF-8")
+      .split("\n").toSeq.filter(_.nonEmpty)
+
+  /** Read a table version THROUGH its manifest — the file list is the
+    * plan input; no directory listing. */
+  private[graft] def readVersion(s: SparkSession, root: String, v: Int): DataFrame =
+    s.read.parquet(readManifest(root, v): _*)
+
+  /** v1 = base slice; v2 = v1 + appended delta group (v1's group is
+    * untouched). Idempotent per (pid, corpus dir). */
+  private[graft] def ensureTable(s: SparkSession, d: String): String = {
+    val root = snapRoot(d)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(manifestPath(root, 2)))) {
+      val ev = table(s, d, "events")
+      val base = s"$root/files/base"
+      val delta = s"$root/files/delta"
+      ev.filter(!isDelta).write.mode("overwrite").parquet(base)
+      commit(root, 1, Seq(base))
+      ev.filter(isDelta).write.mode("overwrite").parquet(delta)
+      commit(root, 2, Seq(base, delta))
+    }
+    root
+  }
+
+  /** Time travel both committed versions in one relation: per-version
+    * row count + value sum, read strictly through the manifests AFTER
+    * v2 exists — v1's stability under the later append is the
+    * immutability property under test. */
+  private val fsSnapshot: Q = (s, d) => {
+    val root = ensureTable(s, d)
+    def agg(v: Int): DataFrame =
+      readVersion(s, root, v).agg(
+        count(lit(1)).as("n_rows"), sum(col("value")).as("sv"))
+        .select(lit(v).as("version"), col("n_rows"),
+          dround(col("sv"), 4).as("sum_value"))
+    agg(1).unionByName(agg(2)).orderBy("version")
+  }
+
+  val queries: Map[String, Q] = Map("fs_snapshot" -> fsSnapshot)
+
+  val oracle: Map[String, String] = Map(
+    // each version re-derived from the slice predicates — never from
+    // the engine's files
+    "fs_snapshot" ->
+      """SELECT 1 AS version, count(*) AS n_rows, round(sum(value), 4) AS sum_value
+        |FROM events WHERE ((event_id % 10) + 10) % 10 <> 0
+        |UNION ALL
+        |SELECT 2, count(*), round(sum(value), 4) FROM events
+        |ORDER BY version""".stripMargin)
+}

@@ -61,6 +61,25 @@ class SelectOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ds_shuffle: each epoch is a full permutation and epochs reorder") {
+    val rows = Curate.queries("ds_shuffle")(spark, sf).collect()
+    val nDocs = graft.io.Sources.table(spark, sf, "documents").count()
+    val byEpoch = rows.groupBy(_.getAs[Int]("epoch"))
+    assert(byEpoch.keySet == Set(0, 1))
+    byEpoch.foreach { case (_, rs) =>
+      assert(rs.length == nDocs, "every doc exactly once per epoch")
+      assert(rs.map(_.getAs[Long]("doc_id")).toSet.size == nDocs)
+      // positions are contiguous 1..k within each shard
+      rs.groupBy(_.getAs[Long]("shard")).foreach { case (_, ss) =>
+        assert(ss.map(_.getAs[Long]("pos")).sorted.toSeq == (1L to ss.length).toSeq)
+      }
+    }
+    def order(e: Int) = byEpoch(e)
+      .sortBy(r => (r.getAs[Long]("shard"), r.getAs[Long]("pos")))
+      .map(_.getAs[Long]("doc_id")).toSeq
+    assert(order(0) != order(1), "epochs must produce different permutations")
+  }
+
   test("ann_ivf_delete: no tombstoned id is served, replacements surface") {
     val del = Similarity.queries("ann_ivf_delete")(spark, sf).collect()
     val base = Similarity.queries("ann_ivf")(spark, sf).collect()
