@@ -697,7 +697,51 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  // -------------------------------------------------------------------
+  // dd_urls: URL-canonicalization dedup — the FIRST dedup stage of a
+  // web-scale pipeline (RefinedWeb/CCNet run it before any content
+  // hash: it is free — scan-local string rewrites + one shuffle on the
+  // canonical key — and removes the bulk of recrawl duplicates).
+  // Normalization operates on the URL STRING (never on the arithmetic
+  // that planted it): lowercase, http→https, strip fragment, strip
+  // utm_* tracking params (non-tracking params like ref= survive),
+  // strip the trailing slash. The planted corpus exercises every rule:
+  // host case by doc_id % 3, scheme by % 2, utm by % 4, ref by % 5,
+  // fragment by % 6, slash by % 7 — and (host % 13, path % 17) pairs
+  // force true cross-doc collisions every 221 ids, so the dedup has
+  // real groups to collapse. Min-id survivor, the dd_exact rule.
+  // -------------------------------------------------------------------
+  private[llm] def plantedUrl = concat(
+    when(col("doc_id") % 2 === 0, "http://").otherwise("https://"),
+    when(col("doc_id") % 3 === 0,
+      concat(lit("HOST"), (col("doc_id") % 13).cast("string"), lit(".Example.COM")))
+      .otherwise(concat(lit("host"), (col("doc_id") % 13).cast("string"), lit(".example.com"))),
+    lit("/p/"), (col("doc_id") % 17).cast("string"),
+    when(col("doc_id") % 4 === 0 && col("doc_id") % 5 === 0, "?utm_source=news&ref=5")
+      .when(col("doc_id") % 4 === 0, "?utm_source=news")
+      .when(col("doc_id") % 5 === 0, "?ref=5")
+      .otherwise(""),
+    when(col("doc_id") % 6 === 0, "#sec2").otherwise(""),
+    when(col("doc_id") % 7 === 0, "/").otherwise(""))
+
+  private[llm] def canonicalUrl(u: Column): Column = {
+    val lowered = lower(u)
+    val scheme = regexp_replace(lowered, "^http://", "https://")
+    val noFrag = regexp_replace(scheme, "#.*", "")
+    val noUtmMid = regexp_replace(noFrag, "\\?utm_[^&]*&", "?")
+    val noUtm = regexp_replace(noUtmMid, "\\?utm_[^&]*$", "")
+    regexp_replace(noUtm, "/$", "")
+  }
+
+  private val ddUrls: Q = (s, d) =>
+    table(s, d, "documents")
+      .select(col("doc_id"), canonicalUrl(plantedUrl).as("url_norm"))
+      .groupBy("url_norm")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("url_norm")
+
   val queries: Map[String, Q] = Map(
+    "dd_urls" -> ddUrls,
     "dd_exact" -> ddExact,
     "dd_jaccard" -> ddJaccard,
     "dd_cluster" -> ddCluster,
@@ -756,6 +800,34 @@ object Dedup {
        |FROM flg GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the plant and the canonicalization chain both replayed in SQL —
+    // same regex dialect subset (no RE2/Java divergence in these
+    // patterns), same rule order
+    "dd_urls" ->
+      s"""WITH u AS (SELECT doc_id,
+         |  (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END) ||
+         |  (CASE WHEN doc_id % 3 = 0 THEN 'HOST' || (doc_id % 13) || '.Example.COM'
+         |        ELSE 'host' || (doc_id % 13) || '.example.com' END) ||
+         |  '/p/' || (doc_id % 17) ||
+         |  (CASE WHEN doc_id % 4 = 0 AND doc_id % 5 = 0 THEN '?utm_source=news&ref=5'
+         |        WHEN doc_id % 4 = 0 THEN '?utm_source=news'
+         |        WHEN doc_id % 5 = 0 THEN '?ref=5' ELSE '' END) ||
+         |  (CASE WHEN doc_id % 6 = 0 THEN '#sec2' ELSE '' END) ||
+         |  (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END) AS url
+         | FROM documents),
+         | c AS (SELECT doc_id,
+         |   regexp_replace(
+         |     regexp_replace(
+         |       regexp_replace(
+         |         regexp_replace(
+         |           regexp_replace(lower(url), '^http://', 'https://'),
+         |           '#.*', ''),
+         |         '\\?utm_[^&]*&', '?'),
+         |       '\\?utm_[^&]*$$', ''),
+         |     '/$$', '') AS url_norm
+         |   FROM u)
+         |SELECT url_norm, min(doc_id) AS keep_id, count(*) AS n_copies
+         |FROM c GROUP BY url_norm ORDER BY url_norm""".stripMargin,
     "dd_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
