@@ -40,6 +40,7 @@ object SparkEntry {
       llm.Similarity.queries ++
       llm.Multimodal.queries ++
       llm.Curate.queries ++
+      llm.Classifier.queries ++
       streaming.StreamQueries.queries ++
       io.IoQueries.queries
 
@@ -64,6 +65,7 @@ object SparkEntry {
       llm.Similarity.oracle ++
       llm.Multimodal.oracle ++
       llm.Curate.oracle ++
+      llm.Classifier.oracle ++
       streaming.StreamQueries.oracle ++
       io.IoQueries.oracle
 }

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{DataType, LongType, StringType, ArrayType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static hash kernels, callable from both interpreted eval and generated
@@ -27,6 +27,39 @@ object TextHashKernels {
 
   /** FNV-1a of one token — the per-token hash feeding simhash. */
   def fnv64(s: UTF8String): Long = rollingHash(s)
+
+  /** 27-bin character entropy (a–z + space, nats) — single byte pass +
+    * fixed-order fold, the fused form of the 27-term declarative chain
+    * the ts_entropy oracle replays (len − len(replace)) per symbol.
+    * Bit-faithful to that chain: p = count/numChars with the identical
+    * int→double conversions, terms added in alphabet order a..z then
+    * space, zero bins skipped (IEEE x + 0.0 == x for these
+    * non-negative accumulations). Counting is per BYTE, which equals
+    * the twin's per-char counts on the ASCII corpora the gate runs
+    * (the fnvFoldSql convention). */
+  def charEntropy(s: UTF8String): Double = {
+    val bytes = s.getBytes
+    val counts = new Array[Int](27)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b >= 'a' && b <= 'z') counts(b - 'a') += 1
+      else if (b == ' ') counts(26) += 1
+      i += 1
+    }
+    val len = s.numChars().toDouble
+    var h = 0.0
+    var j = 0
+    while (j < 27) {
+      val n = counts(j)
+      if (n > 0) {
+        val p = n / len
+        h += -(p * math.log(p))
+      }
+      j += 1
+    }
+    h
+  }
 
   /** Count of space-delimited tokens of `text` that appear in `set` —
     * the stopword/marker counting primitive behind quality scoring and
@@ -193,6 +226,25 @@ case class Shingles3(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `char_entropy(text)` — 27-bin character entropy in nats, fused
+  * single-pass with codegen. Replaces a 27-term chained projection
+  * (each term two length() calls over a translate copy) that blew the
+  * whole-stage-codegen expression budget and fell back to interpreted
+  * eval — ~9 s for 50k docs; the fused kernel is one byte pass. */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"char_entropy needs a string argument, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashKernels.charEntropy(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashKernels.charEntropy($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `tokens_in_set_count(text)` — count of whitespace tokens belonging to
   * a fixed small set, fused split+membership with codegen. Replaces the
   * explode → conditional-aggregate shape for stopword/marker counting:
@@ -242,6 +294,11 @@ object TextHashes {
   def rollHash(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.graft.ColumnBridge.column(
       RollingHash(org.apache.spark.sql.graft.ColumnBridge.expression(text)))
+
+  /** [[CharEntropy]] as a Column. */
+  def charEntropy(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      CharEntropy(org.apache.spark.sql.graft.ColumnBridge.expression(text)))
 
   /** Register `roll_hash` / `sim_hash` for `expr(...)` use. Idempotent. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

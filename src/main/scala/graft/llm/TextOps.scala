@@ -395,7 +395,53 @@ object TextOps {
       .orderBy("host")
   }
 
+  /** Character-level Shannon entropy — the gibberish/binary-noise
+    * signal (low-entropy = repeated filler, spuriously high = random
+    * bytes) quality pipelines score alongside the Gopher rules. The
+    * histogram runs over a FIXED 27-symbol alphabet (a–z + space) in a
+    * fixed fold order, so both engines sum the identical term sequence
+    * — distinct-char iteration orders (which neither engine pins) never
+    * enter the derivation. ln is the one transcendental in the repo's
+    * gated surface beyond KDE's exp; dround(4) absorbs its sub-ulp
+    * libm-vs-JVM drift (the a10_kde precedent). One scan → project,
+    * zero shuffle. The histogram+fold is the fused native
+    * [[graft.functions.CharEntropy]] expression: the 27-term chained
+    * projection it replaced (len − len(translate) per symbol, and a
+    * regexp_count variant before that) blew the codegen expression
+    * budget and ran interpreted — 16.6 s / 8.9 s per 50k docs; the
+    * kernel is one byte pass, bit-faithful to the oracle's chain. */
+  private val tsEntropy: Q = (s, d) => {
+    val h = TextHashes.charEntropy(col("text"))
+    table(s, d, "documents").select(
+      col("doc_id"), length(col("text")).cast("long").as("n_len"),
+      dround(h, 4).as("entropy_nats"),
+      when(h < 2.8, "low").otherwise("ok").as("entropy_flag"))
+      .orderBy("doc_id")
+  }
+
+  /** SFT example construction: render each document into a chat
+    * template (first 8 tokens as the user turn, the rest as the
+    * assistant turn) and emit the character span the loss mask covers
+    * — the assistant span only, the standard SFT masking rule. All
+    * string algebra, scan-local, zero shuffle; offsets are derived
+    * from rendered lengths so they stay correct under any template
+    * change. */
+  private val txSftRender: Q = (s, d) => {
+    val instr = array_join(slice(toks, 1, 8), " ")
+    val resp = array_join(slice(toks, 9, 1000000), " ")
+    val render = concat(lit("<|user|>\n"), instr, lit("\n<|assistant|>\n"), resp)
+    table(s, d, "documents").select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      render.as("render"),
+      (length(render) - length(resp)).cast("long").as("mask_start"),
+      length(resp).cast("long").as("mask_len"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ts_entropy" -> tsEntropy,
+    "tx_sft_render" -> txSftRender,
     "ts_hosts" -> tsHosts,
     "tx_chunks" -> txChunks,
     "ts_ngram_lm" -> tsNgramLm,
@@ -437,7 +483,34 @@ object TextOps {
        |         / count(*), 4) AS avg_nats
        |  FROM sc GROUP BY doc_id)""".stripMargin
 
+  /** The entropy fold replayed textually term by term — same 27-symbol
+    * order, same left-nested additions, same -(p·ln p) shape. */
+  private def sqlEntropy: String = {
+    val alphabet = ('a' to 'z').map(_.toString) :+ " "
+    alphabet.foldLeft("0.0") { (acc, c) =>
+      val n = s"CAST(length(text) - length(replace(text, '$c', '')) AS DOUBLE)"
+      val p = s"($n / CAST(length(text) AS DOUBLE))"
+      s"($acc + CASE WHEN $n > 0 THEN -($p * ln($p)) ELSE 0.0 END)"
+    }
+  }
+
   val oracle: Map[String, String] = Map(
+    "ts_entropy" ->
+      s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_len,
+         | round($sqlEntropy, 4) AS entropy_nats,
+         | CASE WHEN $sqlEntropy < 2.8 THEN 'low' ELSE 'ok' END AS entropy_flag
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "tx_sft_render" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        | r AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+        |   array_to_string(tk[1:8], ' ') AS instr,
+        |   array_to_string(tk[9:], ' ') AS resp FROM t)
+        |SELECT doc_id, n_tokens,
+        | ('<|user|>' || chr(10) || instr || chr(10) || '<|assistant|>' || chr(10) || resp) AS render,
+        | CAST(length('<|user|>' || chr(10) || instr || chr(10) || '<|assistant|>' || chr(10) || resp)
+        |      - length(resp) AS BIGINT) AS mask_start,
+        | CAST(length(resp) AS BIGINT) AS mask_len
+        |FROM r ORDER BY doc_id""".stripMargin,
     // host re-derived INDEPENDENTLY of parse_url: the planted URL is
     // rebuilt from doc_id and the authority comes from path-splitting
     // ('https:', '', host, ...) — element 3 of the '/'-split

@@ -341,6 +341,39 @@ object Events {
           lit("span_exceeds_cap").as("reason")))
   }
 
+  /** W15 rolling anomaly detection (extension): per-user z-score of
+    * each event's value against the trailing frame of its 12 PRIOR
+    * events — the frame excludes the current row, so a point never
+    * judges itself. The frame moments are exact-integer window sums of
+    * 1e-6-quantized values (the Classifier gradient discipline applied
+    * to window frames), and the z itself is IEEE-exact (+ − × ÷ sqrt
+    * only), so scores are bit-identical cross-engine on any
+    * partitioning. Rows with under 6 priors or a degenerate frame are
+    * flagged `cold`, keeping the gate falsifiable in all three flag
+    * states. Scale shape: ONE user_id shuffle shared by all three
+    * window sums; everything else is scan-local. */
+  private val w15Anomaly: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-12, -1)
+    val q6 = lit(1000000.0)
+    val cnt = count(lit(1)).over(w)
+    val sv = sum(floor(col("value") * q6)).over(w)
+    val sv2 = sum(floor((col("value") * col("value")) * q6)).over(w)
+    val mean = (sv.cast("double") / q6) / cnt.cast("double")
+    val ex2 = (sv2.cast("double") / q6) / cnt.cast("double")
+    val variance = ex2 - (mean * mean)
+    val z = (col("value") - mean) / sqrt(variance)
+    table(s, d, "events").select(
+      col("event_id"), col("user_id"), col("value"),
+      cnt.as("n_win"),
+      when(cnt >= 6 && variance > 0, dround(z, 4)).as("zscore"),
+      when(cnt >= 6 && variance > 0 && abs(z) > 2.0, "anomaly")
+        .when(cnt >= 6 && variance > 0, "normal")
+        .otherwise("cold").as("w15_flag"))
+      .orderBy("event_id")
+  }
+
   private val w14Resample: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val ev = table(s, d, "events")
@@ -371,6 +404,7 @@ object Events {
     "w11_retention" -> w11Retention,
     "w12_scd2" -> w12Scd2,
     "w14_resample" -> w14Resample,
+    "w15_anomaly" -> w15Anomaly,
     "w1_start" -> w1Start,
     "w2_stop" -> w2Stop,
     "w3_crossing" -> w3Crossing,
@@ -491,6 +525,25 @@ object Events {
         |  round(sum(value), 4) AS total_value
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    // the mean/variance sub-expressions are spelled out from the same
+    // quantized window sums in the same association as the engine
+    "w15_anomaly" -> {
+      val mean = "((CAST(sv AS DOUBLE) / 1000000.0) / CAST(n_win AS DOUBLE))"
+      val vr = s"(((CAST(sv2 AS DOUBLE) / 1000000.0) / CAST(n_win AS DOUBLE)) - ($mean * $mean))"
+      val z = s"((value - $mean) / sqrt($vr))"
+      s"""WITH b AS (SELECT event_id, user_id, value,
+         |  count(*) OVER w AS n_win,
+         |  sum(CAST(floor(value * 1000000.0) AS BIGINT)) OVER w AS sv,
+         |  sum(CAST(floor((value * value) * 1000000.0) AS BIGINT)) OVER w AS sv2
+         | FROM events
+         | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |              ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING))
+         |SELECT event_id, user_id, value, n_win,
+         | CASE WHEN n_win >= 6 AND $vr > 0 THEN round($z, 4) END AS zscore,
+         | CASE WHEN n_win >= 6 AND $vr > 0 AND abs($z) > 2.0 THEN 'anomaly'
+         |      WHEN n_win >= 6 AND $vr > 0 THEN 'normal' ELSE 'cold' END AS w15_flag
+         |FROM b ORDER BY event_id""".stripMargin
+    },
     "w9_deltas" ->
       """SELECT event_id, user_id,
         | round(epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
