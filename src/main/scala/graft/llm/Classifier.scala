@@ -237,10 +237,59 @@ object Classifier {
       .toDF("n", "w_bias", "w_tokens", "w_stop", "r2")
   }
 
+  // ------------------------------------------------------------------
+  // ml_pca: principal component of the quality-feature space — the
+  // feature-decorrelation probe run before distance-based selection
+  // (x1/x4 are ~collinear here: PC1 carries 97.8% of the variance, so
+  // the probe genuinely reports redundancy). Same two-tier shape as
+  // ml_ridge: ONE d²-width quantized covariance reduce, then 20 power
+  // iterations on the driver's 4×4 matrix in fixed IEEE order (start
+  // e1, matvec rows ascending, exact sqrt normalization) — the
+  // eigengap is 0.019 so 20 rounds converge to |cos| = 1.0 against a
+  // full eigensolve. The oracle replays the covariance AND all 20
+  // iterations as generated CTE pairs.
+  // ------------------------------------------------------------------
+  private val PD = 4   // feature dims
+  private val PIT = 20 // power iterations
+
+  private val mlPca: Q = (s, d) => {
+    val f = featureDf(s, d).persist()
+    val aggs = count(lit(1)).as("n") +:
+      ((1 to PD).map(i => sum(floor(col(s"x$i") * lit(Q6))).as(s"s$i")) ++
+        (for (i <- 1 to PD; j <- i to PD)
+          yield sum(floor((col(s"x$i") * col(s"x$j")) * lit(Q6))).as(s"t${i}_$j")))
+    val row = f.agg(aggs.head, aggs.tail: _*).head()
+    f.unpersist()
+    val n = row.getLong(0).toDouble
+    def g(name: String) = row.getLong(row.fieldIndex(name)).toDouble
+    val m = Array.tabulate(PD)(i => (g(s"s${i + 1}") / Q6) / n)
+    val c = Array.ofDim[Double](PD, PD)
+    for (i <- 1 to PD; j <- i to PD) {
+      val v = ((g(s"t${i}_$j") / Q6) / n) - (m(i - 1) * m(j - 1))
+      c(i - 1)(j - 1) = v
+      c(j - 1)(i - 1) = v
+    }
+    var v = Array.tabulate(PD)(i => if (i == 0) 1.0 else 0.0)
+    for (_ <- 1 to PIT) {
+      val w = Array.tabulate(PD)(i =>
+        (0 until PD).foldLeft(0.0)((acc, j) => acc + (c(i)(j) * v(j))))
+      val nrm = math.sqrt(w.foldLeft(0.0)((acc, x) => acc + (x * x)))
+      v = w.map(_ / nrm)
+    }
+    val lam = (0 until PD).foldLeft(0.0)((acc, i) =>
+      acc + (v(i) * (0 until PD).foldLeft(0.0)((a2, j) => a2 + (c(i)(j) * v(j)))))
+    val trace = (0 until PD).foldLeft(0.0)((acc, i) => acc + c(i)(i))
+    import s.implicits._
+    (1 to PD).map(i => (i.toLong, dr7(v(i - 1)), dr7(m(i - 1)), dr7(lam), dr7(lam / trace)))
+      .toDF("dim", "pc1", "mean_dim", "eigval", "var_ratio")
+      .orderBy("dim")
+  }
+
   val queries: Map[String, Q] = Map(
     "ml_lr_train" -> mlLrTrain,
     "ml_lr_curate" -> mlLrCurate,
-    "ml_ridge" -> mlRidge)
+    "ml_ridge" -> mlRidge,
+    "ml_pca" -> mlPca)
 
   // ------------------------------------------------------------------
   // Oracle: the training loop unrolled into generated CTEs. it0 is the
@@ -386,7 +435,51 @@ object Classifier {
        |FROM w, r""".stripMargin
   }
 
+  /** PCA oracle: covariance CTEs + the full 20-round power iteration as
+    * generated matvec/normalize CTE pairs, every fold left-nested in
+    * the engine's order. */
+  private def pcaSql: String = {
+    def cRef(i: Int, j: Int) = if (i <= j) s"c${i}_$j" else s"c${j}_$i"
+    val mo = "mo AS (SELECT count(*) AS n, " +
+      ((1 to PD).map(i => s"sum(CAST(floor(x$i * 1000000.0) AS BIGINT)) AS s$i") ++
+        (for (i <- 1 to PD; j <- i to PD)
+          yield s"sum(CAST(floor((x$i * x$j) * 1000000.0) AS BIGINT)) AS t${i}_$j"))
+        .mkString(", ") + " FROM f)"
+    def mExpr(i: Int) = s"((CAST(s$i AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE))"
+    val cv = "cv AS (SELECT " +
+      ((1 to PD).map(i => s"${mExpr(i)} AS m$i") ++
+        (for (i <- 1 to PD; j <- i to PD) yield
+          s"(((CAST(t${i}_$j AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE)) - (${mExpr(i)} * ${mExpr(j)})) AS c${i}_$j"))
+        .mkString(", ") + " FROM mo)"
+    val p0 = "p0 AS (SELECT " +
+      (1 to PD).map(i => s"${if (i == 1) "1.0" else "0.0"} AS v$i").mkString(", ") + ")"
+    val iters = (1 to PIT).map { k =>
+      val q = s"q$k AS (SELECT " + (1 to PD).map { i =>
+        val mv = (1 to PD).foldLeft("0.0")((acc, j) => s"($acc + (${cRef(i, j)} * v$j))")
+        s"$mv AS w$i"
+      }.mkString(", ") + s" FROM cv, p${k - 1})"
+      val norm = (1 to PD).foldLeft("0.0")((acc, i) => s"($acc + (w$i * w$i))")
+      val p = s"p$k AS (SELECT " +
+        (1 to PD).map(i => s"(w$i / sqrt($norm)) AS v$i").mkString(", ") + s" FROM q$k)"
+      s" $q,\n $p"
+    }
+    def lamInner(i: Int) =
+      (1 to PD).foldLeft("0.0")((acc, j) => s"($acc + (${cRef(i, j)} * v$j))")
+    val lam = (1 to PD).foldLeft("0.0")((acc, i) => s"($acc + (v$i * ${lamInner(i)}))")
+    val trace = (1 to PD).foldLeft("0.0")((acc, i) => s"($acc + c${i}_$i)")
+    val fin = "fin AS (SELECT " +
+      ((1 to PD).map(i => s"v$i") ++ (1 to PD).map(i => s"m$i")).mkString(", ") +
+      s", ($lam) AS lam, ($trace) AS tr FROM p$PIT, cv)"
+    val rows = (1 to PD).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS dim, round(v$i, 7) AS pc1,
+         | round(m$i, 7) AS mean_dim, round(lam, 7) AS eigval,
+         | round((lam / tr), 7) AS var_ratio FROM fin""".stripMargin)
+    (Seq(featureCte, mo, cv, p0) ++ iters :+ fin).mkString("WITH ", ",\n", "") +
+      rows.mkString("\nSELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY dim")
+  }
+
   val oracle: Map[String, String] = Map(
+    "ml_pca" -> pcaSql,
     "ml_ridge" -> ridgeSql,
     "ml_lr_train" -> s"$trainCtes\n$trainSelect",
     "ml_lr_curate" ->

@@ -374,6 +374,29 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** W16 behavior transition matrix (extension): first-order Markov
+    * statistics over each user's event-type sequence — the session-
+    * modeling prior (next-action prediction, funnel leak analysis)
+    * derived as one lag window + one count agg. 'start' marks the
+    * sequence head so initial-state mass is explicit. p_trans is a
+    * SINGLE int/int IEEE division of two exact counts (cnt over the
+    * from-state total), deterministic cross-engine unrounded; dround(4)
+    * only formats it. Scale: one user_id shuffle for the lag, then a
+    * (from,to)-keyed agg whose width is |event_type|² — constant. */
+  private val w16Markov: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val bi = table(s, d, "events")
+      .select(coalesce(lag(col("event_type"), 1).over(w), lit("start")).as("from_type"),
+        col("event_type").as("to_type"))
+    val cnt = bi.groupBy("from_type", "to_type").agg(count(lit(1)).as("n_trans"))
+    val tot = Window.partitionBy("from_type")
+    cnt.select(col("from_type"), col("to_type"), col("n_trans"),
+      dround(col("n_trans").cast("double") / sum(col("n_trans")).over(tot), 4)
+        .as("p_trans"))
+      .orderBy("from_type", "to_type")
+  }
+
   private val w14Resample: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val ev = table(s, d, "events")
@@ -405,6 +428,7 @@ object Events {
     "w12_scd2" -> w12Scd2,
     "w14_resample" -> w14Resample,
     "w15_anomaly" -> w15Anomaly,
+    "w16_markov" -> w16Markov,
     "w1_start" -> w1Start,
     "w2_stop" -> w2Stop,
     "w3_crossing" -> w3Crossing,
@@ -525,6 +549,18 @@ object Events {
         |  round(sum(value), 4) AS total_value
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "w16_markov" ->
+      """WITH bi AS (SELECT
+        |  coalesce(lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id), 'start') AS from_type,
+        |  event_type AS to_type
+        | FROM events),
+        | c AS (SELECT from_type, to_type, count(*) AS n_trans
+        |       FROM bi GROUP BY from_type, to_type)
+        |SELECT from_type, to_type, n_trans,
+        | round(CAST(n_trans AS DOUBLE) /
+        |   sum(n_trans) OVER (PARTITION BY from_type), 4) AS p_trans
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
     // the mean/variance sub-expressions are spelled out from the same
     // quantized window sums in the same association as the engine
     "w15_anomaly" -> {

@@ -337,7 +337,70 @@ object Graph {
       .orderBy("doc_id")
   }
 
+  // -------------------------------------------------------------------
+  // gr_kcore: onion decomposition (iterative k-core peeling, k=4) — the
+  // graph-structure quality signal crawl curation uses next to PageRank
+  // (link farms concentrate in high cores; isolated spam in round-1
+  // peels). The planted graph here is deliberately IRREGULAR (out-degree
+  // 1 + u mod 5, quadratic successor (u² + 17j + 7) mod N) because the
+  // affine pr_pagerank plant is 6-regular — no node would ever peel;
+  // this one produces genuine multi-round cascades (100/1/1 peels at
+  // sf0.01, 1375/126 at sf0.1). Four fixed peel rounds, pure integer
+  // degrees → hash-gateable on any partitioning. Scale shape: the
+  // undirected edge relation is built and persisted ONCE; each round is
+  // two node-id semi-joins + one degree agg, with the shrinking active
+  // set localCheckpoint'd per round (the BPE lineage discipline) so the
+  // plan never accretes.
+  // -------------------------------------------------------------------
+  private val kcoreK = 4
+  private val kcoreRounds = 4
+
+  private val grKcore: Q = (s, d) => {
+    val docs = table(s, d, "documents").select(col("doc_id"))
+    val n = docs.agg(count(lit(1)).as("n_nodes"))
+    val nodes = docs.crossJoin(broadcast(n))
+    val dir = nodes
+      .select(col("doc_id").as("u"),
+        explode(sequence(lit(1L), lit(1L) + pmod(col("doc_id"), lit(5L)))).as("j"),
+        col("n_nodes"))
+      .select(col("u"),
+        pmod(col("u") * col("u") + col("j") * 17 + 7, col("n_nodes")).as("v"))
+      .filter(col("u") =!= col("v"))
+    val und = dir
+      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .distinct().persist()
+    val deg0 = und.select(col("a").as("doc_id"))
+      .union(und.select(col("b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("deg0"))
+    var active = docs
+    var peeled: DataFrame = null
+    for (r <- 1 to kcoreRounds) {
+      val e2 = und
+        .join(active.select(col("doc_id").as("a")), "a")
+        .join(active.select(col("doc_id").as("b")), "b")
+      val deg = e2.select(col("a").as("doc_id"))
+        .union(e2.select(col("b").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+      val degAll = active.join(deg, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("deg"), lit(0L)).as("deg"))
+      val low = degAll.filter(col("deg") < kcoreK)
+        .select(col("doc_id"), lit(r.toLong).as("peel_round"))
+      peeled = if (peeled == null) low else peeled.union(low)
+      active = degAll.filter(col("deg") >= kcoreK)
+        .select(col("doc_id")).localCheckpoint()
+    }
+    docs
+      .join(deg0, Seq("doc_id"), "left")
+      .join(peeled, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("deg0"), lit(0L)).as("deg0"),
+        col("peel_round").isNull.as("in_core"),
+        coalesce(col("peel_round"), lit(0L)).as("peel_round"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "gr_kcore" -> grKcore,
     "gr_scc" -> grScc,
     "pr_pagerank" -> prPagerank,
     "pr_pagerank_conv" -> prPagerankConv,
@@ -373,7 +436,45 @@ object Graph {
        | l$i AS (SELECT nd.doc_id, coalesce(b.lbl, nd.doc_id) AS lbl
        |         FROM nodes nd LEFT JOIN b$i b USING (doc_id))""".stripMargin
 
+  /** gr_kcore oracle: the peel loop unrolled — same plant, same k, the
+    * active set re-derived round by round with integer degrees. */
+  private def kcoreSql: String = {
+    val rounds = (1 to kcoreRounds).map { r =>
+      s"""e$r AS (SELECT a, b FROM und
+         |   WHERE a IN (SELECT doc_id FROM a${r - 1})
+         |     AND b IN (SELECT doc_id FROM a${r - 1})),
+         | d$r AS (SELECT doc_id, count(*) AS deg FROM
+         |   (SELECT a AS doc_id FROM e$r UNION ALL SELECT b AS doc_id FROM e$r)
+         |   GROUP BY doc_id),
+         | p$r AS (SELECT x.doc_id, CAST($r AS BIGINT) AS peel_round
+         |   FROM a${r - 1} x LEFT JOIN d$r USING (doc_id)
+         |   WHERE coalesce(deg, 0) < $kcoreK),
+         | a$r AS (SELECT x.doc_id FROM a${r - 1} x LEFT JOIN d$r USING (doc_id)
+         |   WHERE coalesce(deg, 0) >= $kcoreK)""".stripMargin
+    }
+    val allp = (1 to kcoreRounds).map(r => s"SELECT * FROM p$r").mkString(" UNION ALL ")
+    s"""WITH nn AS (SELECT count(*) AS n_nodes FROM documents),
+       | dir AS (SELECT u, (u * u + 17 * j + 7) % n_nodes AS v
+       |   FROM (SELECT doc_id AS u FROM documents), nn,
+       |        LATERAL unnest(generate_series(1, 1 + (u % 5))) g(j)
+       |   WHERE (u * u + 17 * j + 7) % n_nodes <> u),
+       | und AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM dir),
+       | dg0 AS (SELECT doc_id, count(*) AS deg0 FROM
+       |   (SELECT a AS doc_id FROM und UNION ALL SELECT b AS doc_id FROM und)
+       |   GROUP BY doc_id),
+       | a0 AS (SELECT doc_id FROM documents),
+       | ${rounds.mkString(",\n ")},
+       | allp AS ($allp)
+       |SELECT d.doc_id, coalesce(deg0, 0) AS deg0,
+       | (allp.peel_round IS NULL) AS in_core,
+       | coalesce(allp.peel_round, 0) AS peel_round
+       |FROM (SELECT doc_id FROM documents) d
+       | LEFT JOIN dg0 USING (doc_id) LEFT JOIN allp ON d.doc_id = allp.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "gr_kcore" -> kcoreSql,
     // Independent algorithm: UNBOUNDED semi-naive recursive closure
     // (vs the engine's bounded iterative doubling) → mutual pairs →
     // per-node min. Reflexivity comes from the LEFT JOIN + coalesce

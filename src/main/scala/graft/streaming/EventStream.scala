@@ -215,6 +215,55 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  final case class AnomalyState(vals: List[Double])
+  final case class AnomalyHit(event_id: Long, user_id: Long, value: Double,
+      n_win: Long, zscore: Option[Double], w15_flag: String)
+
+  /** Streaming rolling anomaly detection — the incremental face of the
+    * W15 batch operator (ops.Events `w15_anomaly`): each event is
+    * z-scored against the trailing 12 PRIOR events of its user, as the
+    * stream arrives. State per user is O(1) — a bounded ring of ≤12
+    * doubles — so state size tracks live users, never history (the
+    * asofStream discipline). The arithmetic is the batch kernel's,
+    * verbatim: integer-quantized frame sums (order-free by
+    * construction), IEEE-exact mean/var/z, dround(4), the same
+    * cold/normal/anomaly gate — so an event-time-ordered stream
+    * reproduces the batch result ROW FOR ROW and the batch DuckDB
+    * oracle gates the stream output directly. */
+  def anomalyStream(spark: SparkSession, events: Dataset[AsofEv]): Dataset[AnomalyHit] = {
+    import spark.implicits._
+    def dr4(x: Double): Double = {
+      val p = 1e4
+      if (x >= 0) math.floor(x * p + 0.5) / p else -(math.floor(-x * p + 0.5) / p)
+    }
+    val fn = (userId: Long, rows: Iterator[AsofEv], state: GroupState[AnomalyState]) => {
+      val out = Seq.newBuilder[AnomalyHit]
+      var buf = state.getOption.map(_.vals).getOrElse(Nil)
+      rows.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+        val n = buf.length
+        val z: Option[Double] =
+          if (n >= 6) {
+            val sv = buf.foldLeft(0L)((a, v) => a + math.floor(v * 1000000.0).toLong)
+            val sv2 = buf.foldLeft(0L)((a, v) => a + math.floor((v * v) * 1000000.0).toLong)
+            val mean = (sv.toDouble / 1000000.0) / n
+            val ex2 = (sv2.toDouble / 1000000.0) / n
+            val vr = ex2 - (mean * mean)
+            if (vr > 0) Some((e.value - mean) / math.sqrt(vr)) else None
+          } else None
+        val flag = z match {
+          case Some(zz) => if (math.abs(zz) > 2.0) "anomaly" else "normal"
+          case None => "cold"
+        }
+        out += AnomalyHit(e.event_id, userId, e.value, n.toLong, z.map(dr4), flag)
+        buf = (buf :+ e.value).takeRight(12)
+      }
+      state.update(AnomalyState(buf))
+      out.result().iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** One micro-batch of the idempotent sink: the batch lands in its own
     * `batch_id=<id>` partition with DYNAMIC partition overwrite, so
     * writing the same batch id twice replaces that partition instead of

@@ -483,7 +483,43 @@ object StreamQueries {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
+  /** W15 as a stream: the rolling z-score kernel fired incrementally
+    * per event with O(1) per-user ring state, delivered across two
+    * event-time-ordered micro-batches so the ring must survive a
+    * checkpointed batch boundary. Rows emit the moment they are
+    * processed (no flush barrier — every event scores itself against
+    * its PRIOR frame only). Oracle: `w15_anomaly`'s window twin,
+    * verbatim. */
+  private val stAnomaly: Q = (parent, d) => {
+    val s = scoped(parent)
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val evs = eventRows(s, d, viewClickOnly = false)
+      .sortBy(e => (EventStream.us(e.ts), e.event_id))
+    val source = MemoryStream[EventStream.AsofEv]
+    val name = s"st_anomaly_${seq.incrementAndGet()}"
+    val q = EventStream.anomalyStream(s, source.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation", ckpt(name)).start()
+    val rows = try {
+      evs.grouped(math.max(1, (evs.length + 1) / 2)).foreach { chunk =>
+        source.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      s.table(name).as[EventStream.AnomalyHit].collect()
+    } finally {
+      q.stop()
+      s.catalog.dropTempView(name)
+      dropCkpt(name)
+    }
+    s.createDataset(rows.toIndexedSeq).toDF()
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("n_win"), col("zscore"), col("w15_flag"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "st_anomaly" -> stAnomaly,
     "st_sessions" -> stSessions,
     "st_asof" -> stAsof,
     "st_scd2" -> stScd2,
@@ -497,6 +533,7 @@ object StreamQueries {
   /** The batch twins' oracles apply UNCHANGED — that is the point: the
     * incremental operators must reproduce the batch semantics exactly. */
   val oracle: Map[String, String] = Map(
+    "st_anomaly" -> graft.ops.Events.oracle("w15_anomaly"),
     "st_sessions" -> graft.ops.Events.oracle("w8_sessions"),
     "st_asof" -> graft.ops.Relational.oracle("j7_asof"),
     "st_scd2" -> graft.ops.Events.oracle("w12_scd2"),

@@ -90,6 +90,22 @@ class ClassifierSpec extends AnyFunSuite {
     assert(a(0).getAs[Double]("w_tokens") > 0)
   }
 
+  test("pca: unit-norm PC1 dominated by the collinear length features") {
+    val rows = Classifier.queries("ml_pca")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("dim"))
+    assert(rows.length == 4)
+    val v = rows.map(_.getAs[Double]("pc1"))
+    val norm = v.map(x => x * x).sum
+    assert(math.abs(norm - 1.0) < 1e-5, s"PC1 not unit: $norm")
+    // x1 (tokens) and x4 (chars) are ~collinear: they must carry the
+    // component; the ratio features contribute little
+    assert(math.abs(v(0)) > 0.5 && math.abs(v(3)) > 0.3, v.toSeq.toString)
+    assert(math.abs(v(1)) < 0.2 && math.abs(v(2)) < 0.2, v.toSeq.toString)
+    val vr = rows.head.getAs[Double]("var_ratio")
+    assert(vr > 0.9 && vr <= 1.0, s"var_ratio $vr")
+    assert(rows.map(_.getAs[Double]("eigval")).distinct.length == 1)
+  }
+
   private object SparkEntryQueries {
     val curate = Classifier.queries("ml_lr_curate")
   }

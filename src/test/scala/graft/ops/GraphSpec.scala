@@ -67,4 +67,27 @@ class GraphSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a == b)
   }
+
+  test("gr_kcore: the surviving core IS a k-core and peels are forced") {
+    val rows = Graph.queries("gr_kcore")(spark, sf).collect()
+    val core = rows.filter(_.getAs[Boolean]("in_core")).map(_.getAs[Long]("doc_id")).toSet
+    assert(core.nonEmpty && core.size < rows.length) // both classes live
+    // rebuild the planted undirected graph in-test (independent code)
+    val n = rows.length
+    val und = (for {
+      u <- 0L until n.toLong
+      j <- 1L to (1 + u % 5)
+      v = (u * u + 17 * j + 7) % n if v != u
+    } yield (math.min(u, v), math.max(u, v))).toSet
+    // every core node keeps >= k neighbors INSIDE the core — the
+    // defining k-core property, checked against the engine's verdict
+    val coreDeg = core.map(u => u ->
+      und.count { case (a, b) => (a == u && core(b)) || (b == u && core(a)) }).toMap
+    coreDeg.foreach { case (u, dg) => assert(dg >= 4, s"node $u core-degree $dg") }
+    // a node with raw degree < k can only peel in round 1
+    rows.filter(r => r.getAs[Long]("deg0") < 4)
+      .foreach(r => assert(r.getAs[Long]("peel_round") == 1L, r.toString))
+    // peel rounds bounded by the fixed round count
+    assert(rows.map(_.getAs[Long]("peel_round")).max <= 4L)
+  }
 }

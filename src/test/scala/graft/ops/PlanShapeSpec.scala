@@ -201,4 +201,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.split("\n").exists(l => l.contains("vecdot") && l.contains("*(")),
       s"vecdot should be inside a WholeStageCodegen span:\n$p")
   }
+
+  test("ml_lr_curate serve side is zero-shuffle before the output sort") {
+    // scoring = scan-local features standardized/scored by driver
+    // literals; the ONLY exchange is the final orderBy's range shuffle
+    val p = plan("ml_lr_curate")
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected 1 exchange:\n$p")
+    assert(!p.contains("Join"), s"serve side must not join:\n$p")
+  }
+
+  test("w15_anomaly shares ONE user_id hash exchange across all frame sums") {
+    val p = plan("w15_anomaly")
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"all three window sums must ride one user_id exchange:\n$p")
+    assert("Window".r.findAllIn(p).size >= 1)
+  }
+
+  test("ts_entropy runs the fused kernel inside codegen on a pruned scan") {
+    val df = SparkEntry.queries("ts_entropy")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.split("\n").exists(l => l.contains("charentropy") && l.contains("*(")),
+      s"charentropy should be inside a WholeStageCodegen span:\n$p")
+    assert(!p.contains("lang"), "unreferenced columns should not be read")
+  }
 }

@@ -46,6 +46,20 @@ class WindowAnomalySpec extends AnyFunSuite {
     }
   }
 
+  test("w16_markov: per-state probabilities sum to 1; start mass = user count") {
+    val rows = Events.queries("w16_markov")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byFrom = rows.groupBy(_.getAs[String]("from_type"))
+    byFrom.foreach { case (f, rs) =>
+      val mass = rs.map(_.getAs[Double]("p_trans")).sum
+      assert(math.abs(mass - 1.0) < 1e-2, s"$f mass $mass") // dround(4) per cell
+    }
+    val nUsers = graft.io.Sources.table(spark, sf, "events")
+      .select("user_id").distinct().count()
+    val startMass = byFrom("start").map(_.getAs[Long]("n_trans")).sum
+    assert(startMass == nUsers) // exactly one sequence head per user
+  }
+
   test("tx_sft_render: offsets exactly delimit the assistant span") {
     val rows = graft.llm.TextOps.queries("tx_sft_render")(spark, sf).collect()
     assert(rows.nonEmpty)

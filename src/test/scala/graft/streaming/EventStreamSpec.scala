@@ -407,4 +407,34 @@ class EventStreamSpec extends AnyFunSuite {
       Seq(EventStream.us(ts(10)), EventStream.us(ts(30)), -1L))
     assert(out.map(_.is_current).toSeq == Seq(false, false, true))
   }
+
+  test("streaming anomaly matches the batch w15_anomaly row for row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.ops.Events.queries("w15_anomaly")(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((if (r.isNullAt(r.fieldIndex("zscore"))) None
+          else Some(r.getAs[Double]("zscore"))), r.getAs[String]("w15_flag")))
+      .toMap
+    val evs = graft.io.Sources.table(spark, sf, "events")
+      .select("event_id", "user_id", "ts", "event_type", "value")
+      .as[EventStream.AsofEv].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val source = MemoryStream[EventStream.AsofEv]
+    val q = EventStream.anomalyStream(spark, source.toDS())
+      .writeStream.format("memory").queryName("anom_out")
+      .outputMode("append").start()
+    try {
+      // three micro-batches: the ring state must survive two boundaries
+      evs.grouped((evs.length + 2) / 3).foreach { chunk =>
+        source.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val got = spark.table("anom_out").as[EventStream.AnomalyHit].collect()
+        .map(h => h.event_id -> ((h.zscore, h.w15_flag))).toMap
+      assert(got.keySet == batch.keySet)
+      assert(got == batch) // exact doubles: the quantized kernel is shared
+    } finally q.stop()
+  }
 }
