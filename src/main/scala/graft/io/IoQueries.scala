@@ -112,11 +112,40 @@ object IoQueries {
       .orderBy("gameId", "playId", "nflId", "week", "frameId")
   }
 
+  /** S6 — JSONL round trip: newline-delimited JSON is the LLM-corpus
+    * interchange format, so the engine must both export and re-ingest
+    * it losslessly. The table is written as JSONL (per-dataset dir,
+    * path-hash keyed — the fs_compact collision rule) and read back
+    * under the EXPLICIT engine schema (no inference; schema drift must
+    * fail loudly, the S1 discipline). The oracle reads the ORIGINAL
+    * parquet — the gate is round-trip identity, which tests the JSON
+    * writer and reader together value-for-value. */
+  private val s6Jsonl: Q = (s, d) => {
+    import org.apache.spark.sql.types._
+    val dir = s"$fx/s6_jsonl/${new java.io.File(d).getName}-${math.abs(d.hashCode.toLong)}"
+    if (!Files.exists(Paths.get(s"$dir/_SUCCESS")))
+      graft.io.Sources.table(s, d, "documents")
+        .write.mode("overwrite").json(dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    s.read.schema(schema).json(dir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "s1_csv_schema" -> s1CsvSchema,
-    "s2_week_prune" -> s2WeekPrune)
+    "s2_week_prune" -> s2WeekPrune,
+    "s6_jsonl" -> s6Jsonl)
 
   val oracle: Map[String, String] = Map(
+    // round-trip identity vs the ORIGINAL table — any JSON write/read
+    // loss (escaping, type mapping, null handling) hash-mismatches
+    "s6_jsonl" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // all_varchar + explicit casts: the engine contract is "bind by
     // name, cast to the engine schema" — mirroring that exactly beats
     // racing DuckDB's type sniffer.

@@ -883,7 +883,92 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  // -------------------------------------------------------------------
+  // ds_kcenter: greedy k-center (Gonzalez) diversity selection — the
+  // coreset/data-pruning primitive (pick K maximally spread exemplars
+  // in embedding space; the seed set for facility-location pruning and
+  // cluster-balanced sampling). K−1 rounds, each ONE distributed pass:
+  // fold the new pick's cosine distance into a running per-row min
+  // (`least` chain) and take the argmax by a top-1 sort — no all-pairs
+  // ever materializes, so the shape is K·O(n) at any scale. Every
+  // distance is the IEEE-exact VecDot/norm chain shared with
+  // knn_cosine, the pick rule breaks ties on vec_id, and the oracle
+  // replays ALL rounds (selection subqueries + the same least-folds) —
+  // one wrong pick anywhere diverges every later row.
+  // -------------------------------------------------------------------
+  private val kcK = 6
+
+  private val dsKcenter: Q = (s, d) => {
+    val fe = table(s, d, "embeddings")
+      .select(col("vec_id"), asDouble.as("ve"))
+      .withColumn("nrm", sqrt(dot(col("ve"), col("ve"))))
+      .persist()
+    val seedId = fe.agg(min(col("vec_id"))).head().getLong(0)
+    var picks = List[(Int, Long, Option[Double])]((1, seedId, None))
+    var withMind: DataFrame = null
+    for (r <- 2 to kcK) {
+      val prevId = picks.head._2
+      val prow = fe.filter(col("vec_id") === prevId).select("ve", "nrm").head()
+      val pv = prow.getSeq[Double](0)
+      val pn = prow.getDouble(1)
+      val dNew = lit(1.0) -
+        (dot(col("ve"), typedLit(pv)) / (col("nrm") * lit(pn)))
+      withMind =
+        if (withMind == null) fe.withColumn("mind", dNew)
+        else withMind.withColumn("mind", least(col("mind"), dNew))
+      val pick = withMind
+        .filter(!col("vec_id").isin(picks.map(_._2): _*))
+        .orderBy(col("mind").desc, col("vec_id"))
+        .select("vec_id", "mind").head()
+      picks = (r, pick.getLong(0), Some(pick.getDouble(1))) :: picks
+    }
+    fe.unpersist()
+    import s.implicits._
+    picks.reverse
+      .map { case (r, id, dst) => (r.toLong, id, dst.map(x => {
+        val p = 1e7
+        if (x >= 0) math.floor(x * p + 0.5) / p else -(math.floor(-x * p + 0.5) / p)
+      })) }
+      .toDF("sel_round", "vec_id", "dist_at_pick")
+      .orderBy("sel_round")
+  }
+
+  /** ds_kcenter oracle: every selection round unrolled — seed by min
+    * id, then per round the least-folded running min distance and the
+    * (mind DESC, vec_id) top-1, with prior picks excluded by
+    * subquery. */
+  private def kcenterSql: String = {
+    def dist(m: String) =
+      s"(1.0 - (list_dot_product($m.ve, s.ve) / ($m.nrm * sqrt(list_dot_product(s.ve, s.ve)))))"
+    val rounds = (2 to kcK).map { r =>
+      val excl = (1 until r).map(i => s"vec_id <> (SELECT id FROM sel$i)").mkString(" AND ")
+      val mind =
+        if (r == 2) s"${dist("f")} AS mind"
+        else s"least(f.mind, ${dist("f")}) AS mind"
+      val src = if (r == 2) "fe f" else s"m${r - 1} f"
+      s"""m$r AS (SELECT f.vec_id, f.ve, f.nrm, $mind
+         |   FROM $src, sv${r - 1} s),
+         | sel$r AS (SELECT vec_id AS id, mind FROM m$r
+         |   WHERE $excl ORDER BY mind DESC, vec_id LIMIT 1),
+         | sv$r AS (SELECT ve FROM fe WHERE vec_id = (SELECT id FROM sel$r))""".stripMargin
+    }
+    val finalRows = Seq(
+      "SELECT CAST(1 AS BIGINT) AS sel_round, (SELECT id FROM sel1) AS vec_id, CAST(NULL AS DOUBLE) AS dist_at_pick") ++
+      (2 to kcK).map(r =>
+        s"SELECT CAST($r AS BIGINT), id, round(mind, 7) FROM sel$r")
+    s"""WITH fe AS (SELECT vec_id, embedding::DOUBLE[] AS ve,
+       |   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings),
+       | sel1 AS (SELECT min(vec_id) AS id FROM fe),
+       | sv1 AS (SELECT ve FROM fe WHERE vec_id = (SELECT id FROM sel1)),
+       | ${rounds.mkString(",\n ")}
+       |SELECT * FROM (
+       |${finalRows.mkString("\nUNION ALL\n")}
+       |) ORDER BY sel_round""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "ds_kcenter" -> dsKcenter,
     "dd_semantic" -> ddSemantic,
     "pq_encode" -> pqEncode,
     "ann_pq" -> annPq,
@@ -935,6 +1020,7 @@ object Similarity {
        |         / (SELECT count(*) FROM ex), 4) AS recall""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "ds_kcenter" -> kcenterSql,
     // given the dumped k-means assignment, every within-cluster cosine,
     // the min-id drop rule, and the final relation are re-derived from
     // the raw embeddings — a wrong sim, a missed drop, or a dropped

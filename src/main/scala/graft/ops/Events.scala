@@ -397,6 +397,35 @@ object Events {
       .orderBy("from_type", "to_type")
   }
 
+  /** W17 exponential smoothing (extension): per-user EWMA of the value
+    * series — the telemetry-baseline primitive next to w15's z-score.
+    * The recursion s_i = (α·x_i) + ((1−α)·s_{i−1}) is inherently
+    * sequential per user, so it runs as ONE ordered fold per user
+    * (sort_array of (ts_us, event_id, value) triples → aggregate HOF
+    * seeded with the first value), after a single user_id shuffle —
+    * scan-local, no window, no per-row prefix arrays. Both engines
+    * fold the identical ordered list with the identical IEEE
+    * multiply-add association, so the result is bit-deterministic;
+    * dround(7) only formats. */
+  private val w17Ewma: Q = (s, d) => {
+    val tri = struct(
+      unix_micros(col("ts")).as("t"), col("event_id").as("e"), col("value").as("v"))
+    val grouped = table(s, d, "events")
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(tri)).as("seq"))
+    val vals = expr("transform(seq, x -> x.v)")
+    val ewma = expr(
+      "aggregate(slice(transform(seq, x -> x.v), 2, 100000000), " +
+        "element_at(transform(seq, x -> x.v), 1), " +
+        "(acc, x) -> (0.2 * x) + (0.8 * acc))")
+    grouped.select(
+      col("user_id"),
+      size(col("seq")).cast("long").as("n_events"),
+      dround(element_at(vals, size(col("seq"))), 4).as("last_value"),
+      dround(ewma, 7).as("ewma"))
+      .orderBy("user_id")
+  }
+
   private val w14Resample: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val ev = table(s, d, "events")
@@ -429,6 +458,7 @@ object Events {
     "w14_resample" -> w14Resample,
     "w15_anomaly" -> w15Anomaly,
     "w16_markov" -> w16Markov,
+    "w17_ewma" -> w17Ewma,
     "w1_start" -> w1Start,
     "w2_stop" -> w2Stop,
     "w3_crossing" -> w3Crossing,
@@ -549,6 +579,18 @@ object Events {
         |  round(sum(value), 4) AS total_value
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    // same ordered fold: list() collected per user, struct-sorted on
+    // (t, e, v), list_reduce seeds with the first element — DuckDB's
+    // fold and Spark's aggregate-over-slice are the same association
+    "w17_ewma" ->
+      """WITH g AS (SELECT user_id,
+        |  list_sort(list(struct_pack(t := epoch_us(ts), e := event_id, v := value))) AS seq
+        | FROM events GROUP BY user_id)
+        |SELECT user_id, CAST(len(seq) AS BIGINT) AS n_events,
+        | round(list_transform(seq, x -> x.v)[len(seq)], 4) AS last_value,
+        | round(list_reduce(list_transform(seq, x -> x.v),
+        |   (acc, x) -> (0.2 * x) + (0.8 * acc)), 7) AS ewma
+        |FROM g ORDER BY user_id""".stripMargin,
     "w16_markov" ->
       """WITH bi AS (SELECT
         |  coalesce(lag(event_type) OVER (PARTITION BY user_id

@@ -96,7 +96,65 @@ object Snapshot {
     agg(1).unionByName(agg(2)).orderBy("version")
   }
 
-  val queries: Map[String, Q] = Map("fs_snapshot" -> fsSnapshot)
+  // -------------------------------------------------------------------
+  // fs_vacuum: retention vacuum — the lifecycle step that completes the
+  // manifest store (snapshot → compact → VACUUM): rewrite the table as
+  // one merged group committed as v3, then physically delete every file
+  // group the latest manifest no longer references plus the expired
+  // manifests themselves. Runs against a SIBLING root so fs_snapshot's
+  // time-travel versions are never touched — the two queries stay
+  // order-independent inside one Verify run. The audit relation derives
+  // group status from MANIFEST membership (not directory existence), so
+  // a re-run after deletion reports identically; the post-vacuum
+  // aggregate is read strictly THROUGH v3's manifest, proving the live
+  // data survived the delete.
+  // -------------------------------------------------------------------
+  private def deleteRec(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+
+  private val fsVacuum: Q = (s, d) => {
+    val root = snapRoot(d) + "_vac"
+    // v1/v2 as in ensureTable, on the sibling root
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(manifestPath(root, 2)))) {
+      val ev = table(s, d, "events")
+      ev.filter(!isDelta).write.mode("overwrite").parquet(s"$root/files/base")
+      commit(root, 1, Seq(s"$root/files/base"))
+      ev.filter(isDelta).write.mode("overwrite").parquet(s"$root/files/delta")
+      commit(root, 2, Seq(s"$root/files/base", s"$root/files/delta"))
+    }
+    // v3 = compaction rewrite: ONE merged group becomes the live set
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(manifestPath(root, 3)))) {
+      readVersion(s, root, 2).write.mode("overwrite").parquet(s"$root/files/merged")
+      commit(root, 3, Seq(s"$root/files/merged"))
+    }
+    val live = readManifest(root, 3).toSet
+    // physical vacuum: unreferenced groups + expired manifests
+    Seq("base", "delta", "merged").map(g => s"$root/files/$g")
+      .filterNot(live.contains)
+      .foreach(g => deleteRec(java.nio.file.Paths.get(g)))
+    Seq(1, 2).foreach(v =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(manifestPath(root, v))))
+    val after = readVersion(s, root, 3)
+      .agg(count(lit(1)).as("n_rows"), dround(sum(col("value")), 4).as("sum_value"))
+    val audit = Seq("base", "delta", "merged").map { g =>
+      val isLive = live.contains(s"$root/files/$g")
+      if (isLive)
+        after.select(lit(g).as("grp"), lit("live").as("status"),
+          col("n_rows"), col("sum_value"))
+      else
+        after.select(lit(g).as("grp"), lit("vacuumed").as("status"),
+          lit(null).cast("long").as("n_rows"), lit(null).cast("double").as("sum_value"))
+    }
+    audit.reduce(_ unionByName _).orderBy("grp")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "fs_snapshot" -> fsSnapshot,
+    "fs_vacuum" -> fsVacuum)
 
   val oracle: Map[String, String] = Map(
     // each version re-derived from the slice predicates — never from
@@ -106,5 +164,16 @@ object Snapshot {
         |FROM events WHERE ((event_id % 10) + 10) % 10 <> 0
         |UNION ALL
         |SELECT 2, count(*), round(sum(value), 4) FROM events
-        |ORDER BY version""".stripMargin)
+        |ORDER BY version""".stripMargin,
+    // the live group must carry the FULL table through the vacuum; the
+    // dead groups' statuses derive from the retention rule itself
+    "fs_vacuum" ->
+      """SELECT * FROM (
+        | SELECT 'base' AS grp, 'vacuumed' AS status,
+        |   CAST(NULL AS BIGINT) AS n_rows, CAST(NULL AS DOUBLE) AS sum_value
+        | UNION ALL
+        | SELECT 'delta', 'vacuumed', NULL, NULL
+        | UNION ALL
+        | SELECT 'merged', 'live', count(*), round(sum(value), 4) FROM events
+        |) ORDER BY grp""".stripMargin)
 }
