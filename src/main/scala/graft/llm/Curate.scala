@@ -401,7 +401,33 @@ object Curate {
       .orderBy("epoch", "shard", "pos")
   }
 
+  /** ds_tokens: per-(source, lang) token accounting — the budget sheet
+    * every mixture decision reads first (how many tokens does each
+    * component actually hold, what share of the corpus is that, and
+    * how fast does the cumulative share saturate when components are
+    * taken largest-first). One corpus scan + one (source, lang) agg;
+    * the share/cumulative windows run over the AGGREGATED relation
+    * (|sources|×|langs| rows — constant width), never the corpus, so
+    * the single-partition window is a non-issue at any scale. */
+  private val dsTokens: Q = (s, d) => {
+    val agg = table(s, d, "documents")
+      .select(col("source"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val tot = Window.partitionBy(lit(1))
+    val cum = Window.orderBy(desc("n_tokens"), asc("source"), asc("lang"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    agg.select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+      dround(col("n_tokens").cast("double") / sum(col("n_tokens")).over(tot), 4)
+        .as("token_share"),
+      dround(sum(col("n_tokens")).over(cum).cast("double")
+        / sum(col("n_tokens")).over(tot), 4).as("cum_share"))
+      .orderBy(desc("n_tokens"), asc("source"), asc("lang"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ds_tokens" -> dsTokens,
     "ds_shuffle" -> dsShuffle,
     "ds_dsir" -> dsDsir,
     "ds_split" -> dsSplit,
@@ -435,6 +461,16 @@ object Curate {
   }
 
   val oracle: Map[String, String] = Map(
+    "ds_tokens" ->
+      """WITH a AS (SELECT source, lang, count(*) AS n_docs,
+        |   sum(len(string_split(text, ' '))) AS n_tokens
+        | FROM documents GROUP BY source, lang)
+        |SELECT source, lang, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+        | round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 4) AS token_share,
+        | round(CAST(sum(n_tokens) OVER (ORDER BY n_tokens DESC, source, lang
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |   / sum(n_tokens) OVER (), 4) AS cum_share
+        |FROM a ORDER BY n_tokens DESC, source, lang""".stripMargin,
     // Both epochs' salted folds re-derived from raw text; the shard
     // window replays as a row_number over the same (hash, doc_id)
     // order.

@@ -694,6 +694,74 @@ object Similarity {
   private val annIvfPqRecall: Q = annRecall(annIvfPq, "annivfpq_topk")
 
   // -------------------------------------------------------------------
+  // ann_filtered: metadata-FILTERED vector search — "nearest neighbors
+  // within my category", the constraint serving stacks bolt onto every
+  // vector index (FAISS IDSelector / Qdrant-style payload filter). The
+  // strategy is PRE-filtering: the label predicate joins into the
+  // candidate scan BEFORE any scoring, so filtered-out vectors cost
+  // nothing; because filtering thins each probed cell (~10% selectivity
+  // on the 10 balanced labels here), the probe ring is WIDENED 2× —
+  // the standard filtered-ANN compensation, priced as (2·nProbe/16) of
+  // the corpus instead of re-scanning everything. Each query filters
+  // for its own label ("more like this, same category"). Gate: the
+  // annCandOracle fixture pattern extended with the label column, plus
+  // a recall row against the label-constrained exact baseline.
+  // -------------------------------------------------------------------
+  private val annFiltered: Q = (s, d) => {
+    val idx = ensureIvfIndex(s, d)
+    val assigned = s.read.parquet(s"$idx/assignments")
+    val centroids = s.read.parquet(s"$idx/centroids")
+    val lab = table(s, d, "embeddings").select(col("vec_id"), col("label"))
+    val probes = table(s, d, "embeddings")
+      .filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("qid"), asDouble.as("qe"), col("label").as("qlabel"))
+    val probeCells = probes.crossJoin(broadcast(centroids))
+      .withColumn("cdist", -cosine(col("qe"), col("ce")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("qid").orderBy(asc("cdist"), asc("cl"))))
+      .filter(col("crk") <= ivfNProbe * 2)
+      .select("qid", "qe", "qlabel", "cl")
+    val sims = assigned
+      .join(lab, "vec_id")
+      .join(broadcast(probeCells), Seq("cl"))
+      .filter(col("label") === col("qlabel") && col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("qlabel").cast("long").as("qlabel"),
+        col("vec_id").as("cid"), cosine(col("qe"), col("ve")).as("sim"))
+      .persist()
+    graft.io.Sinks.dumpFixture(sims.select("qid", "cid"), "annfiltered_cands")
+    sims.withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))))
+      .filter(col("rk") <= kNeighbors)
+      .select(col("qid"), col("qlabel"), col("rk"), col("cid"),
+        dround(col("sim"), 4).as("sim"))
+      .orderBy("qid", "rk")
+  }
+
+  /** Recall of the filtered serve against the label-constrained EXACT
+    * top-k (brute force among same-label vectors only — the correct
+    * baseline: unfiltered recall would penalize the filter itself). */
+  private val annFilteredRecall: Q = (s, d) => {
+    val served = annFiltered(s, d).select("qid", "cid").persist()
+    graft.io.Sinks.dumpFixture(served, "annfiltered_topk")
+    val emb = table(s, d, "embeddings")
+    val q = emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("qid"), asDouble.as("qe"), col("label").as("qlabel"))
+    val c = emb.select(col("vec_id").as("cid"), asDouble.as("ce"), col("label"))
+    val exact = q.crossJoin(c)
+      .filter(col("label") === col("qlabel") && col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))))
+      .filter(col("rk") <= kNeighbors)
+      .select("qid", "cid")
+    val hits = exact.join(served, Seq("qid", "cid"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    exact.agg(count(lit(1)).as("n_exact")).crossJoin(hits)
+      .select(col("n_exact"), col("hits"),
+        dround(col("hits").cast("double") / col("n_exact"), 4).as("recall"))
+  }
+
+  // -------------------------------------------------------------------
   // ann_ivf_upsert: incremental index maintenance — the continuous-
   // ingest half of the IVF architecture (dd_incremental's discipline
   // applied to vectors). A NEW batch arrives after the index was
@@ -968,6 +1036,8 @@ object Similarity {
   }
 
   val queries: Map[String, Q] = Map(
+    "ann_filtered" -> annFiltered,
+    "ann_filtered_recall" -> annFilteredRecall,
     "ds_kcenter" -> dsKcenter,
     "dd_semantic" -> ddSemantic,
     "pq_encode" -> pqEncode,
@@ -1020,6 +1090,41 @@ object Similarity {
        |         / (SELECT count(*) FROM ex), 4) AS recall""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the candidate-fixture pattern with the label carried through:
+    // scoring + ranking + the query's own label re-derived from the raw
+    // embeddings over exactly the candidates the engine scored
+    "ann_filtered" ->
+      s"""WITH p AS (SELECT qid, cid FROM read_parquet('/tmp/graft_fixtures/annfiltered_cands/*.parquet')),
+         | e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+         | sims AS (
+         |  SELECT p.qid, CAST(q.label AS BIGINT) AS qlabel, p.cid,
+         |   list_dot_product(q.v, c.v)
+         |     / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+         |  FROM p JOIN e q ON p.qid = q.vec_id JOIN e c ON p.cid = c.vec_id),
+         | ranked AS (
+         |  SELECT qid, qlabel, cid, sim,
+         |   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+         |  FROM sims)
+         |SELECT qid, qlabel, rk, cid, round(sim, 4) AS sim
+         |FROM ranked WHERE rk <= $kNeighbors ORDER BY qid, rk""".stripMargin,
+    "ann_filtered_recall" ->
+      s"""WITH p AS (SELECT qid, cid FROM read_parquet('/tmp/graft_fixtures/annfiltered_topk/*.parquet')),
+         | q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe, label AS qlabel
+         |       FROM embeddings WHERE vec_id < $nProbes),
+         | c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce, label FROM embeddings),
+         | sims AS (
+         |  SELECT q.qid, c.cid,
+         |   list_dot_product(q.qe, c.ce)
+         |     / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.ce, c.ce))) AS sim
+         |  FROM q CROSS JOIN c WHERE c.label = q.qlabel AND q.qid <> c.cid),
+         | ranked AS (
+         |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+         |  FROM sims),
+         | ex AS (SELECT qid, cid FROM ranked WHERE rk <= $kNeighbors)
+         |SELECT (SELECT count(*) FROM ex) AS n_exact,
+         |       (SELECT count(*) FROM ex JOIN p USING (qid, cid)) AS hits,
+         |       round((SELECT count(*) FROM ex JOIN p USING (qid, cid))::DOUBLE
+         |         / (SELECT count(*) FROM ex), 4) AS recall""".stripMargin,
     "ds_kcenter" -> kcenterSql,
     // given the dumped k-means assignment, every within-cluster cosine,
     // the min-id drop rule, and the final relation are re-derived from

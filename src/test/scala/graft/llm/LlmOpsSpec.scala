@@ -307,4 +307,22 @@ class LlmOpsSpec extends AnyFunSuite {
       .head
     assert(out.getLong(1) == 3 * 150000L)
   }
+
+  test("filtered ANN: every hit honors the label predicate; recall floor holds") {
+    val sf = "/root/testdata/sf0.001"
+    val labels = graft.io.Sources.table(spark, sf, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val served = Similarity.queries("ann_filtered")(spark, sf).collect()
+    assert(served.nonEmpty)
+    served.foreach { r =>
+      val q = r.getAs[Long]("qid"); val c = r.getAs[Long]("cid")
+      assert(r.getAs[Long]("qlabel") == labels(q).toLong)
+      assert(labels(c) == labels(q), s"hit $c label ${labels(c)} != query $q label ${labels(q)}")
+      assert(c != q)
+    }
+    val rec = Similarity.queries("ann_filtered_recall")(spark, sf).head()
+    assert(rec.getAs[Double]("recall") >= 0.2,
+      s"filtered recall ${rec.getAs[Double]("recall")}") // the house ANN floor on the noise corpus
+  }
 }
