@@ -39,7 +39,9 @@ object ExplainDump {
     "mv_refresh" -> "incremental MV refresh: stored-partials scan ∪ delta-only events scan → one merge agg — the base slice never re-reads",
     "ds_dsir" -> "DSIR scoring: token shuffle only for the 64-bucket LM pair; per-doc scores fold scan-locally against the broadcast one-row LUT map",
     "gr_scc" -> "SCC by iterative doubling: three self-join+distinct rounds on (src,dst) pairs, mutual-pair join, per-node integer min",
-    "ml_lr_curate" -> "classifier curation serve side: scan-local features standardized by driver-literal moments, scored by literal weights — zero joins, zero shuffles before the output sort")
+    "ml_lr_curate" -> "classifier curation serve side: scan-local features standardized by driver-literal moments, scored by literal weights — zero joins, zero shuffles before the output sort",
+    "w15_anomaly" -> "rolling anomaly z-scores: all three quantized frame sums ride ONE user_id window exchange; z is scan-local IEEE algebra over the window outputs",
+    "ann_filtered" -> "filtered vector serve: label predicate joined into the candidate scan BEFORE scoring, probe cells broadcast — filtered-out vectors never reach a dot product")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
