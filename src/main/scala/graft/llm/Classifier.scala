@@ -84,8 +84,15 @@ object Classifier {
     val row = f.agg(aggs.head, aggs.tail: _*).head()
     val n = row.getLong(0).toDouble
     val m = Array.tabulate(4)(j => (row.getLong(1 + 2 * j).toDouble / Q6) / n)
-    val sd = Array.tabulate(4)(j =>
-      math.sqrt(((row.getLong(2 + 2 * j).toDouble / Q6) / n) - (m(j) * m(j))))
+    // degenerate-feature guard (ADVICE r7 divide-by-zero discipline): a
+    // constant column has variance ≤ 0 after quantization; dividing by
+    // sd = 0 would send NaN into floor(), where the engines' casts
+    // disagree. sd = 1 leaves the centered column all-zero — inert for
+    // GD — and the oracle mirrors the same CASE.
+    val sd = Array.tabulate(4) { j =>
+      val v = ((row.getLong(2 + 2 * j).toDouble / Q6) / n) - (m(j) * m(j))
+      if (v <= 0) 1.0 else math.sqrt(v)
+    }
     (m, sd)
   }
 
@@ -329,10 +336,12 @@ object Classifier {
           s"sum(CAST(floor((x$j * x$j) * 1000000.0) AS BIGINT)) AS t$j").mkString(", ") +
       " FROM f)"
     def mExpr(j: Int) = s"((CAST(s$j AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE))"
+    def vExpr(j: Int) =
+      s"(((CAST(t$j AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE)) - (${mExpr(j)} * ${mExpr(j)}))"
     val ms = "ms AS (SELECT " +
       (1 to 4).map(j =>
         s"${mExpr(j)} AS m$j, " +
-          s"sqrt(((CAST(t$j AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE)) - (${mExpr(j)} * ${mExpr(j)})) AS d$j")
+          s"CASE WHEN ${vExpr(j)} <= 0 THEN 1.0 ELSE sqrt(${vExpr(j)}) END AS d$j")
         .mkString(", ") +
       " FROM mom)"
     val fs = "fs AS (SELECT doc_id, " +

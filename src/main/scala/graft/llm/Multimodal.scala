@@ -698,6 +698,39 @@ object Multimodal {
           graft.functions.Numeric.dround(col("rms"), 4).as("rms"),
           col("peak"), col("zcr"))
         .orderBy("media_id", "win_idx")),
+    // VAD segmentation over the decoded windows: a window is ACTIVE
+    // when its rms clears the media's own mean rms (relative threshold
+    // — the adaptive-energy VAD baseline; an absolute threshold would
+    // be vacuous on synthetic noise). The mean is a quantized-integer
+    // reduce (the w15 discipline), runs are gaps-and-islands over
+    // win_idx, and every output column is an exact integer — so the
+    // whole segmentation hash-gates. Scale: windows shuffle once on
+    // media_id for the flag/run windows; segments are one more keyed
+    // agg.
+    "mm_vad" -> ((s, _) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = audioWindowFeatures(s, demoMedia(s)).toDF()
+      val th = w.groupBy("media_id").agg(
+        sum(floor(col("rms") * lit(10000.0))).as("qs"), count(lit(1)).as("nw"))
+      val act = w.join(broadcast(th), "media_id")
+        .withColumn("thr", (col("qs").cast("double") / 10000.0) / col("nw").cast("double"))
+        .withColumn("active", col("rms") >= col("thr"))
+      val ord = Window.partitionBy("media_id").orderBy("win_idx")
+      val runs = act
+        .withColumn("flip", when(lag(col("active"), 1).over(ord).isNull
+          || lag(col("active"), 1).over(ord) =!= col("active"), 1L).otherwise(0L))
+        .withColumn("run_id", sum(col("flip")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val segs = runs.filter(col("active"))
+        .groupBy("media_id", "run_id")
+        .agg(min(col("win_idx")).cast("long").as("start_win"),
+          max(col("win_idx")).cast("long").as("end_win"),
+          count(lit(1)).as("n_wins"), max(col("peak")).as("seg_peak"))
+      segs.withColumn("seg_idx", row_number().over(
+          Window.partitionBy("media_id").orderBy("start_win")).cast("long"))
+        .select("media_id", "seg_idx", "start_win", "end_win", "n_wins", "seg_peak")
+        .orderBy("media_id", "seg_idx")
+    }),
     "mm_meta_stats" -> ((s, _) => metaStats(demoMedia(s))),
     "mm_video_scenes" -> ((s, _) =>
       sceneCuts(s, demoMediaScenes(s)).toDF()
@@ -766,6 +799,27 @@ object Multimodal {
     * entropy (ln/ln2, the kernel's formula) and the float32 bin-pair
     * densities are rebuilt from scratch. A decode that returned
     * anything but the true pixels would shift the histogram and go red. */
+  /** The decoded-audio window relation as a CTE chain ending in
+    * `wins(media_id, win_idx, n_samples, rms_raw, peak, zcr)` — the ONE
+    * definition both the mm_audio_features twin and the mm_vad twin
+    * build from (the perplexityCtes sharing rule). */
+  private def audioWinsSql: String =
+    s"""m AS (SELECT media_id, nFrames
+       |      FROM read_parquet('/tmp/graft_fixtures/demo_media_meta/*.parquet')
+       |      WHERE kind = 'audio'),
+       | s AS (
+       |  SELECT m.media_id, t.j,
+       |   ((${TextHashes.fnvFoldSql("'a:' || m.media_id || ':' || t.j")} % 65536) - 32768)::BIGINT AS v
+       |  FROM m, LATERAL unnest(generate_series(0, m.nFrames - 1)) t(j)),
+       | sl AS (SELECT *, (j // 256)::INT AS win_idx,
+       |          lag(v) OVER (PARTITION BY media_id ORDER BY j) AS pv
+       |        FROM s),
+       | wins AS (SELECT media_id, win_idx, count(*)::BIGINT AS n_samples,
+       |   sqrt(sum(v * v)::DOUBLE / count(*)) AS rms_raw,
+       |   max(abs(v)) AS peak,
+       |   CAST(sum(CASE WHEN j % 256 <> 0 AND pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zcr
+       |  FROM sl GROUP BY media_id, win_idx)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "mm_features" ->
       s"""WITH m AS (SELECT media_id, kind, width, height, nFrames, n_bytes
@@ -820,22 +874,34 @@ object Multimodal {
     // 256, rms over the exact integer sum of squares, zero-crossings
     // via lag bounded to the window (j % 256 <> 0)
     "mm_audio_features" ->
-      s"""WITH m AS (SELECT media_id, nFrames
-         |           FROM read_parquet('/tmp/graft_fixtures/demo_media_meta/*.parquet')
-         |           WHERE kind = 'audio'),
-         | s AS (
-         |  SELECT m.media_id, t.j,
-         |   ((${TextHashes.fnvFoldSql("'a:' || m.media_id || ':' || t.j")} % 65536) - 32768)::BIGINT AS v
-         |  FROM m, LATERAL unnest(generate_series(0, m.nFrames - 1)) t(j)),
-        | sl AS (SELECT *, (j // 256)::INT AS win_idx,
-        |          lag(v) OVER (PARTITION BY media_id ORDER BY j) AS pv
-        |        FROM s)
-        |SELECT media_id, win_idx, count(*)::BIGINT AS n_samples,
-        |  round(sqrt(sum(v * v)::DOUBLE / count(*)), 4) AS rms,
-        |  max(abs(v)) AS peak,
-        |  CAST(sum(CASE WHEN j % 256 <> 0 AND pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zcr
-        |FROM sl GROUP BY media_id, win_idx
-        |ORDER BY media_id, win_idx""".stripMargin,
+      s"""WITH $audioWinsSql
+         |SELECT media_id, win_idx, n_samples,
+         |  round(rms_raw, 4) AS rms, peak, zcr
+         |FROM wins ORDER BY media_id, win_idx""".stripMargin,
+    // the SAME window CTE feeds the VAD twin: quantized per-media mean
+    // threshold, lag-flagged runs, islands by running flip sum —
+    // integer outputs end to end
+    "mm_vad" ->
+      s"""WITH $audioWinsSql,
+         | th AS (SELECT media_id, sum(CAST(floor(rms_raw * 10000.0) AS BIGINT)) AS qs,
+         |        count(*) AS nw FROM wins GROUP BY media_id),
+         | act AS (SELECT w.*, ((CAST(qs AS DOUBLE) / 10000.0) / CAST(nw AS DOUBLE)) AS thr,
+         |         (w.rms_raw >= ((CAST(qs AS DOUBLE) / 10000.0) / CAST(nw AS DOUBLE))) AS active
+         |        FROM wins w JOIN th USING (media_id)),
+         | fl AS (SELECT *, CASE WHEN lag(active) OVER wd IS NULL
+         |          OR lag(active) OVER wd <> active THEN 1 ELSE 0 END AS flip
+         |        FROM act WINDOW wd AS (PARTITION BY media_id ORDER BY win_idx)),
+         | rn AS (SELECT *, sum(flip) OVER (PARTITION BY media_id ORDER BY win_idx
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id FROM fl),
+         | sg AS (SELECT media_id, run_id,
+         |          CAST(min(win_idx) AS BIGINT) AS start_win,
+         |          CAST(max(win_idx) AS BIGINT) AS end_win,
+         |          count(*)::BIGINT AS n_wins, max(peak) AS seg_peak
+         |        FROM rn WHERE active GROUP BY media_id, run_id)
+         |SELECT media_id,
+         | CAST(row_number() OVER (PARTITION BY media_id ORDER BY start_win) AS BIGINT) AS seg_idx,
+         | start_win, end_win, n_wins, seg_peak
+         |FROM sg ORDER BY media_id, seg_idx""".stripMargin,
     // full content verification of decode + resample: regenerate the
     // SOURCE pixels from id arithmetic, replay the exact integer
     // bilinear (denominators 2·16=32 / 2·12=24, half-up over 768), and

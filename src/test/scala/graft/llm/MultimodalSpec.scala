@@ -162,4 +162,35 @@ class MultimodalSpec extends AnyFunSuite {
     val out = Multimodal.metaStats(media).collect()
     assert(out.length == 3) // image, audio, video
   }
+
+  test("mm_vad: segments are maximal runs of above-mean windows") {
+    val spark = graft.TestSpark.spark
+    val segs = Multimodal.queries("mm_vad")(spark, "").collect()
+    assert(segs.nonEmpty)
+    // independent recomputation of the per-media mean threshold
+    val wins = Multimodal.audioWindowFeatures(spark, Multimodal.demoMedia(spark))
+      .collect().groupBy(_.media_id)
+    val thr = wins.map { case (id, ws) =>
+      id -> (ws.map(w => math.floor(w.rms * 10000.0).toLong).sum.toDouble / 10000.0) / ws.length
+    }
+    segs.groupBy(_.getAs[Long]("media_id")).foreach { case (id, ss) =>
+      val t = thr(id)
+      val byWin = wins(id).map(w => w.win_idx -> w.rms).toMap
+      val sorted = ss.sortBy(_.getAs[Long]("seg_idx"))
+      sorted.foreach { s =>
+        val (a, b) = (s.getAs[Long]("start_win"), s.getAs[Long]("end_win"))
+        assert(a <= b && b - a + 1 == s.getAs[Long]("n_wins"))
+        (a to b).foreach(w => assert(byWin(w.toInt) >= t, s"$id win $w below threshold"))
+        // maximality: the windows flanking the run are below threshold
+        if (byWin.contains(a.toInt - 1)) assert(byWin(a.toInt - 1) < t)
+        if (byWin.contains(b.toInt + 1)) assert(byWin(b.toInt + 1) < t)
+      }
+      // non-overlapping, ordered
+      sorted.sliding(2).foreach {
+        case Array(x, y) =>
+          assert(x.getAs[Long]("end_win") < y.getAs[Long]("start_win"))
+        case _ =>
+      }
+    }
+  }
 }
