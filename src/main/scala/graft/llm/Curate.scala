@@ -426,7 +426,39 @@ object Curate {
       .orderBy(desc("n_tokens"), asc("source"), asc("lang"))
   }
 
+  /** ds_curriculum: curriculum-learning order — docs phased easy →
+    * medium → hard by perplexity terciles (fluency as the canonical
+    * text-difficulty proxy), with a reproducible shuffled order inside
+    * each (phase, shard) so loaders stream phase-major without any
+    * global sort. The tercile cuts are EXACT interpolated percentiles
+    * rounded to 1e-4 on BOTH sides (the a15_equidepth last-ulp rule)
+    * and broadcast back; phase assignment is a scan-local
+    * count-of-cuts-below; order inside a shard is the content-hash +
+    * doc_id window of the ds_shuffle discipline — windows stay
+    * per-(phase, shard), never global. */
+  private val dsCurriculum: Q = (s, d) => {
+    val ppl = TextOps.queries("ts_perplexity")(s, d).select(col("doc_id"), col("avg_nats"))
+    val docs = table(s, d, "documents")
+      .select(col("doc_id"), rollHash(col("text")).as("fp"))
+    val base = ppl.join(docs, "doc_id")
+    val cuts = base.agg(expr(
+      "transform(percentile(avg_nats, array(CAST(1 AS DOUBLE) / 3, CAST(2 AS DOUBLE) / 3)), c -> floor(c * 10000 + 0.5) / 10000)")
+      .as("cuts"))
+    val ph = base.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("fp"),
+        size(filter(col("cuts"), c => col("avg_nats") > c)).as("pr"),
+        pmod(col("fp"), lit(8L)).as("shard"))
+    val w = Window.partitionBy("pr", "shard").orderBy(col("fp"), col("doc_id"))
+    ph.select(col("doc_id"),
+      when(col("pr") === 0, "easy").when(col("pr") === 1, "medium")
+        .otherwise("hard").as("phase"),
+      col("shard").cast("long").as("shard"),
+      row_number().over(w).cast("long").as("pos"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ds_curriculum" -> dsCurriculum,
     "ds_tokens" -> dsTokens,
     "ds_shuffle" -> dsShuffle,
     "ds_dsir" -> dsDsir,
@@ -461,6 +493,26 @@ object Curate {
   }
 
   val oracle: Map[String, String] = Map(
+    // perplexity re-derived via the shared CTE chain, FNV fold replayed,
+    // cuts via quantile_cont rounded identically, window re-ranked
+    "ds_curriculum" ->
+      s"""WITH ${graft.llm.TextOps.perplexityCtes},
+         | h2 AS (SELECT doc_id, ${graft.functions.TextHashes.fnvFoldSql("text")} AS hu FROM documents),
+         | f2 AS (SELECT doc_id, ${graft.functions.TextHashes.fnvSignedSql("hu")} AS fp FROM h2),
+         | b AS (SELECT p.doc_id, p.avg_nats, f2.fp FROM ppl p JOIN f2 USING (doc_id)),
+         | cuts AS (SELECT
+         |   floor(quantile_cont(avg_nats, (CAST(1 AS DOUBLE) / 3)) * 10000 + 0.5) / 10000 AS c1,
+         |   floor(quantile_cont(avg_nats, (CAST(2 AS DOUBLE) / 3)) * 10000 + 0.5) / 10000 AS c2 FROM b),
+         | ph AS (SELECT doc_id, fp,
+         |   ((CASE WHEN avg_nats > c1 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN avg_nats > c2 THEN 1 ELSE 0 END)) AS pr,
+         |   ((fp % 8) + 8) % 8 AS shard
+         |  FROM b, cuts)
+         |SELECT doc_id,
+         | CASE WHEN pr = 0 THEN 'easy' WHEN pr = 1 THEN 'medium' ELSE 'hard' END AS phase,
+         | CAST(shard AS BIGINT) AS shard,
+         | CAST(row_number() OVER (PARTITION BY pr, shard ORDER BY fp, doc_id) AS BIGINT) AS pos
+         |FROM ph ORDER BY doc_id""".stripMargin,
     "ds_tokens" ->
       """WITH a AS (SELECT source, lang, count(*) AS n_docs,
         |   sum(len(string_split(text, ' '))) AS n_tokens
