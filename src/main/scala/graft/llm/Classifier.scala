@@ -292,11 +292,68 @@ object Classifier {
       .orderBy("dim")
   }
 
+  // ------------------------------------------------------------------
+  // ds_doremi: DoReMi-style learned mixture weights (VERDICT r8 next
+  // §2) — the composition the round-8 trainers were built for. The
+  // full-corpus LR proxy is trained once ([[train]] — T constant-width
+  // integer reduces); each source domain's EXCESS LOSS (domain MSE of
+  // the final proxy minus the corpus MSE, floored at 0, quantized to
+  // integer 1e-6 units) measures how underserved that domain is; the
+  // learned keep-rate is excess-proportional with the hardest domain
+  // kept whole:
+  //     thr_d = (10000 · (1e6 + excess_q_d)) div (1e6 + max_e excess_q_e)
+  // — pure integer arithmetic end to end, so the learned weights are
+  // hash-gateable. The resample then re-runs the ds_mixture rule under
+  // the LEARNED thresholds: keep(doc) ⇔ content-hash bucket(10⁴) <
+  // thr(source) — same FNV bucket, same scan-local predicate. Scale
+  // shape: T+2 constant-width reduces + one |sources|-row broadcast
+  // join at the scan; no row shuffle anywhere. The oracle replays the
+  // ENTIRE loop — training CTEs, domain losses, threshold algebra, FNV
+  // resample — so both the weights and the resampled composition sit
+  // under the hash (the ml_lr_train discipline).
+  // ------------------------------------------------------------------
+  private val dsDoremi: Q = (s, d) => {
+    val base = featureDf(s, d).persist()
+    val (m, sd) = moments(base)
+    val fstd = standardized(base, m, sd)
+    val w = train(fstd)._1.last
+    base.unpersist()
+    val src = table(s, d, "documents").select(col("doc_id"), col("source"), col("text"))
+    val r = squash(zOf(w)) - col("y")
+    val dl = fstd.join(src.select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_d"), sum(floor((r * r) * lit(Q6))).as("sq_d"))
+    val gl = dl.agg(sum(col("n_d")).as("n_all"), sum(col("sq_d")).as("sq_all"))
+    val mseD = (col("sq_d").cast("double") / lit(Q6)) / col("n_d").cast("double")
+    val mseAll = (col("sq_all").cast("double") / lit(Q6)) / col("n_all").cast("double")
+    val ex = dl.crossJoin(broadcast(gl))
+      .select(col("source"), col("n_d"),
+        greatest(floor((mseD - mseAll) * lit(Q6)).cast("long"), lit(0L)).as("excess_q"))
+    val mx = ex.agg(max(col("excess_q")).as("e_max"))
+    val th = ex.crossJoin(broadcast(mx))
+      .select(col("source"), col("n_d"), col("excess_q"),
+        expr("(10000 * (1000000 + excess_q)) div (1000000 + e_max)").as("thr"))
+    val kept = src
+      .select(col("source"),
+        pmod(graft.functions.TextHashes.rollHash(col("text")), lit(10000L)).as("b"))
+      .join(broadcast(th.select("source", "thr")), Seq("source"))
+      .groupBy("source")
+      .agg(sum(when(col("b") < col("thr"), 1L).otherwise(0L)).as("n_kept"))
+    th.join(kept, Seq("source"))
+      .select(col("source"), col("n_d").as("n_total"), col("n_kept"),
+        col("excess_q"), col("thr"),
+        graft.functions.Numeric.dround(
+          col("n_kept").cast("double") / col("n_d").cast("double"), 4)
+          .as("kept_ratio"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
     "ml_lr_train" -> mlLrTrain,
     "ml_lr_curate" -> mlLrCurate,
     "ml_ridge" -> mlRidge,
-    "ml_pca" -> mlPca)
+    "ml_pca" -> mlPca,
+    "ds_doremi" -> dsDoremi)
 
   // ------------------------------------------------------------------
   // Oracle: the training loop unrolled into generated CTEs. it0 is the
@@ -487,9 +544,46 @@ object Classifier {
       rows.mkString("\nSELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY dim")
   }
 
+  /** ds_doremi oracle: the training CTEs extended with the domain-loss
+    * / threshold / FNV-resample replay — weights AND composition under
+    * one hash. Every arithmetic expression mirrors the engine's
+    * association; thresholds are exact integer division. */
+  private def doremiSql: String = {
+    val mseD = "((CAST(sq_d AS DOUBLE) / 1000000.0) / CAST(n_d AS DOUBLE))"
+    val mseAll = "((CAST(sq_all AS DOUBLE) / 1000000.0) / CAST(n_all AS DOUBLE))"
+    s"""$trainCtes,
+       | dsrc AS (SELECT fs.*, d.source FROM fs JOIN documents d USING (doc_id)),
+       | dl AS (SELECT source, count(*) AS n_d,
+       |   sum(CAST(floor(($sqlR * $sqlR) * 1000000.0) AS BIGINT)) AS sq_d
+       |  FROM dsrc, it$T GROUP BY source),
+       | gl AS (SELECT sum(n_d) AS n_all, sum(sq_d) AS sq_all FROM dl),
+       | ex AS (SELECT source, n_d,
+       |   greatest(CAST(floor(($mseD - $mseAll) * 1000000.0) AS BIGINT),
+       |            CAST(0 AS BIGINT)) AS excess_q
+       |  FROM dl, gl),
+       | mxx AS (SELECT max(excess_q) AS e_max FROM ex),
+       | th AS (SELECT source, n_d, excess_q,
+       |   (10000 * (1000000 + excess_q)) // (1000000 + e_max) AS thr
+       |  FROM ex, mxx),
+       | hh AS (SELECT doc_id, source,
+       |   ${graft.functions.TextHashes.fnvFoldSql("text")} AS hu FROM documents),
+       | hf AS (SELECT doc_id, source,
+       |   ${graft.functions.TextHashes.fnvSignedSql("hu")} AS fp FROM hh),
+       | kb AS (SELECT hf.source,
+       |   sum(CASE WHEN ((fp % 10000) + 10000) % 10000 < th.thr
+       |            THEN 1 ELSE 0 END) AS n_kept
+       |  FROM hf JOIN th USING (source) GROUP BY hf.source)
+       |SELECT th.source, th.n_d AS n_total, CAST(kb.n_kept AS BIGINT) AS n_kept,
+       | th.excess_q, th.thr,
+       | round(CAST(kb.n_kept AS DOUBLE) / CAST(th.n_d AS DOUBLE), 4) AS kept_ratio
+       |FROM th JOIN kb USING (source)
+       |ORDER BY th.source""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "ml_pca" -> pcaSql,
     "ml_ridge" -> ridgeSql,
+    "ds_doremi" -> doremiSql,
     "ml_lr_train" -> s"$trainCtes\n$trainSelect",
     "ml_lr_curate" ->
       s"""$trainCtes

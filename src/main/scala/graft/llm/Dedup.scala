@@ -728,8 +728,19 @@ object Dedup {
     val lowered = lower(u)
     val scheme = regexp_replace(lowered, "^http://", "https://")
     val noFrag = regexp_replace(scheme, "#.*", "")
-    val noUtmMid = regexp_replace(noFrag, "\\?utm_[^&]*&", "?")
-    val noUtm = regexp_replace(noUtmMid, "\\?utm_[^&]*$", "")
+    // utm stripping operates on the PARSED param list, not on anchored
+    // regexes: split the query at the first '?', drop every utm_*
+    // param wherever it sits (second position, repeated, &-separated),
+    // rejoin, and re-attach '?' only if params survive. A '?utm_'-
+    // anchored pattern only strips a first-position param — the
+    // narrower contract this replaced — and regex dialects disagree on
+    // global replacement; list algebra is identical on both engines.
+    val qpos = instr(noFrag, "?")
+    val base = when(qpos === 0, noFrag).otherwise(noFrag.substr(lit(1), qpos - 1))
+    val query = when(qpos === 0, lit("")).otherwise(noFrag.substr(qpos + 1, length(noFrag)))
+    val kept = array_join(
+      filter(split(query, "&"), p => !startswith(p, lit("utm_"))), "&")
+    val noUtm = when(kept === "", base).otherwise(concat(base, lit("?"), kept))
     regexp_replace(noUtm, "/$", "")
   }
 
@@ -815,17 +826,26 @@ object Dedup {
          |  (CASE WHEN doc_id % 6 = 0 THEN '#sec2' ELSE '' END) ||
          |  (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END) AS url
          | FROM documents),
+         | nf AS (SELECT doc_id,
+         |   regexp_replace(
+         |     regexp_replace(lower(url), '^http://', 'https://'),
+         |     '#.*', '') AS u0
+         |   FROM u),
+         | pq AS (SELECT doc_id, u0,
+         |   CASE WHEN strpos(u0, '?') = 0 THEN u0
+         |        ELSE substring(u0, 1, strpos(u0, '?') - 1) END AS base,
+         |   CASE WHEN strpos(u0, '?') = 0 THEN ''
+         |        ELSE substring(u0, strpos(u0, '?') + 1) END AS q
+         |   FROM nf),
+         | kp AS (SELECT doc_id, base,
+         |   coalesce(array_to_string(list_filter(string_split(q, '&'),
+         |     p -> NOT starts_with(p, 'utm_')), '&'), '') AS kept
+         |   FROM pq),
          | c AS (SELECT doc_id,
          |   regexp_replace(
-         |     regexp_replace(
-         |       regexp_replace(
-         |         regexp_replace(
-         |           regexp_replace(lower(url), '^http://', 'https://'),
-         |           '#.*', ''),
-         |         '\\?utm_[^&]*&', '?'),
-         |       '\\?utm_[^&]*$$', ''),
+         |     CASE WHEN kept = '' THEN base ELSE base || '?' || kept END,
          |     '/$$', '') AS url_norm
-         |   FROM u)
+         |   FROM kp)
          |SELECT url_norm, min(doc_id) AS keep_id, count(*) AS n_copies
          |FROM c GROUP BY url_norm ORDER BY url_norm""".stripMargin,
     "dd_exact" ->

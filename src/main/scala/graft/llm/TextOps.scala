@@ -412,10 +412,15 @@ object TextOps {
     * kernel is one byte pass, bit-faithful to the oracle's chain. */
   private val tsEntropy: Q = (s, d) => {
     val h = TextHashes.charEntropy(col("text"))
+    // the flag derives from the QUANTIZED entropy (floor of 1e4 units),
+    // not the raw ln() chain: a raw transcendental compared to 2.8 on
+    // two libms can flip at the boundary, while the integer floor is
+    // identical on both engines (the dround discipline, applied to the
+    // predicate as well as the column)
     table(s, d, "documents").select(
       col("doc_id"), length(col("text")).cast("long").as("n_len"),
       dround(h, 4).as("entropy_nats"),
-      when(h < 2.8, "low").otherwise("ok").as("entropy_flag"))
+      when(floor(h * 10000) < 28000, "low").otherwise("ok").as("entropy_flag"))
       .orderBy("doc_id")
   }
 
@@ -427,8 +432,12 @@ object TextOps {
     * from rendered lengths so they stay correct under any template
     * change. */
   private val txSftRender: Q = (s, d) => {
+    // the assistant span is sized by the array's own length (tk[9:]
+    // semantics) — a magic position cap would silently truncate a
+    // longer future document, the anti-pattern the ts_ngram_lm oracle
+    // comment warns against
     val instr = array_join(slice(toks, 1, 8), " ")
-    val resp = array_join(slice(toks, 9, 1000000), " ")
+    val resp = array_join(slice(toks, lit(9), greatest(size(toks) - 8, lit(0))), " ")
     val render = concat(lit("<|user|>\n"), instr, lit("\n<|assistant|>\n"), resp)
     table(s, d, "documents").select(
       col("doc_id"),
@@ -498,7 +507,8 @@ object TextOps {
     "ts_entropy" ->
       s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_len,
          | round($sqlEntropy, 4) AS entropy_nats,
-         | CASE WHEN $sqlEntropy < 2.8 THEN 'low' ELSE 'ok' END AS entropy_flag
+         | CASE WHEN floor(($sqlEntropy) * 10000) < 28000
+         |      THEN 'low' ELSE 'ok' END AS entropy_flag
          |FROM documents ORDER BY doc_id""".stripMargin,
     "tx_sft_render" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

@@ -90,15 +90,35 @@ object Events {
     * (optimal_pursuit.py:375,404), serialized for the oracle compare.
     * The element is stringified BEFORE the window (codegen'd, once per
     * input row); a transform() after collect_list would run its
-    * interpreted lambda over the O(n²) prefix elements instead. */
-  private val w6Prefix: Q = (s, d) =>
-    table(s, d, "events")
-      .select(col("event_id"), col("user_id"),
-        dround(col("value"), 4).cast("string").as("vs"))
+    * interpreted lambda over the O(n²) prefix elements instead.
+    *
+    * HOT-KEY GUARD (VERDICT r8 next §5): prefix width is O(n²) per
+    * user, so a power-user key at 100× could materialize an unbounded
+    * window array. Users above [[w6MaxSeqLen]] events skip the window
+    * entirely — their rows emit a NULL path (the w14 span-cap rule:
+    * bad units degrade explicitly, never blow up a stage) — mirrored
+    * in the oracle so the gate stays exact on any data. The count
+    * pre-pass shares the user_id shuffle family with the window. */
+  private[ops] val w6MaxSeqLen = 4096L
+
+  private[ops] def w6PrefixImpl(ev: DataFrame, cap: Long): DataFrame = {
+    val base = ev.select(col("event_id"), col("user_id"),
+      dround(col("value"), 4).cast("string").as("vs"))
+    val counts = base.groupBy("user_id").agg(count(lit(1)).as("nu"))
+    val ok = base.join(counts.filter(col("nu") <= cap).select("user_id"),
+      Seq("user_id"), "left_semi")
       .select(col("event_id"), col("user_id"),
         array_join(collect_list(col("vs")).over(
           Window.partitionBy("user_id").orderBy("event_id")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)), ",").as("path"))
+    val overflow = base.join(counts.filter(col("nu") > cap).select("user_id"),
+      Seq("user_id"), "left_semi")
+      .select(col("event_id"), col("user_id"),
+        lit(null).cast("string").as("path"))
+    ok.unionByName(overflow)
+  }
+
+  private val w6Prefix: Q = (s, d) => w6PrefixImpl(table(s, d, "events"), w6MaxSeqLen)
 
   /** P2 per-group ordered vector extract — `DF['x'].to_numpy()` per play
     * (optimal_pursuit.py:195-196): the whole series as one (serialized)
@@ -406,25 +426,44 @@ object Events {
     * scan-local, no window, no per-row prefix arrays. Both engines
     * fold the identical ordered list with the identical IEEE
     * multiply-add association, so the result is bit-deterministic;
-    * dround(7) only formats. */
-  private val w17Ewma: Q = (s, d) => {
+    * dround(7) only formats.
+    *
+    * HOT-KEY GUARD (VERDICT r8 next §5): the per-user collect_list is
+    * bounded by per-user activity today, but a power-user key at 100×
+    * would materialize an unbounded array. Users above
+    * [[w17MaxSeqLen]] events are EXCLUDED from the collect (semi-join
+    * on a count pre-pass, same shuffle key) and emitted as explicit
+    * overflow rows with NULL fold results — the w14 dead-letter rule,
+    * mirrored in the oracle. The tail slice is sized by the array's
+    * own length, not a magic positional cap. */
+  private[ops] val w17MaxSeqLen = 65536L
+
+  private[ops] def w17EwmaImpl(ev: DataFrame, cap: Long): DataFrame = {
     val tri = struct(
       unix_micros(col("ts")).as("t"), col("event_id").as("e"), col("value").as("v"))
-    val grouped = table(s, d, "events")
+    val counts = ev.groupBy("user_id").agg(count(lit(1)).as("nu"))
+    val grouped = ev
+      .join(counts.filter(col("nu") <= cap).select("user_id"), Seq("user_id"), "left_semi")
       .groupBy("user_id")
       .agg(sort_array(collect_list(tri)).as("seq"))
     val vals = expr("transform(seq, x -> x.v)")
     val ewma = expr(
-      "aggregate(slice(transform(seq, x -> x.v), 2, 100000000), " +
+      "aggregate(slice(transform(seq, x -> x.v), 2, greatest(size(seq) - 1, 0)), " +
         "element_at(transform(seq, x -> x.v), 1), " +
         "(acc, x) -> (0.2 * x) + (0.8 * acc))")
-    grouped.select(
+    val ok = grouped.select(
       col("user_id"),
       size(col("seq")).cast("long").as("n_events"),
       dround(element_at(vals, size(col("seq"))), 4).as("last_value"),
       dround(ewma, 7).as("ewma"))
-      .orderBy("user_id")
+    val overflow = counts.filter(col("nu") > cap)
+      .select(col("user_id"), col("nu").as("n_events"),
+        lit(null).cast("double").as("last_value"),
+        lit(null).cast("double").as("ewma"))
+    ok.unionByName(overflow).orderBy("user_id")
   }
+
+  private val w17Ewma: Q = (s, d) => w17EwmaImpl(table(s, d, "events"), w17MaxSeqLen)
 
   private val w14Resample: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
@@ -583,14 +622,16 @@ object Events {
     // (t, e, v), list_reduce seeds with the first element — DuckDB's
     // fold and Spark's aggregate-over-slice are the same association
     "w17_ewma" ->
-      """WITH g AS (SELECT user_id,
-        |  list_sort(list(struct_pack(t := epoch_us(ts), e := event_id, v := value))) AS seq
-        | FROM events GROUP BY user_id)
-        |SELECT user_id, CAST(len(seq) AS BIGINT) AS n_events,
-        | round(list_transform(seq, x -> x.v)[len(seq)], 4) AS last_value,
-        | round(list_reduce(list_transform(seq, x -> x.v),
-        |   (acc, x) -> (0.2 * x) + (0.8 * acc)), 7) AS ewma
-        |FROM g ORDER BY user_id""".stripMargin,
+      s"""WITH g AS (SELECT user_id,
+         |  list_sort(list(struct_pack(t := epoch_us(ts), e := event_id, v := value))) AS seq
+         | FROM events GROUP BY user_id)
+         |SELECT user_id, CAST(len(seq) AS BIGINT) AS n_events,
+         | CASE WHEN len(seq) <= $w17MaxSeqLen
+         |   THEN round(list_transform(seq, x -> x.v)[len(seq)], 4) END AS last_value,
+         | CASE WHEN len(seq) <= $w17MaxSeqLen
+         |   THEN round(list_reduce(list_transform(seq, x -> x.v),
+         |     (acc, x) -> (0.2 * x) + (0.8 * acc)), 7) END AS ewma
+         |FROM g ORDER BY user_id""".stripMargin,
     "w16_markov" ->
       """WITH bi AS (SELECT
         |  coalesce(lag(event_type) OVER (PARTITION BY user_id
@@ -644,12 +685,14 @@ object Events {
         | round(epoch(ts) - min(epoch(ts)) OVER (PARTITION BY user_id), 6) AS t_rel
         |FROM events""".stripMargin,
     "w6_prefix" ->
-      """SELECT event_id, user_id,
-        | array_to_string(list_transform(
-        |   list(value) OVER (PARTITION BY user_id ORDER BY event_id
-        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-        |   x -> CAST(round(x, 4) AS VARCHAR)), ',') AS path
-        |FROM events""".stripMargin,
+      s"""WITH c AS (SELECT event_id, user_id, value,
+         |  count(*) OVER (PARTITION BY user_id) AS nu FROM events)
+         |SELECT event_id, user_id,
+         | CASE WHEN nu <= $w6MaxSeqLen THEN array_to_string(list_transform(
+         |   list(value) OVER (PARTITION BY user_id ORDER BY event_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |   x -> CAST(round(x, 4) AS VARCHAR)), ',') END AS path
+         |FROM c""".stripMargin,
     "w7_splice" ->
       s"""WITH s AS ($startSql)
          |SELECT e.event_id, e.user_id,

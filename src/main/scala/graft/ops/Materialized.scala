@@ -10,7 +10,7 @@ import graft.io.Sources.table
   * aggregate is brought up to date by merging ONLY the new batch's
   * partial aggregate, never by re-scanning the base table.
   *
-  * The MV stores DISTRIBUTIVE partials (count, unrounded sum, max):
+  * The MV stores DISTRIBUTIVE partials (count, quantized-integer sum, max):
   * any algebraic aggregate a reporting layer wants (avg = sum/count)
   * derives from them, and partial+partial merges losslessly — the same
   * reason Spark's own hash aggregate can map-side combine. Refresh =
@@ -40,19 +40,25 @@ object Materialized {
   private def isDelta = pmod(col("event_id"), lit(10L)) === 0L
 
   /** On-disk MV location — the ivfIndexPath discipline (basename +
-    * path hash; env-overridable root). */
+    * path hash; env-overridable root). The `-q6` suffix versions the
+    * stored-partial schema (quantized BIGINT sums) against any older
+    * double-partial MV at the unsuffixed path. */
   private[graft] def mvPath(d: String): String = {
     val root = sys.env.getOrElse("SPARK_GRAFT_MV_DIR", "/tmp/graft_mv")
-    s"$root/${new java.io.File(d).getName}-${math.abs(d.hashCode.toLong)}"
+    s"$root/${new java.io.File(d).getName}-${math.abs(d.hashCode.toLong)}-q6"
   }
 
   /** The partial-aggregate projection both the build and the delta
-    * side share — count / unrounded sum / max per (user_id,
-    * event_type). */
+    * side share — count / quantized integer sum / max per (user_id,
+    * event_type). The sum partial is stored as sum(floor(value·1e6))
+    * BIGINT, NOT a raw double sum: double summation is partition-order
+    * dependent and a stored double partial can straddle a rounding
+    * boundary under repartitioning (the Classifier/w15 exact-integer
+    * discipline, applied to persisted state). */
   private def partials(rows: DataFrame): DataFrame =
     rows.groupBy("user_id", "event_type")
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value")).as("sum_value"),
+        sum(floor(col("value") * 1000000L).cast("long")).as("sum_q"),
         max(col("ts")).as("max_ts"))
 
   /** Build the MV from the base slice and persist it — the one-time
@@ -77,10 +83,10 @@ object Materialized {
     stored.unionByName(delta)
       .groupBy("user_id", "event_type")
       .agg(sum(col("n_events")).as("n_events"),
-        sum(col("sum_value")).as("sum_value"),
+        sum(col("sum_q")).as("sum_q"),
         max(col("max_ts")).as("max_ts"))
       .select(col("user_id"), col("event_type"), col("n_events"),
-        dround(col("sum_value"), 4).as("sum_value"),
+        dround(col("sum_q") / 1000000.0, 4).as("sum_value"),
         col("max_ts"))
       .orderBy("user_id", "event_type")
   }
@@ -95,7 +101,7 @@ object Materialized {
     "mv_refresh" ->
       """SELECT user_id, event_type,
         | count(*) AS n_events,
-        | round(sum(value), 4) AS sum_value,
+        | round(sum(CAST(floor(value * 1000000) AS BIGINT)) / 1000000.0, 4) AS sum_value,
         | max(ts) AS max_ts
         |FROM events
         |GROUP BY user_id, event_type

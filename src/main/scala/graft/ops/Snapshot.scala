@@ -88,11 +88,15 @@ object Snapshot {
     * immutability property under test. */
   private val fsSnapshot: Q = (s, d) => {
     val root = ensureTable(s, d)
+    // quantized-integer sum (floor(value·1e6) per row): a raw double
+    // sum is partition-order dependent and could straddle a rounding
+    // boundary under repartitioning — the Materialized.partials rule
     def agg(v: Int): DataFrame =
       readVersion(s, root, v).agg(
-        count(lit(1)).as("n_rows"), sum(col("value")).as("sv"))
+        count(lit(1)).as("n_rows"),
+        sum(floor(col("value") * 1000000L).cast("long")).as("sq"))
         .select(lit(v).as("version"), col("n_rows"),
-          dround(col("sv"), 4).as("sum_value"))
+          dround(col("sq") / 1000000.0, 4).as("sum_value"))
     agg(1).unionByName(agg(2)).orderBy("version")
   }
 
@@ -139,7 +143,9 @@ object Snapshot {
     Seq(1, 2).foreach(v =>
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(manifestPath(root, v))))
     val after = readVersion(s, root, 3)
-      .agg(count(lit(1)).as("n_rows"), dround(sum(col("value")), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n_rows"),
+        dround(sum(floor(col("value") * 1000000L).cast("long")) / 1000000.0, 4)
+          .as("sum_value"))
     val audit = Seq("base", "delta", "merged").map { g =>
       val isLive = live.contains(s"$root/files/$g")
       if (isLive)
@@ -160,10 +166,13 @@ object Snapshot {
     // each version re-derived from the slice predicates — never from
     // the engine's files
     "fs_snapshot" ->
-      """SELECT 1 AS version, count(*) AS n_rows, round(sum(value), 4) AS sum_value
+      """SELECT 1 AS version, count(*) AS n_rows,
+        | round(sum(CAST(floor(value * 1000000) AS BIGINT)) / 1000000.0, 4) AS sum_value
         |FROM events WHERE ((event_id % 10) + 10) % 10 <> 0
         |UNION ALL
-        |SELECT 2, count(*), round(sum(value), 4) FROM events
+        |SELECT 2, count(*),
+        | round(sum(CAST(floor(value * 1000000) AS BIGINT)) / 1000000.0, 4)
+        |FROM events
         |ORDER BY version""".stripMargin,
     // the live group must carry the FULL table through the vacuum; the
     // dead groups' statuses derive from the retention rule itself
@@ -174,6 +183,8 @@ object Snapshot {
         | UNION ALL
         | SELECT 'delta', 'vacuumed', NULL, NULL
         | UNION ALL
-        | SELECT 'merged', 'live', count(*), round(sum(value), 4) FROM events
+        | SELECT 'merged', 'live', count(*),
+        |   round(sum(CAST(floor(value * 1000000) AS BIGINT)) / 1000000.0, 4)
+        | FROM events
         |) ORDER BY grp""".stripMargin)
 }

@@ -19,7 +19,8 @@ class MaterializedSpec extends AnyFunSuite {
     val full = graft.io.Sources.table(spark, sf, "events")
       .groupBy("user_id", "event_type")
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 4).as("sum_value"),
+        round(sum(floor(col("value") * 1000000L).cast("long")) / 1000000.0, 4)
+          .as("sum_value"),
         max(col("ts")).as("max_ts"))
       .orderBy("user_id", "event_type")
     assert(refreshed.collect().toSeq == full.collect().toSeq)
