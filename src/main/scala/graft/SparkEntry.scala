@@ -41,6 +41,7 @@ object SparkEntry {
       llm.Multimodal.queries ++
       llm.Curate.queries ++
       llm.Classifier.queries ++
+      llm.Unigram.queries ++
       streaming.StreamQueries.queries ++
       io.IoQueries.queries
 
@@ -66,6 +67,7 @@ object SparkEntry {
       llm.Multimodal.oracle ++
       llm.Curate.oracle ++
       llm.Classifier.oracle ++
+      llm.Unigram.oracle ++
       streaming.StreamQueries.oracle ++
       io.IoQueries.oracle
 }

@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unigram-tokenizer segmentation kernel: exact Viterbi DP per word as
+  * ONE imperative pass — the native tier for a sequential DP that a
+  * declarative `aggregate` HOF can only run as interpreted per-element
+  * lambda trees (measured: the HOF form was ~1 ms per DP cell on the
+  * 10k-word rich corpus — 12+ minutes for one E-step; this kernel does
+  * the same E-step in under a second). The CharEntropy precedent: fuse
+  * the chain, keep the semantics bit-identical to the oracle's replay
+  * (here the DuckDB recursive-CTE DP — a genuinely independent
+  * implementation of the same recurrence). */
+object SegmentKernels {
+
+  /** dp[p] = min over j ≤ maxLen of dp[p−j] + cost(word[p−j..p)); a
+    * missing piece costs `inf`; ties resolve to the SMALLEST j (the
+    * oracle's CASE-chain order). Returns (dp[ℓ], pieces end→start). */
+  def viterbi(word: UTF8String, vocab: java.util.HashMap[String, java.lang.Long],
+      maxLen: Int, inf: Long): InternalRow = {
+    val w = word.toString
+    val ell = w.length
+    val dp = new Array[Long](ell + 1)
+    val bp = new Array[Int](ell + 1)
+    var p = 1
+    while (p <= ell) {
+      var best = Long.MaxValue
+      var bestJ = maxLen
+      var j = 1
+      while (j <= maxLen) {
+        val c =
+          if (p >= j) {
+            val cost = vocab.get(w.substring(p - j, p))
+            dp(p - j) + (if (cost == null) inf else cost.longValue())
+          } else inf
+        if (c < best) { best = c; bestJ = j }
+        j += 1
+      }
+      dp(p) = best
+      bp(p) = bestJ
+      p += 1
+    }
+    val pieces = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var cut = ell
+    while (cut > 0) {
+      val b = bp(cut)
+      pieces += UTF8String.fromString(w.substring(cut - b, cut))
+      cut -= b
+    }
+    new GenericInternalRow(Array[Any](dp(ell), new GenericArrayData(pieces.toArray[Any])))
+  }
+}
+
+/** `viterbi_segment(word)` against a driver-held piece→cost table
+  * (vocabulary-bounded by construction — the Bpe.trainedVocab rule).
+  * Emits struct(cost BIGINT, ps array<string>). Codegen'd via a
+  * reference object, the TokensInSetCount pattern. */
+case class ViterbiSegment(child: Expression, pieces: Seq[(String, Long)],
+    maxLen: Int, inf: Long) extends UnaryExpression {
+  private lazy val vocab: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](pieces.size * 2)
+    pieces.foreach { case (p, c) => m.put(p, c) }
+    m
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("cost", LongType, nullable = false),
+    StructField("ps", ArrayType(StringType, containsNull = false), nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"viterbi_segment needs a string argument, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    SegmentKernels.viterbi(input.asInstanceOf[UTF8String], vocab, maxLen, inf)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramVocab", vocab, "java.util.HashMap")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SegmentKernels.viterbi($c, $ref, $maxLen, ${inf}L)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SegmentFns {
+  def viterbiSeg(word: org.apache.spark.sql.Column, pieces: Seq[(String, Long)],
+      maxLen: Int, inf: Long): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      ViterbiSegment(org.apache.spark.sql.graft.ColumnBridge.expression(word),
+        pieces, maxLen, inf))
+}
