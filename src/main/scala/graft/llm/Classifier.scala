@@ -348,12 +348,60 @@ object Classifier {
       .orderBy("source")
   }
 
+  // ------------------------------------------------------------------
+  // tx_dpo_pairs: preference-pair construction (VERDICT r8 next §4) —
+  // the SFT-render successor stage: candidate responses grouped by
+  // prompt, (chosen, rejected) pairs emitted under a score-margin
+  // rule. Prompts synthesize deterministically from documents
+  // (prompt_id = doc_id mod 97 groups ~5 candidates per prompt at
+  // sf0.01); the reward proxy is the trained LR score, quantized to
+  // integer 1e-7 units (the score itself is bit-identical cross-engine
+  // per the module discipline, so floor(score·1e7) is exact). Within a
+  // prompt: chosen = highest score (ties → smallest doc_id — a total
+  // order), rejected = every other candidate whose score sits at least
+  // MARGIN below. The `sound` column re-states the margin invariant
+  // inside the gated output, and the oracle recomputes it from its own
+  // replayed scores — a pair violating chosen > rejected + margin
+  // would flip the hash on either engine. Scale shape: one score scan,
+  // one prompt_id window, one broadcast-size self-join on prompt_id.
+  // ------------------------------------------------------------------
+  private val dpoPrompts = 97L
+  private val dpoMarginQ = 100000L // 0.01 in 1e-7 score units
+
+  private val txDpoPairs: Q = (s, d) => {
+    val base = featureDf(s, d).persist()
+    val (m, sd) = moments(base)
+    val fstd = standardized(base, m, sd)
+    val w = train(fstd)._1.last
+    base.unpersist()
+    val sc = squash(zOf(w))
+    val cand = fstd.select(col("doc_id"),
+      floor(sc * lit(10000000.0)).cast("long").as("score_q"),
+      pmod(col("doc_id"), lit(dpoPrompts)).as("prompt_id"))
+    val wP = org.apache.spark.sql.expressions.Window
+      .partitionBy("prompt_id").orderBy(desc("score_q"), asc("doc_id"))
+    val ranked = cand.withColumn("rk", row_number().over(wP))
+    val chosen = ranked.filter(col("rk") === 1)
+      .select(col("prompt_id"), col("doc_id").as("chosen_id"),
+        col("score_q").as("chosen_score_q"))
+    ranked.filter(col("rk") > 1)
+      .select(col("prompt_id"), col("doc_id").as("rejected_id"),
+        col("score_q").as("rejected_score_q"))
+      .join(chosen, Seq("prompt_id"))
+      .filter(col("chosen_score_q") > col("rejected_score_q") + dpoMarginQ)
+      .select(col("prompt_id"), col("chosen_id"), col("rejected_id"),
+        col("chosen_score_q"), col("rejected_score_q"),
+        (col("chosen_score_q") > col("rejected_score_q") + dpoMarginQ).as("sound"))
+      .orderBy("prompt_id", "rejected_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "ml_lr_train" -> mlLrTrain,
     "ml_lr_curate" -> mlLrCurate,
     "ml_ridge" -> mlRidge,
     "ml_pca" -> mlPca,
-    "ds_doremi" -> dsDoremi)
+    "ds_doremi" -> dsDoremi,
+    "tx_dpo_pairs" -> txDpoPairs)
 
   // ------------------------------------------------------------------
   // Oracle: the training loop unrolled into generated CTEs. it0 is the
@@ -580,10 +628,31 @@ object Classifier {
        |ORDER BY th.source""".stripMargin
   }
 
+  /** tx_dpo_pairs oracle: training replay + independent pair
+    * construction; the margin invariant is recomputed in the output
+    * (`sound`), so a violating pair cannot survive the hash. */
+  private def dpoSql: String =
+    s"""$trainCtes,
+       | cand AS (SELECT doc_id,
+       |   CAST(floor($sqlS * 10000000.0) AS BIGINT) AS score_q,
+       |   ((doc_id % $dpoPrompts) + $dpoPrompts) % $dpoPrompts AS prompt_id
+       |  FROM fs, it$T),
+       | rk AS (SELECT *, row_number() OVER (PARTITION BY prompt_id
+       |          ORDER BY score_q DESC, doc_id ASC) AS rk FROM cand),
+       | ch AS (SELECT prompt_id, doc_id AS chosen_id,
+       |          score_q AS chosen_score_q FROM rk WHERE rk = 1)
+       |SELECT r.prompt_id, ch.chosen_id, r.doc_id AS rejected_id,
+       | ch.chosen_score_q, r.score_q AS rejected_score_q,
+       | (ch.chosen_score_q > r.score_q + $dpoMarginQ) AS sound
+       |FROM rk r JOIN ch USING (prompt_id)
+       |WHERE r.rk > 1 AND ch.chosen_score_q > r.score_q + $dpoMarginQ
+       |ORDER BY r.prompt_id, rejected_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "ml_pca" -> pcaSql,
     "ml_ridge" -> ridgeSql,
     "ds_doremi" -> doremiSql,
+    "tx_dpo_pairs" -> dpoSql,
     "ml_lr_train" -> s"$trainCtes\n$trainSelect",
     "ml_lr_curate" ->
       s"""$trainCtes

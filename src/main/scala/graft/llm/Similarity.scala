@@ -918,6 +918,116 @@ object Similarity {
   }
 
   // -------------------------------------------------------------------
+  // ann_lifecycle: the four serving features COMPOSED against one
+  // persisted index (VERDICT r8 next §6) — build → upsert batch →
+  // tombstone deletes → filtered Matryoshka serve, in one query, so
+  // the gate proves the features compose rather than merely coexist:
+  //   build    — the same persisted IVF index every ann_* query probes;
+  //   upsert   — the ×2 directional twins (ids + upsertOffset) routed
+  //              to frozen centroids, labels inherited from the source
+  //              vector (re-derivable arithmetic);
+  //   delete   — the isTombstoned ids anti-joined out BEFORE scoring
+  //              (tombstones hit originals; their twins stay live);
+  //   serve    — label-filtered (each query wants its own label, ring
+  //              widened 2× — the annFiltered compensation) through
+  //              the two-tier Matryoshka path: 16-dim tier-1 over the
+  //              probed cells, shortlist, full-dim rerank.
+  // Oracle: the candidate-fixture pattern, with the twins re-derived
+  // from the same ×2 arithmetic AND the tombstone + label predicates
+  // RE-APPLIED to the fixture — an engine leak of a deleted id or a
+  // wrong-label candidate makes the row sets unequal, not just a
+  // value off. ann_lifecycle_recall scores the serve against the
+  // exact brute-force top-k over the post-lifecycle corpus
+  // (originals ∪ twins − tombstones, same-label) — the correct
+  // baseline for the composed state.
+  // -------------------------------------------------------------------
+  private val annLifecycle: Q = (s, d) => {
+    val idx = ensureIvfIndex(s, d)
+    val assigned = s.read.parquet(s"$idx/assignments")
+    val centroids = s.read.parquet(s"$idx/centroids")
+    val embT = table(s, d, "embeddings")
+    val emb = embT.select(col("vec_id"), asDouble.as("ve"))
+    val lab = embT.select(col("vec_id"), col("label"))
+    // upsert (frozen quantizer, O(batch))
+    val batch = emb.filter(col("vec_id") < plantN)
+      .select((col("vec_id") + upsertOffset).as("vec_id"),
+        transform(col("ve"), x => x * 2.0).as("ve"))
+    val batchAssigned = batch.crossJoin(broadcast(centroids))
+      .withColumn("cdist", -cosine(col("ve"), col("ce")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(asc("cdist"), asc("cl"))))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("ve"), col("cl"))
+    val upserted = assigned.select("vec_id", "ve", "cl").unionByName(batchAssigned)
+    val labAll = lab.unionByName(
+      lab.filter(col("vec_id") < plantN)
+        .select((col("vec_id") + upsertOffset).as("vec_id"), col("label")))
+    // tombstoned deletes (broadcast anti, before any scoring)
+    val tomb = emb.select(col("vec_id")).filter(isTombstoned(col("vec_id")))
+    val live = upserted.join(broadcast(tomb), Seq("vec_id"), "left_anti")
+    // filtered two-tier serve
+    val probes = embT.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("qid"), asDouble.as("qe"), col("label").as("qlabel"))
+    val probeCells = probes.crossJoin(broadcast(centroids))
+      .withColumn("cdist", -cosine(col("qe"), col("ce")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("qid").orderBy(asc("cdist"), asc("cl"))))
+      .filter(col("crk") <= ivfNProbe * 2)
+      .select("qid", "qe", "qlabel", "cl")
+    val cands = live.join(labAll, "vec_id")
+      .join(broadcast(probeCells), Seq("cl"))
+      .filter(col("label") === col("qlabel") && col("qid") =!= col("vec_id"))
+      .persist()
+    graft.io.Sinks.dumpFixture(
+      cands.select(col("qid"), col("vec_id").as("cid")), "annlc_cands")
+    val short = cands
+      .select(col("qid"), col("qlabel").cast("long").as("qlabel"), col("qe"),
+        col("vec_id").as("cid"), col("ve"),
+        cosine(slice(col("qe"), 1, mrlDims), slice(col("ve"), 1, mrlDims)).as("sim16"))
+      .withColumn("rk16", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("sim16"), asc("cid"))))
+      .filter(col("rk16") <= mrlShortlist)
+    short
+      .select(col("qid"), col("qlabel"), col("cid"), cosine(col("qe"), col("ve")).as("sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))))
+      .filter(col("rk") <= kNeighbors)
+      .select(col("qid"), col("qlabel"), col("rk"), col("cid"),
+        dround(col("sim"), 4).as("sim"))
+      .orderBy("qid", "rk")
+  }
+
+  /** Recall of the composed serve against the exact same-label top-k
+    * over the POST-lifecycle corpus (originals ∪ ×2 twins, tombstones
+    * removed) — the declared-exact brute-force baseline. */
+  private val annLifecycleRecall: Q = (s, d) => {
+    val served = annLifecycle(s, d).select("qid", "cid").persist()
+    graft.io.Sinks.dumpFixture(served, "annlc_topk")
+    val embT = table(s, d, "embeddings")
+    val base = embT.select(col("vec_id"), asDouble.as("ve"), col("label"))
+    val twins = base.filter(col("vec_id") < plantN)
+      .select((col("vec_id") + upsertOffset).as("vec_id"),
+        transform(col("ve"), x => x * 2.0).as("ve"), col("label"))
+    val corpus = base.unionByName(twins)
+      .filter(!isTombstoned(col("vec_id")))
+      .select(col("vec_id").as("cid"), col("ve").as("ce"), col("label"))
+    val q = embT.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("qid"), asDouble.as("qe"), col("label").as("qlabel"))
+    val exact = q.crossJoin(corpus)
+      .filter(col("label") === col("qlabel") && col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))))
+      .filter(col("rk") <= kNeighbors)
+      .select("qid", "cid")
+    val hits = exact.join(served, Seq("qid", "cid"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    exact.agg(count(lit(1)).as("n_exact")).crossJoin(hits)
+      .select(col("n_exact"), col("hits"),
+        dround(col("hits").cast("double") / col("n_exact"), 4).as("recall"))
+  }
+
+  // -------------------------------------------------------------------
   // dd_semantic: SemDeDup-style semantic deduplication (Abbas et al.
   // 2023, arXiv:2303.09540) — cluster the embedding space with the
   // SAME persisted k-means coarse quantizer the IVF index uses, then
@@ -1048,6 +1158,8 @@ object Similarity {
     "ann_ivf_upsert" -> annIvfUpsert,
     "ann_ivf_delete" -> annIvfDelete,
     "ann_mrl" -> annMrl,
+    "ann_lifecycle" -> annLifecycle,
+    "ann_lifecycle_recall" -> annLifecycleRecall,
     "emb_quant" -> embQuant,
     "knn_cosine" -> knnCosine,
     "ann_lsh" -> annLsh,
@@ -1293,6 +1405,68 @@ object Similarity {
     // with an independently recomputed baseline.
     "ann_pq_recall" -> annRecallOracle("annpq_topk"),
     "ann_ivf_pq_recall" -> annRecallOracle("annivfpq_topk"),
+    // composed-lifecycle twin: twins re-derived from the ×2
+    // arithmetic; tombstone AND label predicates re-applied to the
+    // fixture candidates (a leak → row-set mismatch); both Matryoshka
+    // tiers recomputed with list slices over the post-lifecycle corpus
+    "ann_lifecycle" ->
+      s"""WITH p AS (SELECT qid, cid FROM read_parquet('/tmp/graft_fixtures/annlc_cands/*.parquet')),
+         | e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+         | u AS (SELECT vec_id + $upsertOffset AS vec_id,
+         |         list_transform(v, x -> x * 2.0) AS v, label
+         |       FROM e WHERE vec_id < $plantN),
+         | allv AS (SELECT * FROM e UNION ALL SELECT * FROM u),
+         | pc AS (SELECT p.qid, p.cid FROM p
+         |        JOIN e q ON q.vec_id = p.qid
+         |        JOIN allv c ON c.vec_id = p.cid
+         |        WHERE NOT (p.cid < $plantN AND p.cid % 3 = 0)
+         |          AND c.label = q.label),
+         | t1 AS (
+         |  SELECT pc.qid, CAST(q.label AS BIGINT) AS qlabel, pc.cid,
+         |   list_dot_product(q.v[1:$mrlDims], c.v[1:$mrlDims])
+         |     / (sqrt(list_dot_product(q.v[1:$mrlDims], q.v[1:$mrlDims]))
+         |        * sqrt(list_dot_product(c.v[1:$mrlDims], c.v[1:$mrlDims]))) AS sim16
+         |  FROM pc JOIN e q ON q.vec_id = pc.qid JOIN allv c ON c.vec_id = pc.cid),
+         | short AS (
+         |  SELECT qid, qlabel, cid FROM (
+         |   SELECT qid, qlabel, cid, row_number() OVER (PARTITION BY qid
+         |            ORDER BY sim16 DESC, cid) AS rk16 FROM t1)
+         |  WHERE rk16 <= $mrlShortlist),
+         | t2 AS (
+         |  SELECT s.qid, s.qlabel, s.cid,
+         |   list_dot_product(q.v, c.v)
+         |     / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+         |  FROM short s JOIN e q ON q.vec_id = s.qid JOIN allv c ON c.vec_id = s.cid),
+         | ranked AS (
+         |  SELECT qid, qlabel, cid, sim,
+         |   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+         |  FROM t2)
+         |SELECT qid, qlabel, rk, cid, round(sim, 4) AS sim
+         |FROM ranked WHERE rk <= $kNeighbors ORDER BY qid, rk""".stripMargin,
+    "ann_lifecycle_recall" ->
+      s"""WITH p AS (SELECT qid, cid FROM read_parquet('/tmp/graft_fixtures/annlc_topk/*.parquet')),
+         | e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+         | u AS (SELECT vec_id + $upsertOffset AS vec_id,
+         |         list_transform(v, x -> x * 2.0) AS v, label
+         |       FROM e WHERE vec_id < $plantN),
+         | corpus AS (SELECT * FROM (SELECT * FROM e UNION ALL SELECT * FROM u)
+         |            WHERE NOT (vec_id < $plantN AND vec_id % 3 = 0)),
+         | q AS (SELECT vec_id AS qid, v AS qe, label AS qlabel
+         |       FROM e WHERE vec_id < $nProbes),
+         | sims AS (
+         |  SELECT q.qid, c.vec_id AS cid,
+         |   list_dot_product(q.qe, c.v)
+         |     / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+         |  FROM q CROSS JOIN corpus c
+         |  WHERE c.label = q.qlabel AND q.qid <> c.vec_id),
+         | ranked AS (
+         |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+         |  FROM sims),
+         | ex AS (SELECT qid, cid FROM ranked WHERE rk <= $kNeighbors)
+         |SELECT (SELECT count(*) FROM ex) AS n_exact,
+         |       (SELECT count(*) FROM ex JOIN p USING (qid, cid)) AS hits,
+         |       round((SELECT count(*) FROM ex JOIN p USING (qid, cid))::DOUBLE
+         |         / (SELECT count(*) FROM ex), 4) AS recall""".stripMargin,
     "dd_embcos_exact" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
          |            sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
