@@ -445,6 +445,11 @@ object Dedup {
     path
   }
 
+  /** Cross-package seam: the streaming indexed-dedup gate
+    * (st_dedup_indexed) probes the same persisted index. */
+  private[graft] def ensureDedupIndexFor(s: SparkSession, d: String): String =
+    ensureDedupIndex(s, d)
+
   private def ensureDedupIndex(s: SparkSession, d: String): String = {
     val path = dedupIndexPath(d)
     val ok = Seq("hashes", "signatures").forall(p =>

@@ -518,7 +518,111 @@ object StreamQueries {
       .orderBy("event_id")
   }
 
+  /** A streamed document arrival for the indexed-dedup gate. */
+  case class StreamDoc(doc_id: Long, text: String)
+
+  /** Streaming dedup against the PERSISTED corpus index (VERDICT r8
+    * next §8): st_dedup dedups within stream state only; a production
+    * pipeline also dedups every arriving doc against the historical
+    * corpus. Here each micro-batch, inside foreachBatch:
+    *   1. probes the persisted 16-byte content-hash index
+    *      (`Dedup.dedupIndexBuild`'s hashes relation — the
+    *      dd_incremental exact layer, byte for byte);
+    *   2. probes the SEEN relation — the hashes of every earlier
+    *      stream batch, appended batch-by-batch under the checkpoint
+    *      root: the continuously-maintained index a crawl pipeline
+    *      grows as it ingests (read BEFORE this batch's append, so a
+    *      batch never matches itself through it);
+    *   3. dedups within the batch (smaller doc_id wins — arrival
+    *      order is doc_id order, so "smaller id" ≡ "arrived first"
+    *      across all three layers).
+    * Verdict precedence: corpus beats stream beats unique; match_id
+    * −1 sentinel keeps the column non-null. The arriving docs carry
+    * the dd_incremental corpus-copy plant (doc_id ≡ 7 mod 30) PLUS a
+    * stream-internal plant (doc_id ≡ 27 mod 50, not corpus-planted:
+    * a copy of stream predecessor doc_id − 20's level-1 text), so
+    * both duplicate verdicts are exercised. Oracle: the batch twin —
+    * history ∪ stream union with the plants replayed verbatim. */
+  private val stDedupIndexed: Q = (parent, d) => {
+    val s = scoped(parent)
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val idx = graft.llm.Dedup.ensureDedupIndexFor(s, d)
+    val rows = cachedRows(d, "streamdocs") {
+      val raw = graft.io.Sources.table(s, d, "documents")
+      val corpus = raw.filter(col("doc_id") % 10 =!= 7).select(col("doc_id"), col("text"))
+      val base = raw.filter(col("doc_id") % 10 === 7).select(col("doc_id"), col("text"))
+      val donors = corpus.select((col("doc_id") + 1).as("doc_id"), col("text").as("dtext"))
+      val b1 = base.join(donors, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 30 === 7, col("dtext")).otherwise(col("text")).as("text"))
+      val sdon = b1.select((col("doc_id") + 20).as("doc_id"), col("text").as("stext"))
+      b1.join(sdon, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 30 =!= 7 && col("doc_id") % 50 === 27 &&
+            col("stext").isNotNull, col("stext")).otherwise(col("text")).as("text"))
+        .as[StreamDoc].collect().sortBy(_.doc_id)
+    }
+    val root = s"$pidRoot/stdedupidx"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val out = s"$root/out"
+    val seenDir = s"$root/seen"
+    val corpusIdx = s.read.parquet(s"$idx/hashes")
+      .select(col("ch"), col("doc_id").as("cid"))
+    def process(df: DataFrame): Unit = {
+      val hashed = df
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("ch")).persist()
+      val cm = hashed.join(corpusIdx, Seq("ch"))
+        .groupBy("doc_id").agg(min(col("cid")).as("corpus_match"))
+      val seen =
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$seenDir/_SUCCESS")))
+          s.read.parquet(seenDir)
+        else hashed.limit(0).select(col("ch"), col("doc_id").as("sid"))
+      val sm1 = hashed.join(seen, Seq("ch"))
+        .groupBy("doc_id").agg(min(col("sid")).as("m1"))
+      val within = hashed.select(col("ch"), col("doc_id").as("oid"))
+      val sm2 = hashed.join(within, Seq("ch"))
+        .filter(col("oid") < col("doc_id"))
+        .groupBy("doc_id").agg(min(col("oid")).as("m2"))
+      hashed
+        .join(cm, Seq("doc_id"), "left")
+        .join(sm1, Seq("doc_id"), "left")
+        .join(sm2, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("corpus_match"),
+          least(col("m1"), col("m2")).as("stream_match"))
+        .write.mode("append").parquet(out)
+      // grow the maintained index only AFTER this batch's probes
+      hashed.select(col("ch"), col("doc_id").as("sid"))
+        .write.mode("append").parquet(seenDir)
+      hashed.unpersist()
+    }
+    val source = MemoryStream[StreamDoc]
+    val name = s"st_dedup_indexed_${seq.incrementAndGet()}"
+    val q = source.toDS().writeStream
+      .foreachBatch((df: org.apache.spark.sql.Dataset[StreamDoc], _: Long) =>
+        process(df.toDF()))
+      .option("checkpointLocation", ckpt(name)).start()
+    try {
+      val half = math.max(1, (rows.length + 1) / 2)
+      source.addData(rows.take(half).toIndexedSeq)
+      q.processAllAvailable()
+      source.addData(rows.drop(half).toIndexedSeq)
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      dropCkpt(name)
+    }
+    s.read.parquet(out)
+      .select(col("doc_id"),
+        when(col("corpus_match").isNotNull, "corpus_dup")
+          .when(col("stream_match").isNotNull, "stream_dup")
+          .otherwise("unique").as("verdict"),
+        coalesce(col("corpus_match"), col("stream_match"), lit(-1L)).as("match_id"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "st_dedup_indexed" -> stDedupIndexed,
     "st_anomaly" -> stAnomaly,
     "st_sessions" -> stSessions,
     "st_asof" -> stAsof,
@@ -533,6 +637,33 @@ object StreamQueries {
   /** The batch twins' oracles apply UNCHANGED — that is the point: the
     * incremental operators must reproduce the batch semantics exactly. */
   val oracle: Map[String, String] = Map(
+    // the batch twin unions history + stream: corpus hashes from the
+    // non-batch slice, both plants replayed, min-id winners per layer,
+    // corpus > stream > unique precedence
+    "st_dedup_indexed" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7),
+        | base AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7),
+        | b1 AS (SELECT b.doc_id,
+        |   CASE WHEN b.doc_id % 30 = 7 THEN d.text ELSE b.text END AS text
+        |  FROM base b LEFT JOIN corpus d ON d.doc_id = b.doc_id - 1),
+        | b2 AS (SELECT b.doc_id,
+        |   CASE WHEN b.doc_id % 30 <> 7 AND b.doc_id % 50 = 27
+        |         AND s.text IS NOT NULL THEN s.text ELSE b.text END AS text
+        |  FROM b1 b LEFT JOIN b1 s ON s.doc_id = b.doc_id - 20),
+        | h AS (SELECT doc_id, md5(text) AS ch FROM b2),
+        | chc AS (SELECT md5(text) AS ch, doc_id AS cid FROM corpus),
+        | cm AS (SELECT h.doc_id, min(cid) AS corpus_match
+        |        FROM h JOIN chc USING (ch) GROUP BY h.doc_id),
+        | sm AS (SELECT a.doc_id, min(b.doc_id) AS stream_match
+        |        FROM h a JOIN h b ON b.ch = a.ch AND b.doc_id < a.doc_id
+        |        GROUP BY a.doc_id)
+        |SELECT h.doc_id,
+        | CASE WHEN cm.corpus_match IS NOT NULL THEN 'corpus_dup'
+        |      WHEN sm.stream_match IS NOT NULL THEN 'stream_dup'
+        |      ELSE 'unique' END AS verdict,
+        | coalesce(cm.corpus_match, sm.stream_match, -1) AS match_id
+        |FROM h LEFT JOIN cm USING (doc_id) LEFT JOIN sm USING (doc_id)
+        |ORDER BY h.doc_id""".stripMargin,
     "st_anomaly" -> graft.ops.Events.oracle("w15_anomaly"),
     "st_sessions" -> graft.ops.Events.oracle("w8_sessions"),
     "st_asof" -> graft.ops.Relational.oracle("j7_asof"),
