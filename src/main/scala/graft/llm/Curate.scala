@@ -457,7 +457,36 @@ object Curate {
       .orderBy("doc_id")
   }
 
+  // -------------------------------------------------------------------
+  // ds_shards: training-export shard manifest — the handoff record
+  // between curation and the training reader (the WebDataset /
+  // streaming-loader pattern): docs assign to shards by content hash
+  // (stable under re-ingestion, zero shuffle for the assignment), and
+  // the manifest row per shard carries the integrity facts a reader
+  // verifies before an epoch: doc count, token and char totals, and a
+  // MEMBERSHIP DIGEST (md5 over the numerically-sorted doc-id list) —
+  // one missing or duplicated doc flips the digest, which is the
+  // property plain counts can't give. One count-width shuffle on the
+  // shard id; at 100 TB the shard count is the write-parallelism knob
+  // and the digest rides the same agg.
+  // -------------------------------------------------------------------
+  private val exportShards = 16L
+
+  private val dsShards: Q = (s, d) =>
+    table(s, d, "documents")
+      .select(col("doc_id"), bucket(exportShards).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"), col("n_chars"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        md5(concat_ws(",",
+          expr("transform(array_sort(collect_list(doc_id)), x -> cast(x as string))"))
+          .cast("binary")).as("members_md5"))
+      .orderBy("shard")
+
   val queries: Map[String, Q] = Map(
+    "ds_shards" -> dsShards,
     "ds_curriculum" -> dsCurriculum,
     "ds_tokens" -> dsTokens,
     "ds_shuffle" -> dsShuffle,
@@ -493,6 +522,19 @@ object Curate {
   }
 
   val oracle: Map[String, String] = Map(
+    // shard manifest re-derived: same FNV bucket, same numeric sort,
+    // same comma-joined md5 digest
+    "ds_shards" ->
+      s"""$fnvCte,
+         | a AS (SELECT doc_id, ((fp % $exportShards) + $exportShards) % $exportShards AS shard,
+         |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, n_chars
+         |  FROM f)
+         |SELECT shard, count(*) AS n_docs,
+         | CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         | CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         | md5(array_to_string(
+         |   list_transform(list_sort(list(doc_id)), x -> x::VARCHAR), ',')) AS members_md5
+         |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
     // perplexity re-derived via the shared CTE chain, FNV fold replayed,
     // cuts via quantile_cont rounded identically, window re-ranked
     "ds_curriculum" ->

@@ -38,7 +38,11 @@ object ExplainDump {
     "ds_weighted" -> "two-phase weighted top-k: the salted phase-1 rank plans a WindowGroupLimit (per-group k-filter below the sort); the global phase ranks only the ≤ salts·k survivors",
     "mv_refresh" -> "incremental MV refresh: stored-partials scan ∪ delta-only events scan → one merge agg — the base slice never re-reads",
     "ds_dsir" -> "DSIR scoring: token shuffle only for the 64-bucket LM pair; per-doc scores fold scan-locally against the broadcast one-row LUT map",
-    "gr_scc" -> "SCC by iterative doubling: three self-join+distinct rounds on (src,dst) pairs, mutual-pair join, per-node integer min",
+    "gr_scc" -> "SCC by pivot coloring (ColorSCC): node-keyed label joins only — the final plan is the last peel round's extraction over O(n) label state; no pair set is ever materialized",
+    "ds_doremi" -> "DoReMi mixture: T+2 constant-width integer reduces (no row shuffle), |sources|-row excess/threshold relations broadcast back into the resample scan",
+    "tx_dpo_pairs" -> "preference pairs: one score scan, one prompt_id window family, chosen relation joined back per prompt — no cartesian",
+    "ann_lifecycle" -> "composed lifecycle serve: tombstones anti-joined broadcast BEFORE scoring, probe cells broadcast, tier-1 sliced scoring then shortlist rerank",
+    "tok_unigram_encode" -> "unigram encode: word instances ⋈ broadcast trained vocab, one integer agg per doc — corpus text stays scan-local",
     "ml_lr_curate" -> "classifier curation serve side: scan-local features standardized by driver-literal moments, scored by literal weights — zero joins, zero shuffles before the output sort",
     "w15_anomaly" -> "rolling anomaly z-scores: all three quantized frame sums ride ONE user_id window exchange; z is scan-local IEEE algebra over the window outputs",
     "ann_filtered" -> "filtered vector serve: label predicate joined into the candidate scan BEFORE scoring, probe cells broadcast — filtered-out vectors never reach a dot product")
