@@ -42,6 +42,21 @@ object EventStream {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Sliding-window counts (2 h window, 1 h slide) with a 10-minute
+    * watermark — the overlap shape tumbling windows can't express
+    * (every event contributes to the TWO hourly-aligned windows
+    * covering it). The value sum is integer-quantized per row
+    * (floor(value·1e6) — the Materialized partials rule) so the
+    * cross-partition, cross-trigger aggregation is exact. */
+  def slidingStats(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 1000000L).cast("long")).as("sum_q"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_q"))
+
   /** Streaming exact dedup — the incremental face of the dedup family
     * (llm.Dedup): drop re-deliveries of the same content key, with the
     * watermark bounding how long a key is remembered. State size tracks

@@ -274,6 +274,44 @@ object StreamQueries {
       .orderBy("win_start", "event_type")
   }
 
+  /** The SLIDING-window aggregate as a stream (2 h / 1 h hop): the
+    * overlap regime st_windowed's tumbling gate can't falsify — each
+    * event must land in exactly its two covering windows, across
+    * watermarked incremental emission. Same sentinel-flush mechanism
+    * as st_windowed; the batch twin expands each event into its two
+    * hourly-aligned window starts and re-aggregates. */
+  private val stSliding: Q = (parent, d) => {
+    val s = scoped(parent)
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val evs = cachedRows(d, "ev") {
+      graft.io.Sources.table(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+        .as[EventStream.Ev].collect()
+    }
+    val maxMs = if (evs.isEmpty) 0L else evs.iterator.map(_.ts.getTime).max
+    val source = MemoryStream[EventStream.Ev]
+    val name = s"st_sliding_${seq.incrementAndGet()}"
+    val q = EventStream.slidingStats(source.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation", ckpt(name)).start()
+    val (schema, rows) = try {
+      source.addData(evs.toIndexedSeq :+
+        EventStream.Ev(-1L, new Timestamp(maxMs + 3L * 3600000L), "sentinel__", 0.0))
+      q.processAllAvailable()
+      val tbl = s.table(name)
+      (tbl.schema, tbl.filter(!(col("event_type") <=> "sentinel__")).collect())
+    } finally {
+      q.stop()
+      s.catalog.dropTempView(name)
+      dropCkpt(name)
+    }
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      .select(col("win_start"), col("event_type"), col("n"),
+        graft.functions.Numeric.dround(col("sum_q") / 1000000.0, 4).as("total_value"))
+      .orderBy("win_start", "event_type")
+  }
+
   /** Streaming exact dedup under the gate: every event delivered once
     * in batch 1, then a PLANTED re-delivery (event_id % 10 == 3) in
     * batch 2 — the at-least-once ingest failure dedup exists for. A
@@ -623,6 +661,7 @@ object StreamQueries {
 
   val queries: Map[String, Q] = Map(
     "st_dedup_indexed" -> stDedupIndexed,
+    "st_sliding" -> stSliding,
     "st_anomaly" -> stAnomaly,
     "st_sessions" -> stSessions,
     "st_asof" -> stAsof,
@@ -672,6 +711,16 @@ object StreamQueries {
       """SELECT date_trunc('hour', ts) AS win_start, event_type,
         | count(*) AS n, round(sum(value), 4) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // each event expanded into its two covering hourly-aligned window
+    // starts, then the same quantized-integer aggregation
+    "st_sliding" ->
+      """WITH w AS (SELECT event_type, value, date_trunc('hour', ts) AS h FROM events),
+        | x AS (SELECT event_type, value, h AS win_start FROM w
+        |       UNION ALL
+        |       SELECT event_type, value, h - INTERVAL 1 HOUR FROM w)
+        |SELECT win_start, event_type, count(*) AS n,
+        | round(sum(CAST(floor(value * 1000000) AS BIGINT)) / 1000000.0, 4) AS total_value
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the planted re-delivery must vanish: output == the plain table
     "st_dedup" ->
       "SELECT event_id, user_id, ts, event_type, value FROM events",
