@@ -93,10 +93,20 @@ object Bpe {
   private val wWord = Window.partitionBy("word").orderBy("pos")
 
   /** Run the batched merge loop; returns (merges, finalVocab) where
-    * merges is (merge_round, rank, lsym, rsym, cnt) — cnt is the
-    * pair's weighted count at selection time — and finalVocab is
-    * (word, n, seq) after all rounds. */
-  private def train(words: DataFrame, rounds: Int, k: Int): (DataFrame, DataFrame) = {
+    * merges is (merge_round, rank, lsym, rsym, cnt, score_q) — cnt is
+    * the pair's weighted count at selection time — and finalVocab is
+    * (word, n, seq) after all rounds.
+    *
+    * `likelihood = false` ranks by raw pair count (canonical BPE);
+    * `likelihood = true` is the WordPiece selection rule: maximize the
+    * per-merge likelihood gain P(ab)/(P(a)·P(b)), computed as the
+    * integer score_q = (cnt_pair · 1e9) div (cnt_l · cnt_r) over the
+    * round's weighted symbol totals — a ratio of exact integers, so
+    * the ranking (and hence the whole vocabulary) hash-gates. The
+    * rewrite scan, the cumulative merge table, and the freshness
+    * anti-join are byte-identical across both modes. */
+  private def train(words: DataFrame, rounds: Int, k: Int,
+      likelihood: Boolean = false): (DataFrame, DataFrame) = {
     var seqs = words
       .select(col("word"), col("n"), charify(col("word")).as("seq"))
       .localCheckpoint()
@@ -113,16 +123,28 @@ object Bpe {
       val cand =
         if (merges == null) pairs
         else pairs.join(merges.select("lsym", "rsym"), Seq("lsym", "rsym"), "left_anti")
+      val scored =
+        if (!likelihood) cand.withColumn("score_q", lit(0L))
+        else {
+          val symCnt = ex.groupBy(col("sym")).agg(sum(col("n")).as("sc"))
+          cand
+            .join(symCnt.select(col("sym").as("lsym"), col("sc").as("lc")), Seq("lsym"))
+            .join(symCnt.select(col("sym").as("rsym"), col("sc").as("rc")), Seq("rsym"))
+            .withColumn("score_q", expr("(cnt * 1000000000) div (lc * rc)"))
+        }
+      val order =
+        if (likelihood) Window.orderBy(desc("score_q"), asc("lsym"), asc("rsym"))
+        else Window.orderBy(desc("cnt"), asc("lsym"), asc("rsym"))
       // global rank over the candidate pairs — a single-partition sort
       // of a VOCAB-bounded relation (symbol-pair universe, a few
       // thousand rows), the same driver-adjacent cost every BPE
       // trainer pays to argmax the count table
-      val batch = cand
-        .withColumn("rank",
-          row_number().over(Window.orderBy(desc("cnt"), asc("lsym"), asc("rsym"))))
+      val batch = scored
+        .withColumn("rank", row_number().over(order))
         .filter(col("rank") <= k)
         .select(lit(i).cast("long").as("merge_round"),
-          col("rank").cast("long").as("rank"), col("lsym"), col("rsym"), col("cnt"))
+          col("rank").cast("long").as("rank"), col("lsym"), col("rsym"),
+          col("cnt"), col("score_q"))
         .localCheckpoint()
       merges = if (merges == null) batch else merges.unionByName(batch)
       // One left-to-right scan applying the ACCUMULATED merge table.
@@ -223,16 +245,87 @@ object Bpe {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------
+  // wp_train / wp_encode: the WordPiece-style trainer beside BPE and
+  // the unigram-LM — the third production tokenizer family. Identical
+  // dataflow to bpe_train (same word-count residency, same cumulative
+  // islands-parity rewrite); only the SELECTION rule differs:
+  // likelihood gain (cnt·1e9) div (cnt_l·cnt_r) instead of raw count,
+  // which prefers pairs that are surprising given their parts (the
+  // score WordPiece maximizes). On this corpus the two vocabularies
+  // genuinely diverge from round 1 (different first merges), so the
+  // gate falsifies rule mix-ups. Encode reuses the bpe_encode
+  // broadcast-vocab shape under a separate cache key.
+  // ---------------------------------------------------------------
+  private def wpTrainOut(merges: DataFrame): DataFrame =
+    merges.select(
+        row_number().over(Window.orderBy("merge_round", "rank")).cast("long").as("step"),
+        col("merge_round"), col("lsym"), col("rsym"), col("cnt"), col("score_q"))
+      .orderBy("step")
+
+  private def trainWpDocs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val r = train(wordCounts(table(s, d, "documents").select("text")),
+      docRounds, docK, likelihood = true)
+    trainedVocab.put(s"$d#wp", vocabOf(r._2))
+    r
+  }
+
+  private val wpTrain: Q = (s, d) => wpTrainOut(trainWpDocs(s, d)._1)
+
+  private val wpEncode: Q = (s, d) => {
+    import s.implicits._
+    val docs = table(s, d, "documents")
+    val rows = Option(trainedVocab.get(s"$d#wp")).getOrElse {
+      trainWpDocs(s, d); trainedVocab.get(s"$d#wp")
+    }
+    val enc = rows.toSeq.toDF("word", "n_syms")
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(broadcast(enc), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_tokens_wp"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "bpe_train" -> bpeTrain,
     "bpe_train_rich" -> bpeTrainRich,
-    "bpe_encode" -> bpeEncode)
+    "bpe_encode" -> bpeEncode,
+    "wp_train" -> wpTrain,
+    "wp_encode" -> wpEncode)
 
   // ---------------------------------------------------------------
   // Oracle: every round re-derived from scratch in chained CTEs —
   // identical ranking, identical islands-parity rewrite.
   // ---------------------------------------------------------------
-  private def roundCtes(i: Int, k: Int): String =
+  private def roundCtes(i: Int, k: Int, likelihood: Boolean = false): String = {
+    val fresh =
+      s"""SELECT p.* FROM p$i p
+         |                     LEFT JOIN m${i - 1} mm
+         |                       ON p.lsym = mm.lsym AND p.rsym = mm.rsym
+         |                     WHERE mm.lsym IS NULL""".stripMargin
+    // selection CTE: canonical count ranking, or the WordPiece
+    // likelihood score over the round's weighted symbol totals — the
+    // same integer (cnt·1e9) // (sc_l·sc_r) the engine computes
+    val select =
+      if (!likelihood)
+        s""" b$i AS MATERIALIZED (SELECT CAST($i AS BIGINT) AS merge_round,
+           |           CAST(rank AS BIGINT) AS rank, lsym, rsym, cnt
+           |         FROM (SELECT c.*,
+           |                 row_number() OVER (ORDER BY cnt DESC, lsym, rsym) AS rank
+           |               FROM ($fresh) c)
+           |         WHERE rank <= $k),""".stripMargin
+      else
+        s""" sc$i AS (SELECT sym, CAST(sum(n) AS BIGINT) AS sc FROM e$i GROUP BY sym),
+           | b$i AS MATERIALIZED (SELECT CAST($i AS BIGINT) AS merge_round,
+           |           CAST(rank AS BIGINT) AS rank, lsym, rsym, cnt, score_q
+           |         FROM (SELECT c2.*,
+           |                 row_number() OVER (ORDER BY score_q DESC, lsym, rsym) AS rank
+           |               FROM (SELECT c.*, (c.cnt * 1000000000) // (l.sc * r.sc) AS score_q
+           |                     FROM ($fresh) c
+           |                     JOIN sc$i l ON l.sym = c.lsym
+           |                     JOIN sc$i r ON r.sym = c.rsym) c2)
+           |         WHERE rank <= $k),""".stripMargin
     s""" e$i AS MATERIALIZED (SELECT word, n, pos, sym,
        |           lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
        |         FROM (SELECT word, n, g.j AS pos, tk[g.j] AS sym
@@ -241,15 +334,7 @@ object Bpe {
        |                    LATERAL unnest(generate_series(1, len(tk))) g(j))),
        | p$i AS (SELECT sym AS lsym, nxt AS rsym, CAST(sum(n) AS BIGINT) AS cnt
        |         FROM e$i WHERE nxt IS NOT NULL GROUP BY 1, 2),
-       | b$i AS MATERIALIZED (SELECT CAST($i AS BIGINT) AS merge_round,
-       |           CAST(rank AS BIGINT) AS rank, lsym, rsym, cnt
-       |         FROM (SELECT c.*,
-       |                 row_number() OVER (ORDER BY cnt DESC, lsym, rsym) AS rank
-       |               FROM (SELECT p.* FROM p$i p
-       |                     LEFT JOIN m${i - 1} mm
-       |                       ON p.lsym = mm.lsym AND p.rsym = mm.rsym
-       |                     WHERE mm.lsym IS NULL) c)
-       |         WHERE rank <= $k),
+       |$select
        | m$i AS MATERIALIZED (SELECT lsym, rsym FROM m${i - 1}
        |         UNION ALL SELECT lsym, rsym FROM b$i),
        | g$i AS (SELECT e.word, e.n, e.pos, e.sym, e.nxt,
@@ -270,10 +355,12 @@ object Bpe {
        | s$i AS MATERIALIZED (SELECT word, n,
        |           ' ' || string_agg(sym2, ' ' ORDER BY pos) || ' ' AS seq
        |         FROM n$i WHERE sym2 IS NOT NULL GROUP BY word, n)""".stripMargin
+  }
 
   /** w0Sql must yield (word, n BIGINT). */
-  private def trainChain(w0Sql: String, rounds: Int, k: Int): String = {
-    val cte = (1 to rounds).map(roundCtes(_, k)).mkString(",\n")
+  private def trainChain(w0Sql: String, rounds: Int, k: Int,
+      likelihood: Boolean = false): String = {
+    val cte = (1 to rounds).map(roundCtes(_, k, likelihood)).mkString(",\n")
     s"""WITH w0 AS ($w0Sql),
        | m0 AS (SELECT CAST(NULL AS VARCHAR) AS lsym,
        |               CAST(NULL AS VARCHAR) AS rsym WHERE 1 = 0),
@@ -283,10 +370,11 @@ object Bpe {
        |$cte""".stripMargin
   }
 
-  private def trainSelect(rounds: Int): String = {
+  private def trainSelect(rounds: Int, withScore: Boolean = false): String = {
     val union = (1 to rounds).map(i => s"SELECT * FROM b$i").mkString("\n UNION ALL ")
+    val score = if (withScore) ", score_q" else ""
     s"""SELECT CAST(row_number() OVER (ORDER BY merge_round, rank) AS BIGINT) AS step,
-       |  merge_round, lsym, rsym, cnt
+       |  merge_round, lsym, rsym, cnt$score
        |FROM ($union)
        |ORDER BY step""".stripMargin
   }
@@ -302,6 +390,21 @@ object Bpe {
       |FROM events GROUP BY 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "wp_train" ->
+      s"""${trainChain(docW0, docRounds, docK, likelihood = true)}
+         |${trainSelect(docRounds, withScore = true)}""".stripMargin,
+    "wp_encode" ->
+      s"""${trainChain(docW0, docRounds, docK, likelihood = true)},
+         | enc AS (SELECT word,
+         |           CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS n_syms
+         |         FROM s$docRounds),
+         | inst AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |          FROM documents)
+         |SELECT doc_id, count(*) AS n_words,
+         |  CAST(sum(n_syms) AS BIGINT) AS n_tokens_wp
+         |FROM (SELECT * FROM inst WHERE length(word) > 0) i
+         |JOIN enc USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "bpe_train" ->
       s"""${trainChain(docW0, docRounds, docK)}
          |${trainSelect(docRounds)}""".stripMargin,
