@@ -448,7 +448,32 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** ts_normalize: canonical text normalization — the pre-hash stage
+    * every dedup/fingerprint pipeline runs first (CCNet's lowercase +
+    * punctuation strip + whitespace collapse), as one scan-local
+    * regex chain: lowercase → strip non-[a-z0-9 ] → collapse runs of
+    * spaces → trim. Emits the normalized length, an md5 of the
+    * normalized form (the key the dedup layers would consume), and a
+    * changed flag. Both engines apply the identical rule order; the
+    * oracle's regexp_replace carries the 'g' flag (DuckDB replaces
+    * first-match-only by default — the dd_urls lesson, applied
+    * preemptively). */
+  private val tsNormalize: Q = (s, d) => {
+    val n1 = lower(col("text"))
+    val n2 = regexp_replace(n1, "[^a-z0-9 ]", "")
+    val n3 = regexp_replace(n2, " +", " ")
+    val norm = trim(n3)
+    table(s, d, "documents").select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_raw"),
+      length(norm).cast("long").as("n_chars_norm"),
+      md5(norm.cast("binary")).as("norm_md5"),
+      (norm =!= col("text")).as("changed"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ts_normalize" -> tsNormalize,
     "ts_entropy" -> tsEntropy,
     "tx_sft_render" -> txSftRender,
     "ts_hosts" -> tsHosts,
@@ -504,6 +529,18 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "ts_normalize" ->
+      """WITH n AS (SELECT doc_id, text,
+        |  trim(regexp_replace(
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |    ' +', ' ', 'g')) AS norm
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(length(text) AS BIGINT) AS n_chars_raw,
+        | CAST(length(norm) AS BIGINT) AS n_chars_norm,
+        | md5(norm) AS norm_md5,
+        | (norm <> text) AS changed
+        |FROM n ORDER BY doc_id""".stripMargin,
     "ts_entropy" ->
       s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_len,
          | round($sqlEntropy, 4) AS entropy_nats,

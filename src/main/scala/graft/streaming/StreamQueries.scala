@@ -312,6 +312,44 @@ object StreamQueries {
       .orderBy("win_start", "event_type")
   }
 
+  /** Stream-static broadcast enrichment under the gate: the J5 bounds
+    * dim joined into every micro-batch (stateless — per-trigger cost is
+    * batch × hash probe, zero streaming state), across two batches.
+    * Unmatched categories keep the dead-letter null-bounds semantics.
+    * Oracle: the batch CASE-ladder twin over the full table. */
+  private val stEnrich: Q = (parent, d) => {
+    val s = scoped(parent)
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val evs = cachedRows(d, "ev") {
+      graft.io.Sources.table(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+        .as[EventStream.Ev].collect()
+    }
+    val source = MemoryStream[EventStream.Ev]
+    val name = s"st_enrich_${seq.incrementAndGet()}"
+    val q = EventStream.enrichWithBounds(source.toDF(),
+        graft.ops.Relational.boundsDim(s))
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation", ckpt(name)).start()
+    val (schema, rows) = try {
+      val half = math.max(1, (evs.length + 1) / 2)
+      source.addData(evs.take(half).toIndexedSeq)
+      q.processAllAvailable()
+      source.addData(evs.drop(half).toIndexedSeq)
+      q.processAllAvailable()
+      val tbl = s.table(name)
+      (tbl.schema, tbl.collect())
+    } finally {
+      q.stop()
+      s.catalog.dropTempView(name)
+      dropCkpt(name)
+    }
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      .select(col("user_id"), col("ts"), col("event_type"),
+        col("value"), col("v_max"), col("a_max"))
+  }
+
   /** Streaming exact dedup under the gate: every event delivered once
     * in batch 1, then a PLANTED re-delivery (event_id % 10 == 3) in
     * batch 2 — the at-least-once ingest failure dedup exists for. A
@@ -662,6 +700,7 @@ object StreamQueries {
   val queries: Map[String, Q] = Map(
     "st_dedup_indexed" -> stDedupIndexed,
     "st_sliding" -> stSliding,
+    "st_enrich" -> stEnrich,
     "st_anomaly" -> stAnomaly,
     "st_sessions" -> stSessions,
     "st_asof" -> stAsof,
@@ -703,6 +742,13 @@ object StreamQueries {
         | coalesce(cm.corpus_match, sm.stream_match, -1) AS match_id
         |FROM h LEFT JOIN cm USING (doc_id) LEFT JOIN sm USING (doc_id)
         |ORDER BY h.doc_id""".stripMargin,
+    "st_enrich" ->
+      """SELECT user_id, ts, event_type, value,
+        | CASE event_type WHEN 'click' THEN 9.5 WHEN 'view' THEN 7.0
+        |   WHEN 'purchase' THEN 11.0 WHEN 'signup' THEN 8.5 END AS v_max,
+        | CASE event_type WHEN 'click' THEN 2.0 WHEN 'view' THEN 1.5
+        |   WHEN 'purchase' THEN 3.0 WHEN 'signup' THEN 2.5 END AS a_max
+        |FROM events""".stripMargin,
     "st_anomaly" -> graft.ops.Events.oracle("w15_anomaly"),
     "st_sessions" -> graft.ops.Events.oracle("w8_sessions"),
     "st_asof" -> graft.ops.Relational.oracle("j7_asof"),
