@@ -300,6 +300,14 @@ object Similarity {
     path
   }
 
+  /** Cross-package seams for the streaming index-maintenance gate
+    * (st_ann_upsert): the persisted index plus the constants its
+    * oracle must mirror. */
+  private[graft] def ensureIvfIndexFor(s: SparkSession, d: String): String =
+    ensureIvfIndex(s, d)
+  private[graft] def upsertConsts: (Long, Long, Int, Int, Int) =
+    (plantN.toLong, upsertOffset, nProbes, ivfNProbe, kNeighbors)
+
   /** IVF approximate top-k over the PERSISTED index: each probe ranks
     * the 16 stored centroids (an 80-row cross join — the quantizer, not
     * the corpus), keeps its nProbe nearest cells, and computes exact

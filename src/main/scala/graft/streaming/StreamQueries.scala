@@ -312,6 +312,93 @@ object StreamQueries {
       .orderBy("win_start", "event_type")
   }
 
+  /** A streamed vector arrival for the ANN index-maintenance gate. */
+  case class VecRow(vec_id: Long, ve: Seq[Double])
+
+  /** Streaming ANN index maintenance under the gate (the composed
+    * sequel to ann_ivf_upsert and st_dedup_indexed): vector ingest
+    * arrives as micro-batches; each batch is assigned to its nearest
+    * PERSISTED centroid inside foreachBatch (frozen quantizer, O(batch)
+    * per trigger — FAISS `add`, never `train`) and appended to the live
+    * cell-assigned relation the serving path reads. The serve then
+    * proves the streamed rows are reachable through cell routing: the
+    * ×2 twins score cosine exactly 1.0 against their planted sources
+    * and must surface at rank 1. Oracle: the ann_ivf_upsert candidate-
+    * fixture twin over this gate's own fixture. */
+  private val stAnnUpsert: Q = (parent, d) => {
+    val s = scoped(parent)
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.expressions.Window
+    val (plantN, upsertOffset, nProbes, ivfNProbe, kNeighbors) =
+      graft.llm.Similarity.upsertConsts
+    val idx = graft.llm.Similarity.ensureIvfIndexFor(s, d)
+    val assigned = s.read.parquet(s"$idx/assignments")
+    val centroids = s.read.parquet(s"$idx/centroids")
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.ArrayFns.vecDot(a, b)
+    def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    val batchRows = cachedRows(d, "annup") {
+      graft.io.Sources.table(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+        .filter(col("vec_id") < plantN)
+        .select((col("vec_id") + upsertOffset).as("vec_id"),
+          transform(col("ve"), x => x * 2.0).as("ve"))
+        .as[VecRow].collect().sortBy(_.vec_id)
+    }
+    val root = s"$pidRoot/stannup"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val live = s"$root/live"
+    def process(df: DataFrame): Unit =
+      df.crossJoin(broadcast(centroids))
+        .withColumn("cdist", -cosine(col("ve"), col("ce")))
+        .withColumn("crk", row_number().over(
+          Window.partitionBy("vec_id").orderBy(asc("cdist"), asc("cl"))))
+        .filter(col("crk") === 1)
+        .select("vec_id", "ve", "cl")
+        .write.mode("append").parquet(live)
+    val source = MemoryStream[VecRow]
+    val name = s"st_ann_upsert_${seq.incrementAndGet()}"
+    val q = source.toDS().writeStream
+      .foreachBatch((df: org.apache.spark.sql.Dataset[VecRow], _: Long) =>
+        process(df.toDF()))
+      .option("checkpointLocation", ckpt(name)).start()
+    try {
+      val half = math.max(1, (batchRows.length + 1) / 2)
+      source.addData(batchRows.take(half).toIndexedSeq)
+      q.processAllAvailable()
+      source.addData(batchRows.drop(half).toIndexedSeq)
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      dropCkpt(name)
+    }
+    val upserted = assigned.select("vec_id", "ve", "cl")
+      .unionByName(s.read.parquet(live).select("vec_id", "ve", "cl"))
+    val probes = graft.io.Sources.table(s, d, "embeddings")
+      .filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qe"))
+    val probeCells = probes.crossJoin(broadcast(centroids))
+      .withColumn("cdist", -cosine(col("qe"), col("ce")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("qid").orderBy(asc("cdist"), asc("cl"))))
+      .filter(col("crk") <= ivfNProbe)
+      .select("qid", "qe", "cl")
+    val sims = upserted.join(broadcast(probeCells), Seq("cl"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        cosine(col("qe"), col("ve")).as("sim"))
+      .persist()
+    graft.io.Sinks.dumpFixture(sims.select("qid", "cid"), "stannup_cands")
+    sims.withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))))
+      .filter(col("rk") <= kNeighbors)
+      .select(col("qid"), col("rk"), col("cid"),
+        graft.functions.Numeric.dround(col("sim"), 4).as("sim"))
+      .orderBy("qid", "rk")
+  }
+
   /** Stream-static broadcast enrichment under the gate: the J5 bounds
     * dim joined into every micro-batch (stateless — per-trigger cost is
     * batch × hash probe, zero streaming state), across two batches.
@@ -701,6 +788,7 @@ object StreamQueries {
     "st_dedup_indexed" -> stDedupIndexed,
     "st_sliding" -> stSliding,
     "st_enrich" -> stEnrich,
+    "st_ann_upsert" -> stAnnUpsert,
     "st_anomaly" -> stAnomaly,
     "st_sessions" -> stSessions,
     "st_asof" -> stAsof,
@@ -742,6 +830,28 @@ object StreamQueries {
         | coalesce(cm.corpus_match, sm.stream_match, -1) AS match_id
         |FROM h LEFT JOIN cm USING (doc_id) LEFT JOIN sm USING (doc_id)
         |ORDER BY h.doc_id""".stripMargin,
+    // the ann_ivf_upsert candidate-fixture twin over THIS gate's
+    // fixture: twins re-derived from the ×2 arithmetic, scores and
+    // ranking recomputed from raw embeddings
+    "st_ann_upsert" -> {
+      val (plantN, upsertOffset, _, _, kNeighbors) = graft.llm.Similarity.upsertConsts
+      s"""WITH p AS (SELECT qid, cid FROM read_parquet('/tmp/graft_fixtures/stannup_cands/*.parquet')),
+         | base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | batch AS (SELECT vec_id + $upsertOffset AS vec_id,
+         |             list_transform(v, x -> x * 2.0) AS v
+         |           FROM base WHERE vec_id < $plantN),
+         | e AS (SELECT * FROM base UNION ALL SELECT * FROM batch),
+         | sims AS (
+         |  SELECT p.qid, p.cid,
+         |   list_dot_product(q.v, c.v)
+         |     / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+         |  FROM p JOIN e q ON q.vec_id = p.qid JOIN e c ON c.vec_id = p.cid),
+         | ranked AS (
+         |  SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+         |  FROM sims)
+         |SELECT qid, rk, cid, round(sim, 4) AS sim FROM ranked WHERE rk <= $kNeighbors
+         |ORDER BY qid, rk""".stripMargin
+    },
     "st_enrich" ->
       """SELECT user_id, ts, event_type, value,
         | CASE event_type WHEN 'click' THEN 9.5 WHEN 'view' THEN 7.0
