@@ -490,7 +490,61 @@ object Graph {
       .orderBy("doc_id")
   }
 
+  // -------------------------------------------------------------------
+  // gr_bfs: multi-source BFS hop levels — the crawl-depth labeling a
+  // frontier scheduler runs (how many hops from the seed list is each
+  // page; depth caps and freshness tiers derive from it). Seeds are
+  // every 101st node; the graph is the affine 3-out plant (expander —
+  // ~log₃ N diameter, so the frontier loop is a handful of rounds),
+  // MINUS every in-edge of nodes with doc_id ≡ 5 (mod 13): those nodes
+  // are deterministically unreachable unless seeded, so the -1 branch
+  // of the output is genuinely exercised. Per round: frontier ⋈ edges,
+  // distinct, anti-join against the settled levels — node-id shuffles,
+  // O(n) state, new-node count as the stop scalar (the gr_lpa_conv
+  // discipline). Oracle: DuckDB recursive CTE with UNION dedup (state
+  // bounded by nodes × levels), min hop per node.
+  // -------------------------------------------------------------------
+  private val bfsCap = 64
+
+  private val grBfs: Q = (s, d) => {
+    val docs = table(s, d, "documents").select(col("doc_id"))
+    val n = docs.agg(count(lit(1)).as("n_nodes"))
+    val nodes = docs.crossJoin(broadcast(n))
+    val edges = nodes
+      .select(col("doc_id").as("src"),
+        explode(array(lit(1L), lit(2L), lit(3L))).as("j"), col("n_nodes"))
+      .select(col("src"),
+        pmod(col("src") * 31 + col("j") * 17 + 7, col("n_nodes")).as("dst"))
+      .filter(pmod(col("dst"), lit(13L)) =!= 5L)
+      .persist()
+    var levels = docs.filter(pmod(col("doc_id"), lit(101L)) === 0L)
+      .select(col("doc_id"), lit(0L).as("lvl")).localCheckpoint()
+    var frontier = levels
+    var i = 1
+    var done = false
+    while (!done) {
+      require(i <= bfsCap, s"gr_bfs: frontier did not drain within $bfsCap rounds")
+      val nxt = frontier
+        .join(edges, frontier("doc_id") === edges("src"))
+        .select(col("dst").as("doc_id")).distinct()
+        .join(levels, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit(i.toLong).as("lvl"))
+        .localCheckpoint()
+      if (nxt.count() == 0L) done = true
+      else {
+        levels = levels.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+        i += 1
+      }
+    }
+    docs.join(levels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lvl"), lit(-1L)).as("lvl"),
+        col("lvl").isNotNull.as("reachable"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "gr_bfs" -> grBfs,
     "gr_kcore" -> grKcore,
     "gr_scc" -> grScc,
     "pr_pagerank" -> prPagerank,
@@ -565,6 +619,28 @@ object Graph {
   }
 
   val oracle: Map[String, String] = Map(
+    // min-hop levels by recursive UNION (deduped — state is bounded by
+    // nodes × levels, never path counts), same plant, same in-edge
+    // removal, same seed rule
+    "gr_bfs" ->
+      s"""WITH RECURSIVE n AS (SELECT count(*) AS n_nodes FROM documents),
+         | nodes AS (SELECT doc_id FROM documents),
+         | edges AS (SELECT src, dst FROM (
+         |    SELECT doc_id AS src,
+         |      (doc_id * 31 + u.j * 17 + 7) % n.n_nodes AS dst
+         |    FROM nodes CROSS JOIN n, UNNEST([1, 2, 3]) u(j))
+         |  WHERE dst % 13 <> 5),
+         | seeds AS (SELECT doc_id FROM nodes WHERE doc_id % 101 = 0),
+         | lv AS (
+         |  SELECT doc_id, 0 AS lvl FROM seeds
+         |  UNION
+         |  SELECT e.dst, lv.lvl + 1 FROM lv JOIN edges e ON e.src = lv.doc_id
+         |  WHERE lv.lvl < $bfsCap),
+         | ml AS (SELECT doc_id, CAST(min(lvl) AS BIGINT) AS lvl FROM lv GROUP BY doc_id)
+         |SELECT nd.doc_id, coalesce(ml.lvl, -1) AS lvl,
+         | (ml.lvl IS NOT NULL) AS reachable
+         |FROM nodes nd LEFT JOIN ml USING (doc_id)
+         |ORDER BY nd.doc_id""".stripMargin,
     "gr_kcore" -> kcoreSql,
     // Independent algorithm: UNBOUNDED semi-naive recursive closure
     // (vs the engine's bounded iterative doubling) → mutual pairs →
