@@ -312,13 +312,12 @@ object Classifier {
   // resample — so both the weights and the resampled composition sit
   // under the hash (the ml_lr_train discipline).
   // ------------------------------------------------------------------
-  private val dsDoremi: Q = (s, d) => {
-    val base = featureDf(s, d).persist()
-    val (m, sd) = moments(base)
-    val fstd = standardized(base, m, sd)
-    val w = train(fstd)._1.last
-    base.unpersist()
-    val src = table(s, d, "documents").select(col("doc_id"), col("source"), col("text"))
+  /** The excess-loss → threshold derivation shared by ds_doremi and
+    * ds_curated_ml: per-source quantized residual loss of the final
+    * proxy, excess over the corpus loss, integer keep thresholds with
+    * the hardest domain kept whole. Returns (source, n_d, excess_q,
+    * thr). */
+  private def doremiTh(fstd: DataFrame, w: Array[Double], src: DataFrame): DataFrame = {
     val r = squash(zOf(w)) - col("y")
     val dl = fstd.join(src.select("doc_id", "source"), Seq("doc_id"))
       .groupBy("source")
@@ -330,9 +329,19 @@ object Classifier {
       .select(col("source"), col("n_d"),
         greatest(floor((mseD - mseAll) * lit(Q6)).cast("long"), lit(0L)).as("excess_q"))
     val mx = ex.agg(max(col("excess_q")).as("e_max"))
-    val th = ex.crossJoin(broadcast(mx))
+    ex.crossJoin(broadcast(mx))
       .select(col("source"), col("n_d"), col("excess_q"),
         expr("(10000 * (1000000 + excess_q)) div (1000000 + e_max)").as("thr"))
+  }
+
+  private val dsDoremi: Q = (s, d) => {
+    val base = featureDf(s, d).persist()
+    val (m, sd) = moments(base)
+    val fstd = standardized(base, m, sd)
+    val w = train(fstd)._1.last
+    base.unpersist()
+    val src = table(s, d, "documents").select(col("doc_id"), col("source"), col("text"))
+    val th = doremiTh(fstd, w, src)
     val kept = src
       .select(col("source"),
         pmod(graft.functions.TextHashes.rollHash(col("text")), lit(10000L)).as("b"))
@@ -395,12 +404,66 @@ object Classifier {
       .orderBy("prompt_id", "rejected_id")
   }
 
+  // ------------------------------------------------------------------
+  // ds_curated_ml: the MODEL-BASED curation composition — the pipeline
+  // a lab actually runs once trainers exist, as ONE relation:
+  //   heuristic quality (the ts_quality rule = the proxy's own label)
+  //   ∧ exact-dedup survivor (md5 min-id, the dd_exact rule)
+  //   ∧ classifier gate (σ̃ ≥ 0.5 at the trained weights, ml_lr_curate)
+  //   ∧ DoReMi mixture keep (FNV bucket < learned threshold)
+  // reported per source with each stage's count and the final
+  // composition. Complements ds_curated2 (the heuristic-era pipeline:
+  // quality → langid → dedup → perplexity); this is the model-era
+  // successor. Every stage rule is shared code with its standalone
+  // gate, and the oracle chains the SAME generated CTEs (training,
+  // domain losses, thresholds, FNV, md5 survivor) end to end — so a
+  // drift in any stage breaks two gates at once.
+  // ------------------------------------------------------------------
+  private val dsCuratedMl: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val base = featureDf(s, d).persist()
+    val (m, sd) = moments(base)
+    val fstd = standardized(base, m, sd)
+    val w = train(fstd)._1.last
+    base.unpersist()
+    val docs = table(s, d, "documents").select(col("doc_id"), col("source"), col("text"))
+    val sc = squash(zOf(w))
+    val lr = fstd.select(col("doc_id"), col("y").cast("long").as("q_ok"),
+      (sc >= 0.5).as("lr_keep"))
+    val surv = docs
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("ch"))
+      .select(col("doc_id"),
+        (row_number().over(Window.partitionBy("ch").orderBy("doc_id")) === 1)
+          .as("dedup_keep"))
+    val th = doremiTh(fstd, w, docs)
+    val mix = docs
+      .select(col("doc_id"), col("source"),
+        pmod(graft.functions.TextHashes.rollHash(col("text")), lit(10000L)).as("b"))
+      .join(broadcast(th.select("source", "thr")), Seq("source"))
+      .select(col("doc_id"), (col("b") < col("thr")).as("mix_keep"))
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    docs.select("doc_id", "source")
+      .join(lr, Seq("doc_id"))
+      .join(surv, Seq("doc_id"))
+      .join(mix, Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("q_ok")).as("n_quality_ok"),
+        cnt(col("dedup_keep")).as("n_dedup_keep"),
+        cnt(col("lr_keep")).as("n_lr_keep"),
+        cnt(col("mix_keep")).as("n_mix_keep"),
+        cnt(col("q_ok") === 1L && col("dedup_keep") && col("lr_keep") && col("mix_keep"))
+          .as("n_final"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
     "ml_lr_train" -> mlLrTrain,
     "ml_lr_curate" -> mlLrCurate,
     "ml_ridge" -> mlRidge,
     "ml_pca" -> mlPca,
     "ds_doremi" -> dsDoremi,
+    "ds_curated_ml" -> dsCuratedMl,
     "tx_dpo_pairs" -> txDpoPairs)
 
   // ------------------------------------------------------------------
@@ -592,15 +655,12 @@ object Classifier {
       rows.mkString("\nSELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY dim")
   }
 
-  /** ds_doremi oracle: the training CTEs extended with the domain-loss
-    * / threshold / FNV-resample replay — weights AND composition under
-    * one hash. Every arithmetic expression mirrors the engine's
-    * association; thresholds are exact integer division. */
-  private def doremiSql: String = {
+  /** The domain-loss → threshold CTE chunk shared by the ds_doremi and
+    * ds_curated_ml oracles (mirrors [[doremiTh]]). */
+  private def doremiDomainCtes: String = {
     val mseD = "((CAST(sq_d AS DOUBLE) / 1000000.0) / CAST(n_d AS DOUBLE))"
     val mseAll = "((CAST(sq_all AS DOUBLE) / 1000000.0) / CAST(n_all AS DOUBLE))"
-    s"""$trainCtes,
-       | dsrc AS (SELECT fs.*, d.source FROM fs JOIN documents d USING (doc_id)),
+    s""" dsrc AS (SELECT fs.*, d.source FROM fs JOIN documents d USING (doc_id)),
        | dl AS (SELECT source, count(*) AS n_d,
        |   sum(CAST(floor(($sqlR * $sqlR) * 1000000.0) AS BIGINT)) AS sq_d
        |  FROM dsrc, it$T GROUP BY source),
@@ -616,7 +676,16 @@ object Classifier {
        | hh AS (SELECT doc_id, source,
        |   ${graft.functions.TextHashes.fnvFoldSql("text")} AS hu FROM documents),
        | hf AS (SELECT doc_id, source,
-       |   ${graft.functions.TextHashes.fnvSignedSql("hu")} AS fp FROM hh),
+       |   ${graft.functions.TextHashes.fnvSignedSql("hu")} AS fp FROM hh)""".stripMargin
+  }
+
+  /** ds_doremi oracle: the training CTEs extended with the domain-loss
+    * / threshold / FNV-resample replay — weights AND composition under
+    * one hash. Every arithmetic expression mirrors the engine's
+    * association; thresholds are exact integer division. */
+  private def doremiSql: String =
+    s"""$trainCtes,
+       |$doremiDomainCtes,
        | kb AS (SELECT hf.source,
        |   sum(CASE WHEN ((fp % 10000) + 10000) % 10000 < th.thr
        |            THEN 1 ELSE 0 END) AS n_kept
@@ -626,7 +695,31 @@ object Classifier {
        | round(CAST(kb.n_kept AS DOUBLE) / CAST(th.n_d AS DOUBLE), 4) AS kept_ratio
        |FROM th JOIN kb USING (source)
        |ORDER BY th.source""".stripMargin
-  }
+
+  /** ds_curated_ml oracle: the same generated chains — training,
+    * domain thresholds, FNV — plus the md5 min-id survivor and the
+    * per-stage ∧ composition, all per source. */
+  private def curatedMlSql: String =
+    s"""$trainCtes,
+       |$doremiDomainCtes,
+       | sv AS (SELECT doc_id,
+       |   (row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1) AS dedup_keep
+       |  FROM documents),
+       | lrk AS (SELECT doc_id, CAST(y AS BIGINT) AS q_ok,
+       |   ($sqlS >= 0.5) AS lr_keep FROM fs, it$T),
+       | mixk AS (SELECT hf.doc_id, hf.source,
+       |   (((fp % 10000) + 10000) % 10000 < th.thr) AS mix_keep
+       |  FROM hf JOIN th USING (source))
+       |SELECT m.source, count(*) AS n_docs,
+       | CAST(sum(l.q_ok) AS BIGINT) AS n_quality_ok,
+       | CAST(sum(CASE WHEN s.dedup_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup_keep,
+       | CAST(sum(CASE WHEN l.lr_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_lr_keep,
+       | CAST(sum(CASE WHEN m.mix_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_mix_keep,
+       | CAST(sum(CASE WHEN l.q_ok = 1 AND s.dedup_keep AND l.lr_keep AND m.mix_keep
+       |          THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+       |FROM mixk m JOIN lrk l USING (doc_id) JOIN sv s USING (doc_id)
+       |GROUP BY m.source
+       |ORDER BY m.source""".stripMargin
 
   /** tx_dpo_pairs oracle: training replay + independent pair
     * construction; the margin invariant is recomputed in the output
@@ -652,6 +745,7 @@ object Classifier {
     "ml_pca" -> pcaSql,
     "ml_ridge" -> ridgeSql,
     "ds_doremi" -> doremiSql,
+    "ds_curated_ml" -> curatedMlSql,
     "tx_dpo_pairs" -> dpoSql,
     "ml_lr_train" -> s"$trainCtes\n$trainSelect",
     "ml_lr_curate" ->
