@@ -350,19 +350,23 @@ object StreamQueries {
     val root = s"$pidRoot/stannup"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     val live = s"$root/live"
-    def process(df: DataFrame): Unit =
-      df.crossJoin(broadcast(centroids))
-        .withColumn("cdist", -cosine(col("ve"), col("ce")))
-        .withColumn("crk", row_number().over(
-          Window.partitionBy("vec_id").orderBy(asc("cdist"), asc("cl"))))
-        .filter(col("crk") === 1)
-        .select("vec_id", "ve", "cl")
-        .write.mode("append").parquet(live)
+    // idempotent per-batch index growth (batch_id partition overwrite —
+    // the writeBatch shape): an at-least-once replay of a batch must
+    // not double-insert its vectors into the live index
+    def process(df: DataFrame, id: Long): Unit =
+      EventStream.writeBatch(
+        df.crossJoin(broadcast(centroids))
+          .withColumn("cdist", -cosine(col("ve"), col("ce")))
+          .withColumn("crk", row_number().over(
+            Window.partitionBy("vec_id").orderBy(asc("cdist"), asc("cl"))))
+          .filter(col("crk") === 1)
+          .select("vec_id", "ve", "cl"),
+        id, live)
     val source = MemoryStream[VecRow]
     val name = s"st_ann_upsert_${seq.incrementAndGet()}"
     val q = source.toDS().writeStream
-      .foreachBatch((df: org.apache.spark.sql.Dataset[VecRow], _: Long) =>
-        process(df.toDF()))
+      .foreachBatch((df: org.apache.spark.sql.Dataset[VecRow], id: Long) =>
+        process(df.toDF(), id))
       .option("checkpointLocation", ckpt(name)).start()
     try {
       val half = math.max(1, (batchRows.length + 1) / 2)
@@ -732,14 +736,20 @@ object StreamQueries {
     val seenDir = s"$root/seen"
     val corpusIdx = s.read.parquet(s"$idx/hashes")
       .select(col("ch"), col("doc_id").as("cid"))
-    def process(df: DataFrame): Unit = {
+    // both per-batch writes go through the writeBatch idempotent shape
+    // (batch_id partition + dynamic overwrite): foreachBatch is
+    // at-least-once, and a crash between the output write and the
+    // offset commit replays the batch — append-mode writes would
+    // double rows AND double-grow the seen index; partition overwrite
+    // makes the replay a no-op (the st_sink exactly-once discipline).
+    def process(df: DataFrame, id: Long): Unit = {
       val hashed = df
         .select(col("doc_id"), md5(col("text").cast("binary")).as("ch")).persist()
       val cm = hashed.join(corpusIdx, Seq("ch"))
         .groupBy("doc_id").agg(min(col("cid")).as("corpus_match"))
       val seen =
         if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$seenDir/_SUCCESS")))
-          s.read.parquet(seenDir)
+          s.read.parquet(seenDir).select(col("ch"), col("sid"))
         else hashed.limit(0).select(col("ch"), col("doc_id").as("sid"))
       val sm1 = hashed.join(seen, Seq("ch"))
         .groupBy("doc_id").agg(min(col("sid")).as("m1"))
@@ -747,23 +757,24 @@ object StreamQueries {
       val sm2 = hashed.join(within, Seq("ch"))
         .filter(col("oid") < col("doc_id"))
         .groupBy("doc_id").agg(min(col("oid")).as("m2"))
-      hashed
-        .join(cm, Seq("doc_id"), "left")
-        .join(sm1, Seq("doc_id"), "left")
-        .join(sm2, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("corpus_match"),
-          least(col("m1"), col("m2")).as("stream_match"))
-        .write.mode("append").parquet(out)
+      EventStream.writeBatch(
+        hashed
+          .join(cm, Seq("doc_id"), "left")
+          .join(sm1, Seq("doc_id"), "left")
+          .join(sm2, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("corpus_match"),
+            least(col("m1"), col("m2")).as("stream_match")),
+        id, out)
       // grow the maintained index only AFTER this batch's probes
-      hashed.select(col("ch"), col("doc_id").as("sid"))
-        .write.mode("append").parquet(seenDir)
+      EventStream.writeBatch(
+        hashed.select(col("ch"), col("doc_id").as("sid")), id, seenDir)
       hashed.unpersist()
     }
     val source = MemoryStream[StreamDoc]
     val name = s"st_dedup_indexed_${seq.incrementAndGet()}"
     val q = source.toDS().writeStream
-      .foreachBatch((df: org.apache.spark.sql.Dataset[StreamDoc], _: Long) =>
-        process(df.toDF()))
+      .foreachBatch((df: org.apache.spark.sql.Dataset[StreamDoc], id: Long) =>
+        process(df.toDF(), id))
       .option("checkpointLocation", ckpt(name)).start()
     try {
       val half = math.max(1, (rows.length + 1) / 2)
