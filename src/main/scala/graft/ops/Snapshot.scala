@@ -158,9 +158,57 @@ object Snapshot {
     audit.reduce(_ unionByName _).orderBy("grp")
   }
 
+  // -------------------------------------------------------------------
+  // fs_clone: ZERO-COPY shallow clone (Delta SHALLOW CLONE / Iceberg
+  // snapshot-ref): a clone is a NEW manifest namespace whose v1 lists
+  // exactly the source table's current file groups — no data moves.
+  // The clone then DIVERGES (its v2 appends a clone-local group: the
+  // event_id ≡ 1 (mod 10) slice, modeling a reprocessed partition) and
+  // the gate proves isolation in both directions: the original's
+  // latest version still aggregates to the full table (the clone's
+  // append never touched shared groups), and the clone's v1 equals the
+  // source at clone time while its v2 carries the divergence. Runs on
+  // a sibling root so fs_snapshot/fs_vacuum stay order-independent.
+  // Scale: a clone is ONE manifest write regardless of table size —
+  // the property that makes dev/test forks of a 100 TB table free.
+  // -------------------------------------------------------------------
+  private def isExtra = pmod(col("event_id"), lit(10L)) === 1L
+
+  private val fsClone: Q = (s, d) => {
+    val root = snapRoot(d) + "_cl"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(manifestPath(root, 2)))) {
+      val ev = table(s, d, "events")
+      ev.filter(!isDelta).write.mode("overwrite").parquet(s"$root/files/base")
+      commit(root, 1, Seq(s"$root/files/base"))
+      ev.filter(isDelta).write.mode("overwrite").parquet(s"$root/files/delta")
+      commit(root, 2, Seq(s"$root/files/base", s"$root/files/delta"))
+    }
+    val cl = s"$root/clone"
+    // the clone commit: one manifest referencing the SOURCE's groups
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(manifestPath(cl, 1))))
+      commit(cl, 1, readManifest(root, 2))
+    // divergence: a clone-local group, invisible to the source
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(manifestPath(cl, 2)))) {
+      table(s, d, "events").filter(isExtra)
+        .write.mode("overwrite").parquet(s"$cl/files/extra")
+      commit(cl, 2, readManifest(cl, 1) :+ s"$cl/files/extra")
+    }
+    def agg(r: String, v: Int, tbl: String): DataFrame =
+      readVersion(s, r, v).agg(
+        count(lit(1)).as("n_rows"),
+        sum(floor(col("value") * 1000000L).cast("long")).as("sq"))
+        .select(lit(tbl).as("tbl"), lit(v.toLong).as("version"), col("n_rows"),
+          dround(col("sq") / 1000000.0, 4).as("sum_value"))
+    agg(cl, 1, "clone")
+      .unionByName(agg(cl, 2, "clone"))
+      .unionByName(agg(root, 2, "orig"))
+      .orderBy("tbl", "version")
+  }
+
   val queries: Map[String, Q] = Map(
     "fs_snapshot" -> fsSnapshot,
-    "fs_vacuum" -> fsVacuum)
+    "fs_vacuum" -> fsVacuum,
+    "fs_clone" -> fsClone)
 
   val oracle: Map[String, String] = Map(
     // each version re-derived from the slice predicates — never from
@@ -174,6 +222,25 @@ object Snapshot {
         | round(sum(CAST(floor(value * 1000000) AS BIGINT)) / 1000000.0, 4)
         |FROM events
         |ORDER BY version""".stripMargin,
+    // clone v1 = the source at clone time (the full table); clone v2
+    // adds the divergence slice; the source's latest stays the full
+    // table — all three re-derived from predicates, never from files
+    "fs_clone" ->
+      """SELECT * FROM (
+        | SELECT 'clone' AS tbl, CAST(1 AS BIGINT) AS version,
+        |   count(*) AS n_rows,
+        |   round(sum(CAST(floor(value * 1000000) AS BIGINT)) / 1000000.0, 4) AS sum_value
+        | FROM events
+        | UNION ALL
+        | SELECT 'clone', 2, count(*),
+        |   round(sum(CAST(floor(value * 1000000) AS BIGINT)) / 1000000.0, 4)
+        | FROM (SELECT value FROM events
+        |       UNION ALL SELECT value FROM events WHERE event_id % 10 = 1)
+        | UNION ALL
+        | SELECT 'orig', 2, count(*),
+        |   round(sum(CAST(floor(value * 1000000) AS BIGINT)) / 1000000.0, 4)
+        | FROM events
+        |) ORDER BY tbl, version""".stripMargin,
     // the live group must carry the FULL table through the vacuum; the
     // dead groups' statuses derive from the retention rule itself
     "fs_vacuum" ->
