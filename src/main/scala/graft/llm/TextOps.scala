@@ -473,7 +473,35 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** ts_readability: Flesch-style reading-ease scoring — the classic
+    * readability member of the quality battery (next to ts_gopher and
+    * ts_quality; readability bands are a standard pretraining-data
+    * stratification signal). Words = whitespace tokens, sentences =
+    * max(1, '.'-count), syllables = vowel-group runs — the standard
+    * heuristic triple, all integer counts, so only the final formula
+    * touches floats: 206.835 − 1.015·(w/s) − 84.6·(syl/w) evaluated in
+    * one fixed association and dround(4)-formatted, with the band cut
+    * on the quantized score (the entropy_flag discipline). Scan-local,
+    * zero shuffle. */
+  private val tsReadability: Q = (s, d) => {
+    val nWords = size(split(col("text"), " ")).cast("long")
+    val nSents = greatest(lit(1L), regexp_count(col("text"), lit("\\.")).cast("long"))
+    val nSyl = regexp_count(col("text"), lit("[aeiou]+")).cast("long")
+    val score = lit(206.835) -
+      (lit(1.015) * (nWords.cast("double") / nSents.cast("double"))) -
+      (lit(84.6) * (nSyl.cast("double") / nWords.cast("double")))
+    table(s, d, "documents").select(
+      col("doc_id"), nWords.as("n_words"), nSents.as("n_sentences"),
+      nSyl.as("n_syllables"),
+      dround(score, 4).as("flesch"),
+      when(floor(score * 10000) >= 600000L, "easy")
+        .when(floor(score * 10000) >= 300000L, "standard")
+        .otherwise("hard").as("read_band"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ts_readability" -> tsReadability,
     "ts_normalize" -> tsNormalize,
     "ts_entropy" -> tsEntropy,
     "tx_sft_render" -> txSftRender,
@@ -530,6 +558,19 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "ts_readability" -> {
+      val w = "CAST(len(string_split(text, ' ')) AS BIGINT)"
+      val sct = "greatest(CAST(1 AS BIGINT), CAST(len(regexp_extract_all(text, '\\.')) AS BIGINT))"
+      val syl = "CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT)"
+      val score = s"((206.835 - (1.015 * (CAST($w AS DOUBLE) / CAST($sct AS DOUBLE)))) - " +
+        s"(84.6 * (CAST($syl AS DOUBLE) / CAST($w AS DOUBLE))))"
+      s"""SELECT doc_id, $w AS n_words, $sct AS n_sentences, $syl AS n_syllables,
+         | round($score, 4) AS flesch,
+         | CASE WHEN floor($score * 10000) >= 600000 THEN 'easy'
+         |      WHEN floor($score * 10000) >= 300000 THEN 'standard'
+         |      ELSE 'hard' END AS read_band
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "ts_normalize" ->
       """WITH n AS (SELECT doc_id, text,
         |  trim(regexp_replace(
