@@ -135,10 +135,29 @@ object IoQueries {
       .orderBy("doc_id")
   }
 
+  /** S7 — ORC round trip: the OTHER columnar warehouse format Spark
+    * ships natively (Hive-lineage clusters still hand ORC over).
+    * Same shape as S6: write once (path-hash keyed), read back under
+    * the explicit engine schema, gate = round-trip identity vs the
+    * original parquet — writer and reader tested together
+    * value-for-value, including timestamp fidelity (events carries
+    * sub-second timestamps, the type ORC historically mangled). */
+  private val s7Orc: Q = (s, d) => {
+    val dir = s"$fx/s7_orc/${new java.io.File(d).getName}-${math.abs(d.hashCode.toLong)}"
+    if (!Files.exists(Paths.get(s"$dir/_SUCCESS")))
+      graft.io.Sources.table(s, d, "events")
+        .select("event_id", "user_id", "ts", "event_type", "value")
+        .write.mode("overwrite").orc(dir)
+    s.read.orc(dir)
+      .select("event_id", "user_id", "ts", "event_type", "value")
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "s1_csv_schema" -> s1CsvSchema,
     "s2_week_prune" -> s2WeekPrune,
-    "s6_jsonl" -> s6Jsonl)
+    "s6_jsonl" -> s6Jsonl,
+    "s7_orc" -> s7Orc)
 
   val oracle: Map[String, String] = Map(
     // round-trip identity vs the ORIGINAL table — any JSON write/read
@@ -146,6 +165,12 @@ object IoQueries {
     "s6_jsonl" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // round-trip identity vs the ORIGINAL events table — ORC
+    // writer/reader loss (type mapping, timestamp precision)
+    // hash-mismatches
+    "s7_orc" ->
+      """SELECT event_id, user_id, ts, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
     // all_varchar + explicit casts: the engine contract is "bind by
     // name, cast to the engine schema" — mirroring that exactly beats
     // racing DuckDB's type sniffer.
