@@ -43,6 +43,8 @@ object ExplainDump {
     "tx_dpo_pairs" -> "preference pairs: one score scan, one prompt_id window family, chosen relation joined back per prompt — no cartesian",
     "ann_lifecycle" -> "composed lifecycle serve: tombstones anti-joined broadcast BEFORE scoring, probe cells broadcast, tier-1 sliced scoring then shortlist rerank",
     "tok_unigram_encode" -> "unigram encode: word instances ⋈ broadcast trained vocab, one integer agg per doc — corpus text stays scan-local",
+    "ds_curated_ml" -> "model-era curation composition: per-stage keep relations join on doc_id into one source-keyed agg — the trainers' reduces happen before the plan, thresholds ride as broadcasts",
+    "ts_normalize" -> "fused NormalizeText kernel: one codegen'd byte pass per doc replaces three regex passes — scan → project → sort, zero shuffle",
     "ml_lr_curate" -> "classifier curation serve side: scan-local features standardized by driver-literal moments, scored by literal weights — zero joins, zero shuffles before the output sort",
     "w15_anomaly" -> "rolling anomaly z-scores: all three quantized frame sums ride ONE user_id window exchange; z is scan-local IEEE algebra over the window outputs",
     "ann_filtered" -> "filtered vector serve: label predicate joined into the candidate scan BEFORE scoring, probe cells broadcast — filtered-out vectors never reach a dot product")
