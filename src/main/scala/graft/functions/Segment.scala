@@ -42,7 +42,12 @@ object SegmentKernels {
         if (c < best) { best = c; bestJ = j }
         j += 1
       }
-      dp(p) = best
+      // clamp accumulated cost at `inf` (ADVICE r9): unreachable stays
+      // a FIXED sentinel instead of accumulating to wordLength·inf,
+      // which would wrap Long negative near ~9223 unsegmentable chars
+      // and silently corrupt the DP. Reachable positions have
+      // best ≪ inf (real piece costs), so gate outputs are untouched.
+      dp(p) = if (best > inf) inf else best
       bp(p) = bestJ
       p += 1
     }
@@ -67,10 +72,21 @@ object SegmentKernels {
 object NormalizeKernels {
   def normalize(s: UTF8String): UTF8String = {
     val in = s.getBytes
+    // Non-ASCII input falls back to the lower()-first path (ADVICE
+    // r9): code points whose LOWERCASE maps into [a-z0-9] (Kelvin sign
+    // U+212A → 'k', dotted İ U+0130 → 'i') must survive like the
+    // oracle's lower()-then-strip chain, not be dropped byte-wise. The
+    // scan doubles as the dispatch: corpora are overwhelmingly ASCII,
+    // so the hot path stays the single byte pass.
+    var i = 0
+    while (i < in.length) {
+      if (in(i) < 0) return normalizeUnicode(s)
+      i += 1
+    }
     val out = new Array[Byte](in.length)
     var n = 0
     var pendingSpace = false
-    var i = 0
+    i = 0
     while (i < in.length) {
       val b = in(i)
       val c: Int =
@@ -88,6 +104,30 @@ object NormalizeKernels {
       i += 1
     }
     UTF8String.fromBytes(java.util.Arrays.copyOf(out, n))
+  }
+
+  /** The regex chain's semantics for non-ASCII input: full Unicode
+    * lowercase FIRST (so mappings into ASCII survive; full-mapping
+    * expansions like İ → i + U+0307 end at the same 'i' after the
+    * strip drops the combining dot), then the same strip/collapse/trim
+    * walk over chars. */
+  private def normalizeUnicode(s: UTF8String): UTF8String = {
+    val lowered = s.toString.toLowerCase(java.util.Locale.ROOT)
+    val out = new java.lang.StringBuilder(lowered.length)
+    var pendingSpace = false
+    var k = 0
+    while (k < lowered.length) {
+      val c = lowered.charAt(k)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (pendingSpace && out.length > 0) out.append(' ')
+        pendingSpace = false
+        out.append(c)
+      } else if (c == ' ') {
+        pendingSpace = true
+      }
+      k += 1
+    }
+    UTF8String.fromString(out.toString)
   }
 }
 

@@ -109,7 +109,7 @@ object Dedup {
     * prefilter went from no-op (3.14 MB, same as exact) to −34%
     * (2.1 MB) the moment shingle assembly stopped hiding behind a
     * window. Emitted bytes are identical to both prior shapes. */
-  private[llm] def shingleRows(docs: DataFrame): DataFrame =
+  private[graft] def shingleRows(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       explode(graft.functions.ArrayFns.shingles3(col("text"))).as("sh"))
 
@@ -120,11 +120,17 @@ object Dedup {
   private val numHashes = 24
   private val bandRows = 6
 
-  /** MinHash signatures: min over shingles of xxhash64(seed, shingle) for
-    * each of `numHashes` seeds — computed columnar (explode + groupBy
-    * min), one shuffle on doc_id. */
-  private[llm] def minhashSignatures(docs: DataFrame): DataFrame = {
-    val ex = shingleRows(docs)
+  /** MinHash signatures: min over shingles of xxhash64(seed, h(shingle))
+    * for each of `numHashes` seeds — computed columnar (explode +
+    * groupBy min), one shuffle on doc_id. The shingle STRING is hashed
+    * exactly once per row; the 24 per-seed hashes re-hash the fixed
+    * 8-byte value (universal-hash family over the base hash — standard
+    * one-permutation-style cost cut). Before this the partial agg
+    * hashed every shingle's bytes 24×: at the 100×-replicated probe
+    * that was 480M string hashes and the dominant term of the 11.8 s
+    * residual. */
+  private[graft] def minhashSignatures(docs: DataFrame): DataFrame = {
+    val ex = shingleRows(docs).select(col("doc_id"), xxhash64(col("sh")).as("sh"))
     val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
     ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
@@ -145,10 +151,28 @@ object Dedup {
     found.orderBy("doc_a", "doc_b")
   }
 
+  /** Per-(band, bucket) candidate cap (VERDICT r9 next §1): an LSH
+    * bucket of width B emits B² candidate pairs, so a duplicate-
+    * saturated crawl (the exact corpus shape near-dup dedup exists
+    * for) makes candidate generation quadratic in the copy count —
+    * measured 0.67 s → 136.5 s on the 100×-replicated probe before the
+    * cap. Buckets wider than this are routed to the exact-dup
+    * dead-letter path below instead of the self-join (the
+    * w6MaxSeqLen / hot-key-guard rule: bad keys degrade to a cheap
+    * explicit path, never blow up a stage). 64 is 16× the widest
+    * bucket on any gate corpus (4, MinhashCapSpec measures it), so the
+    * gate pair set is untouched; overridable per-session via
+    * `graft.minhash.bucketCap`. */
+  private[llm] val minhashBucketCap = 64L
+
   /** The LSH-banded, exact-verified near-dup pair relation dd_minhash
     * emits — shared with [[ddClusterLsh]], which clusters it. */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val docs = table(s, d, "documents")
+  private def minhashPairs(s: SparkSession, d: String): DataFrame =
+    minhashPairsImpl(table(s, d, "documents"),
+      s.conf.getOption("graft.minhash.bucketCap")
+        .map(_.toLong).getOrElse(minhashBucketCap))
+
+  private[llm] def minhashPairsImpl(docs: DataFrame, cap: Long): DataFrame = {
     // persisted: the bands relation feeds both sides of the candidate
     // self-join — without it the whole shingle→minhash pipeline (the
     // expensive scan) is recomputed once per join side.
@@ -157,21 +181,65 @@ object Dedup {
       val cols = (bnd * bandRows until (bnd + 1) * bandRows).map(i => col(s"h$i"))
       struct(lit(bnd).as("band"), xxhash64(cols: _*).as("bucket"))
     }
-    val bands = sigs
+    val allBands = sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .persist()
+    // HOT-KEY GUARD: bucket widths share the (band, bucket) shuffle
+    // family with the self-join; overflow buckets skip the quadratic
+    // pairing entirely.
+    val widths = allBands.groupBy("band", "bucket").agg(count(lit(1)).as("bw"))
+    val bands = allBands.join(broadcast(widths.filter(col("bw") > cap)),
+      Seq("band", "bucket"), "left_anti")
+    // persisted: candIds (the verify-prune) and the verify join both
+    // read the candidate set
     val cand = bands.as("x").join(bands.as("y"), Seq("band", "bucket"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .dropDuplicates()
-    val t = docs.select(col("doc_id"), tokHashes.as("tk"))
+      .dropDuplicates().persist()
+    // Dead-letter resolution for overflow buckets: a bucket only
+    // exceeds the cap when it is saturated with (near-)identical
+    // copies, so resolve its members by the dd_exact md5 rule — one
+    // STAR of pairs per exact-dup group (min-id survivor → member),
+    // LINEAR in members where the self-join was quadratic. Star edges
+    // keep the connected-components result of [[ddClusterLsh]]
+    // identical for exact-dup clusters; non-identical members of an
+    // overflow bucket are dropped from pairing by declared semantics
+    // (the cap), exactly like w6's NULL-path rule. Every emitted star
+    // pair has Jaccard 1.0 (identical text ⇒ identical token sets), so
+    // the soundness oracle verifies them like any other pair.
+    val overDocs = allBands.join(broadcast(widths.filter(col("bw") > cap)),
+      Seq("band", "bucket"), "left_semi").select("doc_id").distinct()
+    val sigd = docs.join(overDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("sig"))
+    val starMin = sigd.groupBy("sig").agg(min(col("doc_id")).as("doc_a"))
+    // Star pairs are md5-identical, so their exact Jaccard is 1.0 BY
+    // CONSTRUCTION — emit the literal and skip the token-hash verify
+    // join entirely. On a saturated corpus this is the difference
+    // between tokenizing 500k docs and tokenizing none (the verify
+    // relation below is additionally semi-join-pruned to candidate
+    // participants): 20.2 s → measured back near the linear floor.
+    val star = sigd.join(starMin, Seq("sig"))
+      .filter(col("doc_id") =!= col("doc_a"))
+      .select(col("doc_a"), col("doc_id").as("doc_b"),
+        lit(1.0).as("jaccard"))
+    // exact-verify ONLY the LSH candidates, and tokenize ONLY docs
+    // that appear in one — at 100 TB the candidate set is output-
+    // sensitive, so the token pipeline must be too.
+    val candIds = cand.select(col("doc_a").as("doc_id"))
+      .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val t = docs.join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), tokHashes.as("tk"))
     val inter = ArrayFns.sortedLongIntersectCount(col("tk_a"), col("tk_b")).cast("double")
-    cand
+    val verified = cand
       .join(t.select(col("doc_id").as("doc_a"), col("tk").as("tk_a")), Seq("doc_a"))
       .join(t.select(col("doc_id").as("doc_b"), col("tk").as("tk_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         dround(inter / (size(col("tk_a")) + size(col("tk_b")) - inter), 4).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
+    // disjoint by construction: identical docs share all 4 overflow
+    // buckets, so a star pair can never also be an LSH candidate
+    verified.unionByName(star)
   }
 
   /** Clustering over the LSH pair relation — the 100 TB path: at scale

@@ -141,25 +141,40 @@ object Unigram {
     trainOn(wordCounts(table(s, d, "documents").select("text")).localCheckpoint())
 
   /** Trained-vocab cache per corpus dir (the Bpe.trainedVocab rule:
-    * plain rows, vocabulary-bounded, survive checkpoint hygiene). */
+    * plain rows, vocabulary-bounded, survive checkpoint hygiene),
+    * backed by a [[VocabStore]] parquet artifact (VERDICT r9 next §2)
+    * so a fresh JVM encodes without re-running EM. */
   private val trained =
     new java.util.concurrent.ConcurrentHashMap[String, Array[(String, Long, Long, Long)]]()
 
-  private def ensureTrained(s: SparkSession, d: String): DataFrame = {
-    val rows = Option(trained.get(d)).getOrElse {
-      val r = trainVocab(s, d)
-        .select("piece", "len", "cnt", "cost_q").collect()
-        .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
-      trained.put(d, r)
-      r
-    }
+  private def collectVocab(v: DataFrame): Array[(String, Long, Long, Long)] =
+    v.select("piece", "len", "cnt", "cost_q").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+
+  /** Train, refresh both cache tiers, return the vocab relation. */
+  private def retrain(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    rows.toSeq.toDF("piece", "len", "cnt", "cost_q")
+    val r = collectVocab(trainVocab(s, d))
+    trained.put(d, r)
+    val df = r.toSeq.toDF("piece", "len", "cnt", "cost_q")
+    VocabStore.write(d, "unigram", df)
+    df
+  }
+
+  private def ensureTrained(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Option(trained.get(d))
+      .map(_.toSeq.toDF("piece", "len", "cnt", "cost_q"))
+      .orElse(VocabStore.read(s, d, "unigram").map { df =>
+        trained.put(d, collectVocab(df))
+        df
+      })
+      .getOrElse(retrain(s, d))
   }
 
   private val tokUnigramTrain: Q = (s, d) => {
-    trained.remove(d) // train IS the benchmark; refresh the cache
-    ensureTrained(s, d)
+    // train IS the benchmark; always retrain and refresh both tiers
+    retrain(s, d)
       .select(
         row_number().over(Window.orderBy(desc("cnt"), asc("piece")))
           .cast("long").as("rank"),

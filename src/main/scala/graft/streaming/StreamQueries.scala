@@ -439,6 +439,10 @@ object StreamQueries {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
       .select(col("user_id"), col("ts"), col("event_type"),
         col("value"), col("v_max"), col("a_max"))
+      // module convention (ADVICE r9): every gate sorts its collected
+      // memory-sink rows — cheap, and removes the reliance on the
+      // driver compare being order-insensitive
+      .orderBy("user_id", "ts", "event_type")
   }
 
   /** Streaming exact dedup under the gate: every event delivered once

@@ -15,6 +15,16 @@ class Round9PlanSpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  /** ADVICE r9: join-strategy assertions must read the AQE FINAL plan —
+    * `executedPlan` before execution still holds AQE's provisional
+    * sort-merge choices, so the assertion would track size estimates,
+    * not the real runtime decision. Collect first, then render. */
+  private def executedPlan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
   test("ds_doremi: no cartesian; the threshold/resample joins broadcast") {
     val p = plan("ds_doremi")
     assert(!p.contains("CartesianProduct"), s"ds_doremi plans a cartesian:\n$p")
@@ -41,8 +51,9 @@ class Round9PlanSpec extends AnyFunSuite {
 
   test("tok_unigram_train: the E-step is scan-local — the only wide ops are vocab-bounded") {
     // the final vocab relation must not contain a corpus-wide join: the
-    // plan's joins are the (vocab x counts) merges only
-    val p = plan("tok_unigram_train")
+    // plan's joins are the (vocab x counts) merges only. Executed plan
+    // (ADVICE r9): AQE's final broadcast decisions, not estimates.
+    val p = executedPlan("tok_unigram_train")
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("SortMergeJoin"),
       s"vocab-bounded relations should broadcast, never sort-merge:\n$p")

@@ -53,9 +53,13 @@ class StreamingFloorSpec extends AnyFunSuite {
       val mean = steady.sum / steady.length
       info(f"per-batch wall (steady): mean=$mean%.3f s, " +
         f"max=${steady.max}%.3f s over ${steady.length} batches")
-      assert(mean < 0.8,
-        f"per-batch machinery regressed: mean $mean%.3f s exceeds the 0.8 s budget " +
-          "(BASELINE.md round-9 floor note)")
+      // ADVICE r9: the wall-clock budget measures host speed, not
+      // correctness — enforce it only when explicitly asked (the bench
+      // environment sets the flag), report always.
+      if (sys.env.contains("GRAFT_ENFORCE_FLOOR"))
+        assert(mean < 0.8,
+          f"per-batch machinery regressed: mean $mean%.3f s exceeds the 0.8 s budget " +
+            "(BASELINE.md round-9 floor note)")
     } finally {
       q.stop()
       s.catalog.dropTempView("floor_probe")
