@@ -42,6 +42,32 @@ object Graph {
   private val iterations = 5
   private val rankUnit = 1000000000L // 1.0 of rank mass, in nano-units
 
+  /** The fixed-round PageRank core over explicit (doc_id, n_nodes)
+    * nodes and (src, dst) edges — the probe seam (VERDICT r9 next §3:
+    * tools/HubSkewProbe drives it on a planted power-law hub graph).
+    * Per round: one shuffle-join of ranks against edges on src, one
+    * partially-aggregated shuffle of (dst, contrib) rows — the hub's
+    * n/10-wide contribution list is combined MAP-SIDE by the partial
+    * HashAggregate before it ever shuffles, which is what absorbs
+    * in-degree skew (measured flat at 500k nodes, BASELINE.md). */
+  private[graft] def pagerankLoop(nodes: DataFrame, edges: DataFrame,
+      iters: Int): DataFrame = {
+    val tele = expr(s"(15 * ($rankUnit div n_nodes)) div 100")
+    var ranks = nodes.select(col("doc_id"),
+      expr(s"$rankUnit div n_nodes").as("r"))
+    for (_ <- 1 to iters) {
+      val contribs = ranks
+        .join(edges, ranks("doc_id") === edges("src"))
+        .select(col("dst").as("doc_id"), expr("r div 3").as("c"))
+        .groupBy("doc_id").agg(sum(col("c")).as("contrib"))
+      ranks = nodes
+        .join(contribs, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (tele + expr("(85 * coalesce(contrib, 0)) div 100")).as("r"))
+    }
+    ranks.select(col("doc_id"), col("r").as("rank_q"))
+  }
+
   private val prPagerank: Q = (s, d) => {
     val docs = table(s, d, "documents").select(col("doc_id"))
     val n = docs.agg(count(lit(1)).as("n_nodes"))
@@ -54,23 +80,10 @@ object Graph {
       .select(col("src"),
         pmod(col("src") * 31 + col("j") * 17 + 7, col("n_nodes")).as("dst"))
       .persist()
-    val tele = expr(s"(15 * ($rankUnit div n_nodes)) div 100")
-    var ranks = nodes.select(col("doc_id"),
-      expr(s"$rankUnit div n_nodes").as("r"))
-    for (_ <- 1 to iterations) {
-      val contribs = ranks
-        .join(edges, ranks("doc_id") === edges("src"))
-        .select(col("dst").as("doc_id"), expr("r div 3").as("c"))
-        .groupBy("doc_id").agg(sum(col("c")).as("contrib"))
-      ranks = nodes
-        .join(contribs, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          (tele + expr("(85 * coalesce(contrib, 0)) div 100")).as("r"))
-    }
     // edges stay persisted through execution (the caller's post-query
     // cache hygiene reclaims them — unpersisting here would fire before
     // the lazy plan ever ran and recompute the edge build per round)
-    ranks.select(col("doc_id"), col("r").as("rank_q")).orderBy("doc_id")
+    pagerankLoop(nodes, edges, iterations).orderBy("doc_id")
   }
 
   // -------------------------------------------------------------------
@@ -506,19 +519,14 @@ object Graph {
   // -------------------------------------------------------------------
   private val bfsCap = 64
 
-  private val grBfs: Q = (s, d) => {
-    val docs = table(s, d, "documents").select(col("doc_id"))
-    val n = docs.agg(count(lit(1)).as("n_nodes"))
-    val nodes = docs.crossJoin(broadcast(n))
-    val edges = nodes
-      .select(col("doc_id").as("src"),
-        explode(array(lit(1L), lit(2L), lit(3L))).as("j"), col("n_nodes"))
-      .select(col("src"),
-        pmod(col("src") * 31 + col("j") * 17 + 7, col("n_nodes")).as("dst"))
-      .filter(pmod(col("dst"), lit(13L)) =!= 5L)
-      .persist()
-    var levels = docs.filter(pmod(col("doc_id"), lit(101L)) === 0L)
-      .select(col("doc_id"), lit(0L).as("lvl")).localCheckpoint()
+  /** The frontier loop over explicit seeds/edges — the probe seam
+    * (tools/HubSkewProbe). Hub shape: a hub's in-edges make it a
+    * massively-duplicated `dst` in the frontier-expansion join; the
+    * `distinct()` is a partial-aggregated shuffle, so the duplicates
+    * collapse map-side before moving. */
+  private[graft] def bfsLevels(docs: DataFrame, seeds: DataFrame,
+      edges: DataFrame): DataFrame = {
+    var levels = seeds.select(col("doc_id"), lit(0L).as("lvl")).localCheckpoint()
     var frontier = levels
     var i = 1
     var done = false
@@ -540,7 +548,21 @@ object Graph {
     docs.join(levels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("lvl"), lit(-1L)).as("lvl"),
         col("lvl").isNotNull.as("reachable"))
-      .orderBy("doc_id")
+  }
+
+  private val grBfs: Q = (s, d) => {
+    val docs = table(s, d, "documents").select(col("doc_id"))
+    val n = docs.agg(count(lit(1)).as("n_nodes"))
+    val nodes = docs.crossJoin(broadcast(n))
+    val edges = nodes
+      .select(col("doc_id").as("src"),
+        explode(array(lit(1L), lit(2L), lit(3L))).as("j"), col("n_nodes"))
+      .select(col("src"),
+        pmod(col("src") * 31 + col("j") * 17 + 7, col("n_nodes")).as("dst"))
+      .filter(pmod(col("dst"), lit(13L)) =!= 5L)
+      .persist()
+    val seeds = docs.filter(pmod(col("doc_id"), lit(101L)) === 0L)
+    bfsLevels(docs, seeds, edges).orderBy("doc_id")
   }
 
   val queries: Map[String, Q] = Map(
