@@ -225,7 +225,7 @@ object Bpe {
   /** Encode-side vocab lookup: in-process cache → on-disk artifact →
     * retrain (the last resort a fresh JVM no longer hits when a prior
     * training job ran). */
-  private def encVocab(s: SparkSession, d: String, family: String)(
+  private[llm] def encVocab(s: SparkSession, d: String, family: String)(
       retrain: => Unit): Array[(String, Long)] =
     Option(trainedVocab.get(s"$d#$family"))
       .orElse(VocabStore.read(s, d, family).map { df =>

@@ -169,8 +169,10 @@ object Dedup {
     * emits — shared with [[ddClusterLsh]], which clusters it. */
   private def minhashPairs(s: SparkSession, d: String): DataFrame =
     minhashPairsImpl(table(s, d, "documents"),
+      // defensive parse (ADVICE r10): a malformed override falls back
+      // to the default cap instead of throwing mid-plan
       s.conf.getOption("graft.minhash.bucketCap")
-        .map(_.toLong).getOrElse(minhashBucketCap))
+        .flatMap(_.toLongOption).getOrElse(minhashBucketCap))
 
   private[llm] def minhashPairsImpl(docs: DataFrame, cap: Long): DataFrame = {
     // persisted: the bands relation feeds both sides of the candidate
@@ -223,6 +225,20 @@ object Dedup {
       .filter(col("doc_id") =!= col("doc_a"))
       .select(col("doc_a"), col("doc_id").as("doc_b"),
         lit(1.0).as("jaccard"))
+    // Overflow-drop visibility (ADVICE r10): overflow-bucket members
+    // with NO md5 twin get no star edge — they may still pair through
+    // another band's thin bucket, but within the overflow bucket they
+    // are dropped by declared cap semantics. Count them (metadata-width
+    // job over the persisted band relation; empty on every gate corpus)
+    // so a saturated corpus's recall cliff is an observable number, not
+    // a silent comment.
+    val nLoneOverflow = sigd.groupBy("sig").agg(count(lit(1)).as("cw"))
+      .filter(col("cw") === 1).count()
+    if (nLoneOverflow > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"dd_minhash: $nLoneOverflow overflow-bucket member(s) without an " +
+          "md5 twin dropped from in-bucket pairing (cap semantics; they may " +
+          "still pair via other bands)")
     // exact-verify ONLY the LSH candidates, and tokenize ONLY docs
     // that appear in one — at 100 TB the candidate set is output-
     // sensitive, so the token pipeline must be too.
@@ -237,9 +253,16 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         dround(inter / (size(col("tk_a")) + size(col("tk_b")) - inter), 4).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
-    // disjoint by construction: identical docs share all 4 overflow
-    // buckets, so a star pair can never also be an LSH candidate
-    verified.unionByName(star)
+    // NOT disjoint by construction (ADVICE r10): an md5-identical pair
+    // can land in an overflow bucket (star path) while ALSO sharing a
+    // thin bucket in another band whose width only crossed the cap via
+    // unrelated colliding docs — then the pair is an LSH candidate too
+    // and the verify join emits it (jaccard exactly 1.0, identical
+    // token sets). Anti-join the star against the candidate set so
+    // each pair is emitted once; the anti-join touches only the small
+    // star relation, never the full pair set.
+    verified.unionByName(
+      star.join(cand, Seq("doc_a", "doc_b"), "left_anti"))
   }
 
   /** Clustering over the LSH pair relation — the 100 TB path: at scale

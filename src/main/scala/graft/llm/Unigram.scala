@@ -235,13 +235,19 @@ object Unigram {
     * the engine's `when` chain order. */
   private def dpSql(r: String, v: String): String = {
     val l4 = "least(j1, j2, j3, j4)"
+    // the STORED dp value is clamped at INF exactly like the kernel's
+    // `dp(p) = min(best, inf)` (ADVICE r10: without the clamp here the
+    // two DPs diverge on words with ≥2 unsegmentable positions — the
+    // oracle would accumulate k·INF while the kernel pins the
+    // sentinel); the backpointer CASE below compares the RAW j's, the
+    // kernel's argmin over unclamped candidate costs
     s""" dp$r AS (
        |  SELECT word, n, 0 AS i, CAST(0 AS BIGINT) AS c0,
        |    CAST($INF AS BIGINT) AS c1, CAST($INF AS BIGINT) AS c2,
        |    CAST($INF AS BIGINT) AS c3, 0 AS b
        |  FROM w0
        |  UNION ALL
-       |  SELECT word, n, i + 1, $l4, c0, c1, c2,
+       |  SELECT word, n, i + 1, least($l4, CAST($INF AS BIGINT)), c0, c1, c2,
        |    CASE WHEN j1 = $l4 THEN 1 WHEN j2 = $l4 THEN 2
        |         WHEN j3 = $l4 THEN 3 ELSE 4 END
        |  FROM (

@@ -1,5 +1,7 @@
 package graft.llm
 
+import java.nio.file.{Files, Paths}
+import scala.util.Try
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** On-disk trained-tokenizer artifact store (VERDICT r9 next §2): the
@@ -7,27 +9,80 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * JVM, so a fresh process re-trained before its first encode — no
   * production system retrains to tokenize. The FAISS-style
   * build-once/probe-many rule from [[Similarity.ivfIndexPath]] applied
-  * to vocabularies: one parquet artifact per (family, corpus dir),
-  * keyed by basename + path hash (the driver's testdata is immutable
-  * per sf, so an existing artifact is valid; training deterministically
-  * reproduces it bit-for-bit, so a stale-looking artifact can never
-  * diverge a gate). At 100 TB this is the tokenizer-training job's
-  * output table that every downstream encode stage broadcasts. */
+  * to vocabularies: one parquet artifact per (family, corpus dir).
+  * At 100 TB this is the tokenizer-training job's output table that
+  * every downstream encode stage broadcasts.
+  *
+  * Trust model (ADVICE r10, medium): an artifact is only as good as
+  * the corpus + trainer that produced it, so every write records a
+  * sidecar fingerprint — trainer version, family, canonical corpus
+  * path, and the (name, size, mtime) manifest of every corpus file —
+  * plus the artifact's own row count. A read re-derives the
+  * fingerprint and validates both before trusting the artifact;
+  * ANY mismatch (regenerated corpus, changed trainer, foreign or
+  * truncated artifact, basename/hash collision between corpora)
+  * returns None and the caller falls back to retraining. The manifest
+  * listing is metadata-only — no corpus bytes are read — so
+  * validation stays O(files), never O(data). */
 object VocabStore {
+  /** Bump whenever trainer semantics change: stale artifacts from an
+    * older trainer then fail fingerprint validation and retrain. */
+  private val trainerVersion = 2
+
   private def root = sys.env.getOrElse("SPARK_GRAFT_VOCAB_DIR", "/tmp/graft_vocab")
 
   def path(d: String, family: String): String =
     s"$root/$family-${new java.io.File(d).getName}-${math.abs(d.hashCode.toLong)}"
 
-  /** Persist a trained vocabulary (vocabulary-sized — one small file). */
-  def write(d: String, family: String, vocab: DataFrame): Unit =
-    vocab.coalesce(1).write.mode("overwrite").parquet(path(d, family))
+  /** Corpus fingerprint: md5 over trainer version, family, the FULL
+    * canonical corpus path (kills basename+hashCode collisions), and
+    * the sorted (relative path, length, mtime) manifest of every file
+    * under the corpus dir (two levels — parquet table dirs hold their
+    * part files one level down). Regenerating any corpus table changes
+    * sizes/mtimes and invalidates the artifact. */
+  private[llm] def fingerprint(d: String, family: String): String = {
+    val dir = new java.io.File(d)
+    def list(f: java.io.File): Array[java.io.File] =
+      Option(f.listFiles()).getOrElse(Array.empty)
+    val files = list(dir).flatMap { f =>
+      if (f.isDirectory) list(f) else Array(f)
+    }.sortBy(_.getPath)
+      .map(f => s"${f.getName}|${f.length}|${f.lastModified}")
+    val payload =
+      s"v$trainerVersion|$family|${Try(dir.getCanonicalPath).getOrElse(d)}|" +
+        files.mkString(";")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(payload.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
 
-  /** Read back a persisted vocabulary, if one exists for this corpus. */
+  private def sidecar(p: String) = Paths.get(s"$p/_GRAFT_FINGERPRINT")
+
+  /** Persist a trained vocabulary (vocabulary-sized — one small file)
+    * with its corpus fingerprint + row count sidecar. The sidecar is
+    * written LAST, after the parquet commit, so a crash mid-write
+    * leaves an artifact without a valid sidecar — which reads as
+    * absent, never as trusted. */
+  def write(d: String, family: String, vocab: DataFrame): Unit = {
+    val p = path(d, family)
+    vocab.coalesce(1).write.mode("overwrite").parquet(p)
+    val n = vocab.sparkSession.read.parquet(p).count()
+    Files.writeString(sidecar(p), s"${fingerprint(d, family)}|$n")
+  }
+
+  /** Read back a persisted vocabulary IF its sidecar fingerprint
+    * matches the current corpus + trainer and its row count matches
+    * the recorded one; None (→ caller retrains) otherwise. Corrupt or
+    * unreadable artifacts also read as None via the Try. */
   def read(s: SparkSession, d: String, family: String): Option[DataFrame] = {
     val p = path(d, family)
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$p/_SUCCESS")))
-      Some(s.read.parquet(p))
-    else None
+    if (!Files.exists(Paths.get(s"$p/_SUCCESS")) || !Files.exists(sidecar(p))) None
+    else Try {
+      val Array(fp, n) = Files.readString(sidecar(p)).trim.split('|')
+      if (fp != fingerprint(d, family)) None
+      else {
+        val df = s.read.parquet(p)
+        if (df.count() == n.toLong) Some(df) else None
+      }
+    }.toOption.flatten
   }
 }

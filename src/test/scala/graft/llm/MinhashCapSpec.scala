@@ -70,6 +70,12 @@ class MinhashCapSpec extends AnyFunSuite {
       r.getAs[Long]("doc_b") == 901L)
     assert(nearPair.isDefined, "near-dup pair outside the saturated bucket must still be found")
     assert(nearPair.get.getAs[Double]("jaccard") == 0.9672)
+    // ADVICE r10: each (doc_a, doc_b) appears ONCE — the star path is
+    // anti-joined against the candidate set, so a pair reachable both
+    // ways (overflow star + thin bucket in another band) can't double
+    assert(out.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .distinct.length == out.length,
+      "pair relation must not contain duplicate (doc_a, doc_b) rows")
     // star edges keep the dup cluster connected for dd_cluster_lsh
     val comp = Dedup.connectedComponents(
       out.toSeq.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
