@@ -43,6 +43,8 @@ object Bench {
     SparkEntry.queries // force object init before timing anything
     if (only.forall(_.exists(_.contains("season_bucketed"))))
       pipelines.NflQueries.ensureSeasonBucketed(spark)
+    if (only.forall(_.exists(_.contains("pagerank_bucketed"))))
+      ops.Graph.ensurePrEdgesBucketed(spark, sfDir)
     def selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
 

@@ -57,6 +57,10 @@ object Verify {
         .parquet(s"$fx/season_tackles")
       pipelines.NflQueries.ensureSeasonBucketed(spark)
     }
+    // Bucketed edge table for pr_pagerank_bucketed — setup, not query
+    // (the k4 bucketed-season rule)
+    if (only.forall(_.exists(_.contains("pagerank_bucketed"))))
+      ops.Graph.ensurePrEdgesBucketed(spark, sfDir)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -212,33 +212,37 @@ object Dedup {
     // the soundness oracle verifies them like any other pair.
     val overDocs = allBands.join(broadcast(widths.filter(col("bw") > cap)),
       Seq("band", "bucket"), "left_semi").select("doc_id").distinct()
+    // persisted: the md5 pass over overflow docs feeds the star join
+    // AND the group-width relation (drop-count + min-id survivor) —
+    // without it the hash scan re-executes per consumer
     val sigd = docs.join(overDocs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), md5(col("text").cast("binary")).as("sig"))
-    val starMin = sigd.groupBy("sig").agg(min(col("doc_id")).as("doc_a"))
+      .persist()
+    val sigGroups = sigd.groupBy("sig")
+      .agg(min(col("doc_id")).as("doc_a"), count(lit(1)).as("cw"))
+    // Overflow-drop visibility (ADVICE r10): overflow-bucket members
+    // with NO md5 twin get no star edge — they may still pair through
+    // another band's thin bucket, but within the overflow bucket they
+    // are dropped by declared cap semantics. Count them (group-width
+    // aggregate over the persisted hash relation; empty on every gate
+    // corpus) so a saturated corpus's recall cliff is an observable
+    // number, not a silent comment.
+    val nLoneOverflow = sigGroups.filter(col("cw") === 1).count()
+    if (nLoneOverflow > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"dd_minhash: $nLoneOverflow overflow-bucket member(s) without an " +
+          "md5 twin dropped from in-bucket pairing (cap semantics; they may " +
+          "still pair via other bands)")
     // Star pairs are md5-identical, so their exact Jaccard is 1.0 BY
     // CONSTRUCTION — emit the literal and skip the token-hash verify
     // join entirely. On a saturated corpus this is the difference
     // between tokenizing 500k docs and tokenizing none (the verify
     // relation below is additionally semi-join-pruned to candidate
     // participants): 20.2 s → measured back near the linear floor.
-    val star = sigd.join(starMin, Seq("sig"))
+    val star = sigd.join(sigGroups.select("sig", "doc_a"), Seq("sig"))
       .filter(col("doc_id") =!= col("doc_a"))
       .select(col("doc_a"), col("doc_id").as("doc_b"),
         lit(1.0).as("jaccard"))
-    // Overflow-drop visibility (ADVICE r10): overflow-bucket members
-    // with NO md5 twin get no star edge — they may still pair through
-    // another band's thin bucket, but within the overflow bucket they
-    // are dropped by declared cap semantics. Count them (metadata-width
-    // job over the persisted band relation; empty on every gate corpus)
-    // so a saturated corpus's recall cliff is an observable number, not
-    // a silent comment.
-    val nLoneOverflow = sigd.groupBy("sig").agg(count(lit(1)).as("cw"))
-      .filter(col("cw") === 1).count()
-    if (nLoneOverflow > 0)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"dd_minhash: $nLoneOverflow overflow-bucket member(s) without an " +
-          "md5 twin dropped from in-bucket pairing (cap semantics; they may " +
-          "still pair via other bands)")
     // exact-verify ONLY the LSH candidates, and tokenize ONLY docs
     // that appear in one — at 100 TB the candidate set is output-
     // sensitive, so the token pipeline must be too.

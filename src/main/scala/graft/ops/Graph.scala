@@ -49,7 +49,8 @@ object Graph {
     * partially-aggregated shuffle of (dst, contrib) rows — the hub's
     * n/10-wide contribution list is combined MAP-SIDE by the partial
     * HashAggregate before it ever shuffles, which is what absorbs
-    * in-degree skew (measured flat at 500k nodes, BASELINE.md). */
+    * in-degree skew (HubSkewProbe, measured flat at 500k nodes —
+    * BASELINE.md round-11 hub-skew table). */
   private[graft] def pagerankLoop(nodes: DataFrame, edges: DataFrame,
       iters: Int): DataFrame = {
     val tele = expr(s"(15 * ($rankUnit div n_nodes)) div 100")
@@ -84,6 +85,69 @@ object Graph {
     // cache hygiene reclaims them — unpersisting here would fire before
     // the lazy plan ever ran and recompute the edge build per round)
     pagerankLoop(nodes, edges, iterations).orderBy("doc_id")
+  }
+
+  // -------------------------------------------------------------------
+  // pr_pagerank_bucketed: the SAME five-round loop over an edge
+  // relation written ONCE as a table bucketed+sorted by src (VERDICT
+  // r10 next §3 — the k4_yap_season_bucketed pattern applied to the
+  // graph family). Every PageRank round joins ranks against edges on
+  // src. Within ONE query, AQE's ReuseExchange already collapses the
+  // five per-round edge shuffles into a single reused exchange
+  // (measured: 15 distinct exchanges plain vs 14 bucketed,
+  // PagerankBucketedSpec) — but that one full-edge shuffle is still
+  // paid per QUERY, and its output pins executor memory for the
+  // query's lifetime. The bucketed layout moves it to write time,
+  // once, across every query and job that ever reads the graph: each
+  // round's join reads edges pre-partitioned (HashPartitioning(src,
+  // buckets) straight off the scan — no Exchange) and pre-sorted (one
+  // file per bucket — no Sort); only the |V|-sized constant-width
+  // rank relation shuffles per round. On a real crawl graph
+  // (|E| ≫ |V|, re-ranked on a schedule) the persistent layout is the
+  // difference between shipping the edge set every run and never
+  // shipping it. Exchange-free edge side pinned by
+  // PagerankBucketedSpec; same oracle as pr_pagerank (the layout is
+  // physical, the relation identical).
+  // -------------------------------------------------------------------
+  private val prEdgeBuckets = 32
+
+  /** Per-corpus-dir table name (the Doc100Probe corpus and each sf dir
+    * get distinct tables; the fingerprint is the full-path hash). */
+  private[graft] def prEdgesTable(d: String): String =
+    s"graft_pr_edges_${math.abs(d.hashCode.toLong)}"
+
+  /** Build the planted edge relation as a bucketed table — at SETUP
+    * (Bench/Verify call this before timing), never inside the query,
+    * so the timed query is the bucketed read (VERDICT r4 wrong §2). */
+  def ensurePrEdgesBucketed(s: SparkSession, d: String): Unit =
+    if (!s.catalog.tableExists(prEdgesTable(d))) {
+      val loc = new java.io.File(
+        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), prEdgesTable(d))
+      if (loc.exists) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+      val docs = table(s, d, "documents").select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).as("n_nodes"))
+      val edges = docs.crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("j"), col("n_nodes"))
+        .select(col("src"),
+          pmod(col("src") * 31 + col("j") * 17 + 7, col("n_nodes")).as("dst"))
+        // repartition by the bucket key first: Spark's bucket id is the
+        // same murmur3-pmod as HashPartitioning, so 32 write tasks emit
+        // exactly ONE file per bucket — the single-file-per-bucket
+        // layout is what lets the scan satisfy the join's sort
+        // requirement too (multi-file buckets force a per-round Sort)
+        .repartition(prEdgeBuckets, col("src"))
+      Bucketing.writeBucketedBy(edges, prEdgesTable(d), prEdgeBuckets, Seq("src"))
+    }
+
+  private val prPagerankBucketed: Q = (s, d) => {
+    require(s.catalog.tableExists(prEdgesTable(d)),
+      s"bucketed edge table '${prEdgesTable(d)}' missing — Bench/Verify call " +
+        "Graph.ensurePrEdgesBucketed(spark, sfDir) at setup before this query")
+    val docs = table(s, d, "documents").select(col("doc_id"))
+    val n = docs.agg(count(lit(1)).as("n_nodes"))
+    val nodes = docs.crossJoin(broadcast(n))
+    pagerankLoop(nodes, s.table(prEdgesTable(d)), iterations).orderBy("doc_id")
   }
 
   // -------------------------------------------------------------------
@@ -570,6 +634,7 @@ object Graph {
     "gr_kcore" -> grKcore,
     "gr_scc" -> grScc,
     "pr_pagerank" -> prPagerank,
+    "pr_pagerank_bucketed" -> prPagerankBucketed,
     "pr_pagerank_conv" -> prPagerankConv,
     "gr_triangles" -> grTriangles,
     "gr_lpa" -> grLpa,
@@ -638,6 +703,18 @@ object Graph {
        |FROM (SELECT doc_id FROM documents) d
        | LEFT JOIN dg0 USING (doc_id) LEFT JOIN allp ON d.doc_id = allp.doc_id
        |ORDER BY d.doc_id""".stripMargin
+  }
+
+  private lazy val pagerankSql: String = {
+    val chain = (1 to iterations)
+      .map(i => iterCte(if (i == 1) "r0" else s"it${i - 1}", s"it$i"))
+      .mkString(",\n")
+    s"""WITH $edgesCte,
+       | r0 AS (SELECT doc_id, $rankUnit // n.n_nodes AS r
+       |        FROM nodes CROSS JOIN n),
+       |$chain
+       |SELECT doc_id, CAST(r AS BIGINT) AS rank_q
+       |FROM it$iterations ORDER BY doc_id""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
@@ -719,17 +796,10 @@ object Graph {
          |SELECT nd.doc_id, CAST(coalesce(pn.n_tri, 0) AS BIGINT) AS n_tri
          |FROM nodes nd LEFT JOIN pn USING (doc_id)
          |ORDER BY nd.doc_id""".stripMargin,
-    "pr_pagerank" -> {
-      val chain = (1 to iterations)
-        .map(i => iterCte(if (i == 1) "r0" else s"it${i - 1}", s"it$i"))
-        .mkString(",\n")
-      s"""WITH $edgesCte,
-         | r0 AS (SELECT doc_id, $rankUnit // n.n_nodes AS r
-         |        FROM nodes CROSS JOIN n),
-         |$chain
-         |SELECT doc_id, CAST(r AS BIGINT) AS rank_q
-         |FROM it$iterations ORDER BY doc_id""".stripMargin
-    },
+    "pr_pagerank" -> pagerankSql,
+    // identical oracle: the bucketed variant changes the PHYSICAL edge
+    // layout (one-time bucketed write), never the relation
+    "pr_pagerank_bucketed" -> pagerankSql,
     // the dynamic stopping rule replayed STATICALLY: all 40 rounds
     // unrolled (MATERIALIZED — each round is referenced by the next
     // round, its Δmax, and the final pick; inlining would blow up

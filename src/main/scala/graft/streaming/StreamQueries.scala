@@ -315,6 +315,31 @@ object StreamQueries {
   /** A streamed vector arrival for the ANN index-maintenance gate. */
   case class VecRow(vec_id: Long, ve: Seq[Double])
 
+  /** The st_ann_upsert per-batch body, factored to a seam so the
+    * crash-replay spec (VERDICT r10 next §4) can drive it under a
+    * kill/replay schedule: idempotent per-batch index growth (batch_id
+    * partition overwrite — the writeBatch shape), so an at-least-once
+    * replay of a batch must not double-insert its vectors into the
+    * live index. Cell assignment reads only the FROZEN centroids,
+    * never prior live state, so replay output is bit-identical. */
+  private[graft] def annUpsertProcessor(centroids: DataFrame,
+      live: String): (DataFrame, Long) => Unit = (df, id) => {
+    import org.apache.spark.sql.expressions.Window
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.ArrayFns.vecDot(a, b)
+    def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    EventStream.writeBatch(
+      df.crossJoin(broadcast(centroids))
+        .withColumn("cdist", -cosine(col("ve"), col("ce")))
+        .withColumn("crk", row_number().over(
+          Window.partitionBy("vec_id").orderBy(asc("cdist"), asc("cl"))))
+        .filter(col("crk") === 1)
+        .select("vec_id", "ve", "cl"),
+      id, live)
+    ()
+  }
+
   /** Streaming ANN index maintenance under the gate (the composed
     * sequel to ann_ivf_upsert and st_dedup_indexed): vector ingest
     * arrives as micro-batches; each batch is assigned to its nearest
@@ -350,18 +375,7 @@ object StreamQueries {
     val root = s"$pidRoot/stannup"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     val live = s"$root/live"
-    // idempotent per-batch index growth (batch_id partition overwrite —
-    // the writeBatch shape): an at-least-once replay of a batch must
-    // not double-insert its vectors into the live index
-    def process(df: DataFrame, id: Long): Unit =
-      EventStream.writeBatch(
-        df.crossJoin(broadcast(centroids))
-          .withColumn("cdist", -cosine(col("ve"), col("ce")))
-          .withColumn("crk", row_number().over(
-            Window.partitionBy("vec_id").orderBy(asc("cdist"), asc("cl"))))
-          .filter(col("crk") === 1)
-          .select("vec_id", "ve", "cl"),
-        id, live)
+    val process = annUpsertProcessor(centroids, live)
     val source = MemoryStream[VecRow]
     val name = s"st_ann_upsert_${seq.incrementAndGet()}"
     val q = source.toDS().writeStream
@@ -692,6 +706,59 @@ object StreamQueries {
   /** A streamed document arrival for the indexed-dedup gate. */
   case class StreamDoc(doc_id: Long, text: String)
 
+  /** The st_dedup_indexed per-batch body, factored to a seam so the
+    * crash-replay spec (VERDICT r10 next §4) can drive it under a
+    * kill/replay schedule. Both writes are writeBatch partition
+    * overwrites, so at-least-once redelivery of a batch id replaces
+    * its own partitions; the SEEN probe additionally filters
+    * `batch_id < id` (partition-pruned) — without that, a replay of
+    * batch N would see N's OWN hashes (written before the crash) and
+    * mark every doc a stream-dup of itself, corrupting the replayed
+    * output partition. Found by the replay spec; pinned there. */
+  private[graft] def dedupIndexedProcessor(s: SparkSession, corpusIdx: DataFrame,
+      out: String, seenDir: String): (DataFrame, Long) => Unit = (df, id) => {
+    val hashed = df
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("ch")).persist()
+    val cm = hashed.join(corpusIdx, Seq("ch"))
+      .groupBy("doc_id").agg(min(col("cid")).as("corpus_match"))
+    // presence check: writeBatch's DYNAMIC partition overwrite emits
+    // batch_id=N partition dirs but NO root _SUCCESS marker — an
+    // _SUCCESS guard here reads as "index never exists" and silently
+    // disables the whole seen layer (found by CrashReplaySpec: the r10
+    // gate's cross-batch stream-dup verdicts only survived because its
+    // plants never straddled a batch boundary)
+    val seenParts = Option(new java.io.File(seenDir).listFiles())
+      .getOrElse(Array.empty).exists(_.getName.startsWith("batch_id="))
+    val seen =
+      if (seenParts)
+        // batch_id < id: on an at-least-once REPLAY of batch `id`, the
+        // probe must not see the batch's own first-attempt hashes
+        // (partition-pruned; without this every replayed doc matches
+        // itself and becomes a stream-dup — also CrashReplaySpec)
+        s.read.parquet(seenDir).filter(col("batch_id") < id)
+          .select(col("ch"), col("sid"))
+      else hashed.limit(0).select(col("ch"), col("doc_id").as("sid"))
+    val sm1 = hashed.join(seen, Seq("ch"))
+      .groupBy("doc_id").agg(min(col("sid")).as("m1"))
+    val within = hashed.select(col("ch"), col("doc_id").as("oid"))
+    val sm2 = hashed.join(within, Seq("ch"))
+      .filter(col("oid") < col("doc_id"))
+      .groupBy("doc_id").agg(min(col("oid")).as("m2"))
+    EventStream.writeBatch(
+      hashed
+        .join(cm, Seq("doc_id"), "left")
+        .join(sm1, Seq("doc_id"), "left")
+        .join(sm2, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("corpus_match"),
+          least(col("m1"), col("m2")).as("stream_match")),
+      id, out)
+    // grow the maintained index only AFTER this batch's probes
+    EventStream.writeBatch(
+      hashed.select(col("ch"), col("doc_id").as("sid")), id, seenDir)
+    hashed.unpersist()
+    ()
+  }
+
   /** Streaming dedup against the PERSISTED corpus index (VERDICT r8
     * next §8): st_dedup dedups within stream state only; a production
     * pipeline also dedups every arriving doc against the historical
@@ -740,40 +807,7 @@ object StreamQueries {
     val seenDir = s"$root/seen"
     val corpusIdx = s.read.parquet(s"$idx/hashes")
       .select(col("ch"), col("doc_id").as("cid"))
-    // both per-batch writes go through the writeBatch idempotent shape
-    // (batch_id partition + dynamic overwrite): foreachBatch is
-    // at-least-once, and a crash between the output write and the
-    // offset commit replays the batch — append-mode writes would
-    // double rows AND double-grow the seen index; partition overwrite
-    // makes the replay a no-op (the st_sink exactly-once discipline).
-    def process(df: DataFrame, id: Long): Unit = {
-      val hashed = df
-        .select(col("doc_id"), md5(col("text").cast("binary")).as("ch")).persist()
-      val cm = hashed.join(corpusIdx, Seq("ch"))
-        .groupBy("doc_id").agg(min(col("cid")).as("corpus_match"))
-      val seen =
-        if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$seenDir/_SUCCESS")))
-          s.read.parquet(seenDir).select(col("ch"), col("sid"))
-        else hashed.limit(0).select(col("ch"), col("doc_id").as("sid"))
-      val sm1 = hashed.join(seen, Seq("ch"))
-        .groupBy("doc_id").agg(min(col("sid")).as("m1"))
-      val within = hashed.select(col("ch"), col("doc_id").as("oid"))
-      val sm2 = hashed.join(within, Seq("ch"))
-        .filter(col("oid") < col("doc_id"))
-        .groupBy("doc_id").agg(min(col("oid")).as("m2"))
-      EventStream.writeBatch(
-        hashed
-          .join(cm, Seq("doc_id"), "left")
-          .join(sm1, Seq("doc_id"), "left")
-          .join(sm2, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("corpus_match"),
-            least(col("m1"), col("m2")).as("stream_match")),
-        id, out)
-      // grow the maintained index only AFTER this batch's probes
-      EventStream.writeBatch(
-        hashed.select(col("ch"), col("doc_id").as("sid")), id, seenDir)
-      hashed.unpersist()
-    }
+    val process = dedupIndexedProcessor(s, corpusIdx, out, seenDir)
     val source = MemoryStream[StreamDoc]
     val name = s"st_dedup_indexed_${seq.incrementAndGet()}"
     val q = source.toDS().writeStream

@@ -37,6 +37,9 @@ object Doc100Probe {
     val defaultQs = Seq("dd_exact", "dd_urls", "dd_minhash", "ts_quality",
       "ts_normalize", "ds_shards", "ds_split", "ds_doremi", "tok_unigram_train")
     for (q <- (if (args.nonEmpty) args.toSeq else defaultQs)) {
+      // bucketed-table setup is untimed, the Bench/Verify convention
+      if (q.contains("pagerank_bucketed"))
+        for (dir <- Seq(src, out)) graft.ops.Graph.ensurePrEdgesBucketed(spark, dir)
       // warm at the small sf (JIT; plans re-chosen by AQE at 100×)
       try graft.SparkEntry.queries(q)(spark, src).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => println(s"$q warm FAILED ${e.getMessage.take(80)}") }
