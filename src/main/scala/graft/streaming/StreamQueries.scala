@@ -292,21 +292,32 @@ object StreamQueries {
     val maxMs = if (evs.isEmpty) 0L else evs.iterator.map(_.ts.getTime).max
     val source = MemoryStream[EventStream.Ev]
     val name = s"st_sliding_${seq.incrementAndGet()}"
+    // idempotent PARQUET sink instead of the memory sink (VERDICT r10
+    // next §5 structural lever): the memory-sink path collected every
+    // output row to the driver and re-uploaded it via createDataFrame —
+    // a volume-linear driver roundtrip that the 10× ingest probe
+    // measured as half the gate's cost. foreachBatch + writeBatch keeps
+    // the output on executors end to end (and is the production parquet
+    // sink shape, exactly-once by partition overwrite); the readback
+    // below is a distributed scan.
+    val root = s"$pidRoot/stsliding"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val out = s"$root/out"
     val q = EventStream.slidingStats(source.toDF())
-      .writeStream.format("memory").queryName(name).outputMode("append")
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        EventStream.writeBatch(b.toDF(), id, out))
       .option("checkpointLocation", ckpt(name)).start()
-    val (schema, rows) = try {
+    try {
       source.addData(evs.toIndexedSeq :+
         EventStream.Ev(-1L, new Timestamp(maxMs + 3L * 3600000L), "sentinel__", 0.0))
       q.processAllAvailable()
-      val tbl = s.table(name)
-      (tbl.schema, tbl.filter(!(col("event_type") <=> "sentinel__")).collect())
     } finally {
       q.stop()
-      s.catalog.dropTempView(name)
       dropCkpt(name)
     }
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    s.read.parquet(out)
+      .filter(!(col("event_type") <=> "sentinel__"))
       .select(col("win_start"), col("event_type"), col("n"),
         graft.functions.Numeric.dround(col("sum_q") / 1000000.0, 4).as("total_value"))
       .orderBy("win_start", "event_type")
@@ -433,29 +444,34 @@ object StreamQueries {
     }
     val source = MemoryStream[EventStream.Ev]
     val name = s"st_enrich_${seq.incrementAndGet()}"
+    // idempotent PARQUET sink, not the memory sink (VERDICT r10 next
+    // §5): output rows stay on executors instead of a driver collect +
+    // createDataFrame re-upload — see st_sliding's note
+    val root = s"$pidRoot/stenrich"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val out = s"$root/out"
     val q = EventStream.enrichWithBounds(source.toDF(),
         graft.ops.Relational.boundsDim(s))
-      .writeStream.format("memory").queryName(name).outputMode("append")
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        EventStream.writeBatch(b.toDF(), id, out))
       .option("checkpointLocation", ckpt(name)).start()
-    val (schema, rows) = try {
+    try {
       val half = math.max(1, (evs.length + 1) / 2)
       source.addData(evs.take(half).toIndexedSeq)
       q.processAllAvailable()
       source.addData(evs.drop(half).toIndexedSeq)
       q.processAllAvailable()
-      val tbl = s.table(name)
-      (tbl.schema, tbl.collect())
     } finally {
       q.stop()
-      s.catalog.dropTempView(name)
       dropCkpt(name)
     }
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    s.read.parquet(out)
       .select(col("user_id"), col("ts"), col("event_type"),
         col("value"), col("v_max"), col("a_max"))
-      // module convention (ADVICE r9): every gate sorts its collected
-      // memory-sink rows — cheap, and removes the reliance on the
-      // driver compare being order-insensitive
+      // module convention (ADVICE r9): every gate emits sorted output —
+      // cheap, and removes the reliance on the driver compare being
+      // order-insensitive
       .orderBy("user_id", "ts", "event_type")
   }
 
