@@ -162,7 +162,8 @@ object Dedup {
     * explicit path, never blow up a stage). 64 is 16× the widest
     * bucket on any gate corpus (4, MinhashCapSpec measures it), so the
     * gate pair set is untouched; overridable per-session via
-    * `graft.minhash.bucketCap`. */
+    * `graft.minhash.bucketCap`. Measured at the 100× probe:
+    * 136.5 s uncapped → 12.9 s capped (BASELINE.md round-11). */
   private[llm] val minhashBucketCap = 64L
 
   /** The LSH-banded, exact-verified near-dup pair relation dd_minhash
@@ -238,7 +239,8 @@ object Dedup {
     // join entirely. On a saturated corpus this is the difference
     // between tokenizing 500k docs and tokenizing none (the verify
     // relation below is additionally semi-join-pruned to candidate
-    // participants): 20.2 s → measured back near the linear floor.
+    // participants). Measured on the 100×-replicated corpus: 136.5 s
+    // uncapped → 12.9 s capped (BASELINE.md round-11 probe table).
     val star = sigd.join(sigGroups.select("sig", "doc_a"), Seq("sig"))
       .filter(col("doc_id") =!= col("doc_a"))
       .select(col("doc_a"), col("doc_id").as("doc_b"),

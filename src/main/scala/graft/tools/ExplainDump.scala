@@ -34,7 +34,8 @@ object ExplainDump {
     "zo_events" -> "z-order layout read side: both user_id and ts predicates reach the clustered copy's scan as PushedFilters — the footer stats they prune against are what ZorderProbe measures",
     "ts_perplexity" -> "LM perplexity: scan-local bigrams probe the pruned LM through a BroadcastHashJoin — the only exchange is the final integer agg on doc_id",
     "w12_scd2" -> "SCD2 build: CDC-collapse lag + version windows share ONE user_id exchange and sort",
-    "pr_pagerank" -> "integer PageRank: rank ⋈ edges then partial-aggregated dst shuffle, all five rounds nested — the per-iteration dataflow a bucketed-edge layout would make exchange-free",
+    "pr_pagerank" -> "integer PageRank: rank ⋈ edges then partial-aggregated dst shuffle, all five rounds nested — the per-iteration dataflow pr_pagerank_bucketed makes exchange-free on the edge side",
+    "pr_pagerank_bucketed" -> "bucketed-edge PageRank: every rank ⋈ edges round reads the src-bucketed table straight off the scan — no Exchange, no Sort on the edge side, pinned by PagerankBucketedSpec",
     "ds_weighted" -> "two-phase weighted top-k: the salted phase-1 rank plans a WindowGroupLimit (per-group k-filter below the sort); the global phase ranks only the ≤ salts·k survivors",
     "mv_refresh" -> "incremental MV refresh: stored-partials scan ∪ delta-only events scan → one merge agg — the base slice never re-reads",
     "ds_dsir" -> "DSIR scoring: token shuffle only for the 64-bucket LM pair; per-doc scores fold scan-locally against the broadcast one-row LUT map",
@@ -59,6 +60,7 @@ object ExplainDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.001"
+    graft.ops.Graph.ensurePrEdgesBucketed(spark, sf)
     val sb = new StringBuilder
     sb.append("# EXPLAIN — formatted physical plans of flagship queries\n\n")
     sb.append("Generated by `graft.tools.ExplainDump` at sf0.001; plan shapes are\n")

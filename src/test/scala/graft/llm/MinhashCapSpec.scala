@@ -85,4 +85,30 @@ class MinhashCapSpec extends AnyFunSuite {
     assert(copyComps.length == 1 && copyComps(0) == 100L,
       "all 40 copies must collapse to one component rooted at the min id")
   }
+
+  /** VERDICT r10 next §6: the star-pair substitution must leave
+    * dd_cluster_lsh's connected-components OUTPUT invariant — a
+    * saturated cluster resolved through the linear star (cap 8) and
+    * the same cluster resolved through the quadratic self-join (cap
+    * high enough that nothing overflows) must produce identical
+    * component assignments, not just the same pair count. */
+  test("cluster membership is identical across cap settings (star vs quadratic resolution)") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val nbase = (1 to 60).map(i => s"ntok$i").mkString(" ")
+    val nnear = ((1 to 59).map(i => s"ntok$i") :+ "ntokX").mkString(" ")
+    val docs = ((0 until 40).map(i => (100L + i, base)) ++
+      Seq((900L, nbase), (901L, nnear))).toDF("doc_id", "text")
+    def components(cap: Long): Map[Long, Long] =
+      Dedup.connectedComponents(
+        Dedup.minhashPairsImpl(docs, cap).select("doc_a", "doc_b").collect()
+          .toSeq.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+          .toDF("u", "v"))
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("comp"))).toMap
+    val starred = components(cap = 8L)     // 40-copy cluster overflows
+    val quadratic = components(cap = 10000L) // nothing overflows
+    assert(starred == quadratic,
+      s"component assignments diverged between star and quadratic resolution:\n" +
+        s"star=$starred\nquad=$quadratic")
+  }
 }
