@@ -252,6 +252,76 @@ object TextOps {
       .orderBy("lang", "rank")
   }
 
+  // -------------------------------------------------------------------
+  // ts_bm25: full-text BM25 top-k retrieval — the retrieval operator a
+  // training-data pipeline runs for decontamination lookups, RAG corpus
+  // search, and query-based curation (ts_tfidf ranks corpus terms;
+  // BM25 ranks DOCUMENTS for a query, with tf saturation (k1) and
+  // doc-length normalization (b) — Robertson & Walker's classic
+  // Okapi formula, the Lucene default).
+  //
+  // Scale shape: the postings relation (term, doc_id, dl, tf) is the
+  // inverted-index build — ONE token shuffle, the same cost family as
+  // ts_tfidf's tf aggregate; at 100 TB it is written once and served
+  // many times (the VocabStore/ivf build-once rule). The query set is
+  // tiny and BROADCAST into the postings (never the reverse), so
+  // scoring touches only postings of query terms — output-sensitive,
+  // like the ANN serve path. Per-term df joins through a semi-join-
+  // pruned, broadcast dfreq slice. Ranking is a per-qid window over
+  // the ≤ |terms|·df candidate rows, planned as WindowGroupLimit.
+  //
+  // Float discipline (the ts_perplexity rule): each (query, term, doc)
+  // contribution is quantized to a 1e-4 integer IMMEDIATELY after the
+  // one float expression; per-doc scores are BIGINT sums — exact and
+  // order-independent across 32 partitions vs DuckDB's single thread —
+  // and the ranking orders by the quantized score with doc_id
+  // tie-break. Queries are PLANTED deterministically: every 100th doc
+  // contributes its 3 lexicographically-smallest distinct tokens (both
+  // engines re-derive the same query set from scratch).
+  // -------------------------------------------------------------------
+  private val bmTopK = 5
+  private val tsBm25: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = table(s, d, "documents").select("doc_id", "text")
+    // (doc_id, term, dl, tf): dl rides the same shuffle (functionally
+    // dependent on doc_id, so the extra group key adds no groups)
+    val postings = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"),
+        explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .persist() // feeds the df aggregate AND the scoring join
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).as("total_len"))
+    val queries = docs.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("qid"),
+        explode(slice(array_sort(array_distinct(split(col("text"), " "))), 1, 3))
+          .as("term"))
+    // df only for QUERY terms: semi-join-prune the postings BEFORE the
+    // aggregate — a full-vocabulary df relation is never built (at
+    // 100 TB the vocabulary aggregate is corpus-sized; the query-term
+    // slice is broadcast-sized)
+    val qdf = postings
+      .join(broadcast(queries.select("term").distinct()), Seq("term"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val contrib = postings
+      .join(broadcast(queries), Seq("term"))
+      .join(broadcast(qdf), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("doc_id"),
+        dround(
+          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+            * (col("tf") * lit(2.2))
+            / (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75)
+                + lit(0.75) * (col("dl") * col("n_docs")) / col("total_len")))
+            * 10000, 0).cast("long").as("c_q"))
+    val scored = contrib.groupBy("qid", "doc_id").agg(sum(col("c_q")).as("bm25_q"))
+    val w = Window.partitionBy("qid").orderBy(col("bm25_q").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= bmTopK)
+      .select(col("qid"), col("rank"), col("doc_id"), col("bm25_q"))
+      .orderBy("qid", "rank")
+  }
+
   /** Scan-LOCAL bigram generator: explode positions 1..n-1 and index
     * the token array twice — `element_at` is codegen'd, so bigrams
     * materialize inside the scan stage with ZERO shuffle (the earlier
@@ -517,7 +587,8 @@ object TextOps {
     "ts_fingerprint_roll" -> tsFingerprintRoll,
     "ts_repetition" -> tsRepetition,
     "ts_pii" -> tsPii,
-    "ts_tfidf" -> tsTfidf)
+    "ts_tfidf" -> tsTfidf,
+    "ts_bm25" -> tsBm25)
 
   private[llm] def sqlCountIn(set: Seq[String]): String = {
     val lits = set.map(w => s"'$w'").mkString(", ")
@@ -770,5 +841,36 @@ object TextOps {
         |          ORDER BY tfidf DESC, term ASC) AS INT) AS rank
         |   FROM scored)
         |SELECT lang, rank, term, tfidf FROM ranked
-        |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin)
+        |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+    // same planted query derivation, same Okapi expression SHAPE, same
+    // 1e-4 quantize-then-BIGINT-sum float discipline, re-derived end
+    // to end (ln argument and tf-normalization written identically so
+    // the one float expression folds the same way in both engines)
+    "ts_bm25" ->
+      """WITH tf AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+        |             unnest(string_split(text, ' ')) AS term FROM documents),
+        | postings AS (SELECT doc_id, dl, term, count(*) AS tf
+        |              FROM tf GROUP BY doc_id, dl, term),
+        | dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+        | stats AS (SELECT count(*) AS n_docs,
+        |             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_len
+        |           FROM documents),
+        | queries AS (SELECT doc_id AS qid,
+        |     unnest(list_sort(list_distinct(string_split(text, ' ')))[1:3]) AS term
+        |   FROM documents WHERE doc_id % 100 = 0),
+        | contrib AS (SELECT q.qid, p.doc_id,
+        |     CAST(round(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+        |       * (p.tf * 2.2)
+        |       / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * (p.dl * s.n_docs) / s.total_len))
+        |       * 10000) AS BIGINT) AS c_q
+        |   FROM queries q JOIN postings p USING (term) JOIN dfreq f USING (term)
+        |   CROSS JOIN stats s),
+        | scored AS (SELECT qid, doc_id, CAST(sum(c_q) AS BIGINT) AS bm25_q
+        |            FROM contrib GROUP BY qid, doc_id),
+        | ranked AS (SELECT qid, doc_id, bm25_q,
+        |   CAST(row_number() OVER (PARTITION BY qid
+        |        ORDER BY bm25_q DESC, doc_id ASC) AS BIGINT) AS rank
+        |   FROM scored)
+        |SELECT qid, rank, doc_id, bm25_q FROM ranked
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)
 }
