@@ -41,6 +41,7 @@ object SparkEntry {
       llm.Multimodal.queries ++
       llm.Curate.queries ++
       llm.Classifier.queries ++
+      llm.Kmeans.queries ++
       llm.Unigram.queries ++
       streaming.StreamQueries.queries ++
       io.IoQueries.queries
@@ -67,6 +68,7 @@ object SparkEntry {
       llm.Multimodal.oracle ++
       llm.Curate.oracle ++
       llm.Classifier.oracle ++
+      llm.Kmeans.oracle ++
       llm.Unigram.oracle ++
       streaming.StreamQueries.oracle ++
       io.IoQueries.oracle

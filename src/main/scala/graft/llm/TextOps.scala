@@ -280,7 +280,9 @@ object TextOps {
   // engines re-derive the same query set from scratch).
   // -------------------------------------------------------------------
   private val bmTopK = 5
-  private val tsBm25: Q = (s, d) => {
+  /** The full ranked BM25 relation (qid, doc_id, bm25_q, rank) —
+    * shared by ts_bm25 (top-k slice) and ts_hybrid_rrf (fusion). */
+  private def bm25Ranked(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = table(s, d, "documents").select("doc_id", "text")
     // (doc_id, term, dl, tf): dl rides the same shuffle (functionally
@@ -317,9 +319,61 @@ object TextOps {
     val scored = contrib.groupBy("qid", "doc_id").agg(sum(col("c_q")).as("bm25_q"))
     val w = Window.partitionBy("qid").orderBy(col("bm25_q").desc, col("doc_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
+  }
+
+  private val tsBm25: Q = (s, d) =>
+    bm25Ranked(s, d)
       .filter(col("rank") <= bmTopK)
       .select(col("qid"), col("rank"), col("doc_id"), col("bm25_q"))
       .orderBy("qid", "rank")
+
+  // ts_hybrid_rrf: hybrid lexical+semantic retrieval via reciprocal-
+  // rank fusion (Cormack et al.'s RRF, the standard hybrid-search
+  // combiner): the BM25 top-5 and the embedding-cosine top-5 for the
+  // same planted queries fuse on score(d) = Σ_lists 1/(60 + rank_d) —
+  // rank-based, so the two incommensurable score scales never mix.
+  //
+  // Scale shape: both inputs are already output-sensitive top-k
+  // relations (≤ 5 rows per query each); the fusion is a full-outer
+  // join of two tiny ranked lists plus one per-qid window — cost is
+  // O(queries·k) regardless of corpus size. The cosine side reuses the
+  // knn_cosine brute-force baseline shape (broadcast probes, one
+  // candidate pass; the ANN family is the declared serving path at
+  // 100 TB). Float discipline: each 1/(60+r) term has an integer-
+  // valued rank, both engines compute the same IEEE division, the
+  // two-term sum is associated identically (bm25 + cos), and the
+  // fused score quantizes to 1e-9 integer units before ranking with
+  // doc_id tie-break.
+  private val rrfTopK = 5
+  private val tsHybridRrf: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val bm = bm25Ranked(s, d).filter(col("rank") <= rrfTopK)
+      .select(col("qid"), col("doc_id"), col("rank").as("r_bm25"))
+    val emb = table(s, d, "embeddings")
+    def toD(c: Column) = transform(c, x => x.cast("double"))
+    def dot(a: Column, b: Column) = ArrayFns.vecDot(a, b)
+    val probes = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), toD(col("embedding")).as("qe"))
+    val cands = emb.select(col("vec_id").as("doc_id"), toD(col("embedding")).as("ce"))
+    val sims = cands.crossJoin(broadcast(probes))
+      .filter(col("qid") =!= col("doc_id"))
+      .select(col("qid"), col("doc_id"),
+        (dot(col("qe"), col("ce")) /
+          (sqrt(dot(col("qe"), col("qe"))) * sqrt(dot(col("ce"), col("ce"))))).as("sim"))
+    val cos = sims
+      .withColumn("r_cos", row_number()
+        .over(Window.partitionBy("qid").orderBy(desc("sim"), asc("doc_id"))).cast("long"))
+      .filter(col("r_cos") <= rrfTopK)
+      .select("qid", "doc_id", "r_cos")
+    val fused = bm.join(cos, Seq("qid", "doc_id"), "full_outer")
+      .select(col("qid"), col("doc_id"), col("r_bm25"), col("r_cos"),
+        floor((coalesce(lit(1.0) / (lit(60.0) + col("r_bm25").cast("double")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60.0) + col("r_cos").cast("double")), lit(0.0)))
+          * lit(1000000000.0)).cast("long").as("rrf_q"))
+    val w = Window.partitionBy("qid").orderBy(col("rrf_q").desc, col("doc_id").asc)
+    fused.withColumn("rrf_rank", row_number().over(w).cast("long"))
+      .select("qid", "rrf_rank", "doc_id", "rrf_q", "r_bm25", "r_cos")
+      .orderBy("qid", "rrf_rank")
   }
 
   /** Scan-LOCAL bigram generator: explode positions 1..n-1 and index
@@ -588,7 +642,8 @@ object TextOps {
     "ts_repetition" -> tsRepetition,
     "ts_pii" -> tsPii,
     "ts_tfidf" -> tsTfidf,
-    "ts_bm25" -> tsBm25)
+    "ts_bm25" -> tsBm25,
+    "ts_hybrid_rrf" -> tsHybridRrf)
 
   private[llm] def sqlCountIn(set: Seq[String]): String = {
     val lits = set.map(w => s"'$w'").mkString(", ")
@@ -847,30 +902,67 @@ object TextOps {
     // to end (ln argument and tf-normalization written identically so
     // the one float expression folds the same way in both engines)
     "ts_bm25" ->
-      """WITH tf AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
-        |             unnest(string_split(text, ' ')) AS term FROM documents),
-        | postings AS (SELECT doc_id, dl, term, count(*) AS tf
-        |              FROM tf GROUP BY doc_id, dl, term),
-        | dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
-        | stats AS (SELECT count(*) AS n_docs,
-        |             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_len
-        |           FROM documents),
-        | queries AS (SELECT doc_id AS qid,
-        |     unnest(list_sort(list_distinct(string_split(text, ' ')))[1:3]) AS term
-        |   FROM documents WHERE doc_id % 100 = 0),
-        | contrib AS (SELECT q.qid, p.doc_id,
-        |     CAST(round(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
-        |       * (p.tf * 2.2)
-        |       / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * (p.dl * s.n_docs) / s.total_len))
-        |       * 10000) AS BIGINT) AS c_q
-        |   FROM queries q JOIN postings p USING (term) JOIN dfreq f USING (term)
-        |   CROSS JOIN stats s),
-        | scored AS (SELECT qid, doc_id, CAST(sum(c_q) AS BIGINT) AS bm25_q
-        |            FROM contrib GROUP BY qid, doc_id),
-        | ranked AS (SELECT qid, doc_id, bm25_q,
-        |   CAST(row_number() OVER (PARTITION BY qid
-        |        ORDER BY bm25_q DESC, doc_id ASC) AS BIGINT) AS rank
-        |   FROM scored)
+      s"""WITH $bm25RankedCtes
         |SELECT qid, rank, doc_id, bm25_q FROM ranked
-        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // the same bm25 ranked chain + the knn_cosine ranking algebra for
+    // the same planted qids, fused with the identical two-term RRF
+    // expression (bm25 term + cos term, 1e-9 quantize, doc_id
+    // tie-break)
+    "ts_hybrid_rrf" ->
+      s"""WITH $bm25RankedCtes,
+        | bm AS (SELECT qid, doc_id, rank AS r_bm25 FROM ranked WHERE rank <= 5),
+        | q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+        |       FROM embeddings WHERE vec_id % 100 = 0),
+        | c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings),
+        | sims AS (SELECT q.qid, c.cid AS doc_id,
+        |    list_dot_product(q.qe, c.ce)
+        |      / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.ce, c.ce))) AS sim
+        |  FROM q CROSS JOIN c WHERE q.qid <> c.cid),
+        | cosr AS (SELECT qid, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |         ORDER BY sim DESC, doc_id ASC) AS BIGINT) AS r_cos FROM sims),
+        | cos5 AS (SELECT * FROM cosr WHERE r_cos <= 5),
+        | fused AS (SELECT COALESCE(b.qid, s.qid) AS qid,
+        |    COALESCE(b.doc_id, s.doc_id) AS doc_id, b.r_bm25, s.r_cos,
+        |    CAST(floor((COALESCE(1.0 / (60.0 + CAST(b.r_bm25 AS DOUBLE)), 0.0)
+        |      + COALESCE(1.0 / (60.0 + CAST(s.r_cos AS DOUBLE)), 0.0))
+        |      * 1000000000.0) AS BIGINT) AS rrf_q
+        |   FROM bm b FULL OUTER JOIN cos5 s
+        |     ON s.qid = b.qid AND s.doc_id = b.doc_id)
+        |SELECT qid,
+        |  CAST(row_number() OVER (PARTITION BY qid
+        |       ORDER BY rrf_q DESC, doc_id ASC) AS BIGINT) AS rrf_rank,
+        |  doc_id, rrf_q, r_bm25, r_cos
+        |FROM fused ORDER BY qid, rrf_rank""".stripMargin)
+
+  /** The ts_bm25 oracle CTE chain (through `ranked`), shared with
+    * ts_hybrid_rrf — same planted query derivation, same Okapi
+    * expression shape, same 1e-4 quantize-then-BIGINT-sum float
+    * discipline as the Spark side. */
+  private def bm25RankedCtes: String =
+    """tf AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+      |             unnest(string_split(text, ' ')) AS term FROM documents),
+      | postings AS (SELECT doc_id, dl, term, count(*) AS tf
+      |              FROM tf GROUP BY doc_id, dl, term),
+      | dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+      | stats AS (SELECT count(*) AS n_docs,
+      |             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_len
+      |           FROM documents),
+      | queries AS (SELECT doc_id AS qid,
+      |     unnest(list_sort(list_distinct(string_split(text, ' ')))[1:3]) AS term
+      |   FROM documents WHERE doc_id % 100 = 0),
+      | contrib AS (SELECT q.qid, p.doc_id,
+      |     CAST(round(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+      |       * (p.tf * 2.2)
+      |       / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * (p.dl * s.n_docs) / s.total_len))
+      |       * 10000) AS BIGINT) AS c_q
+      |   FROM queries q JOIN postings p USING (term) JOIN dfreq f USING (term)
+      |   CROSS JOIN stats s),
+      | scored AS (SELECT qid, doc_id, CAST(sum(c_q) AS BIGINT) AS bm25_q
+      |            FROM contrib GROUP BY qid, doc_id),
+      | ranked AS (SELECT qid, doc_id, bm25_q,
+      |   CAST(row_number() OVER (PARTITION BY qid
+      |        ORDER BY bm25_q DESC, doc_id ASC) AS BIGINT) AS rank
+      |   FROM scored)""".stripMargin
 }

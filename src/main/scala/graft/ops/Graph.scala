@@ -629,7 +629,67 @@ object Graph {
     bfsLevels(docs, seeds, edges).orderBy("doc_id")
   }
 
+  // -------------------------------------------------------------------
+  // gr_linkpred: neighborhood link prediction — common-neighbor count,
+  // resource-allocation index (Zhou et al. 2009: Σ_w 1/deg(w), the
+  // published Adamic-Adar variant whose terms are RATIONAL, so the
+  // score quantizes to exact integers — 1e6 div deg(w) — instead of a
+  // transcendental ln), and quantized Jaccard, over the undirected
+  // closure of the planted graph. Predicts NEW links only (existing
+  // edges anti-joined away), pairs with ≥2 common neighbors.
+  //
+  // Scale shape: candidate pairs materialize per BRIDGE node w —
+  // Σ_w deg(w)² rows — so an unbounded hub would go quadratic. Bridges
+  // are capped at deg ≤ 32 (the dd_minhash bucket-cap discipline:
+  // hubs carry no per-neighbor signal for RA anyway, 1/deg → 0); the
+  // cap is declared semantics on both engines and LinkpredSpec
+  // exercises it both ways on a planted star. Joins: adjacency
+  // self-join shuffles on w; the degree joins are node-id repartition
+  // joins; nothing is ever all-pairs.
+  // -------------------------------------------------------------------
+  private val lpDegCap = 32L
+
+  /** Core over an explicit undirected (node, nbr) adjacency — seam for
+    * the planted-star cap spec. */
+  private[graft] def linkpredCore(adj0: DataFrame, cap: Long = lpDegCap): DataFrame = {
+    val adj = adj0.persist()
+    val deg = adj.groupBy("node").agg(count(lit(1)).as("deg"))
+    val br = adj
+      .join(deg.select(col("node").as("nbr"), col("deg").as("wdeg")), Seq("nbr"))
+      .filter(col("wdeg") <= cap)
+    val cand = br.select(col("node").as("a"), col("nbr").as("w"))
+      .join(br.select(col("node").as("b"), col("nbr").as("w"), col("wdeg")), Seq("w"))
+      .filter(col("a") < col("b"))
+    val scored = cand.groupBy("a", "b")
+      .agg(count(lit(1)).as("cn"), sum(expr("1000000 div wdeg")).as("ra_q"))
+    scored
+      .join(adj.select(col("node").as("a"), col("nbr").as("b")), Seq("a", "b"), "left_anti")
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .filter(col("cn") >= 2)
+      .select(col("a"), col("b"), col("cn"), col("ra_q"),
+        expr("(10000 * cn) div (da + db - cn)").as("jac_q"))
+      .orderBy("a", "b")
+  }
+
+  private val grLinkpred: Q = (s, d) => {
+    val docs = table(s, d, "documents").select(col("doc_id"))
+    val n = docs.agg(count(lit(1)).as("n_nodes"))
+    val nodes = docs.crossJoin(broadcast(n))
+    val edges = nodes
+      .select(col("doc_id").as("src"),
+        explode(array(lit(1L), lit(2L), lit(3L))).as("j"), col("n_nodes"))
+      .select(col("src"),
+        pmod(col("src") * 31 + col("j") * 17 + 7, col("n_nodes")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val adj = edges.select(col("src").as("node"), col("dst").as("nbr"))
+      .union(edges.select(col("dst").as("node"), col("src").as("nbr")))
+      .distinct()
+    linkpredCore(adj)
+  }
+
   val queries: Map[String, Q] = Map(
+    "gr_linkpred" -> grLinkpred,
     "gr_bfs" -> grBfs,
     "gr_kcore" -> grKcore,
     "gr_scc" -> grScc,
@@ -718,6 +778,28 @@ object Graph {
   }
 
   val oracle: Map[String, String] = Map(
+    // same plant, same undirected closure, same deg-≤32 bridge cap,
+    // same integer RA/Jaccard quantization, new-links-only via NOT
+    // EXISTS
+    "gr_linkpred" ->
+      s"""WITH $edgesCte,
+         | de AS (SELECT src, dst FROM edges WHERE src <> dst),
+         | ue AS (SELECT src AS node, dst AS nbr FROM de
+         |        UNION SELECT dst AS node, src AS nbr FROM de),
+         | deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM ue GROUP BY node),
+         | br AS (SELECT u.node, u.nbr, dw.deg AS wdeg FROM ue u
+         |        JOIN deg dw ON dw.node = u.nbr WHERE dw.deg <= $lpDegCap),
+         | cand AS (SELECT x.node AS a, y.node AS b, x.wdeg
+         |          FROM br x JOIN br y ON x.nbr = y.nbr AND x.node < y.node),
+         | scored AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cn,
+         |     CAST(sum(1000000 // wdeg) AS BIGINT) AS ra_q
+         |   FROM cand GROUP BY a, b),
+         | newp AS (SELECT s.* FROM scored s WHERE NOT EXISTS (
+         |     SELECT 1 FROM ue e WHERE e.node = s.a AND e.nbr = s.b))
+         |SELECT n.a, n.b, n.cn, n.ra_q,
+         |  CAST((10000 * n.cn) // (da.deg + db.deg - n.cn) AS BIGINT) AS jac_q
+         |FROM newp n JOIN deg da ON da.node = n.a JOIN deg db ON db.node = n.b
+         |WHERE n.cn >= 2 ORDER BY n.a, n.b""".stripMargin,
     // min-hop levels by recursive UNION (deduped — state is bounded by
     // nodes × levels, never path counts), same plant, same in-edge
     // removal, same seed rule
