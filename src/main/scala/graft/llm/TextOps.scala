@@ -285,27 +285,33 @@ object TextOps {
   private def bm25Ranked(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = table(s, d, "documents").select("doc_id", "text")
-    // (doc_id, term, dl, tf): dl rides the same shuffle (functionally
-    // dependent on doc_id, so the extra group key adds no groups)
-    val postings = docs
-      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"),
-        explode(split(col("text"), " ")).as("term"))
-      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-      .persist() // feeds the df aggregate AND the scoring join
     val stats = docs.agg(count(lit(1)).as("n_docs"),
       sum(size(split(col("text"), " ")).cast("long")).as("total_len"))
-    val queries = docs.filter(col("doc_id") % 100 === 0)
+    // The planted query set is BOUNDED (doc_id < 1e5 keeps it fixed as
+    // the corpus replicates — Doc100Probe offsets copies by 1e6): a
+    // serving workload's query volume does not scale with corpus size,
+    // and an unbounded plant made the 100× probe go |queries|·df
+    // quadratic (OOM at 500k docs; bounded + slice-persisted it runs —
+    // BASELINE.md round-11 retrieval-probe table).
+    val queries = docs.filter(col("doc_id") % 100 === 0 && col("doc_id") < 100000L)
       .select(col("doc_id").as("qid"),
         explode(slice(array_sort(array_distinct(split(col("text"), " "))), 1, 3))
           .as("term"))
-    // df only for QUERY terms: semi-join-prune the postings BEFORE the
-    // aggregate — a full-vocabulary df relation is never built (at
-    // 100 TB the vocabulary aggregate is corpus-sized; the query-term
-    // slice is broadcast-sized)
-    val qdf = postings
+    // (doc_id, term, dl, tf) postings for QUERY TERMS ONLY: the token
+    // stream semi-joins against the broadcast term set BEFORE the tf
+    // aggregate, so neither a full inverted index nor a full-
+    // vocabulary df relation is ever built or persisted — the cached
+    // slice is O(Σ_qterm df), not O(corpus tokens). (tf per (doc,term)
+    // is unaffected by dropping other terms; dl is computed from the
+    // full token array before the explode.)
+    val postQ = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"),
+        explode(split(col("text"), " ")).as("term"))
       .join(broadcast(queries.select("term").distinct()), Seq("term"), "left_semi")
-      .groupBy("term").agg(count(lit(1)).as("df"))
-    val contrib = postings
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .persist() // feeds the df aggregate AND the scoring join
+    val qdf = postQ.groupBy("term").agg(count(lit(1)).as("df"))
+    val contrib = postQ
       .join(broadcast(queries), Seq("term"))
       .join(broadcast(qdf), Seq("term"))
       .crossJoin(broadcast(stats))
@@ -352,7 +358,9 @@ object TextOps {
     val emb = table(s, d, "embeddings")
     def toD(c: Column) = transform(c, x => x.cast("double"))
     def dot(a: Column, b: Column) = ArrayFns.vecDot(a, b)
-    val probes = emb.filter(col("vec_id") % 100 === 0)
+    // same bounded plant as the BM25 side: the probe set stays fixed
+    // as the corpus grows
+    val probes = emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 100000L)
       .select(col("vec_id").as("qid"), toD(col("embedding")).as("qe"))
     val cands = emb.select(col("vec_id").as("doc_id"), toD(col("embedding")).as("ce"))
     val sims = cands.crossJoin(broadcast(probes))
@@ -555,6 +563,48 @@ object TextOps {
     * string algebra, scan-local, zero shuffle; offsets are derived
     * from rendered lengths so they stay correct under any template
     * change. */
+  // tx_fim: fill-in-the-middle example construction (Bavarian et al.
+  // 2022) — the document-level transform a code/text pretraining
+  // pipeline applies to a fraction of the corpus so the model learns
+  // infilling. Two deterministic cuts split the text into
+  // prefix|middle|suffix and the example renders in BOTH published
+  // orders: PSM (<PRE>p<SUF>s<MID>m) and SPM (<SUF>s<PRE>p<MID>m).
+  //
+  // Determinism (no RNG anywhere): the FIM rate is doc_id % 2 = 0 and
+  // the cuts are integer hash mixes of doc_id into the first and
+  // second thirds of the char range — pure BIGINT arithmetic replayed
+  // verbatim by the oracle. Docs shorter than 9 chars (and the odd
+  // half) pass through as mode='plain' with the original text hashed,
+  // so the gate is falsifiable in both directions. Scale shape: pure
+  // scan-local string algebra — one projection, zero shuffle, the
+  // ts_normalize family.
+  private val txFim: Q = (s, d) => {
+    val docs = table(s, d, "documents").select("doc_id", "text")
+    val len = length(col("text")).cast("long")
+    // floor at 1 so the cut mix stays defined on <9-char plain rows
+    // (their c1/c2 are masked to null anyway)
+    val third = greatest(expr("CAST(length(text) AS BIGINT) div 3"), lit(1L))
+    val c1 = lit(1L) + pmod(col("doc_id") * 7919L, third)
+    val c2 = c1 + lit(1L) + pmod(col("doc_id") * 104729L, third)
+    val isFim = (pmod(col("doc_id"), lit(2L)) === 0L) && (len >= 9L)
+    val pre = substring(col("text"), lit(1), (c1 - 1L).cast("int"))
+    val mid = substring(col("text"), c1.cast("int"), (c2 - c1).cast("int"))
+    val suf = substring(col("text"), c2.cast("int"), (len - c2 + 1L).cast("int"))
+    docs.select(
+      col("doc_id"),
+      when(isFim, lit("fim")).otherwise(lit("plain")).as("mode"),
+      when(isFim, c1).as("c1"),
+      when(isFim, c2).as("c2"),
+      when(isFim, length(pre).cast("long")).as("n_pre"),
+      when(isFim, length(mid).cast("long")).as("n_mid"),
+      when(isFim, length(suf).cast("long")).as("n_suf"),
+      when(isFim, md5(concat(lit("<PRE>"), pre, lit("<SUF>"), suf, lit("<MID>"), mid)))
+        .otherwise(md5(col("text"))).as("out_md5"),
+      when(isFim, md5(concat(lit("<SUF>"), suf, lit("<PRE>"), pre, lit("<MID>"), mid)))
+        .as("spm_md5"))
+      .orderBy("doc_id")
+  }
+
   private val txSftRender: Q = (s, d) => {
     // the assistant span is sized by the array's own length (tk[9:]
     // semantics) — a magic position cap would silently truncate a
@@ -629,6 +679,7 @@ object TextOps {
     "ts_normalize" -> tsNormalize,
     "ts_entropy" -> tsEntropy,
     "tx_sft_render" -> txSftRender,
+    "tx_fim" -> txFim,
     "ts_hosts" -> tsHosts,
     "tx_chunks" -> txChunks,
     "ts_ngram_lm" -> tsNgramLm,
@@ -715,6 +766,37 @@ object TextOps {
          | CASE WHEN floor(($sqlEntropy) * 10000) < 28000
          |      THEN 'low' ELSE 'ok' END AS entropy_flag
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // same integer cut mix, same ≥9/odd plain passthrough, both render
+    // orders re-derived from substr arithmetic
+    "tx_fim" ->
+      """WITH f AS (SELECT doc_id, text,
+        |    CAST(length(text) AS BIGINT) AS len,
+        |    GREATEST(CAST(length(text) AS BIGINT) // 3, 1) AS third,
+        |    (doc_id % 2 = 0 AND length(text) >= 9) AS isfim
+        |  FROM documents),
+        | c AS (SELECT doc_id, text, len, isfim,
+        |    1 + (doc_id * 7919) % third AS c1,
+        |    1 + (doc_id * 7919) % third + 1 + (doc_id * 104729) % third AS c2
+        |  FROM f),
+        | p AS (SELECT doc_id, text, isfim, c1, c2,
+        |    substr(text, 1, CAST(c1 - 1 AS INT)) AS pre,
+        |    substr(text, CAST(c1 AS INT), CAST(c2 - c1 AS INT)) AS mid,
+        |    substr(text, CAST(c2 AS INT), CAST(len - c2 + 1 AS INT)) AS suf
+        |  FROM c)
+        |SELECT doc_id,
+        |  CASE WHEN isfim THEN 'fim' ELSE 'plain' END AS mode,
+        |  CASE WHEN isfim THEN c1 END AS c1,
+        |  CASE WHEN isfim THEN c2 END AS c2,
+        |  CASE WHEN isfim THEN CAST(length(pre) AS BIGINT) END AS n_pre,
+        |  CASE WHEN isfim THEN CAST(length(mid) AS BIGINT) END AS n_mid,
+        |  CASE WHEN isfim THEN CAST(length(suf) AS BIGINT) END AS n_suf,
+        |  CASE WHEN isfim
+        |    THEN md5('<PRE>' || pre || '<SUF>' || suf || '<MID>' || mid)
+        |    ELSE md5(text) END AS out_md5,
+        |  CASE WHEN isfim
+        |    THEN md5('<SUF>' || suf || '<PRE>' || pre || '<MID>' || mid)
+        |    END AS spm_md5
+        |FROM p ORDER BY doc_id""".stripMargin,
     "tx_sft_render" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         | r AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
@@ -913,7 +995,7 @@ object TextOps {
       s"""WITH $bm25RankedCtes,
         | bm AS (SELECT qid, doc_id, rank AS r_bm25 FROM ranked WHERE rank <= 5),
         | q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
-        |       FROM embeddings WHERE vec_id % 100 = 0),
+        |       FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 100000),
         | c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings),
         | sims AS (SELECT q.qid, c.cid AS doc_id,
         |    list_dot_product(q.qe, c.ce)
@@ -951,7 +1033,7 @@ object TextOps {
       |           FROM documents),
       | queries AS (SELECT doc_id AS qid,
       |     unnest(list_sort(list_distinct(string_split(text, ' ')))[1:3]) AS term
-      |   FROM documents WHERE doc_id % 100 = 0),
+      |   FROM documents WHERE doc_id % 100 = 0 AND doc_id < 100000),
       | contrib AS (SELECT q.qid, p.doc_id,
       |     CAST(round(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
       |       * (p.tf * 2.2)
