@@ -48,9 +48,9 @@ object Kmeans {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val K = 4  // clusters
-  private val T = 5  // Lloyd iterations
-  private val D = 64 // embedding dimensions
+  private[graft] val K = 4  // clusters
+  private val T = 5         // Lloyd iterations
+  private[graft] val D = 64 // embedding dimensions
 
   /** Exact squared L2 distance between the quantized embedding and a
     * centroid literal: BIGINT end to end. */
@@ -61,57 +61,74 @@ object Kmeans {
 
   /** The floor-division mean, shared verbatim with the oracle's
     * `CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT)`. */
-  private def floorMean(s: Long, n: Long): Long =
+  private[graft] def floorMean(s: Long, n: Long): Long =
     math.floor(s.toDouble / n).toLong
 
-  private val mlKmeans: Q = (s, d) =>
-    lloyd(s, table(s, d, "embeddings")
+  /** Quantize the raw embedding relation to (vec_id, eq: array<long>)
+    * — the 1e-6 integer micro-units every distance computes over. */
+  private[graft] def quantized(s: SparkSession, d: String): DataFrame =
+    table(s, d, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding"),
-          x => floor(x.cast("double") * lit(1000000.0)).cast("long")).as("eq")))
+          x => floor(x.cast("double") * lit(1000000.0)).cast("long")).as("eq"))
+
+  private def dimSumCols: Seq[Column] =
+    (1 to D).map(i => sum(element_at(col("eq"), i)).as(s"s$i"))
+
+  /** Hash-shard init stats: one row per vec_id % K shard with count and
+    * per-dim integer sums. */
+  private[graft] def shardStats(df: DataFrame): Array[org.apache.spark.sql.Row] =
+    df.withColumn("k", col("vec_id") % K)
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_k"), dimSumCols: _*)
+      .collect()
+
+  /** One assignment pass: argmin over the centroid literals with
+    * (dist, k) tie-break, then the constant-width per-cluster stats
+    * reduce (count, div-1000 wcss, per-dim sums). */
+  private[graft] def assignStats(batch: DataFrame,
+      cents: Map[Int, Array[Long]]): Array[org.apache.spark.sql.Row] = {
+    val dists = (0 until K).map(k => sqDist(col("eq"), cents(k)).as(s"d$k"))
+    val withD = batch.select(col("vec_id") +: col("eq") +: dists: _*)
+      .withColumn("dist", least((0 until K).map(k => col(s"d$k")): _*))
+    // argmin with ascending-k tie-break (matches ORDER BY dist, k)
+    val kCol = (0 until K - 1).foldRight(lit(K - 1): Column) { (k, rest) =>
+      when(col(s"d$k") === col("dist"), lit(k)).otherwise(rest)
+    }
+    withD.withColumn("k", kCol)
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_k"),
+        expr("CAST(sum(dist div 1000) AS BIGINT)").as("w") +: dimSumCols: _*)
+      .collect()
+  }
+
+  private val mlKmeans: Q = (s, d) => lloyd(s, quantized(s, d))
+
+  /** rows → per-cluster floor-division-mean centroids, previous
+    * centroid carried for clusters absent from `rows`. */
+  private[graft] def toCentroids(rows: Array[org.apache.spark.sql.Row],
+      prev: Map[Int, Array[Long]]): Map[Int, Array[Long]] = {
+    val byK = rows.map(r => r.getAs[Number]("k").intValue() -> r).toMap
+    (0 until K).map { k =>
+      byK.get(k) match {
+        case Some(r) =>
+          val n = r.getAs[Long]("n_k")
+          k -> Array.tabulate(D)(i => floorMean(r.getAs[Long](s"s${i + 1}"), n))
+        case None => k -> prev(k)
+      }
+    }.toMap
+  }
 
   /** The Lloyd loop over a pre-quantized (vec_id, eq: array<long>)
     * relation — seam for the planted-blob spec. */
   private[llm] def lloyd(s: SparkSession, eqIn: DataFrame): DataFrame = {
     val eq = eqIn.persist()
-
-    val dimSums = (1 to D).map(i => sum(element_at(col("eq"), i)).as(s"s$i"))
-
-    def toCentroids(rows: Array[org.apache.spark.sql.Row],
-                    prev: Map[Int, Array[Long]]): Map[Int, Array[Long]] = {
-      val byK = rows.map(r => r.getAs[Number]("k").intValue() -> r).toMap
-      (0 until K).map { k =>
-        byK.get(k) match {
-          case Some(r) =>
-            val n = r.getAs[Long]("n_k")
-            k -> Array.tabulate(D)(i => floorMean(r.getAs[Long](s"s${i + 1}"), n))
-          case None => k -> prev(k)
-        }
-      }.toMap
-    }
-
     // Init: hash-shard means — centroid k = per-dimension mean of the
     // vec_id % K shard (deterministic, well-spread, SQL-replayable).
-    val init = eq.withColumn("k", col("vec_id") % K)
-      .groupBy("k")
-      .agg(count(lit(1)).as("n_k"), dimSums: _*)
-      .collect()
-    var cents = toCentroids(init, Map.empty)
-
+    var cents = toCentroids(shardStats(eq), Map.empty)
     val out = collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Long)]()
     for (t <- 1 to T) {
-      val dists = (0 until K).map(k => sqDist(col("eq"), cents(k)).as(s"d$k"))
-      val withD = eq.select(col("vec_id") +: col("eq") +: dists: _*)
-        .withColumn("dist", least((0 until K).map(k => col(s"d$k")): _*))
-      // argmin with ascending-k tie-break (matches ORDER BY dist, k)
-      val kCol = (0 until K - 1).foldRight(lit(K - 1): Column) { (k, rest) =>
-        when(col(s"d$k") === col("dist"), lit(k)).otherwise(rest)
-      }
-      val stats = withD.withColumn("k", kCol)
-        .groupBy("k")
-        .agg(count(lit(1)).as("n_k"),
-          expr("CAST(sum(dist div 1000) AS BIGINT)").as("w") +: dimSums: _*)
-        .collect()
+      val stats = assignStats(eq, cents)
       val byK = stats.map(r => r.getAs[Number]("k").intValue() -> r).toMap
       val newCents = toCentroids(stats, cents)
       for (k <- 0 until K) {
@@ -174,4 +191,57 @@ object Kmeans {
 
   def queries: Map[String, Q] = Map("ml_kmeans" -> mlKmeans)
   def oracle: Map[String, String] = Map("ml_kmeans" -> kmeansSql)
+
+  // ------------------------------------------------------------------
+  // st_kmeans oracle (the streaming mini-batch variant lives in
+  // streaming/StreamQueries; the math and its replay stay in this
+  // file): B sequential batches, batch t assigned against the
+  // centroids AFTER batch t−1 (batch 0 against its own hash-shard
+  // means), centroids updated from CUMULATIVE exact integer sufficient
+  // statistics — floorMean over everything assigned so far, which is
+  // exactly what the driver's running (n, Σ) state computes.
+  // ------------------------------------------------------------------
+  private[graft] val B = 4 // micro-batches; membership (vec_id div 4) % B
+
+  private[graft] def streamKmeansSql: String = {
+    val parts = collection.mutable.ArrayBuffer[String]()
+    parts += s"""e AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS eq
+       | FROM embeddings)""".stripMargin
+    for (t <- 0 until B)
+      parts += s"b$t AS (SELECT vec_id, eq FROM e WHERE (vec_id // 4) % $B = $t)"
+    // init: hash-shard means of batch 0
+    parts += s"""m0 AS (SELECT vec_id % $K AS k, generate_subscripts(eq,1) AS dim, unnest(eq) AS v FROM b0),
+       |g0 AS (SELECT k, dim, CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+       |       FROM m0 GROUP BY k, dim),
+       |c0 AS (SELECT k, list(cv ORDER BY dim) AS cq FROM g0 GROUP BY k)""".stripMargin
+    for (t <- 0 until B) {
+      val used = if (t == 0) "c0" else s"cc${t - 1}"
+      parts += s"""d$t AS (SELECT b.vec_id, b.eq, c.k,
+         |  CAST(list_sum(list_transform(range(1,${D + 1}),
+         |    i -> (b.eq[i]-c.cq[i])*(b.eq[i]-c.cq[i]))) AS BIGINT) AS dist
+         | FROM b$t b CROSS JOIN $used c),
+         |a$t AS (SELECT vec_id, eq, k, dist FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, k ASC) AS rn
+         |  FROM d$t) WHERE rn = 1)""".stripMargin
+      val cumUnion = (0 to t).map(i => s"SELECT k, eq FROM a$i").mkString(" UNION ALL ")
+      parts += s"""au$t AS ($cumUnion),
+         |mm$t AS (SELECT k, generate_subscripts(eq,1) AS dim, unnest(eq) AS v FROM au$t),
+         |gg$t AS (SELECT k, dim, CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+         |        FROM mm$t GROUP BY k, dim),
+         |ccr$t AS (SELECT k, list(cv ORDER BY dim) AS cq FROM gg$t GROUP BY k),
+         |cc$t AS (SELECT p.k, COALESCE(cr.cq, p.cq) AS cq
+         |        FROM $used p LEFT JOIN ccr$t cr ON cr.k = p.k),
+         |s$t AS (SELECT k, COUNT(*) AS n_k,
+         |  CAST(SUM(dist // 1000) AS BIGINT) AS wcss_q FROM a$t GROUP BY k),
+         |o$t AS (SELECT $t AS batch, c.k, COALESCE(s.n_k, 0) AS n_k,
+         |  COALESCE(s.wcss_q, 0) AS wcss_q, CAST(list_sum(c.cq) AS BIGINT) AS c_sum
+         | FROM cc$t c LEFT JOIN s$t s ON s.k = c.k)""".stripMargin
+    }
+    val union = (0 until B).map(t => s"SELECT * FROM o$t").mkString(" UNION ALL ")
+    s"""WITH ${parts.mkString(",\n")}
+       |SELECT CAST(batch AS BIGINT) AS batch, CAST(k AS BIGINT) AS k,
+       |  CAST(n_k AS BIGINT) AS n_k, wcss_q, c_sum
+       |FROM ($union) ORDER BY batch, k""".stripMargin
+  }
 }

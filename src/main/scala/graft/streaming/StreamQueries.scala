@@ -351,6 +351,94 @@ object StreamQueries {
     ()
   }
 
+  case class KmRow(vec_id: Long, eq: Seq[Long])
+
+  /** The st_kmeans per-batch processor, factored to a seam so the
+    * replay spec can drive it under a redelivery schedule: a batch id
+    * at or below the high-water mark is a NO-OP on the driver state
+    * (same-id redelivery after a pre-offset-commit crash must not
+    * double-count its sufficient statistics). */
+  private[graft] final class MiniBatchKmeans {
+    import graft.llm.Kmeans
+    private[graft] var cents: Map[Int, Array[Long]] = null
+    private var lastSeen = -1L
+    private val cumN = Array.fill(Kmeans.K)(0L)
+    private val cumS = Array.fill(Kmeans.K)(Array.fill(Kmeans.D)(0L))
+    private[graft] val out =
+      collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Long)]()
+
+    def process(batch: DataFrame, id: Long): Unit = {
+      if (id <= lastSeen) return
+      lastSeen = id
+      if (cents == null)
+        cents = Kmeans.toCentroids(Kmeans.shardStats(batch), Map.empty)
+      val stats = Kmeans.assignStats(batch, cents)
+      val byK = stats.map(r => r.getAs[Number]("k").intValue() -> r).toMap
+      for (k <- 0 until Kmeans.K) byK.get(k).foreach { r =>
+        cumN(k) += r.getAs[Long]("n_k")
+        for (i <- 0 until Kmeans.D) cumS(k)(i) += r.getAs[Long](s"s${i + 1}")
+      }
+      val newCents = (0 until Kmeans.K).map { k =>
+        k -> (if (cumN(k) > 0)
+          Array.tabulate(Kmeans.D)(i => Kmeans.floorMean(cumS(k)(i), cumN(k)))
+        else cents(k))
+      }.toMap
+      for (k <- 0 until Kmeans.K) {
+        val (nk, w) = byK.get(k)
+          .map(r => (r.getAs[Long]("n_k"), r.getAs[Long]("w")))
+          .getOrElse((0L, 0L))
+        out += ((id, k.toLong, nk, w, newCents(k).sum))
+      }
+      cents = newCents
+    }
+  }
+
+  /** Streaming mini-batch k-means (Sculley 2010's web-scale k-means
+    * reduced to its deterministic core): embedding vectors arrive as
+    * B sequential micro-batches; each batch is assigned against the
+    * centroids learned from everything BEFORE it (batch 0 against its
+    * own hash-shard means) and the model updates from CUMULATIVE exact
+    * integer sufficient statistics — the driver holds (n_k, Σ_kd) and
+    * re-derives floor-division-mean centroids after every trigger, the
+    * streaming twin of ml_kmeans' driver-resident-model shape. Rows
+    * are never revisited: one assignment pass each, O(batch) work per
+    * trigger, O(K·D) driver state — the same economics at any corpus
+    * size. Replay-idempotent by a batch-id high-water mark (a
+    * redelivered trigger is a no-op on the driver state — the
+    * CrashReplaySpec discipline). The oracle replays every batch:
+    * membership rule, per-batch assignment against the pre-batch
+    * centroids, cumulative update, batch stats — one wrong assignment
+    * in any trigger diverges every later batch's c_sum. */
+  private val stKmeans: Q = (parent, d) => {
+    val s = scoped(parent)
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.llm.Kmeans
+    val all = cachedRows(d, "kmrows") {
+      Kmeans.quantized(s, d).as[KmRow].collect().sortBy(_.vec_id)
+    }
+    val batches = (0 until Kmeans.B).map(t =>
+      all.filter(r => (r.vec_id / 4) % Kmeans.B == t))
+    require(batches.forall(_.nonEmpty), "st_kmeans: empty micro-batch")
+    val model = new MiniBatchKmeans
+    val source = MemoryStream[KmRow]
+    val name = s"st_kmeans_${seq.incrementAndGet()}"
+    val q = source.toDS().writeStream
+      .foreachBatch((ds: org.apache.spark.sql.Dataset[KmRow], id: Long) =>
+        model.process(ds.toDF(), id))
+      .option("checkpointLocation", ckpt(name)).start()
+    try {
+      for (t <- 0 until Kmeans.B) {
+        source.addData(batches(t).toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally {
+      q.stop()
+      dropCkpt(name)
+    }
+    model.out.toSeq.toDF("batch", "k", "n_k", "wcss_q", "c_sum").orderBy("batch", "k")
+  }
+
   /** Streaming ANN index maintenance under the gate (the composed
     * sequel to ann_ivf_upsert and st_dedup_indexed): vector ingest
     * arrives as micro-batches; each batch is assigned to its nearest
@@ -854,6 +942,7 @@ object StreamQueries {
     "st_sliding" -> stSliding,
     "st_enrich" -> stEnrich,
     "st_ann_upsert" -> stAnnUpsert,
+    "st_kmeans" -> stKmeans,
     "st_anomaly" -> stAnomaly,
     "st_sessions" -> stSessions,
     "st_asof" -> stAsof,
@@ -898,6 +987,8 @@ object StreamQueries {
     // the ann_ivf_upsert candidate-fixture twin over THIS gate's
     // fixture: twins re-derived from the ×2 arithmetic, scores and
     // ranking recomputed from raw embeddings
+    // generated beside the batch kmeans math it replays
+    "st_kmeans" -> graft.llm.Kmeans.streamKmeansSql,
     "st_ann_upsert" -> {
       val (plantN, upsertOffset, _, _, kNeighbors) = graft.llm.Similarity.upsertConsts
       s"""WITH p AS (SELECT qid, cid FROM read_parquet('/tmp/graft_fixtures/stannup_cands/*.parquet')),
