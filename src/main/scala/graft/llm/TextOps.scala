@@ -563,6 +563,49 @@ object TextOps {
     * string algebra, scan-local, zero shuffle; offsets are derived
     * from rendered lengths so they stay correct under any template
     * change. */
+  // ts_winnow: winnowing document fingerprinting (Schleimer, Wilkerson
+  // & Aiken 2003 — the MOSS algorithm): hash every 8-char gram, slide
+  // a w=4 window over the hash sequence, select each window's RIGHTMOST
+  // minimum. The selection guarantees (a) any shared substring ≥
+  // w+k−1 chars yields a shared fingerprint and (b) expected density
+  // 2/(w+1) — measured 0.408 at sf0.01, the textbook value — so it is
+  // the position-robust near-copy detector dd_spans' exact machinery
+  // cannot give (winnowing survives insertions that shift every
+  // position; fingerprint HASHES are content-anchored).
+  //
+  // Cross-engine determinism: the gram hash is md5 of the gram itself
+  // (identical hex strings both engines) and "minimum" is the
+  // LEXICOGRAPHIC order on those hex strings — a total order with no
+  // integer conversion to disagree on. Scale shape: pure scan-local
+  // array algebra per row (transform/slice/array_min over the in-row
+  // hash array) — one projection, ZERO shuffle at any corpus size; the
+  // cross-doc match step is a fingerprint equi-join downstream.
+  // <11-char docs take the declared 'short' branch.
+  private val tsWinnow: Q = (s, d) =>
+    table(s, d, "documents").select("doc_id", "text")
+      .select(col("doc_id"), expr("CAST(length(text) AS BIGINT)").as("n"),
+        expr("""CASE WHEN length(text) >= 11 THEN
+            transform(sequence(1, length(text) - 7),
+              i -> md5(CAST(substr(text, CAST(i AS INT), 8) AS BINARY))) END""")
+          .as("hs"))
+      .select(col("doc_id"), col("n"), col("hs"),
+        expr("""CASE WHEN n >= 11 THEN
+            transform(sequence(1, size(hs) - 3), j ->
+              concat(lpad(CAST(j + (4 - array_position(
+                  reverse(slice(hs, CAST(j AS INT), 4)),
+                  array_min(slice(hs, CAST(j AS INT), 4)))) AS STRING), 8, '0'),
+                ':', array_min(slice(hs, CAST(j AS INT), 4)))) END""").as("sel"))
+      .select(col("doc_id"),
+        expr("CASE WHEN n >= 11 THEN 'fp' ELSE 'short' END").as("mode"),
+        expr("CASE WHEN n >= 11 THEN CAST(size(hs) AS BIGINT) ELSE 0 END").as("n_grams"),
+        expr("CASE WHEN n >= 11 THEN CAST(size(sel) AS BIGINT) ELSE 0 END").as("n_windows"),
+        expr("CASE WHEN n >= 11 THEN CAST(size(array_distinct(sel)) AS BIGINT) ELSE 0 END")
+          .as("n_fps"),
+        expr("""CASE WHEN n >= 11
+            THEN md5(CAST(array_join(array_sort(array_distinct(sel)), ',') AS BINARY))
+            ELSE md5(CAST('' AS BINARY)) END""").as("fp_md5"))
+      .orderBy("doc_id")
+
   // tx_fim: fill-in-the-middle example construction (Bavarian et al.
   // 2022) — the document-level transform a code/text pretraining
   // pipeline applies to a fraction of the corpus so the model learns
@@ -680,6 +723,7 @@ object TextOps {
     "ts_entropy" -> tsEntropy,
     "tx_sft_render" -> txSftRender,
     "tx_fim" -> txFim,
+    "ts_winnow" -> tsWinnow,
     "ts_hosts" -> tsHosts,
     "tx_chunks" -> txChunks,
     "ts_ngram_lm" -> tsNgramLm,
@@ -766,6 +810,31 @@ object TextOps {
          | CASE WHEN floor(($sqlEntropy) * 10000) < 28000
          |      THEN 'low' ELSE 'ok' END AS entropy_flag
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // same md5-gram chain, same rightmost-min selection via
+    // list_reverse+list_position, same lpad'd fingerprint strings
+    "ts_winnow" ->
+      """WITH base AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        | g AS (SELECT doc_id, n,
+        |    CASE WHEN n >= 11 THEN list_transform(range(1, n - 8 + 2),
+        |      i -> md5(substr(text, CAST(i AS INT), 8))) END AS hs
+        |  FROM base),
+        | w AS (SELECT doc_id, n, hs,
+        |    CASE WHEN n >= 11 THEN
+        |      list_transform(range(1, len(hs) - 4 + 2), j ->
+        |        lpad(CAST(j + (4 - list_position(list_reverse(hs[j:j+3]),
+        |            list_min(hs[j:j+3]))) AS VARCHAR), 8, '0')
+        |        || ':' || list_min(hs[j:j+3]))
+        |    END AS sel
+        |  FROM g)
+        |SELECT doc_id,
+        |  CASE WHEN n >= 11 THEN 'fp' ELSE 'short' END AS mode,
+        |  CASE WHEN n >= 11 THEN CAST(len(hs) AS BIGINT) ELSE 0 END AS n_grams,
+        |  CASE WHEN n >= 11 THEN CAST(len(sel) AS BIGINT) ELSE 0 END AS n_windows,
+        |  CASE WHEN n >= 11 THEN CAST(len(list_distinct(sel)) AS BIGINT) ELSE 0 END AS n_fps,
+        |  CASE WHEN n >= 11
+        |    THEN md5(array_to_string(list_sort(list_distinct(sel)), ','))
+        |    ELSE md5('') END AS fp_md5
+        |FROM w ORDER BY doc_id""".stripMargin,
     // same integer cut mix, same ≥9/odd plain passthrough, both render
     // orders re-derived from substr arithmetic
     "tx_fim" ->
