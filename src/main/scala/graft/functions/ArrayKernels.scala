@@ -227,4 +227,7 @@ object ArrayFns {
 
   def shingles3(text: Column): Column =
     ColumnBridge.column(Shingles3(ColumnBridge.expression(text)))
+
+  def winnowSel(text: Column, withPositions: Boolean): Column =
+    ColumnBridge.column(WinnowSel(ColumnBridge.expression(text), withPositions))
 }

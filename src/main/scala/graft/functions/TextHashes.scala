@@ -28,6 +28,70 @@ object TextHashKernels {
   /** FNV-1a of one token — the per-token hash feeding simhash. */
   def fnv64(s: UTF8String): Long = rollingHash(s)
 
+  /** Winnowing selection over 8-codepoint-gram md5 hashes with a w=4
+    * rightmost-min window — the fused kernel behind [[WinnowSel]].
+    * Gram positions are codepoint-based (SQL substr semantics) and the
+    * hash order is lexicographic on the md5 hex string, both exactly
+    * what the declarative DuckDB twin computes. Docs under 11
+    * codepoints return an empty array (the 'short' branch). */
+  def winnowSel(s: UTF8String, withPositions: Boolean): ArrayData = {
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length
+    if (n < 11) return new GenericArrayData(Array.empty[Any])
+    val m = n - 7
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hs = new Array[String](m)
+    var i = 0
+    while (i < m) {
+      val dig = md.digest(new String(cps, i, 8)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val sb = new java.lang.StringBuilder(32)
+      var b = 0
+      while (b < 16) {
+        sb.append(Character.forDigit((dig(b) >> 4) & 0xf, 16))
+        sb.append(Character.forDigit(dig(b) & 0xf, 16))
+        b += 1
+      }
+      hs(i) = sb.toString
+      i += 1
+    }
+    val nw = m - 3
+    if (withPositions) {
+      val out = new Array[Any](nw)
+      var j = 0
+      while (j < nw) {
+        var minv = hs(j)
+        var pos = j
+        var x = j + 1
+        while (x <= j + 3) { // <= keeps the RIGHTMOST minimum
+          if (hs(x).compareTo(minv) <= 0) { minv = hs(x); pos = x }
+          x += 1
+        }
+        out(j) = UTF8String.fromString(f"${pos + 1}%08d:$minv")
+        j += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      val seen = new java.util.LinkedHashSet[String]()
+      var j = 0
+      while (j < nw) {
+        var minv = hs(j)
+        var x = j + 1
+        while (x <= j + 3) {
+          if (hs(x).compareTo(minv) <= 0) minv = hs(x)
+          x += 1
+        }
+        seen.add(minv)
+        j += 1
+      }
+      val out = new Array[Any](seen.size)
+      var idx = 0
+      val it = seen.iterator()
+      while (it.hasNext) { out(idx) = UTF8String.fromString(it.next()); idx += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
   /** 27-bin character entropy (a–z + space, nats) — single byte pass +
     * fixed-order fold, the fused form of the 27-term declarative chain
     * the ts_entropy oracle replays (len − len(replace)) per symbol.
@@ -187,6 +251,31 @@ case class RollingHash(child: Expression) extends UnaryExpression {
     TextHashKernels.rollingHash(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHashKernels.rollingHash($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `winnow_sel(text)` — winnowing fingerprint selection (Schleimer et
+  * al. 2003) as one fused codegen'd pass: md5 every 8-codepoint gram,
+  * slide the w=4 window, emit each window's rightmost minimum. The
+  * declarative HOF chain it replaces (transform over windows, each
+  * doing slice+reverse+array_position+array_min — all interpreted per
+  * element) measured 11.5 s for 5k sf0.1 docs; the kernel is one tight
+  * loop with a reused MessageDigest. withPositions=true → one
+  * "%08d:hash" string per window (ts_winnow's sel relation, duplicates
+  * kept so n_windows survives); false → the DISTINCT hash-only
+  * fingerprints (dd_winnow's join keys). */
+case class WinnowSel(child: Expression, withPositions: Boolean) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"winnow_sel needs a string argument, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashKernels.winnowSel(input.asInstanceOf[UTF8String], withPositions)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashKernels.winnowSel($c, $withPositions)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -853,7 +853,43 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("url_norm")
 
+  // -------------------------------------------------------------------
+  // dd_winnow: near-copy detection via shared winnowing fingerprints —
+  // the cross-document half of ts_winnow and exactly how MOSS finds
+  // plagiarized pairs. Candidate pairs form ONLY inside per-fingerprint
+  // buckets (the LSH-band discipline): fingerprints shared by < 2 docs
+  // pair nothing, and boilerplate fingerprints shared by > 32 docs are
+  // dropped — MOSS's own "too common to be signal" rule AND the cap
+  // that keeps pairing Σ df² linear-ish at any corpus size (the
+  // gr_linkpred/dd_minhash bucket-cap family). The verdict score is
+  // the overlap coefficient shared/min(|A|,|B|) on the capped
+  // fingerprint sets, integer-quantized; pairs need ≥3 shared
+  // fingerprints and overlap ≥ 0.5 (24 genuine pairs at sf0.01 out of
+  // 53k sharing ≥3 — the coefficient, not co-occurrence, is the
+  // discriminator). Shuffle shape: one explode shuffled on the
+  // fingerprint key, one pair aggregate, two size joins.
+  // -------------------------------------------------------------------
+  private val ddWinnow: Q = (s, d) => {
+    val fps = TextOps.winnowFpRelation(s, d).persist()
+    val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    val dfreq = fps.groupBy("fp").agg(count(lit(1)).as("c"))
+    val rare = fps.join(dfreq.filter(col("c").between(2, 32)), Seq("fp"), "left_semi")
+    val pairs = rare.select(col("doc_id").as("da"), col("fp"))
+      .join(rare.select(col("doc_id").as("db"), col("fp")), Seq("fp"))
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.select(col("doc_id").as("da"), col("nf").as("nf_a")), Seq("da"))
+      .join(sizes.select(col("doc_id").as("db"), col("nf").as("nf_b")), Seq("db"))
+      .filter(col("shared") >= 3)
+      .select(col("da"), col("db"), col("shared"), col("nf_a"), col("nf_b"),
+        expr("(10000 * shared) div least(nf_a, nf_b)").as("ov_q"))
+      .filter(col("ov_q") >= 5000)
+      .orderBy("da", "db")
+  }
+
   val queries: Map[String, Q] = Map(
+    "dd_winnow" -> ddWinnow,
     "dd_urls" -> ddUrls,
     "dd_exact" -> ddExact,
     "dd_jaccard" -> ddJaccard,
@@ -913,6 +949,30 @@ object Dedup {
        |FROM flg GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same gram/selection chain as ts_winnow (hash part), same 2..32
+    // df band, same overlap-coefficient verdict
+    "dd_winnow" ->
+      """WITH base AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        | g AS (SELECT doc_id, n, CASE WHEN n >= 11 THEN
+        |     list_transform(range(1, n - 8 + 2), i -> md5(substr(text, CAST(i AS INT), 8)))
+        |   END AS hs FROM base),
+        | w AS (SELECT doc_id, list_distinct(list_transform(range(1, len(hs) - 4 + 2),
+        |     j -> list_min(hs[j:j+3]))) AS fps FROM g WHERE n >= 11),
+        | sz AS (SELECT doc_id, len(fps) AS nf FROM w),
+        | e AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+        | dfq AS (SELECT fp, count(*) AS c FROM e GROUP BY fp),
+        | rare AS (SELECT e.doc_id, e.fp FROM e JOIN dfq ON dfq.fp = e.fp
+        |          WHERE dfq.c BETWEEN 2 AND 32),
+        | pairs AS (SELECT a.doc_id AS da, b.doc_id AS db,
+        |     CAST(count(*) AS BIGINT) AS shared
+        |   FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |   GROUP BY 1, 2)
+        |SELECT p.da, p.db, p.shared,
+        |  CAST(sa.nf AS BIGINT) AS nf_a, CAST(sb.nf AS BIGINT) AS nf_b,
+        |  CAST((10000 * p.shared) // least(sa.nf, sb.nf) AS BIGINT) AS ov_q
+        |FROM pairs p JOIN sz sa ON sa.doc_id = p.da JOIN sz sb ON sb.doc_id = p.db
+        |WHERE p.shared >= 3 AND (10000 * p.shared) // least(sa.nf, sb.nf) >= 5000
+        |ORDER BY p.da, p.db""".stripMargin,
     // the plant and the canonicalization chain both replayed in SQL —
     // same regex dialect subset (no RE2/Java divergence in these
     // patterns), same rule order

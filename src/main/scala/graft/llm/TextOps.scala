@@ -581,23 +581,20 @@ object TextOps {
   // hash array) — one projection, ZERO shuffle at any corpus size; the
   // cross-doc match step is a fingerprint equi-join downstream.
   // <11-char docs take the declared 'short' branch.
+  // The selection itself runs as the fused native WinnowSel kernel
+  // (one codegen'd pass per doc, reused MessageDigest) — the nested
+  // transform/slice/array_min HOF chain it replaced is interpreted per
+  // element and measured 11.5 s for 5k sf0.1 docs (BASELINE.md
+  // round-11 table has the before/after); the DuckDB oracle still
+  // replays that declarative chain, so the kernel is gated against an
+  // INDEPENDENT formulation.
   private val tsWinnow: Q = (s, d) =>
     table(s, d, "documents").select("doc_id", "text")
       .select(col("doc_id"), expr("CAST(length(text) AS BIGINT)").as("n"),
-        expr("""CASE WHEN length(text) >= 11 THEN
-            transform(sequence(1, length(text) - 7),
-              i -> md5(CAST(substr(text, CAST(i AS INT), 8) AS BINARY))) END""")
-          .as("hs"))
-      .select(col("doc_id"), col("n"), col("hs"),
-        expr("""CASE WHEN n >= 11 THEN
-            transform(sequence(1, size(hs) - 3), j ->
-              concat(lpad(CAST(j + (4 - array_position(
-                  reverse(slice(hs, CAST(j AS INT), 4)),
-                  array_min(slice(hs, CAST(j AS INT), 4)))) AS STRING), 8, '0'),
-                ':', array_min(slice(hs, CAST(j AS INT), 4)))) END""").as("sel"))
+        ArrayFns.winnowSel(col("text"), withPositions = true).as("sel"))
       .select(col("doc_id"),
         expr("CASE WHEN n >= 11 THEN 'fp' ELSE 'short' END").as("mode"),
-        expr("CASE WHEN n >= 11 THEN CAST(size(hs) AS BIGINT) ELSE 0 END").as("n_grams"),
+        expr("CASE WHEN n >= 11 THEN n - 7 ELSE 0 END").as("n_grams"),
         expr("CASE WHEN n >= 11 THEN CAST(size(sel) AS BIGINT) ELSE 0 END").as("n_windows"),
         expr("CASE WHEN n >= 11 THEN CAST(size(array_distinct(sel)) AS BIGINT) ELSE 0 END")
           .as("n_fps"),
@@ -605,6 +602,14 @@ object TextOps {
             THEN md5(CAST(array_join(array_sort(array_distinct(sel)), ',') AS BINARY))
             ELSE md5(CAST('' AS BINARY)) END""").as("fp_md5"))
       .orderBy("doc_id")
+
+  /** The content-anchored winnow fingerprint relation (doc_id, fp) —
+    * hash part only, positions dropped — shared with dd_winnow's
+    * cross-document pairing. Distinct per doc. */
+  private[llm] def winnowFpRelation(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents").select("doc_id", "text")
+      .select(col("doc_id"),
+        explode(ArrayFns.winnowSel(col("text"), withPositions = false)).as("fp"))
 
   // tx_fim: fill-in-the-middle example construction (Bavarian et al.
   // 2022) — the document-level transform a code/text pretraining

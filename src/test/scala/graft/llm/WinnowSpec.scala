@@ -70,6 +70,31 @@ class WinnowSpec extends AnyFunSuite {
     assert(density > 0.2 && density < 0.7, s"density $density out of band")
   }
 
+  test("dd_winnow: near-copies pair, disjoint docs don't, boilerplate cap bites") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ddwinnow").toString
+    // 0/1: near-copies (shared body, different prefix); 2: disjoint;
+    // 100..139: forty docs sharing one verbatim sentence -> its
+    // fingerprints have df 40 > 32 and may create no pairs
+    val boiler = "this exact boilerplate sentence appears in forty documents verbatim"
+    val docs = Seq(
+      0L -> body, 1L -> ("DIFFERENT HEAD " + body),
+      2L -> "nothing here resembles the fox sentence in any way at all friend") ++
+      (100L to 139L).map(i => i -> s"unique head $i $boiler")
+    docs.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'t' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = Dedup.queries("dd_winnow")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    assert(pairs.contains((0L, 1L)), "near-copies must pair")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), "disjoint doc paired")
+    // the boilerplate block: every cross-pair's shared fingerprints sit
+    // in df-40 buckets, which the 2..32 band drops entirely
+    assert(!pairs.exists(p => p._1 >= 100L && p._2 >= 100L),
+      "over-cap boilerplate fingerprints must not create pairs")
+  }
+
   test("prefix insertion preserves trailing-content fingerprint hashes") {
     val hashesOf = (t: String) => ref(t).map(_.drop(9)).toSet // hash part only
     val base = hashesOf(body)
