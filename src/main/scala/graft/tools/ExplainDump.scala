@@ -48,7 +48,12 @@ object ExplainDump {
     "ts_normalize" -> "fused NormalizeText kernel: one codegen'd byte pass per doc replaces three regex passes — scan → project → sort, zero shuffle",
     "ml_lr_curate" -> "classifier curation serve side: scan-local features standardized by driver-literal moments, scored by literal weights — zero joins, zero shuffles before the output sort",
     "w15_anomaly" -> "rolling anomaly z-scores: all three quantized frame sums ride ONE user_id window exchange; z is scan-local IEEE algebra over the window outputs",
-    "ann_filtered" -> "filtered vector serve: label predicate joined into the candidate scan BEFORE scoring, probe cells broadcast — filtered-out vectors never reach a dot product")
+    "ann_filtered" -> "filtered vector serve: label predicate joined into the candidate scan BEFORE scoring, probe cells broadcast — filtered-out vectors never reach a dot product",
+    "ts_bm25" -> "BM25 serve: token stream semi-joined against the broadcast query-term set BEFORE the tf aggregate (no full inverted index materializes), df semi-pruned, per-qid top-k as partial+final WindowGroupLimit",
+    "ts_hybrid_rrf" -> "hybrid RRF fusion: two output-sensitive top-k relations full-outer joined, the two-term reciprocal-rank sum quantized and window-ranked — O(queries·k) past the input builds",
+    "gr_linkpred" -> "link prediction: adjacency self-join shuffles on the capped bridge key, degree joins on node id, existing edges anti-joined — candidate pairs bounded by Σ deg², never all-pairs",
+    "ts_winnow" -> "winnowing fingerprints: the fused WinnowSel kernel runs the whole gram-hash + rightmost-min selection inside the scan projection — zero shuffle before the output sort",
+    "dd_winnow" -> "winnow near-copy pairs: fingerprint-keyed explode shuffle, df 2..32 band via semi-join, pair aggregate + two size joins — boilerplate fingerprints never pair")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
