@@ -205,8 +205,38 @@ object Snapshot {
       .orderBy("tbl", "version")
   }
 
+  // -------------------------------------------------------------------
+  // fs_changes: incremental snapshot read — Iceberg's incremental scan
+  // / Delta's CDC-append consume: the rows ADDED between two committed
+  // versions are exactly the file groups in manifest(v2) ∖
+  // manifest(v1), and the read plans from THAT DIFF alone. At 100 TB
+  // this is the whole point of manifest-versioned tables for a
+  // training pipeline: a downstream consumer (tokenizer shard build,
+  // index refresh, dedup-index grow) re-processes O(delta) bytes per
+  // version, never the table. The base group's bytes provably never
+  // enter the plan (SnapshotSpec pins the scan's file list); the
+  // oracle re-derives the delta from the ingest predicate, so a
+  // directory-listing read or a diff that leaked a base group drifts
+  // the counts.
+  // -------------------------------------------------------------------
+  private[graft] def changesDf(s: SparkSession, d: String): DataFrame = {
+    val root = ensureTable(s, d)
+    val diff = readManifest(root, 2).toSet -- readManifest(root, 1).toSet
+    s.read.parquet(diff.toSeq.sorted: _*)
+  }
+
+  private val fsChanges: Q = (s, d) =>
+    changesDf(s, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(floor(col("value") * 1000000L).cast("long")).as("sq"))
+      .select(col("event_type"), col("n_rows"),
+        dround(col("sq") / 1000000.0, 4).as("sum_value"))
+      .orderBy("event_type")
+
   val queries: Map[String, Q] = Map(
     "fs_snapshot" -> fsSnapshot,
+    "fs_changes" -> fsChanges,
     "fs_vacuum" -> fsVacuum,
     "fs_clone" -> fsClone)
 
@@ -222,6 +252,13 @@ object Snapshot {
         | round(sum(CAST(floor(value * 1000000) AS BIGINT)) / 1000000.0, 4)
         |FROM events
         |ORDER BY version""".stripMargin,
+    // the v1→v2 delta re-derived from the ingest predicate — never
+    // from the engine's manifests or files
+    "fs_changes" ->
+      """SELECT event_type, count(*) AS n_rows,
+        | round(sum(CAST(floor(value * 1000000) AS BIGINT)) / 1000000.0, 4) AS sum_value
+        |FROM events WHERE event_id % 10 = 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // clone v1 = the source at clone time (the full table); clone v2
     // adds the divergence slice; the source's latest stays the full
     // table — all three re-derived from predicates, never from files

@@ -26,6 +26,17 @@ class SnapshotSpec extends AnyFunSuite {
     assert(n2 > n1, "v2 sees the appended delta")
   }
 
+  test("fs_changes plans from the manifest diff alone: no base-group bytes in the scan") {
+    val changes = Snapshot.changesDf(spark, sf)
+    val files = changes.inputFiles
+    assert(files.nonEmpty)
+    assert(files.forall(_.contains("/files/delta")),
+      s"incremental read leaked non-delta groups: ${files.mkString(",")}")
+    val expect = graft.io.Sources.table(spark, sf, "events")
+      .filter(pmod(col("event_id"), lit(10L)) === 0L).count()
+    assert(changes.count() == expect)
+  }
+
   test("an unlisted file group in the tree is invisible to manifest reads") {
     val root = Snapshot.ensureTable(spark, sf)
     val rogue = s"$root/files/rogue"
