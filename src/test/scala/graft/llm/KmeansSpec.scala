@@ -73,6 +73,15 @@ class KmeansSpec extends AnyFunSuite {
     assert(got.exists(_._4 > 0L))
   }
 
+  test("bit-identical output on any partitioning (the integer-reduce guarantee)") {
+    import spark.implicits._
+    val rows = planted
+    def run(parts: Int) =
+      Kmeans.lloyd(spark, rows.toDF("vec_id", "eq").repartition(parts))
+        .collect().map(_.toSeq).toSeq
+    assert(run(1) == run(7))
+  }
+
   test("sf0.001 embeddings: complete partition and non-increasing total WCSS") {
     val rows = Kmeans.queries("ml_kmeans")(spark, "/root/testdata/sf0.001")
       .collect()
