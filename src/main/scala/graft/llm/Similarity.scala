@@ -702,6 +702,59 @@ object Similarity {
   private val annIvfPqRecall: Q = annRecall(annIvfPq, "annivfpq_topk")
 
   // -------------------------------------------------------------------
+  // ann_tune: the recall-vs-nProbe operating-point table — the FAISS
+  // benchmark every serving team builds before picking an index
+  // config: serve the SAME probes through the SAME persisted IVF index
+  // at nProbe ∈ {1,2,4,8} of 16 cells and report served-candidate
+  // volume + recall against the exact baseline per setting. Because
+  // the serving metric IS the exact metric, recall is provably
+  // monotone in nProbe (a candidate that displaces an exact-top-k
+  // member from the served top-k must itself be exact-top-k) — pinned
+  // by AnnTuneSpec. Cost: 4 probe-ring scans over probed cells only;
+  // the index is built once (the build-once/serve-many rule).
+  // -------------------------------------------------------------------
+  private val tuneNProbes = Seq(1, 2, 4, 8)
+
+  private def ivfServeAt(s: SparkSession, d: String, np: Int): DataFrame = {
+    val idx = ensureIvfIndex(s, d)
+    val assigned = s.read.parquet(s"$idx/assignments")
+    val centroids = s.read.parquet(s"$idx/centroids")
+    val probes = table(s, d, "embeddings").select(col("vec_id"), asDouble.as("ve"))
+      .filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("qid"), col("ve").as("qe"))
+    val probeCells = probes.crossJoin(broadcast(centroids))
+      .withColumn("cdist", -cosine(col("qe"), col("ce")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("qid").orderBy(asc("cdist"), asc("cl"))))
+      .filter(col("crk") <= np)
+      .select("qid", "qe", "cl")
+    assigned.join(broadcast(probeCells), Seq("cl"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        cosine(col("qe"), col("ve")).as("sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))))
+      .filter(col("rk") <= kNeighbors)
+      .select("qid", "cid")
+  }
+
+  private val annTune: Q = (s, d) => {
+    val exact = knnCosine(s, d).select("qid", "cid").persist()
+    tuneNProbes.map { np =>
+      val served = ivfServeAt(s, d, np).persist()
+      graft.io.Sinks.dumpFixture(served, s"anntune_$np")
+      val hits = exact.join(served, Seq("qid", "cid"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      val nServed = served.agg(count(lit(1)).as("n_served"))
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(hits).crossJoin(nServed)
+        .select(lit(np.toLong).as("n_probe"), col("n_served"),
+          col("n_exact"), col("hits"),
+          dround(col("hits").cast("double") / col("n_exact"), 4).as("recall"))
+    }.reduce(_ unionByName _).orderBy("n_probe")
+  }
+
+  // -------------------------------------------------------------------
   // ann_filtered: metadata-FILTERED vector search — "nearest neighbors
   // within my category", the constraint serving stacks bolt onto every
   // vector index (FAISS IDSelector / Qdrant-style payload filter). The
@@ -1163,6 +1216,7 @@ object Similarity {
     "ann_pq_recall" -> annPqRecall,
     "ann_ivf_pq" -> annIvfPq,
     "ann_ivf_pq_recall" -> annIvfPqRecall,
+    "ann_tune" -> annTune,
     "ann_ivf_upsert" -> annIvfUpsert,
     "ann_ivf_delete" -> annIvfDelete,
     "ann_mrl" -> annMrl,
@@ -1413,6 +1467,33 @@ object Similarity {
     // with an independently recomputed baseline.
     "ann_pq_recall" -> annRecallOracle("annpq_topk"),
     "ann_ivf_pq_recall" -> annRecallOracle("annivfpq_topk"),
+    // per-setting recall re-derived from the per-nProbe fixtures and
+    // the from-scratch exact top-k
+    "ann_tune" -> {
+      val ex =
+        s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+           |           FROM embeddings WHERE vec_id < $nProbes),
+           | c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings),
+           | sims AS (
+           |  SELECT q.qid, c.cid,
+           |   list_dot_product(q.qe, c.ce)
+           |     / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.ce, c.ce))) AS sim
+           |  FROM q CROSS JOIN c WHERE q.qid <> c.cid),
+           | ranked AS (
+           |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+           |  FROM sims),
+           | ex AS (SELECT qid, cid FROM ranked WHERE rk <= $kNeighbors)""".stripMargin
+      val blocks = tuneNProbes.map { np =>
+        val fx = s"read_parquet('/tmp/graft_fixtures/anntune_$np/*.parquet')"
+        s"""SELECT CAST($np AS BIGINT) AS n_probe,
+           | (SELECT count(*) FROM $fx) AS n_served,
+           | (SELECT count(*) FROM ex) AS n_exact,
+           | (SELECT count(*) FROM ex JOIN $fx p USING (qid, cid)) AS hits,
+           | round((SELECT count(*) FROM ex JOIN $fx p USING (qid, cid))::DOUBLE
+           |   / (SELECT count(*) FROM ex), 4) AS recall""".stripMargin
+      }
+      s"$ex\nSELECT * FROM (${blocks.mkString(" UNION ALL ")}) ORDER BY n_probe"
+    },
     // composed-lifecycle twin: twins re-derived from the ×2
     // arithmetic; tombstone AND label predicates re-applied to the
     // fixture candidates (a leak → row-set mismatch); both Matryoshka
