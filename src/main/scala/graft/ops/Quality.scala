@@ -129,12 +129,63 @@ object Quality {
       .orderBy("bin")
   }
 
+  // -------------------------------------------------------------------
+  // dq_kanon: k-anonymity audit (Sweeney's k-anonymity, the release
+  // gate a training-data drop with user-derived rows passes before
+  // export): group users by their quasi-identifier tuple — dominant
+  // event type (mode, min-type tie-break) × activity-volume bucket
+  // (n_events div 5) — and flag every group smaller than k=5, whose
+  // members are re-identifiable by the QI alone. The corpus yields
+  // BOTH states at both gate SFs (sf0.01: 23 of 38 groups violating,
+  // 53 users at risk; sf0.1: 12 of 51), so the gate is falsifiable in
+  // both directions.
+  //
+  // Scale shape: every step — the per-(user, type) counts, the mode
+  // window, the per-user total — keys on user_id, so the whole profile
+  // build rides ONE exchange family; the QI-group relation is
+  // domain-bounded (|types| × volume buckets), tiny at any corpus
+  // size.
+  // -------------------------------------------------------------------
+  private val kAnon = 5
+
+  private val dqKanon: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = table(s, d, "events").select("user_id", "event_type")
+    val counts = ev.groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+    val dom = counts.withColumn("rk", row_number().over(
+        Window.partitionBy("user_id").orderBy(desc("c"), asc("event_type"))))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_type").as("dom"))
+    val tot = ev.groupBy("user_id").agg(count(lit(1)).as("n_ev"))
+    tot.join(dom, Seq("user_id"))
+      .select(col("dom"), expr("n_ev div 5").as("vol"))
+      .groupBy("dom", "vol").agg(count(lit(1)).as("n_users"))
+      .select(col("dom"), col("vol"), col("n_users"),
+        when(col("n_users") < kAnon, lit("violating")).otherwise(lit("ok")).as("status"))
+      .orderBy("dom", "vol")
+  }
+
   val queries: Map[String, Q] = Map(
     "dq_profile" -> dqProfile,
     "dq_checks" -> dqChecks,
-    "dq_drift" -> dqDrift)
+    "dq_drift" -> dqDrift,
+    "dq_kanon" -> dqKanon)
 
   val oracle: Map[String, String] = Map(
+    // the QI derivation (mode with min-type tie-break, div-5 volume
+    // bucket) and the k=5 rule re-derived from scratch
+    "dq_kanon" ->
+      """WITH d AS (SELECT user_id, event_type, count(*) AS c,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY count(*) DESC, event_type) AS rk
+        |  FROM events GROUP BY user_id, event_type),
+        | tot AS (SELECT user_id, count(*) AS n_ev FROM events GROUP BY user_id),
+        | prof AS (SELECT t.user_id, dm.event_type AS dom, t.n_ev // 5 AS vol
+        |   FROM tot t JOIN d dm ON dm.user_id = t.user_id AND dm.rk = 1)
+        |SELECT dom, CAST(vol AS BIGINT) AS vol,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CASE WHEN count(*) < 5 THEN 'violating' ELSE 'ok' END AS status
+        |FROM prof GROUP BY dom, vol ORDER BY dom, vol""".stripMargin,
     // the FNV split, integer binning, smoothing and quantized PSI terms
     // re-derived from scratch (the fnv replay is the ds_split pattern)
     "dq_drift" -> {
