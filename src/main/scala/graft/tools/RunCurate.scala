@@ -41,6 +41,8 @@ object RunCurate {
     "neardup_pairs" -> "dd_minhash",
     "boilerplate" -> "dd_lines",
     "dup_spans" -> "dd_spans",
+    "winnow_pairs" -> "dd_winnow",
+    "fingerprints" -> "ts_winnow",
     "incremental" -> "dd_incremental")
 
   /** Session-agnostic body — the smoke test drives this directly.

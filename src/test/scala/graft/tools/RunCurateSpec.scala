@@ -14,13 +14,13 @@ class RunCurateSpec extends AnyFunSuite {
     val counts = RunCurate.run(spark, sf, out)
     assert(counts.keySet == Set("curated", "splits", "quality", "langid",
       "stats", "dedup_exact", "neardup_pairs", "boilerplate", "dup_spans",
-      "incremental", "dq_checks"))
+      "winnow_pairs", "fingerprints", "incremental", "dq_checks"))
     // per-doc reports cover the whole corpus; counts agree with the
     // direct query (same code path, but through the written artifact)
     val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
     assert(counts("quality") == nDocs && counts("stats") == nDocs
       && counts("langid") == nDocs && counts("boilerplate") == nDocs
-      && counts("splits") == nDocs)
+      && counts("splits") == nDocs && counts("fingerprints") == nDocs)
     assert(counts("curated") > 0 && counts("curated") <= nDocs)
     assert(counts("dq_checks") == 5)
     // idempotent: a second run overwrites to the same counts
@@ -40,7 +40,7 @@ class RunCurateSpec extends AnyFunSuite {
     assert(!counts.contains("dq_checks"))
     assert(counts.keySet == Set("curated", "splits", "quality", "langid",
       "stats", "dedup_exact", "neardup_pairs", "boilerplate", "dup_spans",
-      "incremental"))
+      "winnow_pairs", "fingerprints", "incremental"))
     assert(counts.values.forall(_ > 0))
   }
 }
