@@ -351,6 +351,84 @@ object StreamQueries {
     ()
   }
 
+  case class DriftRow(doc_id: Long, bin: Long)
+
+  /** st_drift: streaming distribution-drift monitor — dq_drift's PSI
+    * fired incrementally, the production alarm a pipeline keeps on an
+    * arriving crawl drop: the candidate half streams in B batches
+    * against a FIXED reference histogram (computed once from the
+    * content-hash reference half; global bounds fixed with it); each
+    * trigger folds the batch's bin counts into the cumulative
+    * candidate histogram — driver state is O(bins), per-trigger work
+    * one constant-width groupBy — and re-emits the full 10-bin PSI row
+    * set (add-one smoothing, the dq_drift float chain verbatim,
+    * quantized to 1e-6). Replay-idempotent by the batch-id high-water
+    * mark. The oracle replays every trigger WITHOUT unrolled chains:
+    * cumulative membership at batch t is just the plain predicate
+    * (doc_id div 4) % B ≤ t. */
+  private val stDrift: Q = (parent, d) => {
+    val s = scoped(parent)
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val (bN, bins) = (4, 10)
+    val docs = graft.io.Sources.table(s, d, "documents")
+    val bd = docs.agg(min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx")).head()
+    val (mn, mx) = (bd.getLong(0), bd.getLong(1))
+    val tagged = docs.select(col("doc_id"),
+      (pmod(graft.functions.TextHashes.rollHash(col("text")), lit(1000L)) < 500)
+        .as("is_ref"),
+      expr(s"((n_chars - $mn) * $bins) div ($mx - $mn + 1)").as("bin"))
+    val nRef = {
+      val m = tagged.filter(col("is_ref")).groupBy("bin")
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getAs[Long]("bin") -> r.getAs[Long]("n")).toMap
+      Array.tabulate(bins)(b => m.getOrElse(b.toLong, 0L))
+    }
+    val tRef = nRef.sum
+    val cand = cachedRows(d, "driftrows") {
+      tagged.filter(!col("is_ref")).select(col("doc_id"), col("bin"))
+        .as[DriftRow].collect().sortBy(_.doc_id)
+    }
+    val batches = (0 until bN).map(t => cand.filter(r => (r.doc_id / 4) % bN == t))
+    require(batches.forall(_.nonEmpty), "st_drift: empty micro-batch")
+    val cum = Array.fill(bins)(0L)
+    var lastSeen = -1L
+    val out = collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Long)]()
+    // scalar twin of Numeric.dround(·, 0): half away from zero
+    def dr0(x: Double): Long =
+      (if (x >= 0) math.floor(x + 0.5) else -math.floor(-x + 0.5)).toLong
+    val source = MemoryStream[DriftRow]
+    val name = s"st_drift_${seq.incrementAndGet()}"
+    val q = source.toDS().writeStream
+      .foreachBatch((ds: org.apache.spark.sql.Dataset[DriftRow], id: Long) => {
+        if (id > lastSeen) {
+          lastSeen = id
+          ds.toDF().groupBy("bin").agg(count(lit(1)).as("n")).collect()
+            .foreach(r => cum(r.getAs[Long]("bin").toInt) += r.getAs[Long]("n"))
+          val tCur = cum.sum
+          for (b <- 0 until bins) {
+            val pc = (cum(b) + 1).toDouble / (tCur + bins)
+            val pr = (nRef(b) + 1).toDouble / (tRef + bins)
+            out += ((id, b.toLong, nRef(b), cum(b),
+              dr0((pc - pr) * math.log(pc / pr) * 1e6)))
+          }
+        }
+        ()
+      })
+      .option("checkpointLocation", ckpt(name)).start()
+    try {
+      for (t <- 0 until bN) {
+        source.addData(batches(t).toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally {
+      q.stop()
+      dropCkpt(name)
+    }
+    out.toSeq.toDF("batch", "bin", "n_ref", "n_cur", "psi_micro")
+      .orderBy("batch", "bin")
+  }
+
   case class KmRow(vec_id: Long, eq: Seq[Long])
 
   /** The st_kmeans per-batch processor, factored to a seam so the
@@ -943,6 +1021,7 @@ object StreamQueries {
     "st_enrich" -> stEnrich,
     "st_ann_upsert" -> stAnnUpsert,
     "st_kmeans" -> stKmeans,
+    "st_drift" -> stDrift,
     "st_anomaly" -> stAnomaly,
     "st_sessions" -> stSessions,
     "st_asof" -> stAsof,
@@ -989,6 +1068,47 @@ object StreamQueries {
     // ranking recomputed from raw embeddings
     // generated beside the batch kmeans math it replays
     "st_kmeans" -> graft.llm.Kmeans.streamKmeansSql,
+    // every trigger's cumulative candidate histogram re-derived with
+    // the batch rule as a plain predicate; same FNV split, bounds,
+    // binning, smoothing and float chain as the dq_drift twin
+    "st_drift" -> {
+      val fnv = graft.functions.TextHashes.fnvFoldSql("text")
+      val signed = graft.functions.TextHashes.fnvSignedSql("hu")
+      val common =
+        s"""WITH h AS (SELECT doc_id, n_chars, $fnv AS hu FROM documents),
+           | f AS (SELECT doc_id, n_chars,
+           |         ((($signed) % 1000) + 1000) % 1000 < 500 AS is_ref FROM h),
+           | bounds AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents),
+           | binned AS (SELECT doc_id, is_ref,
+           |              ((n_chars - mn) * 10) // (mx - mn + 1) AS bin
+           |            FROM f CROSS JOIN bounds),
+           | bins AS (SELECT unnest(generate_series(0, 9)) AS bin),
+           | r AS (SELECT b.bin, coalesce(x.n, 0) AS n_ref FROM bins b
+           |       LEFT JOIN (SELECT bin, CAST(count(*) AS BIGINT) AS n
+           |                  FROM binned WHERE is_ref GROUP BY 1) x USING (bin)),
+           | tr AS (SELECT sum(n_ref) AS t_ref FROM r)""".stripMargin
+      val blocks = (0 until 4).map { t =>
+        s""" c$t AS (SELECT b.bin, coalesce(x.n, 0) AS n_cur FROM bins b
+           |   LEFT JOIN (SELECT bin, CAST(count(*) AS BIGINT) AS n FROM binned
+           |              WHERE NOT is_ref AND (doc_id // 4) % 4 <= $t
+           |              GROUP BY 1) x USING (bin)),
+           | t$t AS (SELECT sum(n_cur) AS t_cur FROM c$t),
+           | o$t AS (SELECT $t AS batch, r.bin, r.n_ref, c.n_cur,
+           |   CAST(round((
+           |     (c.n_cur + 1)::DOUBLE / (t.t_cur + 10) -
+           |     (r.n_ref + 1)::DOUBLE / (tr.t_ref + 10)) *
+           |     ln(((c.n_cur + 1)::DOUBLE / (t.t_cur + 10)) /
+           |        ((r.n_ref + 1)::DOUBLE / (tr.t_ref + 10))) * 1e6) AS BIGINT)
+           |     AS psi_micro
+           |  FROM c$t c JOIN r USING (bin) CROSS JOIN t$t t CROSS JOIN tr)""".stripMargin
+      }
+      val union = (0 until 4).map(t => s"SELECT * FROM o$t").mkString(" UNION ALL ")
+      s"""$common,
+         |${blocks.mkString(",\n")}
+         |SELECT CAST(batch AS BIGINT) AS batch, CAST(bin AS BIGINT) AS bin,
+         |  n_ref, n_cur, psi_micro
+         |FROM ($union) ORDER BY batch, bin""".stripMargin
+    },
     "st_ann_upsert" -> {
       val (plantN, upsertOffset, _, _, kNeighbors) = graft.llm.Similarity.upsertConsts
       s"""WITH p AS (SELECT qid, cid FROM read_parquet('/tmp/graft_fixtures/stannup_cands/*.parquet')),
