@@ -228,12 +228,19 @@ object Dedup {
     // aggregate over the persisted hash relation; empty on every gate
     // corpus) so a saturated corpus's recall cliff is an observable
     // number, not a silent comment.
-    val nLoneOverflow = sigGroups.filter(col("cw") === 1).count()
-    if (nLoneOverflow > 0)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"dd_minhash: $nLoneOverflow overflow-bucket member(s) without an " +
-          "md5 twin dropped from in-bucket pairing (cap semantics; they may " +
-          "still pair via other bands)")
+    // Gated on overflow existence (ADVICE r11): the common no-overflow
+    // case pays one early-stopping isEmpty over the (persisted-input)
+    // widths aggregate instead of driving the md5-group job eagerly on
+    // every construction; the md5 count only runs when a bucket
+    // actually overflowed.
+    if (!widths.filter(col("bw") > cap).isEmpty) {
+      val nLoneOverflow = sigGroups.filter(col("cw") === 1).count()
+      if (nLoneOverflow > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"dd_minhash: $nLoneOverflow overflow-bucket member(s) without an " +
+            "md5 twin dropped from in-bucket pairing (cap semantics; they may " +
+            "still pair via other bands)")
+    }
     // Star pairs are md5-identical, so their exact Jaccard is 1.0 BY
     // CONSTRUCTION — emit the literal and skip the token-hash verify
     // join entirely. On a saturated corpus this is the difference

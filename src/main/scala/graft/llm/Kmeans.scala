@@ -114,7 +114,12 @@ object Kmeans {
         case Some(r) =>
           val n = r.getAs[Long]("n_k")
           k -> Array.tabulate(D)(i => floorMean(r.getAs[Long](s"s${i + 1}"), n))
-        case None => k -> prev(k)
+        // At init (prev empty — a vec_id % K residue class with no
+        // members) there is nothing to carry over, so the seed is the
+        // explicit zero centroid (ADVICE r11): deterministic, oracle-
+        // replayable, and never a NoSuchElementException on sparse-id
+        // relations fed through the lloyd seam.
+        case None => k -> prev.getOrElse(k, Array.fill(D)(0L))
       }
     }.toMap
   }

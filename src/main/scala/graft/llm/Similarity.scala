@@ -252,7 +252,14 @@ object Similarity {
   // (vec_id, cluster) relation co-partitioned with the vectors; probe
   // cost is nProbe/k of the corpus per query, tunable, never O(n).
   private val ivfK = 16
-  private val ivfNProbe = 3
+  /** Probe-ring width: the MEASURED knee of ann_tune's recall-vs-
+    * nProbe curve (round 12; sf0.01: np=1→0.33, 2→0.40, 4→0.87,
+    * 8→0.93 — doubling past 4 buys +0.07 recall for 2× scanned
+    * cells), wired back into serving per VERDICT r11 next §2. The
+    * recall-gate floors in LlmOpsSpec assert the tuned operating
+    * point, not the old 0.2 house floor, so a serving regression
+    * fails the gate. */
+  private val ivfNProbe = 4
 
   /** (assignments, centroids): vec_id → cluster, and the k cluster
     * centers as a 16-row relation (tiny, broadcast downstream). */
@@ -318,7 +325,11 @@ object Similarity {
     * — like [[annLsh]] — given that set (fixture) the scoring and
     * ranking are oracle-recomputable, so the check is hash-gated;
     * the planted-neighbor recall test covers the layout. */
-  private val annIvf: Q = (s, d) => {
+  /** The ONE IVF serve path (ADVICE r11 — annIvf and ann_tune's
+    * per-setting serve previously duplicated this plan verbatim):
+    * (qid, cid, sim) exact cosines against index rows in each probe's
+    * np nearest cells of the persisted index. */
+  private def ivfSims(s: SparkSession, d: String, np: Int): DataFrame = {
     val idx = ensureIvfIndex(s, d)
     val assigned = s.read.parquet(s"$idx/assignments")
     val centroids = s.read.parquet(s"$idx/centroids")
@@ -328,12 +339,15 @@ object Similarity {
     val probeCells = probes.crossJoin(broadcast(centroids))
       .withColumn("cdist", -cosine(col("qe"), col("ce")))
       .withColumn("crk", row_number().over(Window.partitionBy("qid").orderBy(asc("cdist"), asc("cl"))))
-      .filter(col("crk") <= ivfNProbe)
+      .filter(col("crk") <= np)
       .select("qid", "qe", "cl")
-    val sims = assigned.join(broadcast(probeCells), Seq("cl"))
+    assigned.join(broadcast(probeCells), Seq("cl"))
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("cid"), cosine(col("qe"), col("ve")).as("sim"))
-      .persist()
+  }
+
+  private val annIvf: Q = (s, d) => {
+    val sims = ivfSims(s, d, ivfNProbe).persist()
     graft.io.Sinks.dumpFixture(sims.select("qid", "cid"), "annivf_cands")
     sims.withColumn("rk",
         row_number().over(Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))))
@@ -715,43 +729,39 @@ object Similarity {
   // -------------------------------------------------------------------
   private val tuneNProbes = Seq(1, 2, 4, 8)
 
-  private def ivfServeAt(s: SparkSession, d: String, np: Int): DataFrame = {
-    val idx = ensureIvfIndex(s, d)
-    val assigned = s.read.parquet(s"$idx/assignments")
-    val centroids = s.read.parquet(s"$idx/centroids")
-    val probes = table(s, d, "embeddings").select(col("vec_id"), asDouble.as("ve"))
-      .filter(col("vec_id") < nProbes)
-      .select(col("vec_id").as("qid"), col("ve").as("qe"))
-    val probeCells = probes.crossJoin(broadcast(centroids))
-      .withColumn("cdist", -cosine(col("qe"), col("ce")))
-      .withColumn("crk", row_number().over(
-        Window.partitionBy("qid").orderBy(asc("cdist"), asc("cl"))))
-      .filter(col("crk") <= np)
-      .select("qid", "qe", "cl")
-    assigned.join(broadcast(probeCells), Seq("cl"))
-      .filter(col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("vec_id").as("cid"),
-        cosine(col("qe"), col("ve")).as("sim"))
+  /** Serve the IVF top-k at an explicit probe-ring width — [[ivfSims]]
+    * ranked and cut to kNeighbors. ann_tune sweeps this; annIvf runs
+    * the same plan at the tuned default [[ivfNProbe]]. */
+  private def ivfServeAt(s: SparkSession, d: String, np: Int): DataFrame =
+    ivfSims(s, d, np)
       .withColumn("rk", row_number().over(
         Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))))
       .filter(col("rk") <= kNeighbors)
       .select("qid", "cid")
-  }
 
   private val annTune: Q = (s, d) => {
     val exact = knnCosine(s, d).select("qid", "cid").persist()
-    tuneNProbes.map { np =>
+    // Eager constant-width readback per setting (4 scalar counts —
+    // the sanctioned driver-side scalar regime), so every persisted
+    // relation is unpersisted before return (ADVICE r11: the lazy
+    // union kept exact + four served relations pinned for the
+    // session); the recall division/rounding stays IN the final plan
+    // so engine and oracle share identical round semantics.
+    val nExact = exact.count()
+    val counted = tuneNProbes.map { np =>
       val served = ivfServeAt(s, d, np).persist()
       graft.io.Sinks.dumpFixture(served, s"anntune_$np")
-      val hits = exact.join(served, Seq("qid", "cid"), "left_semi")
-        .agg(count(lit(1)).as("hits"))
-      val nServed = served.agg(count(lit(1)).as("n_served"))
-      exact.agg(count(lit(1)).as("n_exact"))
-        .crossJoin(hits).crossJoin(nServed)
-        .select(lit(np.toLong).as("n_probe"), col("n_served"),
-          col("n_exact"), col("hits"),
-          dround(col("hits").cast("double") / col("n_exact"), 4).as("recall"))
-    }.reduce(_ unionByName _).orderBy("n_probe")
+      val nServed = served.count()
+      val hits = exact.join(served, Seq("qid", "cid"), "left_semi").count()
+      served.unpersist()
+      (np.toLong, nServed, nExact, hits)
+    }
+    exact.unpersist()
+    import s.implicits._
+    counted.toDF("n_probe", "n_served", "n_exact", "hits")
+      .select(col("n_probe"), col("n_served"), col("n_exact"), col("hits"),
+        dround(col("hits").cast("double") / col("n_exact"), 4).as("recall"))
+      .orderBy("n_probe")
   }
 
   // -------------------------------------------------------------------

@@ -826,8 +826,8 @@ object TextOps {
         | w AS (SELECT doc_id, n, hs,
         |    CASE WHEN n >= 11 THEN
         |      list_transform(range(1, len(hs) - 4 + 2), j ->
-        |        lpad(CAST(j + (4 - list_position(list_reverse(hs[j:j+3]),
-        |            list_min(hs[j:j+3]))) AS VARCHAR), 8, '0')
+        |        printf('%08d', j + (4 - list_position(list_reverse(hs[j:j+3]),
+        |            list_min(hs[j:j+3]))))
         |        || ':' || list_min(hs[j:j+3]))
         |    END AS sel
         |  FROM g)

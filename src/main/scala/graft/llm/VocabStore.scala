@@ -40,7 +40,7 @@ object VocabStore {
     * under the corpus dir (two levels — parquet table dirs hold their
     * part files one level down). Regenerating any corpus table changes
     * sizes/mtimes and invalidates the artifact. */
-  private[llm] def fingerprint(d: String, family: String): String = {
+  private[graft] def fingerprint(d: String, family: String): String = {
     val dir = new java.io.File(d)
     def list(f: java.io.File): Array[java.io.File] =
       Option(f.listFiles()).getOrElse(Array.empty)

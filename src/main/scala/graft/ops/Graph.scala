@@ -118,11 +118,26 @@ object Graph {
 
   /** Build the planted edge relation as a bucketed table — at SETUP
     * (Bench/Verify call this before timing), never inside the query,
-    * so the timed query is the bucketed read (VERDICT r4 wrong §2). */
-  def ensurePrEdgesBucketed(s: SparkSession, d: String): Unit =
-    if (!s.catalog.tableExists(prEdgesTable(d))) {
-      val loc = new java.io.File(
-        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), prEdgesTable(d))
+    * so the timed query is the bucketed read (VERDICT r4 wrong §2).
+    *
+    * Trust model (ADVICE r11): tableExists alone would serve stale
+    * edges if the corpus at the same path were regenerated within a
+    * session (n_nodes baked into the planted dst would silently
+    * diverge from pr_pagerank). So the build records the corpus's
+    * manifest fingerprint (the VocabStore sidecar discipline — file
+    * names/sizes/mtimes, metadata-only, never a data scan) next to
+    * the table, and any mismatch rebuilds. */
+  def ensurePrEdgesBucketed(s: SparkSession, d: String): Unit = {
+    val loc = new java.io.File(
+      s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), prEdgesTable(d))
+    val sidecar = new java.io.File(loc, "_GRAFT_FINGERPRINT")
+    val fp = graft.llm.VocabStore.fingerprint(d, "pr_edges")
+    val fresh = s.catalog.tableExists(prEdgesTable(d)) && sidecar.exists() &&
+      scala.util.Try(java.nio.file.Files.readString(sidecar.toPath).trim)
+        .toOption.contains(fp)
+    if (!fresh) {
+      if (s.catalog.tableExists(prEdgesTable(d)))
+        s.sql(s"DROP TABLE IF EXISTS ${prEdgesTable(d)}")
       if (loc.exists) org.apache.commons.io.FileUtils.deleteDirectory(loc)
       val docs = table(s, d, "documents").select(col("doc_id"))
       val n = docs.agg(count(lit(1)).as("n_nodes"))
@@ -138,7 +153,11 @@ object Graph {
         // requirement too (multi-file buckets force a per-round Sort)
         .repartition(prEdgeBuckets, col("src"))
       Bucketing.writeBucketedBy(edges, prEdgesTable(d), prEdgeBuckets, Seq("src"))
+      // written LAST (the VocabStore crash rule): a table without a
+      // valid sidecar reads as stale and rebuilds, never as trusted
+      java.nio.file.Files.writeString(sidecar.toPath, fp)
     }
+  }
 
   private val prPagerankBucketed: Q = (s, d) => {
     require(s.catalog.tableExists(prEdgesTable(d)),

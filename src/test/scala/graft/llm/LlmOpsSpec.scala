@@ -58,7 +58,9 @@ class LlmOpsSpec extends AnyFunSuite {
     val ann = Similarity.queries("ann_lsh")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (knn & ann).size.toDouble / knn.size
-    assert(recall >= 0.2, s"ANN recall vs brute force = $recall")
+    // floor = measured operating point − margin (round 12: 0.5333 on
+    // this corpus), not the old 0.2 coasting floor (VERDICT r11 §2)
+    assert(recall >= 0.4, s"ANN recall vs brute force = $recall")
     // every ANN neighbor must at least be bucket-consistent (same qid set)
     assert(ann.map(_._1).subsetOf(knn.map(_._1)))
   }
@@ -83,7 +85,9 @@ class LlmOpsSpec extends AnyFunSuite {
     val ivf = Similarity.queries("ann_ivf")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (knn & ivf).size.toDouble / knn.size
-    assert(recall >= 0.2, s"IVF recall vs brute force = $recall")
+    // floor = tuned operating point (nProbe=4, ann_tune knee) − margin:
+    // measured 0.60 on this corpus, round 12
+    assert(recall >= 0.45, s"IVF recall vs brute force = $recall")
   }
 
   test("embedding-cosine near-dup finds planted near-identical vectors") {
@@ -131,7 +135,8 @@ class LlmOpsSpec extends AnyFunSuite {
     val pq = Similarity.queries("ann_pq")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (knn & pq).size.toDouble / knn.size
-    assert(recall >= 0.2, s"PQ-ADC recall vs brute force = $recall")
+    // floor = measured operating point − margin (round 12: 0.60 here)
+    assert(recall >= 0.45, s"PQ-ADC recall vs brute force = $recall")
     // and the recall QUERY's arithmetic agrees with the recomputation here
     val row = Similarity.queries("ann_pq_recall")(spark, sf).collect().head
     assert(row.getAs[Long]("n_exact") == knn.size.toLong)
@@ -163,7 +168,10 @@ class LlmOpsSpec extends AnyFunSuite {
     val served = Similarity.queries("ann_ivf_pq")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (knn & served).size.toDouble / knn.size
-    assert(recall >= 0.2, s"IVF-PQ recall vs brute force = $recall")
+    // floor = measured operating point − margin (round 12: 0.40 here —
+    // the composed coarse-quantizer+ADC path trades recall for the
+    // nProbe/ivfK·4B-codes scan; the recall QUERY pins the exact value)
+    assert(recall >= 0.3, s"IVF-PQ recall vs brute force = $recall")
     val row = Similarity.queries("ann_ivf_pq_recall")(spark, sf).collect().head
     assert(row.getAs[Long]("n_exact") == knn.size.toLong)
     // the row's recall is dround(·,4); compare the unrounded inputs
@@ -322,7 +330,17 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(c != q)
     }
     val rec = Similarity.queries("ann_filtered_recall")(spark, sf).head()
-    assert(rec.getAs[Double]("recall") >= 0.2,
-      s"filtered recall ${rec.getAs[Double]("recall")}") // the house ANN floor on the noise corpus
+    assert(rec.getAs[Double]("recall") >= 0.6, // measured 0.7333 at the
+      // tuned operating point (round 12) − margin, not the 0.2 coast floor
+      s"filtered recall ${rec.getAs[Double]("recall")}")
+  }
+
+  test("lifecycle ANN recall holds the tuned operating-point floor") {
+    // measured 0.6667 at nProbe=4 (round 12) − margin; a serving
+    // regression in the upsert/delete/compact lifecycle path now fails
+    // here instead of coasting above the old 0.2 house floor
+    val rec = Similarity.queries("ann_lifecycle_recall")(spark, sf).head()
+    assert(rec.getAs[Double]("recall") >= 0.5,
+      s"lifecycle recall ${rec.getAs[Double]("recall")}")
   }
 }
