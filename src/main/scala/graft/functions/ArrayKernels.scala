@@ -230,4 +230,10 @@ object ArrayFns {
 
   def winnowSel(text: Column, withPositions: Boolean): Column =
     ColumnBridge.column(WinnowSel(ColumnBridge.expression(text), withPositions))
+
+  def substrExtend(ta: Column, tb: Column, aps: Column, bps: Column,
+      minLen: Int): Column =
+    ColumnBridge.column(SubstrExtend(ColumnBridge.expression(ta),
+      ColumnBridge.expression(tb), ColumnBridge.expression(aps),
+      ColumnBridge.expression(bps), minLen))
 }

@@ -92,6 +92,65 @@ object TextHashKernels {
     }
   }
 
+  /** Seed-and-extend maximal shared-substring spans (the cross-document
+    * exact substring dedup kernel behind dd_substr — Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", 2022,
+    * re-expressed over winnowing seeds instead of a suffix array).
+    * Inputs: two documents and the aligned seed position lists (1-based
+    * codepoint gram starts, SQL substr semantics — the positions the
+    * [[winnowSel]] fingerprints carry). Each seed extends left and right
+    * while codepoints match; seeds on the SAME diagonal (ap − bp) that
+    * fall inside an already-extended run are skipped, so the per-pair
+    * cost is O(Σ run length per diagonal), not O(seeds × run length) —
+    * a near-copy pair with L/2.5 fingerprint seeds in one long span
+    * pays for the span once. Output: the DISTINCT maximal aligned spans
+    * of length ≥ minLen as (a_start, a_len, b_start) rows, 1-based,
+    * sorted by (a_start, b_start) — replayed verbatim by the DuckDB
+    * twin, which extends EVERY seed and DISTINCTs (a seed inside a run
+    * extends to the same maximal run, so the sets are provably equal). */
+  def substrExtend(a: UTF8String, b: UTF8String, aps: ArrayData, bps: ArrayData,
+      minLen: Int): ArrayData = {
+    val ca = a.toString.codePoints().toArray
+    val cb = b.toString.codePoints().toArray
+    val n = aps.numElements()
+    // diagonal → sorted distinct seed a-positions
+    val byDiag = new java.util.TreeMap[Long, java.util.TreeSet[Long]]()
+    var i = 0
+    while (i < n) {
+      val ap = aps.getLong(i)
+      val bp = bps.getLong(i)
+      var set = byDiag.get(ap - bp)
+      if (set == null) { set = new java.util.TreeSet[Long](); byDiag.put(ap - bp, set) }
+      set.add(ap)
+      i += 1
+    }
+    val spans = collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val dit = byDiag.entrySet().iterator()
+    while (dit.hasNext) {
+      val e = dit.next()
+      val diag = e.getKey
+      var runEnd = Long.MinValue // exclusive end of the last run, a-coords
+      val ait = e.getValue.iterator()
+      while (ait.hasNext) {
+        val ap = ait.next()
+        if (ap >= runEnd) {
+          val bp = ap - diag
+          val a0 = ap.toInt - 1 // 0-based seed index in ca
+          val b0 = bp.toInt - 1
+          var l = 0
+          while (a0 - l - 1 >= 0 && b0 - l - 1 >= 0 && ca(a0 - l - 1) == cb(b0 - l - 1)) l += 1
+          var r = 0
+          while (a0 + r < ca.length && b0 + r < cb.length && ca(a0 + r) == cb(b0 + r)) r += 1
+          runEnd = ap + r
+          if (l + r >= minLen) spans += ((ap - l, (l + r).toLong, bp - l))
+        }
+      }
+    }
+    val sorted = spans.sortBy(t => (t._1, t._3))
+    new GenericArrayData(sorted.map(t =>
+      org.apache.spark.sql.catalyst.InternalRow(t._1, t._2, t._3): Any).toArray)
+  }
+
   /** 27-bin character entropy (a–z + space, nats) — single byte pass +
     * fixed-order fold, the fused form of the 27-term declarative chain
     * the ts_entropy oracle replays (len − len(replace)) per symbol.
@@ -278,6 +337,39 @@ case class WinnowSel(child: Expression, withPositions: Boolean) extends UnaryExp
       c => s"graft.functions.TextHashKernels.winnowSel($c, $withPositions)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** `substr_extend(text_a, text_b, aps, bps)` — maximal shared-substring
+  * spans from aligned winnow seeds (see [[TextHashKernels.substrExtend]]).
+  * Interpreted eval (CodegenFallback, the SimHash precedent): the
+  * per-pair diagonal-walk loop dominates, codegen buys nothing. */
+case class SubstrExtend(ta: Expression, tb: Expression, pa: Expression,
+    pb: Expression, minLen: Int) extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(ta, tb, pa, pb)
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a_start", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("a_len", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("b_start", LongType, nullable = false))),
+    containsNull = false)
+  override def checkInputDataTypes() =
+    if (ta.dataType == StringType && tb.dataType == StringType &&
+        pa.dataType.isInstanceOf[ArrayType] && pb.dataType.isInstanceOf[ArrayType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "substr_extend needs (string, string, array<long>, array<long>)")
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = ta.eval(input); val b = tb.eval(input)
+    val ap = pa.eval(input); val bp = pb.eval(input)
+    if (a == null || b == null || ap == null || bp == null) null
+    else TextHashKernels.substrExtend(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String], ap.asInstanceOf[ArrayData],
+      bp.asInstanceOf[ArrayData], minLen)
+  }
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression =
+    copy(ta = c(0), tb = c(1), pa = c(2), pb = c(3))
 }
 
 /** `sim_hash(tokens)` — 64-bit SimHash of an array<string> column.

@@ -895,7 +895,98 @@ object Dedup {
       .orderBy("da", "db")
   }
 
+  // -------------------------------------------------------------------
+  // dd_substr: cross-document EXACT substring-span dedup (VERDICT r11
+  // next §1) — the Lee et al. "Deduplicating Training Data" operator:
+  // where dd_winnow says only THAT two docs share content, this says
+  // WHICH maximal text spans they share, character-exact, so a
+  // training pipeline can cut the repeated span instead of dropping a
+  // whole document. Seed-and-extend on the existing winnowing kernels
+  // instead of Lee's suffix array (which needs the corpus resident in
+  // one address space — a non-starter at 100 TB):
+  //
+  //  1. SEED — each doc's winnow-SELECTED (pos, gram-hash) fingerprints
+  //     ([[graft.functions.WinnowSel]], k=8 cp grams, w=4). The
+  //     Schleimer winnowing guarantee is what makes sparse seeding
+  //     EXACT: any shared span of ≥ w+k−1 = 11 codepoints contains a
+  //     full gram window on each side with identical content, and
+  //     rightmost-min selection is content-deterministic, so both docs
+  //     select the SAME gram at ALIGNED positions — no span ≥ the
+  //     threshold can slip between fingerprints. Shuffle volume is the
+  //     selected ~2/(w+1) of gram positions, never every position.
+  //  2. BAND — fingerprints shared by 2..32 distinct docs and ≤ 64
+  //     total occurrences seed pairs (the dd_winnow/dd_minhash df-band
+  //     + cap discipline: boilerplate hubs would make seeding
+  //     quadratic; spans living ONLY in >32-doc boilerplate are
+  //     dropped by declared cap semantics, like every hot-key guard in
+  //     this file).
+  //  3. EXTEND — per (doc_a, doc_b) pair, the texts ship ONCE
+  //     (output-sensitive: only docs that actually share a banded
+  //     fingerprint) and the native [[graft.functions.SubstrExtend]]
+  //     kernel walks each seed diagonal, emitting DISTINCT maximal
+  //     aligned spans ≥ 24 cps, with in-run seeds skipped (O(span),
+  //     not O(seeds·span)).
+  //
+  // Gate falsifiability: span_md5 is computed by the ENGINE from
+  // doc_a's text but by the ORACLE from doc_b's text at b_start — a
+  // misaligned or over-extended span hashes differently on the two
+  // sides, so the content-equality claim itself is under the hash
+  // gate, not just the coordinates.
+  // -------------------------------------------------------------------
+  private[llm] val substrMinLen = 24
+
+  private val ddSubstr: Q = (s, d) =>
+    substrSpansImpl(table(s, d, "documents").select("doc_id", "text"))
+
+  private[llm] def substrSpansImpl(docs: DataFrame): DataFrame = {
+    // persisted: feeds the df-band aggregate AND both sides of the
+    // seed self-join (caller owns cache hygiene — see COVERAGE.md's
+    // clearCache convention)
+    // array_distinct BEFORE the explode: adjacent windows re-select the
+    // same (pos, hash) string, so per-doc dedup is scan-local in the
+    // array domain — the (doc_id, pos, fp) relation is then distinct by
+    // construction and the corpus-wide dropDuplicates shuffle the naive
+    // form pays disappears entirely
+    val sel = docs
+      .select(col("doc_id"),
+        explode(array_distinct(
+          ArrayFns.winnowSel(col("text"), withPositions = true))).as("pf"))
+      .select(col("doc_id"),
+        expr("CAST(substr(pf, 1, 8) AS BIGINT)").as("pos"),
+        expr("substr(pf, 10)").as("fp"))
+      .persist()
+    val band = sel.groupBy("fp")
+      .agg(countDistinct(col("doc_id")).as("nd"), count(lit(1)).as("occ"))
+      .filter(col("nd").between(2, 32) && col("occ") <= 64)
+      .select("fp")
+    // fp-keyed shuffle family: band, semi-join, and the pair self-join
+    // all partition on fp (the dd_winnow shape)
+    val banded = sel.join(band, Seq("fp"), "left_semi")
+    val seeds = banded.select(col("doc_id").as("doc_a"), col("pos").as("ap"), col("fp"))
+      .join(banded.select(col("doc_id").as("doc_b"), col("pos").as("bp"), col("fp")), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "ap", "bp")
+    // one aligned struct list per pair (two separate collect_lists
+    // would lose the ap↔bp pairing — list order is nondeterministic)
+    val grouped = seeds.groupBy("doc_a", "doc_b")
+      .agg(collect_list(struct(col("ap"), col("bp"))).as("sds"))
+    val spans = grouped
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("ta"),
+        explode(ArrayFns.substrExtend(col("ta"), col("tb"),
+          expr("transform(sds, x -> x.ap)"), expr("transform(sds, x -> x.bp)"),
+          substrMinLen)).as("sp"))
+    spans.select(col("doc_a"), col("doc_b"),
+        col("sp.a_start").as("a_start"), col("sp.a_len").as("a_len"),
+        col("sp.b_start").as("b_start"),
+        md5(expr("substr(ta, CAST(sp.a_start AS INT), CAST(sp.a_len AS INT))")
+          .cast("binary")).as("span_md5"))
+      .orderBy("doc_a", "doc_b", "a_start", "b_start")
+  }
+
   val queries: Map[String, Q] = Map(
+    "dd_substr" -> ddSubstr,
     "dd_winnow" -> ddWinnow,
     "dd_urls" -> ddUrls,
     "dd_exact" -> ddExact,
@@ -956,6 +1047,50 @@ object Dedup {
        |FROM flg GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same winnow selection as ts_winnow (positions kept), same 2..32
+    // doc band + 64-occurrence cap; extension replayed per seed via
+    // first-mismatch scans (list_position of the first false — O(span)
+    // per seed, prefix equality is downward-closed so the count of
+    // leading trues IS the extension length); DISTINCT collapses the
+    // in-run seeds the engine kernel skips. span_md5 deliberately
+    // hashes DOC_B's substring where the engine hashed doc_a's — equal
+    // only if the span really is character-identical across docs.
+    "dd_substr" ->
+      s"""WITH base AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        | g AS (SELECT doc_id, n, CASE WHEN n >= 11 THEN
+        |     list_transform(range(1, n - 8 + 2), i -> md5(substr(text, CAST(i AS INT), 8)))
+        |   END AS hs FROM base),
+        | w AS (SELECT doc_id, list_transform(range(1, len(hs) - 4 + 2), j ->
+        |     printf('%08d', j + (4 - list_position(list_reverse(hs[j:j+3]),
+        |         list_min(hs[j:j+3])))) || ':' || list_min(hs[j:j+3])) AS sel
+        |   FROM g WHERE n >= 11),
+        | sel AS (SELECT DISTINCT doc_id, CAST(substr(s, 1, 8) AS BIGINT) AS pos,
+        |     substr(s, 10) AS fp
+        |   FROM w, unnest(w.sel) AS u(s)),
+        | band AS (SELECT fp FROM sel GROUP BY fp
+        |   HAVING count(DISTINCT doc_id) BETWEEN 2 AND 32 AND count(*) <= 64),
+        | seeds AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |     a.pos AS ap, b.pos AS bp
+        |   FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |   WHERE a.fp IN (SELECT fp FROM band)),
+        | ext AS (SELECT s.doc_a, s.doc_b, s.ap, s.bp,
+        |     ta.text AS xa, tb.text AS xb, ta.n AS na, tb.n AS nb
+        |   FROM seeds s JOIN base ta ON ta.doc_id = s.doc_a
+        |   JOIN base tb ON tb.doc_id = s.doc_b),
+        | lens AS (SELECT doc_a, doc_b, ap, bp, xb,
+        |     coalesce(nullif(list_position(list_transform(range(1, least(ap, bp)),
+        |         l -> substr(xa, CAST(ap - l AS INT), 1) = substr(xb, CAST(bp - l AS INT), 1)),
+        |       false), 0) - 1, least(ap, bp) - 1) AS l_len,
+        |     coalesce(nullif(list_position(list_transform(range(0, least(na - ap, nb - bp) + 1),
+        |         i -> substr(xa, CAST(ap + i AS INT), 1) = substr(xb, CAST(bp + i AS INT), 1)),
+        |       false), 0) - 1, least(na - ap, nb - bp) + 1) AS r_len
+        |   FROM ext),
+        | spans AS (SELECT DISTINCT doc_a, doc_b, ap - l_len AS a_start,
+        |     l_len + r_len AS a_len, bp - l_len AS b_start,
+        |     md5(substr(xb, CAST(bp - l_len AS INT), CAST(l_len + r_len AS INT))) AS span_md5
+        |   FROM lens WHERE l_len + r_len >= $substrMinLen)
+        |SELECT doc_a, doc_b, a_start, a_len, b_start, span_md5
+        |FROM spans ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin,
     // same gram/selection chain as ts_winnow (hash part), same 2..32
     // df band, same overlap-coefficient verdict
     "dd_winnow" ->

@@ -1,0 +1,101 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** dd_substr (Lee et al. seed-and-extend substring dedup) on planted
+  * corpora: exact span boundaries recovered, one row per maximal span
+  * regardless of how many seeds fall inside it, the ≥24-cp threshold
+  * and the >32-doc boilerplate cap both falsifiable, and the content
+  * hash computed from doc_a's text equal to an independent md5 of the
+  * planted span. */
+class SubstrDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Deterministic unique filler that shares no 8-gram across docs
+    * (every 8-cp window contains the tag letters, which differ per
+    * doc). */
+  private def noise(tag: String, n: Int): String =
+    (0 until n).map(i => s"$tag$i").mkString("~").take(n)
+
+  private def spans(texts: Seq[(Long, String)]) = {
+    import spark.implicits._
+    Dedup.substrSpansImpl(texts.toDF("doc_id", "text")).collect()
+  }
+
+  private val shared =
+    "EXACTLY-THIS-SPAN-IS-DUPLICATED-ACROSS-DOCUMENTS-0123456789" // 60 cps
+
+  test("planted shared span: exact 1-based boundaries, one row, content hash") {
+    val a = noise("aa", 37) + shared + noise("zz", 41)
+    val b = noise("bb", 90) + shared + noise("yy", 18)
+    val out = spans(Seq(1L -> a, 2L -> b, 3L -> noise("cc", 200)))
+    assert(out.length == 1, out.mkString("; "))
+    val r = out.head
+    assert(r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    assert(r.getAs[Long]("a_start") == 38L) // 1-based, after 37 noise cps
+    assert(r.getAs[Long]("b_start") == 91L)
+    assert(r.getAs[Long]("a_len") == shared.length.toLong)
+    assert(r.getAs[String]("span_md5") == md5hex(shared))
+  }
+
+  test("disjoint docs emit nothing; shared span below 24 cps is dropped") {
+    assert(spans(Seq(1L -> noise("aa", 150), 2L -> noise("bb", 150))).isEmpty)
+    // 16 cps is over the winnow guarantee floor (11) but under the
+    // declared 24-cp output threshold
+    val tiny = "SHORT-DUP-16CPS!"
+    assert(tiny.length == 16)
+    val out = spans(Seq(
+      1L -> (noise("aa", 60) + tiny + noise("zz", 60)),
+      2L -> (noise("bb", 60) + tiny + noise("yy", 60))))
+    assert(out.isEmpty, out.mkString("; "))
+  }
+
+  test("many seeds inside one long span collapse to a single maximal row") {
+    // 300-cp NON-periodic shared span ≈ 75 winnow seeds, all on the
+    // same diagonal — the kernel's run-skip and the oracle's DISTINCT
+    // both demand exactly one emitted span (a periodic span would
+    // legitimately emit one maximal span per self-alignment diagonal)
+    val long = noise("qq", 300)
+    val out = spans(Seq(
+      1L -> (noise("aa", 25) + long + noise("zz", 25)),
+      2L -> (noise("bb", 50) + long + noise("yy", 10))))
+    assert(out.length == 1, s"${out.length} rows: ${out.take(5).mkString("; ")}")
+    assert(out.head.getAs[Long]("a_len") == 300L)
+    assert(out.head.getAs[Long]("a_start") == 26L)
+    assert(out.head.getAs[Long]("b_start") == 51L)
+  }
+
+  test("boilerplate shared by >32 docs is dropped by the declared df cap") {
+    // 40 IDENTICAL docs → every fingerprint has df=40 > 32, so nothing
+    // seeds (the declared boilerplate-cap semantics, both directions:
+    // the same corpus truncated to 3 docs pairs all C(3,2) ways)
+    val docs = (1L to 40L).map(i => i -> shared)
+    assert(spans(docs).isEmpty)
+    val three = spans(docs.take(3))
+    assert(three.length == 3, s"expected 3 pair spans, got ${three.length}")
+    assert(three.forall(r => r.getAs[Long]("a_start") == 1L &&
+      r.getAs[Long]("b_start") == 1L &&
+      r.getAs[Long]("a_len") == shared.length.toLong &&
+      r.getAs[String]("span_md5") == md5hex(shared)))
+  }
+
+  test("two distinct shared spans in the same pair both surface") {
+    val s2 = "SECOND-INDEPENDENT-DUPLICATE-SPAN-WITH-30+" // 42 cps
+    val a = noise("aa", 30) + shared + noise("mm", 33) + s2 + noise("zz", 20)
+    val b = noise("bb", 10) + s2 + noise("nn", 44) + shared + noise("yy", 28)
+    val out = spans(Seq(1L -> a, 2L -> b)).sortBy(_.getAs[Long]("a_start"))
+    assert(out.length == 2, out.mkString("; "))
+    assert(out(0).getAs[Long]("a_start") == 31L &&
+      out(0).getAs[Long]("b_start") == (10 + s2.length + 44 + 1).toLong &&
+      out(0).getAs[Long]("a_len") == shared.length.toLong)
+    assert(out(1).getAs[Long]("a_start") == (30 + shared.length + 33 + 1).toLong &&
+      out(1).getAs[Long]("b_start") == 11L &&
+      out(1).getAs[Long]("a_len") == s2.length.toLong)
+  }
+}
