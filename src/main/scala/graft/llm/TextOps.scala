@@ -309,7 +309,12 @@ object TextOps {
         explode(split(col("text"), " ")).as("term"))
       .join(broadcast(queries.select("term").distinct()), Seq("term"), "left_semi")
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-      .persist() // feeds the df aggregate AND the scoring join
+      // feeds the df aggregate AND the scoring join; stays persisted
+      // after return by the library-wide cache-ownership convention
+      // (COVERAGE.md): unpersisting here would fire before the lazy
+      // plan runs and re-tokenize the corpus per consumer — the CALLER
+      // (Bench/Verify/RunCurate clearCache per query) reclaims it
+      .persist()
     val qdf = postQ.groupBy("term").agg(count(lit(1)).as("df"))
     val contrib = postQ
       .join(broadcast(queries), Seq("term"))

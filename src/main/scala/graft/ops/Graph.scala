@@ -671,6 +671,9 @@ object Graph {
   /** Core over an explicit undirected (node, nbr) adjacency — seam for
     * the planted-star cap spec. */
   private[graft] def linkpredCore(adj0: DataFrame, cap: Long = lpDegCap): DataFrame = {
+    // feeds the degree aggregate AND both sides of the bridge join;
+    // stays persisted after return per the cache-ownership convention
+    // (COVERAGE.md) — the caller's post-query clearCache reclaims it
     val adj = adj0.persist()
     val deg = adj.groupBy("node").agg(count(lit(1)).as("deg"))
     val br = adj

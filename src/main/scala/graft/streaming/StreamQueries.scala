@@ -353,6 +353,34 @@ object StreamQueries {
 
   case class DriftRow(doc_id: Long, bin: Long)
 
+  /** The st_drift per-trigger fold, factored to a seam (the
+    * MiniBatchKmeans discipline) so the kill-and-resume spec can drive
+    * it under a restart schedule: O(bins) driver state, batch-id
+    * high-water replay guard (a redelivered trigger is a no-op). */
+  private[graft] final class DriftMonitor(nRef: Array[Long], bins: Int) {
+    private val tRef = nRef.sum
+    private val cum = Array.fill(bins)(0L)
+    private var lastSeen = -1L
+    private[graft] val out =
+      collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Long)]()
+    // scalar twin of Numeric.dround(·, 0): half away from zero
+    private def dr0(x: Double): Long =
+      (if (x >= 0) math.floor(x + 0.5) else -math.floor(-x + 0.5)).toLong
+    def process(batch: DataFrame, id: Long): Unit = {
+      if (id <= lastSeen) return
+      lastSeen = id
+      batch.groupBy("bin").agg(count(lit(1)).as("n")).collect()
+        .foreach(r => cum(r.getAs[Long]("bin").toInt) += r.getAs[Long]("n"))
+      val tCur = cum.sum
+      for (b <- 0 until bins) {
+        val pc = (cum(b) + 1).toDouble / (tCur + bins)
+        val pr = (nRef(b) + 1).toDouble / (tRef + bins)
+        out += ((id, b.toLong, nRef(b), cum(b),
+          dr0((pc - pr) * math.log(pc / pr) * 1e6)))
+      }
+    }
+  }
+
   /** st_drift: streaming distribution-drift monitor — dq_drift's PSI
     * fired incrementally, the production alarm a pipeline keeps on an
     * arriving crawl drop: the candidate half streams in B batches
@@ -384,37 +412,18 @@ object StreamQueries {
         .map(r => r.getAs[Long]("bin") -> r.getAs[Long]("n")).toMap
       Array.tabulate(bins)(b => m.getOrElse(b.toLong, 0L))
     }
-    val tRef = nRef.sum
     val cand = cachedRows(d, "driftrows") {
       tagged.filter(!col("is_ref")).select(col("doc_id"), col("bin"))
         .as[DriftRow].collect().sortBy(_.doc_id)
     }
     val batches = (0 until bN).map(t => cand.filter(r => (r.doc_id / 4) % bN == t))
     require(batches.forall(_.nonEmpty), "st_drift: empty micro-batch")
-    val cum = Array.fill(bins)(0L)
-    var lastSeen = -1L
-    val out = collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Long)]()
-    // scalar twin of Numeric.dround(·, 0): half away from zero
-    def dr0(x: Double): Long =
-      (if (x >= 0) math.floor(x + 0.5) else -math.floor(-x + 0.5)).toLong
+    val monitor = new DriftMonitor(nRef, bins)
     val source = MemoryStream[DriftRow]
     val name = s"st_drift_${seq.incrementAndGet()}"
     val q = source.toDS().writeStream
-      .foreachBatch((ds: org.apache.spark.sql.Dataset[DriftRow], id: Long) => {
-        if (id > lastSeen) {
-          lastSeen = id
-          ds.toDF().groupBy("bin").agg(count(lit(1)).as("n")).collect()
-            .foreach(r => cum(r.getAs[Long]("bin").toInt) += r.getAs[Long]("n"))
-          val tCur = cum.sum
-          for (b <- 0 until bins) {
-            val pc = (cum(b) + 1).toDouble / (tCur + bins)
-            val pr = (nRef(b) + 1).toDouble / (tRef + bins)
-            out += ((id, b.toLong, nRef(b), cum(b),
-              dr0((pc - pr) * math.log(pc / pr) * 1e6)))
-          }
-        }
-        ()
-      })
+      .foreachBatch((ds: org.apache.spark.sql.Dataset[DriftRow], id: Long) =>
+        monitor.process(ds.toDF(), id))
       .option("checkpointLocation", ckpt(name)).start()
     try {
       for (t <- 0 until bN) {
@@ -425,7 +434,7 @@ object StreamQueries {
       q.stop()
       dropCkpt(name)
     }
-    out.toSeq.toDF("batch", "bin", "n_ref", "n_cur", "psi_micro")
+    monitor.out.toSeq.toDF("batch", "bin", "n_ref", "n_cur", "psi_micro")
       .orderBy("batch", "bin")
   }
 

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.TestSpark
 
 /** st_drift's streaming/batch parity: after the last trigger the
@@ -32,5 +33,46 @@ class StDriftSpec extends AnyFunSuite {
     val totals = (0L to 3L).map(t =>
       st.filter(_.getAs[Long]("batch") == t).map(_.getAs[Long]("n_cur")).sum)
     totals.sliding(2).foreach { case Seq(a, b) => assert(b > a) }
+  }
+
+  /** Kill-and-resume (VERDICT r11 next §3 — the st_restart scenario
+    * applied to the drift monitor): stop the query between triggers,
+    * deliver backlog while it is down, restart from the SAME
+    * checkpoint, and require the resumed run's final rows to equal an
+    * uninterrupted run's — offsets resume from the log, the batch-id
+    * sequence continues, and the monitor's cumulative state carries. */
+  test("kill between triggers + backlog + restart equals the uninterrupted run") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val nRef = Array.tabulate(10)(b => (b + 1).toLong) // fixed reference
+    val batches = (0 until 4).map(t =>
+      (0 until 12).map(i => StreamQueries.DriftRow(t * 100L + i, (i % 10).toLong)))
+    def run(kill: Boolean): Seq[(Long, Long, Long, Long, Long)] = {
+      val monitor = new StreamQueries.DriftMonitor(nRef, 10)
+      val source = MemoryStream[StreamQueries.DriftRow]
+      val ckpt = java.nio.file.Files.createTempDirectory("drift_restart").toString
+      def start() = source.toDS().writeStream
+        .foreachBatch((ds: org.apache.spark.sql.Dataset[StreamQueries.DriftRow],
+            id: Long) => monitor.process(ds.toDF(), id))
+        .option("checkpointLocation", ckpt).start()
+      var q = start()
+      try {
+        for (t <- 0 until 4) {
+          if (kill && t == 2) {
+            q.stop()                              // the kill
+            source.addData(batches(t))            // backlog while down
+            q = start()                           // resume from checkpoint
+          } else source.addData(batches(t))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      monitor.out.toList
+    }
+    val straight = run(kill = false)
+    val resumed = run(kill = true)
+    assert(straight.nonEmpty && straight.size == 40)
+    assert(resumed == straight,
+      "resumed run diverged from the uninterrupted run")
   }
 }

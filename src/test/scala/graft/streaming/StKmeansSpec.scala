@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.TestSpark
 
 /** st_kmeans checked two ways: the full streamed output against an
@@ -90,5 +91,45 @@ class StKmeansSpec extends AnyFunSuite {
       "redelivery mutated the model")
     m.process(df, 1L) // progress still possible after the replay
     assert(m.out.size == afterFirst.size + kk)
+  }
+
+  /** Kill-and-resume (VERDICT r11 next §3): stop the streaming query
+    * between triggers, deliver a backlog batch while down, restart
+    * from the SAME checkpoint, and require the final model trajectory
+    * to equal an uninterrupted run's — offsets resume from the log,
+    * batch ids continue, cumulative sufficient statistics carry. */
+  test("kill between triggers + backlog + restart equals the uninterrupted run") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = quantRows
+    val batches = (0 until bb).map(t =>
+      rows.filter(r => (r._1 / 4) % bb == t).map { case (id, v) => (id, v.toSeq) })
+    def run(kill: Boolean): Seq[(Long, Long, Long, Long, Long)] = {
+      val model = new StreamQueries.MiniBatchKmeans
+      val source = MemoryStream[(Long, Seq[Long])]
+      val ckpt = java.nio.file.Files.createTempDirectory("km_restart").toString
+      def start() = source.toDS().toDF("vec_id", "eq").writeStream
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+          model.process(df, id))
+        .option("checkpointLocation", ckpt).start()
+      var q = start()
+      try {
+        for (t <- 0 until bb) {
+          if (kill && t == 1) {
+            q.stop()                    // the kill
+            source.addData(batches(t))  // backlog while down
+            q = start()                 // resume from checkpoint
+          } else source.addData(batches(t))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      model.out.toList
+    }
+    val straight = run(kill = false)
+    val resumed = run(kill = true)
+    assert(straight.size == (bb * kk))
+    assert(resumed == straight,
+      "resumed run diverged from the uninterrupted run")
   }
 }
