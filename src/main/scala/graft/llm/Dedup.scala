@@ -175,7 +175,7 @@ object Dedup {
       s.conf.getOption("graft.minhash.bucketCap")
         .flatMap(_.toLongOption).getOrElse(minhashBucketCap))
 
-  private[llm] def minhashPairsImpl(docs: DataFrame, cap: Long): DataFrame = {
+  private[graft] def minhashPairsImpl(docs: DataFrame, cap: Long): DataFrame = {
     // persisted: the bands relation feeds both sides of the candidate
     // self-join — without it the whole shingle→minhash pipeline (the
     // expensive scan) is recomputed once per join side.
@@ -876,8 +876,18 @@ object Dedup {
   // discriminator). Shuffle shape: one explode shuffled on the
   // fingerprint key, one pair aggregate, two size joins.
   // -------------------------------------------------------------------
-  private val ddWinnow: Q = (s, d) => {
-    val fps = TextOps.winnowFpRelation(s, d).persist()
+  private val ddWinnow: Q = (s, d) =>
+    winnowPairsImpl(table(s, d, "documents").select("doc_id", "text"))
+
+  /** Docs-level seam shared with tools/DetectorMutationProbe (which
+    * measures, on a planted mutation corpus, which edit classes this
+    * detector catches vs dd_minhash vs dd_substr — see the guidance
+    * note above [[queries]] and the BASELINE.md complementarity
+    * table). */
+  private[graft] def winnowPairsImpl(docs: DataFrame): DataFrame = {
+    val fps = docs.select(col("doc_id"),
+      explode(ArrayFns.winnowSel(col("text"), withPositions = false)).as("fp"))
+      .persist()
     val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("nf"))
     val dfreq = fps.groupBy("fp").agg(count(lit(1)).as("c"))
     val rare = fps.join(dfreq.filter(col("c").between(2, 32)), Seq("fp"), "left_semi")
@@ -938,7 +948,7 @@ object Dedup {
   private val ddSubstr: Q = (s, d) =>
     substrSpansImpl(table(s, d, "documents").select("doc_id", "text"))
 
-  private[llm] def substrSpansImpl(docs: DataFrame): DataFrame = {
+  private[graft] def substrSpansImpl(docs: DataFrame): DataFrame = {
     // persisted: feeds the df-band aggregate AND both sides of the
     // seed self-join (caller owns cache hygiene — see COVERAGE.md's
     // clearCache convention)
@@ -985,6 +995,22 @@ object Dedup {
       .orderBy("doc_a", "doc_b", "a_start", "b_start")
   }
 
+  // -------------------------------------------------------------------
+  // WHICH NEAR-DUP DETECTOR WHEN (measured, not argued —
+  // tools/DetectorMutationProbe, table in BASELINE.md round 12):
+  // on planted insert/delete/substitute/reorder/prefix mutations,
+  // dd_winnow holds 1.0 planted-pair recall at every tested edit rate
+  // (content-anchored fingerprints: unedited runs between edits keep
+  // selecting identical hashes) and dd_substr matches it while naming
+  // the exact spans; dd_minhash's 3-token shingles amplify token edits
+  // (one edit corrupts ~3 shingles), so its Jaccard≥0.5 verdict decays
+  // to ~0 past ~15% edit rate — by DESIGN, because it answers "is set
+  // similarity ≥ τ" with an exact-verified score, the right keep/drop
+  // rule for whole-document dedup. Stage order for a real pipeline:
+  // winnow (or substr when span coordinates are needed) first as the
+  // recall stage; minhash's verified Jaccard as the precision/verdict
+  // stage over the survivors.
+  // -------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "dd_substr" -> ddSubstr,
     "dd_winnow" -> ddWinnow,

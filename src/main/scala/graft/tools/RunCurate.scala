@@ -23,6 +23,8 @@ import org.apache.spark.sql.SparkSession
   *   <outDir>/neardup_pairs — MinHash-LSH verified near-dup pairs
   *   <outDir>/boilerplate   — line-level boilerplate removal report
   *   <outDir>/dup_spans     — cross-doc duplicated substring spans
+  *   <outDir>/substr_spans  — exact maximal shared-span coordinates
+  *                            (dd_substr seed-and-extend)
   *   <outDir>/incremental   — new-batch vs corpus dedup verdicts
   *   <outDir>/dq_checks     — constraint-check pass/fail report (only
   *                            when the input dir also carries the
@@ -41,6 +43,7 @@ object RunCurate {
     "neardup_pairs" -> "dd_minhash",
     "boilerplate" -> "dd_lines",
     "dup_spans" -> "dd_spans",
+    "substr_spans" -> "dd_substr",
     "winnow_pairs" -> "dd_winnow",
     "fingerprints" -> "ts_winnow",
     "incremental" -> "dd_incremental")

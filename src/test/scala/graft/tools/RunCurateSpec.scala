@@ -14,7 +14,8 @@ class RunCurateSpec extends AnyFunSuite {
     val counts = RunCurate.run(spark, sf, out)
     assert(counts.keySet == Set("curated", "splits", "quality", "langid",
       "stats", "dedup_exact", "neardup_pairs", "boilerplate", "dup_spans",
-      "winnow_pairs", "fingerprints", "incremental", "dq_checks"))
+      "substr_spans", "winnow_pairs", "fingerprints", "incremental",
+      "dq_checks"))
     // per-doc reports cover the whole corpus; counts agree with the
     // direct query (same code path, but through the written artifact)
     val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
@@ -40,7 +41,7 @@ class RunCurateSpec extends AnyFunSuite {
     assert(!counts.contains("dq_checks"))
     assert(counts.keySet == Set("curated", "splits", "quality", "langid",
       "stats", "dedup_exact", "neardup_pairs", "boilerplate", "dup_spans",
-      "winnow_pairs", "fingerprints", "incremental"))
+      "substr_spans", "winnow_pairs", "fingerprints", "incremental"))
     assert(counts.values.forall(_ > 0))
   }
 }
