@@ -996,6 +996,41 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // dd_substr_scrub: the Lee et al. dedup ACTION on dd_substr's span
+  // set — cut every cross-document duplicated span from the HIGHER-id
+  // doc (doc_a < doc_b, so the min-id occurrence is the canonical
+  // survivor, the ddExact survivor rule applied to spans) and emit the
+  // per-doc cut accounting plus the scrubbed text's hash. Overlapping
+  // cut ranges from different partners union naturally (a char goes if
+  // ANY range covers it — no interval merge needed); chains A<B<C
+  // converge to exactly one surviving copy (A's). Scale shape:
+  // everything after the span relation is scan-local per-doc string
+  // algebra (the dd_spans_scrub transform/filter idiom), and the span
+  // relation itself is output-sensitive.
+  // -------------------------------------------------------------------
+  private val ddSubstrScrub: Q = (s, d) =>
+    substrScrubImpl(table(s, d, "documents").select("doc_id", "text"))
+
+  private[graft] def substrScrubImpl(docs: DataFrame): DataFrame = {
+    val cuts = substrSpansImpl(docs)
+      .select(col("doc_b").as("doc_id"), col("b_start").as("cs"),
+        (col("b_start") + col("a_len") - 1).as("ce"))
+      .groupBy("doc_id").agg(collect_list(struct(col("cs"), col("ce"))).as("rs"))
+    docs.join(cuts, Seq("doc_id"), "left")
+      .withColumn("kept", expr(
+        """CASE WHEN rs IS NULL THEN text ELSE
+          |  array_join(filter(transform(split(text, ''), (x, i) ->
+          |    CASE WHEN exists(rs, r -> i + 1 >= r.cs AND i + 1 <= r.ce)
+          |         THEN NULL ELSE x END), x -> x IS NOT NULL), '')
+          |END""".stripMargin))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        (length(col("text")) - length(col("kept"))).cast("long").as("n_cut"),
+        md5(col("kept").cast("binary")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  // -------------------------------------------------------------------
   // WHICH NEAR-DUP DETECTOR WHEN (measured, not argued —
   // tools/DetectorMutationProbe, table in BASELINE.md round 12):
   // on planted insert/delete/substitute/reorder/prefix mutations,
@@ -1013,6 +1048,7 @@ object Dedup {
   // -------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "dd_substr" -> ddSubstr,
+    "dd_substr_scrub" -> ddSubstrScrub,
     "dd_winnow" -> ddWinnow,
     "dd_urls" -> ddUrls,
     "dd_exact" -> ddExact,
@@ -1072,17 +1108,13 @@ object Dedup {
        |        chr(10) ORDER BY line_no), '')) AS clean_md5
        |FROM flg GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-  val oracle: Map[String, String] = Map(
-    // same winnow selection as ts_winnow (positions kept), same 2..32
-    // doc band + 64-occurrence cap; extension replayed per seed via
-    // first-mismatch scans (list_position of the first false — O(span)
-    // per seed, prefix equality is downward-closed so the count of
-    // leading trues IS the extension length); DISTINCT collapses the
-    // in-run seeds the engine kernel skips. span_md5 deliberately
-    // hashes DOC_B's substring where the engine hashed doc_a's — equal
-    // only if the span really is character-identical across docs.
-    "dd_substr" ->
-      s"""WITH base AS (SELECT doc_id, text, length(text) AS n FROM documents),
+
+  /** Shared CTE chain of the dd_substr twins (winnow selection with
+    * positions → df band → seeds → per-seed extension → DISTINCT
+    * spans) — dd_substr appends the span SELECT, dd_substr_scrub the
+    * per-doc cut. */
+  private val substrSpanCtes =
+    s"""WITH base AS (SELECT doc_id, text, length(text) AS n FROM documents),
         | g AS (SELECT doc_id, n, CASE WHEN n >= 11 THEN
         |     list_transform(range(1, n - 8 + 2), i -> md5(substr(text, CAST(i AS INT), 8)))
         |   END AS hs FROM base),
@@ -1114,9 +1146,45 @@ object Dedup {
         | spans AS (SELECT DISTINCT doc_a, doc_b, ap - l_len AS a_start,
         |     l_len + r_len AS a_len, bp - l_len AS b_start,
         |     md5(substr(xb, CAST(bp - l_len AS INT), CAST(l_len + r_len AS INT))) AS span_md5
-        |   FROM lens WHERE l_len + r_len >= $substrMinLen)
+        |   FROM lens WHERE l_len + r_len >= $substrMinLen)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    // same winnow selection as ts_winnow (positions kept), same 2..32
+    // doc band + 64-occurrence cap; extension replayed per seed via
+    // first-mismatch scans (list_position of the first false — O(span)
+    // per seed, prefix equality is downward-closed so the count of
+    // leading trues IS the extension length); DISTINCT collapses the
+    // in-run seeds the engine kernel skips. span_md5 deliberately
+    // hashes DOC_B's substring where the engine hashed doc_a's — equal
+    // only if the span really is character-identical across docs.
+    "dd_substr" -> (substrSpanCtes +
+      """
         |SELECT doc_a, doc_b, a_start, a_len, b_start, span_md5
-        |FROM spans ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin,
+        |FROM spans ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin),
+    // the spans chain verbatim, then the cut: every covered codepoint
+    // of the HIGHER-id doc goes; kept text re-hashed independently
+    "dd_substr_scrub" -> (substrSpanCtes +
+      """,
+        | r AS (SELECT doc_b AS doc_id,
+        |     list(struct_pack(cs := b_start, ce := b_start + a_len - 1)) AS rs
+        |   FROM spans GROUP BY doc_b),
+        | k AS (SELECT d.doc_id, d.text, r.rs FROM base d
+        |   LEFT JOIN r ON r.doc_id = d.doc_id),
+        | cutc AS (SELECT doc_id, text,
+        |     CASE WHEN rs IS NULL THEN text ELSE
+        |       -- coalesce: DuckDB's array_to_string of an EMPTY list is
+        |       -- NULL, and a fully-covered doc cuts every codepoint
+        |       coalesce(array_to_string(list_filter(list_transform(range(1, length(text) + 1),
+        |         i -> CASE WHEN len(list_filter(rs,
+        |                rr -> i >= rr.cs AND i <= rr.ce)) > 0
+        |              THEN NULL ELSE substr(text, CAST(i AS INT), 1) END),
+        |         x -> x IS NOT NULL), ''), '')
+        |     END AS kept
+        |   FROM k)
+        |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(length(text) - length(kept) AS BIGINT) AS n_cut,
+        |  md5(kept) AS clean_md5
+        |FROM cutc ORDER BY doc_id""".stripMargin),
     // same gram/selection chain as ts_winnow (hash part), same 2..32
     // df band, same overlap-coefficient verdict
     "dd_winnow" ->

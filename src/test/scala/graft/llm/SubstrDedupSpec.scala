@@ -85,6 +85,30 @@ class SubstrDedupSpec extends AnyFunSuite {
       r.getAs[String]("span_md5") == md5hex(shared)))
   }
 
+  test("scrub cuts the span from the higher-id doc only; chains keep one copy") {
+    import spark.implicits._
+    val a = noise("aa", 37) + shared + noise("zz", 41)
+    val b = noise("bb", 90) + shared + noise("yy", 18)
+    val docs = Seq(1L -> a, 2L -> b, 3L -> noise("cc", 200)).toDF("doc_id", "text")
+    val out = Dedup.substrScrubImpl(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chars"), r.getAs[Long]("n_cut"),
+          r.getAs[String]("clean_md5"))).toMap
+    // doc 1 (min id) keeps everything; doc 2 loses exactly the span
+    assert(out(1L) == (a.length.toLong, 0L, md5hex(a)))
+    assert(out(2L)._2 == shared.length.toLong)
+    assert(out(2L)._3 == md5hex(noise("bb", 90) + noise("yy", 18)))
+    assert(out(3L) == (200L, 0L, md5hex(noise("cc", 200))))
+    // a chain of three identical docs converges to ONE surviving copy
+    val chain = Seq(1L -> shared, 2L -> shared, 3L -> shared).toDF("doc_id", "text")
+    val c = Dedup.substrScrubImpl(chain).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_cut"), r.getAs[String]("clean_md5"))).toMap
+    assert(c(1L) == (0L, md5hex(shared)))
+    assert(c(2L) == (shared.length.toLong, md5hex("")))
+    assert(c(3L) == (shared.length.toLong, md5hex("")))
+  }
+
   test("two distinct shared spans in the same pair both surface") {
     val s2 = "SECOND-INDEPENDENT-DUPLICATE-SPAN-WITH-30+" // 42 cps
     val a = noise("aa", 30) + shared + noise("mm", 33) + s2 + noise("zz", 20)
