@@ -545,6 +545,23 @@ object Dedup {
       corpus.select(md5(col("text").cast("binary")).as("ch"), col("doc_id"))
         .write.mode("overwrite").parquet(s"$path/hashes")
       incrSig(corpus).write.mode("overwrite").parquet(s"$path/signatures")
+      // span-level layer (dd_substr_incr): the corpus's positioned
+      // winnow fingerprints, boilerplate-capped AT BUILD TIME (an fp
+      // in > 32 corpus docs or > 64 occurrences is dropped from the
+      // index once, so every arriving batch inherits the cap for free)
+      val selC = corpus.select(col("doc_id"),
+          explode(array_distinct(
+            ArrayFns.winnowSel(col("text"), withPositions = true))).as("pf"))
+        .select(col("doc_id"),
+          expr("CAST(substr(pf, 1, 8) AS BIGINT)").as("pos"),
+          expr("substr(pf, 10)").as("fp"))
+        .persist()
+      val bandC = selC.groupBy("fp")
+        .agg(countDistinct(col("doc_id")).as("nd"), count(lit(1)).as("occ"))
+        .filter(col("nd") <= 32 && col("occ") <= 64).select("fp")
+      selC.join(bandC, Seq("fp"), "left_semi")
+        .write.mode("overwrite").parquet(s"$path/winnow")
+      selC.unpersist(blocking = false)
     } finally corpus.unpersist(blocking = false)
     path
   }
@@ -556,7 +573,7 @@ object Dedup {
 
   private def ensureDedupIndex(s: SparkSession, d: String): String = {
     val path = dedupIndexPath(d)
-    val ok = Seq("hashes", "signatures").forall(p =>
+    val ok = Seq("hashes", "signatures", "winnow").forall(p =>
       java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/$p/_SUCCESS")))
     if (!ok) dedupIndexBuild(s, d)
     path
@@ -996,6 +1013,65 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // dd_substr_incr: span-level incremental decontamination — the
+  // dd_incremental regime applied to SUBSTRING spans: an arriving
+  // batch (doc_id ≡ 7 mod 10) is checked for text spans copied from
+  // the already-curated corpus, batch-side driven, probing the
+  // PERSISTED index's positioned winnow fingerprints (built once,
+  // boilerplate-capped at build time — [[dedupIndexBuild]]). This is
+  // the production eval-decontamination / license-compliance shape:
+  // "which parts of today's crawl already exist in the training set,
+  // and where". Corpus TEXT is touched only for docs an fp seed
+  // actually matched (a semi-join-sized read, output-sensitive) — the
+  // detection join itself carries fingerprints, never text. Plant
+  // (the dd_incremental scaffolding rule): batch docs ≡ 7 mod 30
+  // arrive with the first 120 chars of corpus neighbor doc_id−1
+  // spliced in front of their own text, so the gate has known
+  // contamination with known coordinates; the oracle replays the
+  // plant and hashes each span from the CORPUS side while the engine
+  // hashes the batch side.
+  // -------------------------------------------------------------------
+  private val ddSubstrIncr: Q = (s, d) => {
+    val idx = ensureDedupIndex(s, d)
+    val raw = table(s, d, "documents")
+    val planted = col("doc_id") % 30 === 7
+    val donors = incrCorpus(s, d).select((col("doc_id") + 1).as("doc_id"),
+      col("text").as("d_text"))
+    val batch = raw.filter(col("doc_id") % 10 === 7)
+      .join(donors, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(planted, concat(expr("substr(d_text, 1, 120)"), lit("|"), col("text")))
+          .otherwise(col("text")).as("text"))
+      .persist() // feeds fp selection AND the extension join (COVERAGE.md convention)
+    val selB = batch.select(col("doc_id"),
+        explode(array_distinct(
+          ArrayFns.winnowSel(col("text"), withPositions = true))).as("pf"))
+      .select(col("doc_id"),
+        expr("CAST(substr(pf, 1, 8) AS BIGINT)").as("bp"),
+        expr("substr(pf, 10)").as("fp"))
+    val seeds = selB
+      .join(s.read.parquet(s"$idx/winnow")
+        .select(col("fp"), col("doc_id").as("match_id"), col("pos").as("cp")), Seq("fp"))
+      .select("doc_id", "match_id", "bp", "cp")
+    val grouped = seeds.groupBy("doc_id", "match_id")
+      .agg(collect_list(struct(col("bp"), col("cp"))).as("sds"))
+    grouped
+      .join(batch.select(col("doc_id"), col("text").as("xb")), Seq("doc_id"))
+      .join(incrCorpus(s, d).select(col("doc_id").as("match_id"),
+        col("text").as("xc")), Seq("match_id"))
+      .select(col("doc_id"), col("match_id"), col("xb"),
+        explode(ArrayFns.substrExtend(col("xb"), col("xc"),
+          expr("transform(sds, x -> x.bp)"), expr("transform(sds, x -> x.cp)"),
+          substrMinLen)).as("sp"))
+      .select(col("doc_id"), col("match_id"),
+        col("sp.a_start").as("q_start"), col("sp.a_len").as("len"),
+        col("sp.b_start").as("c_start"),
+        md5(expr("substr(xb, CAST(sp.a_start AS INT), CAST(sp.a_len AS INT))")
+          .cast("binary")).as("span_md5"))
+      .orderBy("doc_id", "match_id", "q_start", "c_start")
+  }
+
+  // -------------------------------------------------------------------
   // dd_substr_scrub: the Lee et al. dedup ACTION on dd_substr's span
   // set — cut every cross-document duplicated span from the HIGHER-id
   // doc (doc_a < doc_b, so the min-id occurrence is the canonical
@@ -1049,6 +1125,7 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     "dd_substr" -> ddSubstr,
     "dd_substr_scrub" -> ddSubstrScrub,
+    "dd_substr_incr" -> ddSubstrIncr,
     "dd_winnow" -> ddWinnow,
     "dd_urls" -> ddUrls,
     "dd_exact" -> ddExact,
@@ -1185,6 +1262,67 @@ object Dedup {
         |  CAST(length(text) - length(kept) AS BIGINT) AS n_cut,
         |  md5(kept) AS clean_md5
         |FROM cutc ORDER BY doc_id""".stripMargin),
+    // the incremental span twin: plant + corpus/batch split + both
+    // sides' winnow selection + the index's build-time boilerplate cap
+    // + per-seed extension, all replayed; span_md5 from the CORPUS
+    // text where the engine hashed the BATCH text (the dd_substr
+    // cross-validation rule)
+    "dd_substr_incr" ->
+      s"""WITH corpus AS (SELECT doc_id, text, length(text) AS n FROM documents
+        |   WHERE doc_id % 10 <> 7),
+        | donors AS (SELECT doc_id + 1 AS doc_id, text AS d_text FROM documents
+        |   WHERE doc_id % 10 <> 7),
+        | batch AS (SELECT b.doc_id,
+        |     CASE WHEN b.doc_id % 30 = 7
+        |          THEN substr(d.d_text, 1, 120) || '|' || b.text
+        |          ELSE b.text END AS text
+        |   FROM documents b LEFT JOIN donors d ON d.doc_id = b.doc_id
+        |   WHERE b.doc_id % 10 = 7),
+        | bt AS (SELECT doc_id, text, length(text) AS n FROM batch),
+        | gc AS (SELECT doc_id, n, CASE WHEN n >= 11 THEN
+        |     list_transform(range(1, n - 8 + 2), i -> md5(substr(text, CAST(i AS INT), 8)))
+        |   END AS hs FROM corpus),
+        | wc AS (SELECT doc_id, list_distinct(list_transform(range(1, len(hs) - 4 + 2), j ->
+        |     printf('%08d', j + (4 - list_position(list_reverse(hs[j:j+3]),
+        |         list_min(hs[j:j+3])))) || ':' || list_min(hs[j:j+3]))) AS sel
+        |   FROM gc WHERE n >= 11),
+        | selc AS (SELECT doc_id, CAST(substr(s, 1, 8) AS BIGINT) AS pos,
+        |     substr(s, 10) AS fp
+        |   FROM wc, unnest(wc.sel) AS u(s)),
+        | bandc AS (SELECT fp FROM selc GROUP BY fp
+        |   HAVING count(DISTINCT doc_id) <= 32 AND count(*) <= 64),
+        | idx AS (SELECT * FROM selc WHERE fp IN (SELECT fp FROM bandc)),
+        | gb AS (SELECT doc_id, n, CASE WHEN n >= 11 THEN
+        |     list_transform(range(1, n - 8 + 2), i -> md5(substr(text, CAST(i AS INT), 8)))
+        |   END AS hs FROM bt),
+        | wb AS (SELECT doc_id, list_distinct(list_transform(range(1, len(hs) - 4 + 2), j ->
+        |     printf('%08d', j + (4 - list_position(list_reverse(hs[j:j+3]),
+        |         list_min(hs[j:j+3])))) || ':' || list_min(hs[j:j+3]))) AS sel
+        |   FROM gb WHERE n >= 11),
+        | selb AS (SELECT doc_id, CAST(substr(s, 1, 8) AS BIGINT) AS pos,
+        |     substr(s, 10) AS fp
+        |   FROM wb, unnest(wb.sel) AS u(s)),
+        | seeds AS (SELECT DISTINCT b.doc_id AS doc_id, c.doc_id AS match_id,
+        |     b.pos AS bp, c.pos AS cp
+        |   FROM selb b JOIN idx c ON c.fp = b.fp),
+        | ext AS (SELECT s.doc_id, s.match_id, s.bp, s.cp,
+        |     tb.text AS xb, tb.n AS nb, tc.text AS xc, tc.n AS nc
+        |   FROM seeds s JOIN bt tb ON tb.doc_id = s.doc_id
+        |   JOIN corpus tc ON tc.doc_id = s.match_id),
+        | lens AS (SELECT doc_id, match_id, bp, cp, xc,
+        |     coalesce(nullif(list_position(list_transform(range(1, least(bp, cp)),
+        |         l -> substr(xb, CAST(bp - l AS INT), 1) = substr(xc, CAST(cp - l AS INT), 1)),
+        |       false), 0) - 1, least(bp, cp) - 1) AS l_len,
+        |     coalesce(nullif(list_position(list_transform(range(0, least(nb - bp, nc - cp) + 1),
+        |         i -> substr(xb, CAST(bp + i AS INT), 1) = substr(xc, CAST(cp + i AS INT), 1)),
+        |       false), 0) - 1, least(nb - bp, nc - cp) + 1) AS r_len
+        |   FROM ext),
+        | spans AS (SELECT DISTINCT doc_id, match_id, bp - l_len AS q_start,
+        |     l_len + r_len AS len, cp - l_len AS c_start,
+        |     md5(substr(xc, CAST(cp - l_len AS INT), CAST(l_len + r_len AS INT))) AS span_md5
+        |   FROM lens WHERE l_len + r_len >= $substrMinLen)
+        |SELECT doc_id, match_id, q_start, len, c_start, span_md5
+        |FROM spans ORDER BY doc_id, match_id, q_start, c_start""".stripMargin,
     // same gram/selection chain as ts_winnow (hash part), same 2..32
     // df band, same overlap-coefficient verdict
     "dd_winnow" ->

@@ -109,6 +109,33 @@ class SubstrDedupSpec extends AnyFunSuite {
     assert(c(3L) == (shared.length.toLong, md5hex("")))
   }
 
+  test("dd_substr_incr: planted contamination localized; batch/corpus split honored") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Dedup.queries("dd_substr_incr")(spark, sf).collect()
+    assert(out.nonEmpty)
+    // split: query side is the arriving batch, match side the corpus
+    assert(out.forall(_.getAs[Long]("doc_id") % 10 == 7))
+    assert(out.forall(_.getAs[Long]("match_id") % 10 != 7))
+    // every planted batch doc (≡7 mod 30, donor exists in the corpus)
+    // must surface its 120-char splice against donor doc_id−1 at the
+    // exact planted coordinates
+    val lens = graft.io.Sources.table(spark, sf, "documents")
+      .selectExpr("doc_id", "CAST(length(text) AS BIGINT) AS n").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plantedIds = lens.keySet.filter(i => i % 30 == 7 && lens.contains(i - 1))
+    assert(plantedIds.nonEmpty)
+    for (p <- plantedIds) {
+      val hit = out.find(r => r.getAs[Long]("doc_id") == p &&
+        r.getAs[Long]("match_id") == p - 1 &&
+        r.getAs[Long]("q_start") == 1L && r.getAs[Long]("c_start") == 1L)
+      assert(hit.isDefined, s"planted splice of doc $p not localized")
+      // splice length = min(120, donor length); the '|' delimiter and
+      // the donor's end both stop the extension exactly there
+      assert(hit.get.getAs[Long]("len") == math.min(120L, lens(p - 1)),
+        s"planted splice of doc $p wrong length: ${hit.get}")
+    }
+  }
+
   test("two distinct shared spans in the same pair both surface") {
     val s2 = "SECOND-INDEPENDENT-DUPLICATE-SPAN-WITH-30+" // 42 cps
     val a = noise("aa", 30) + shared + noise("mm", 33) + s2 + noise("zz", 20)
