@@ -1043,6 +1043,19 @@ object Dedup {
         when(planted, concat(expr("substr(d_text, 1, 120)"), lit("|"), col("text")))
           .otherwise(col("text")).as("text"))
       .persist() // feeds fp selection AND the extension join (COVERAGE.md convention)
+    substrIncrSpans(batch, s.read.parquet(s"$idx/winnow"),
+      incrCorpus(s, d).select(col("doc_id"), col("text")))
+  }
+
+  /** The span-probe pipeline over an arriving (doc_id, text) batch —
+    * shared by [[ddSubstrIncr]] and the streaming gate (st_substr,
+    * which fires it per micro-batch inside foreachBatch): seeds from
+    * the persisted banded index, extension only against matched corpus
+    * docs. Per-doc independent, so any batch split yields the same
+    * union — the property that makes the streaming twin share the
+    * batch oracle verbatim. */
+  private[graft] def substrIncrSpans(batch: DataFrame, winnowIdx: DataFrame,
+      corpus: DataFrame): DataFrame = {
     val selB = batch.select(col("doc_id"),
         explode(array_distinct(
           ArrayFns.winnowSel(col("text"), withPositions = true))).as("pf"))
@@ -1050,14 +1063,14 @@ object Dedup {
         expr("CAST(substr(pf, 1, 8) AS BIGINT)").as("bp"),
         expr("substr(pf, 10)").as("fp"))
     val seeds = selB
-      .join(s.read.parquet(s"$idx/winnow")
+      .join(winnowIdx
         .select(col("fp"), col("doc_id").as("match_id"), col("pos").as("cp")), Seq("fp"))
       .select("doc_id", "match_id", "bp", "cp")
     val grouped = seeds.groupBy("doc_id", "match_id")
       .agg(collect_list(struct(col("bp"), col("cp"))).as("sds"))
     grouped
       .join(batch.select(col("doc_id"), col("text").as("xb")), Seq("doc_id"))
-      .join(incrCorpus(s, d).select(col("doc_id").as("match_id"),
+      .join(corpus.select(col("doc_id").as("match_id"),
         col("text").as("xc")), Seq("match_id"))
       .select(col("doc_id"), col("match_id"), col("xb"),
         explode(ArrayFns.substrExtend(col("xb"), col("xc"),

@@ -1024,7 +1024,69 @@ object StreamQueries {
       .orderBy("doc_id")
   }
 
+  /** Streaming span-level decontamination (the dd_substr_incr probe
+    * fired per micro-batch — st_dedup_indexed's sequel at span
+    * granularity): each arriving batch of documents is checked, inside
+    * foreachBatch, for text spans copied from the persisted corpus
+    * index's positioned winnow fingerprints, and the localized span
+    * verdicts land in a batch-id-partitioned parquet sink (replay of a
+    * batch id REPLACES, never duplicates — the st_sink exactly-once
+    * rule). The span probe is per-doc independent, so the micro-batch
+    * split is immaterial to the union of outputs and the BATCH twin's
+    * oracle (dd_substr_incr) gates the stream verbatim — the
+    * st_anomaly discipline. */
+  private val stSubstr: Q = (parent, d) => {
+    val s = scoped(parent)
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val idx = graft.llm.Dedup.ensureDedupIndexFor(s, d)
+    val rows = cachedRows(d, "substrstreamdocs") {
+      val raw = graft.io.Sources.table(s, d, "documents")
+      val corpus = raw.filter(col("doc_id") % 10 =!= 7)
+      val donors = corpus.select((col("doc_id") + 1).as("doc_id"),
+        col("text").as("d_text"))
+      raw.filter(col("doc_id") % 10 === 7)
+        .join(donors, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 30 === 7,
+            concat(expr("substr(d_text, 1, 120)"), lit("|"), col("text")))
+            .otherwise(col("text")).as("text"))
+        .as[StreamDoc].collect().sortBy(_.doc_id)
+    }
+    val root = s"$pidRoot/stsubstr"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val out = s"$root/out"
+    val winnowIdx = s.read.parquet(s"$idx/winnow")
+    val corpusText = graft.io.Sources.table(s, d, "documents")
+      .filter(col("doc_id") % 10 =!= 7).select(col("doc_id"), col("text"))
+    val source = MemoryStream[StreamDoc]
+    val name = s"st_substr_${seq.incrementAndGet()}"
+    val q = source.toDS().writeStream
+      .foreachBatch((df: org.apache.spark.sql.Dataset[StreamDoc], id: Long) => {
+        val batch = df.toDF().persist()
+        EventStream.writeBatch(
+          graft.llm.Dedup.substrIncrSpans(batch, winnowIdx, corpusText), id, out)
+        batch.unpersist()
+        ()
+      })
+      .option("checkpointLocation", ckpt(name)).start()
+    try {
+      val half = math.max(1, (rows.length + 1) / 2)
+      source.addData(rows.take(half).toIndexedSeq)
+      q.processAllAvailable()
+      source.addData(rows.drop(half).toIndexedSeq)
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      dropCkpt(name)
+    }
+    s.read.parquet(out)
+      .select("doc_id", "match_id", "q_start", "len", "c_start", "span_md5")
+      .orderBy("doc_id", "match_id", "q_start", "c_start")
+  }
+
   val queries: Map[String, Q] = Map(
+    "st_substr" -> stSubstr,
     "st_dedup_indexed" -> stDedupIndexed,
     "st_sliding" -> stSliding,
     "st_enrich" -> stEnrich,
@@ -1045,6 +1107,9 @@ object StreamQueries {
   /** The batch twins' oracles apply UNCHANGED — that is the point: the
     * incremental operators must reproduce the batch semantics exactly. */
   val oracle: Map[String, String] = Map(
+    // the dd_substr_incr twin VERBATIM: the span probe is per-doc
+    // independent, so the micro-batch split cannot change the union
+    "st_substr" -> graft.llm.Dedup.oracle("dd_substr_incr"),
     // the batch twin unions history + stream: corpus hashes from the
     // non-batch slice, both plants replayed, min-id winners per layer,
     // corpus > stream > unique precedence

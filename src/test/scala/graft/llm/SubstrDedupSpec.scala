@@ -136,6 +136,16 @@ class SubstrDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("st_substr: the streamed span probe equals the batch twin row for row") {
+    val sf = "/root/testdata/sf0.001"
+    val batch = Dedup.queries("dd_substr_incr")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val stream = graft.streaming.StreamQueries.queries("st_substr")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(batch.nonEmpty)
+    assert(stream == batch, "micro-batched span probe diverged from batch")
+  }
+
   test("two distinct shared spans in the same pair both surface") {
     val s2 = "SECOND-INDEPENDENT-DUPLICATE-SPAN-WITH-30+" // 42 cps
     val a = noise("aa", 30) + shared + noise("mm", 33) + s2 + noise("zz", 20)
