@@ -1120,6 +1120,50 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // dd_substr_cov: per-document duplication coverage — the headline
+  // statistic of the Lee et al. paper ("X% of the corpus is covered
+  // by cross-document duplicated spans"): union every doc's span
+  // intervals (as doc_a AND as doc_b), merge them with the
+  // gaps-and-islands walk dd_spans already uses, and report covered
+  // chars + a 1e-4-quantized coverage share per doc, zero rows
+  // included (corpus-covering report). Scale shape: one doc_id-keyed
+  // window over the output-sensitive span relation, then a left join
+  // back to the per-doc lengths.
+  // -------------------------------------------------------------------
+  private val ddSubstrCov: Q = (s, d) => {
+    val docs = table(s, d, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+    // persisted: the interval union reads the span relation TWICE
+    // (doc_a role ∪ doc_b role) — unpersisted, the band aggregate +
+    // seed self-join pipeline re-executes per branch (measured 115.5 s
+    // → see BASELINE.md at the 100× probe); caller reclaims per the
+    // COVERAGE.md convention
+    val spans = substrSpansImpl(
+      table(s, d, "documents").select("doc_id", "text")).persist()
+    val iv = spans.select(col("doc_a").as("doc_id"), col("a_start").as("p"),
+        (col("a_start") + col("a_len") - 1).as("e"))
+      .unionByName(spans.select(col("doc_b").as("doc_id"), col("b_start").as("p"),
+        (col("b_start") + col("a_len") - 1).as("e")))
+    val byDoc = Window.partitionBy("doc_id").orderBy("p", "e")
+    val prevEnd = max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = iv
+      .withColumn("ns",
+        when(col("p") > coalesce(prevEnd, lit(-2L)) + 1, 1).otherwise(0))
+      .withColumn("grp",
+        sum(col("ns")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "grp")
+      .agg(min("p").as("s"), max("e").as("e"))
+    val cov = islands.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_islands"), sum(col("e") - col("s") + 1).as("dup_chars"))
+    docs.join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("n_islands"), lit(0L)).as("n_islands"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        expr("(10000 * coalesce(dup_chars, 0)) div n_chars").as("dup_pct_q"))
+      .orderBy("doc_id")
+  }
+
+  // -------------------------------------------------------------------
   // WHICH NEAR-DUP DETECTOR WHEN (measured, not argued —
   // tools/DetectorMutationProbe, table in BASELINE.md round 12):
   // on planted insert/delete/substitute/reorder/prefix mutations,
@@ -1139,6 +1183,7 @@ object Dedup {
     "dd_substr" -> ddSubstr,
     "dd_substr_scrub" -> ddSubstrScrub,
     "dd_substr_incr" -> ddSubstrIncr,
+    "dd_substr_cov" -> ddSubstrCov,
     "dd_winnow" -> ddWinnow,
     "dd_urls" -> ddUrls,
     "dd_exact" -> ddExact,
@@ -1275,6 +1320,28 @@ object Dedup {
         |  CAST(length(text) - length(kept) AS BIGINT) AS n_cut,
         |  md5(kept) AS clean_md5
         |FROM cutc ORDER BY doc_id""".stripMargin),
+    // the spans chain, then per-doc interval union (both roles) merged
+    // with the same gaps-and-islands walk the engine windows
+    "dd_substr_cov" -> (substrSpanCtes +
+      """,
+        | iv AS (SELECT doc_a AS doc_id, a_start AS p, a_start + a_len - 1 AS e FROM spans
+        |   UNION ALL
+        |   SELECT doc_b, b_start, b_start + a_len - 1 FROM spans),
+        | m AS (SELECT doc_id, p, e,
+        |     CASE WHEN p > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY p, e
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+        |          THEN 1 ELSE 0 END AS ns FROM iv),
+        | g2 AS (SELECT doc_id, p, e,
+        |     sum(ns) OVER (PARTITION BY doc_id ORDER BY p, e
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM m),
+        | isl AS (SELECT doc_id, grp, min(p) AS s, max(e) AS e FROM g2 GROUP BY doc_id, grp),
+        | cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_islands,
+        |     CAST(sum(e - s + 1) AS BIGINT) AS dup_chars FROM isl GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_chars,
+        |  coalesce(c.n_islands, 0) AS n_islands,
+        |  coalesce(c.dup_chars, 0) AS dup_chars,
+        |  CAST((10000 * coalesce(c.dup_chars, 0)) // b.n AS BIGINT) AS dup_pct_q
+        |FROM base b LEFT JOIN cov c USING (doc_id) ORDER BY b.doc_id""".stripMargin),
     // the incremental span twin: plant + corpus/batch split + both
     // sides' winnow selection + the index's build-time boilerplate cap
     // + per-seed extension, all replayed; span_md5 from the CORPUS

@@ -136,6 +136,33 @@ class SubstrDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dd_substr_cov: covered chars exact, twin intervals merge to one island, zero rows kept") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("substr_cov").toString
+    val texts = Seq(
+      1L -> (noise("aa", 40) + shared + noise("zz", 30)),
+      2L -> (noise("bb", 25) + shared + noise("yy", 55)),
+      3L -> (noise("cc", 10) + shared + noise("xx", 80)),
+      4L -> noise("dd", 150))
+    texts.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'t' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.queries("dd_substr_cov")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chars"), r.getAs[Long]("n_islands"),
+          r.getAs[Long]("dup_chars"), r.getAs[Long]("dup_pct_q"))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L)) // zero-coverage doc kept
+    assert(out(4L)._2 == 0L && out(4L)._3 == 0L && out(4L)._4 == 0L)
+    // doc 1 shares the SAME span with docs 2 and 3 — two interval
+    // copies must merge to ONE island of exactly the span's width
+    for (id <- Seq(1L, 2L, 3L)) {
+      assert(out(id)._2 == 1L, s"doc $id islands ${out(id)}")
+      assert(out(id)._3 == shared.length.toLong, s"doc $id covered ${out(id)}")
+      assert(out(id)._4 == 10000L * shared.length / out(id)._1)
+    }
+  }
+
   test("st_substr: the streamed span probe equals the batch twin row for row") {
     val sf = "/root/testdata/sf0.001"
     val batch = Dedup.queries("dd_substr_incr")(spark, sf)
