@@ -512,7 +512,10 @@ object Dedup {
     * a collision would serve a different corpus's index). */
   private def dedupIndexPath(d: String): String = {
     val root = sys.env.getOrElse("SPARK_GRAFT_DEDUP_DIR", "/tmp/graft_dedup_index")
-    s"$root/${d.replaceAll("[^A-Za-z0-9._-]", "_")}"
+    // v2: the winnow relation's key moved from the md5-hex string to
+    // its xxhash64 (8-byte shuffle keys); the version segment makes
+    // pre-existing v1 artifacts invisible instead of schema-mismatched
+    s"$root/v2_${d.replaceAll("[^A-Za-z0-9._-]", "_")}"
   }
 
   /** The corpus side of the incremental regime: everything not in
@@ -549,17 +552,20 @@ object Dedup {
       // winnow fingerprints, boilerplate-capped AT BUILD TIME (an fp
       // in > 32 corpus docs or > 64 occurrences is dropped from the
       // index once, so every arriving batch inherits the cap for free)
+      // stored under the 8-byte xxhash64 key (the substrSpansImpl
+      // shuffle-key rule — extension verifies characters, so a
+      // collision only fabricates a rejected seed)
       val selC = corpus.select(col("doc_id"),
           explode(array_distinct(
             ArrayFns.winnowSel(col("text"), withPositions = true))).as("pf"))
         .select(col("doc_id"),
           expr("CAST(substr(pf, 1, 8) AS BIGINT)").as("pos"),
-          expr("substr(pf, 10)").as("fp"))
+          xxhash64(expr("substr(pf, 10)")).as("fph"))
         .persist()
-      val bandC = selC.groupBy("fp")
+      val bandC = selC.groupBy("fph")
         .agg(countDistinct(col("doc_id")).as("nd"), count(lit(1)).as("occ"))
-        .filter(col("nd") <= 32 && col("occ") <= 64).select("fp")
-      selC.join(bandC, Seq("fp"), "left_semi")
+        .filter(col("nd") <= 32 && col("occ") <= 64).select("fph")
+      selC.join(bandC, Seq("fph"), "left_semi")
         .write.mode("overwrite").parquet(s"$path/winnow")
       selC.unpersist(blocking = false)
     } finally corpus.unpersist(blocking = false)
@@ -973,24 +979,36 @@ object Dedup {
     // same (pos, hash) string, so per-doc dedup is scan-local in the
     // array domain — the (doc_id, pos, fp) relation is then distinct by
     // construction and the corpus-wide dropDuplicates shuffle the naive
-    // form pays disappears entirely
+    // form pays disappears entirely.
+    //
+    // The detection shuffle key is xxhash64 of the md5-hex fingerprint,
+    // NOT the 32-char string (the dd_lines_hashed / dd_spans rule: the
+    // shuffle carries 8 bytes, never text) — 4× fewer key bytes through
+    // the band aggregate, the semi-join, and the seed self-join. Safe
+    // under the hash gate because EXTENSION VERIFIES CHARACTERS: a
+    // 64-bit collision can only fabricate a seed whose extension finds
+    // < minLen matching codepoints and drops it, so the emitted span
+    // set is identical to the oracle's string-keyed replay (a collision
+    // inflating a band count past the 32/64 caps is the one divergence
+    // window — ~n²/2⁶⁵, and it would turn the gate red, not silently
+    // wrong).
     val sel = docs
       .select(col("doc_id"),
         explode(array_distinct(
           ArrayFns.winnowSel(col("text"), withPositions = true))).as("pf"))
       .select(col("doc_id"),
         expr("CAST(substr(pf, 1, 8) AS BIGINT)").as("pos"),
-        expr("substr(pf, 10)").as("fp"))
+        xxhash64(expr("substr(pf, 10)")).as("fph"))
       .persist()
-    val band = sel.groupBy("fp")
+    val band = sel.groupBy("fph")
       .agg(countDistinct(col("doc_id")).as("nd"), count(lit(1)).as("occ"))
       .filter(col("nd").between(2, 32) && col("occ") <= 64)
-      .select("fp")
-    // fp-keyed shuffle family: band, semi-join, and the pair self-join
-    // all partition on fp (the dd_winnow shape)
-    val banded = sel.join(band, Seq("fp"), "left_semi")
-    val seeds = banded.select(col("doc_id").as("doc_a"), col("pos").as("ap"), col("fp"))
-      .join(banded.select(col("doc_id").as("doc_b"), col("pos").as("bp"), col("fp")), Seq("fp"))
+      .select("fph")
+    // fph-keyed shuffle family: band, semi-join, and the pair self-join
+    // all partition on the 8-byte key (the dd_winnow shape)
+    val banded = sel.join(band, Seq("fph"), "left_semi")
+    val seeds = banded.select(col("doc_id").as("doc_a"), col("pos").as("ap"), col("fph"))
+      .join(banded.select(col("doc_id").as("doc_b"), col("pos").as("bp"), col("fph")), Seq("fph"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "ap", "bp")
     // one aligned struct list per pair (two separate collect_lists
@@ -1061,10 +1079,10 @@ object Dedup {
           ArrayFns.winnowSel(col("text"), withPositions = true))).as("pf"))
       .select(col("doc_id"),
         expr("CAST(substr(pf, 1, 8) AS BIGINT)").as("bp"),
-        expr("substr(pf, 10)").as("fp"))
+        xxhash64(expr("substr(pf, 10)")).as("fph"))
     val seeds = selB
       .join(winnowIdx
-        .select(col("fp"), col("doc_id").as("match_id"), col("pos").as("cp")), Seq("fp"))
+        .select(col("fph"), col("doc_id").as("match_id"), col("pos").as("cp")), Seq("fph"))
       .select("doc_id", "match_id", "bp", "cp")
     val grouped = seeds.groupBy("doc_id", "match_id")
       .agg(collect_list(struct(col("bp"), col("cp"))).as("sds"))
@@ -1140,10 +1158,19 @@ object Dedup {
     // COVERAGE.md convention
     val spans = substrSpansImpl(
       table(s, d, "documents").select("doc_id", "text")).persist()
+    // DISTINCT is load-bearing, not cosmetic: the same (p, e) interval
+    // arrives once per partner doc, and duplicate rows make the
+    // (p, e) window order non-total — the ns pass and the running-sum
+    // pass may then see ties in DIFFERENT orders (observed in DuckDB:
+    // the ns=0 twin sorting before its ns=1 twin lands in group 0 and
+    // splits the island). Deduped, the order is total per doc and both
+    // window passes agree on every engine; coverage itself is
+    // unchanged (duplicate intervals add nothing to a union).
     val iv = spans.select(col("doc_a").as("doc_id"), col("a_start").as("p"),
         (col("a_start") + col("a_len") - 1).as("e"))
       .unionByName(spans.select(col("doc_b").as("doc_id"), col("b_start").as("p"),
         (col("b_start") + col("a_len") - 1).as("e")))
+      .distinct()
     val byDoc = Window.partitionBy("doc_id").orderBy("p", "e")
     val prevEnd = max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
     val islands = iv
@@ -1324,9 +1351,10 @@ object Dedup {
     // with the same gaps-and-islands walk the engine windows
     "dd_substr_cov" -> (substrSpanCtes +
       """,
-        | iv AS (SELECT doc_a AS doc_id, a_start AS p, a_start + a_len - 1 AS e FROM spans
+        | iv AS (SELECT DISTINCT doc_id, p, e FROM (
+        |   SELECT doc_a AS doc_id, a_start AS p, a_start + a_len - 1 AS e FROM spans
         |   UNION ALL
-        |   SELECT doc_b, b_start, b_start + a_len - 1 FROM spans),
+        |   SELECT doc_b, b_start, b_start + a_len - 1 FROM spans)),
         | m AS (SELECT doc_id, p, e,
         |     CASE WHEN p > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY p, e
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
