@@ -37,8 +37,8 @@ class IncrementalDedupSpec extends AnyFunSuite {
     // corpus hashes/signatures from text (VERDICT r6 §3): the build
     // artifacts exist on disk and the executed plan scans them
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val idx = s"/tmp/graft_dedup_index/$key"
-    for (p <- Seq("hashes", "signatures"))
+    val idx = s"/tmp/graft_dedup_index/v2_$key" // v2: long-keyed winnow relation
+    for (p <- Seq("hashes", "signatures", "winnow"))
       assert(java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$idx/$p/_SUCCESS")), s"missing $idx/$p")
     val plan = df.queryExecution.executedPlan.toString
