@@ -1035,6 +1035,20 @@ object StreamQueries {
     * split is immaterial to the union of outputs and the BATCH twin's
     * oracle (dd_substr_incr) gates the stream verbatim — the
     * st_anomaly discipline. */
+  /** The st_substr per-batch processor, factored to a seam so the
+    * crash-replay spec can drive it under redelivery and restart
+    * schedules: stateless apart from the batch-id-partitioned sink, so
+    * replaying a (data, id) pair REPLACES its partition bit-identically
+    * (writeBatch dynamic overwrite — the st_sink exactly-once rule). */
+  private[graft] def substrProcessor(winnowIdx: DataFrame,
+      corpusText: DataFrame, out: String): (DataFrame, Long) => Unit = (df, id) => {
+    val batch = df.persist()
+    EventStream.writeBatch(
+      graft.llm.Dedup.substrIncrSpans(batch, winnowIdx, corpusText), id, out)
+    batch.unpersist()
+    ()
+  }
+
   private val stSubstr: Q = (parent, d) => {
     val s = scoped(parent)
     import s.implicits._
@@ -1059,16 +1073,12 @@ object StreamQueries {
     val winnowIdx = s.read.parquet(s"$idx/winnow")
     val corpusText = graft.io.Sources.table(s, d, "documents")
       .filter(col("doc_id") % 10 =!= 7).select(col("doc_id"), col("text"))
+    val proc = substrProcessor(winnowIdx, corpusText, out)
     val source = MemoryStream[StreamDoc]
     val name = s"st_substr_${seq.incrementAndGet()}"
     val q = source.toDS().writeStream
-      .foreachBatch((df: org.apache.spark.sql.Dataset[StreamDoc], id: Long) => {
-        val batch = df.toDF().persist()
-        EventStream.writeBatch(
-          graft.llm.Dedup.substrIncrSpans(batch, winnowIdx, corpusText), id, out)
-        batch.unpersist()
-        ()
-      })
+      .foreachBatch((df: org.apache.spark.sql.Dataset[StreamDoc], id: Long) =>
+        proc(df.toDF(), id))
       .option("checkpointLocation", ckpt(name)).start()
     try {
       val half = math.max(1, (rows.length + 1) / 2)

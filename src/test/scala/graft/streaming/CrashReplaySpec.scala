@@ -162,4 +162,83 @@ class CrashReplaySpec extends AnyFunSuite {
     assert(idx == Seq((10L, 0L), (11L, 1L), (12L, 0L)),
       s"replay must not duplicate vectors: $idx")
   }
+
+  // ---- st_substr crash windows (the same two scenarios) -------------
+  // tiny planted corpus: one 200-cp corpus doc; two stream batches each
+  // splicing a distinct ≥24-cp slice of it into unique noise
+  private def substrFixture() = {
+    import spark.implicits._
+    val s = spark
+    def filler(tag: String, n: Int): String =
+      (0 until n).map(i => s"$tag$i").mkString("~").take(n)
+    val t1 = filler("cc", 200)
+    val dir = freshRoot("substr_corpus")
+    // corpus = doc 1 only (1 % 10 != 7 → corpus side of the regime)
+    Seq((1L, t1)).toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'t' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val idx = graft.llm.Dedup.ensureDedupIndexFor(s, dir)
+    val winnowIdx = s.read.parquet(s"$idx/winnow")
+    val corpusText = Seq((1L, t1)).toDF("doc_id", "text")
+    val b0 = Seq(StreamQueries.StreamDoc(107L, filler("aa", 50) + t1.substring(0, 60)))
+    val b1 = Seq(StreamQueries.StreamDoc(117L, t1.substring(120, 180) + filler("bb", 50)))
+    (winnowIdx, corpusText, b0, b1)
+  }
+
+  test("st_substr: redelivered batch overwrites its span partition bit-identically") {
+    val s = spark
+    import s.implicits._
+    val (winnowIdx, corpusText, b0, b1) = substrFixture()
+    def run(redeliver: Boolean): Seq[String] = {
+      val out = s"${freshRoot("substr_replay")}/out"
+      val proc = StreamQueries.substrProcessor(winnowIdx, corpusText, out)
+      proc(b0.toDF(), 0L)
+      if (redeliver) proc(b0.toDF(), 0L) // crash before offset commit
+      proc(b1.toDF(), 1L)
+      s.read.parquet(out)
+        .select("doc_id", "match_id", "q_start", "len", "c_start", "span_md5")
+        .orderBy("doc_id", "q_start").collect().map(_.toString).toSeq
+    }
+    val straight = run(redeliver = false)
+    assert(straight.nonEmpty, "planted splices must surface as spans")
+    assert(straight.exists(_.startsWith("[107,1,51,")) &&
+      straight.exists(_.startsWith("[117,1,1,")), s"splice coordinates: $straight")
+    assert(run(redeliver = true) == straight,
+      "replayed batch must replace its partition with identical spans")
+  }
+
+  test("st_substr: kill between batches + backlog + restart = straight-through spans") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val (winnowIdx, corpusText, b0, b1) = substrFixture()
+    def run(kill: Boolean): Seq[String] = {
+      val root = freshRoot("substr_kill")
+      val out = s"$root/out"
+      val proc = StreamQueries.substrProcessor(winnowIdx, corpusText, out)
+      val source = MemoryStream[StreamQueries.StreamDoc]
+      def start() = source.toDS().writeStream
+        .foreachBatch((df: org.apache.spark.sql.Dataset[StreamQueries.StreamDoc],
+            id: Long) => proc(df.toDF(), id))
+        .option("checkpointLocation", s"$root/ckpt").start()
+      var q = start()
+      try {
+        source.addData(b0); q.processAllAvailable()
+        if (kill) {
+          q.stop()              // the kill
+          source.addData(b1)    // backlog while down
+          q = start()           // resume from checkpoint
+        } else source.addData(b1)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(out)
+        .select("doc_id", "match_id", "q_start", "len", "c_start", "span_md5")
+        .orderBy("doc_id", "q_start").collect().map(_.toString).toSeq
+    }
+    val straight = run(kill = false)
+    assert(straight.nonEmpty)
+    assert(run(kill = true) == straight,
+      "kill-and-resume spans diverged from the uninterrupted run")
+  }
 }
