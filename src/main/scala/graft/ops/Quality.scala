@@ -165,10 +165,54 @@ object Quality {
       .orderBy("dom", "vol")
   }
 
+  // -------------------------------------------------------------------
+  // dq_dp_hist: ε-differentially-private histogram release (Dwork et
+  // al.'s Laplace mechanism; sensitivity 1 — each document contributes
+  // one count) — the privacy-release counterpart of dq_kanon: the
+  // n_chars histogram (the dq_drift binning verbatim) leaves the
+  // engine as n_b + Lap(1/ε), ε = 1, and ONLY the released value is
+  // emitted (true counts stay inside — the release discipline).
+  // "Randomness" is a seeded inverse-CDF draw,
+  // u_b = ((fnv("dp-seed-" ‖ bin) mod 2²⁰) + 0.5) / 2²⁰ — exactly what
+  // a production release does with a RECORDED seed so the release is
+  // reproducible for audit, and what makes the draw cross-engine
+  // replayable (the ds_split FNV rule; rollHash IS the FNV fold the
+  // oracle re-derives in raw SQL). Noise = −sgn(u−½)·ln(1−2|u−½|)/ε,
+  // quantized to 1e-6 with the dq_drift ln-parity float chain. Scale:
+  // one bounds scan + one 10-key count; the noise arithmetic runs on
+  // the 10-row release relation.
+  // -------------------------------------------------------------------
+  private val dqDpHist: Q = (s, d) => {
+    val docs = table(s, d, "documents")
+    val bounds = docs.agg(min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"))
+    val counted = docs.crossJoin(broadcast(bounds))
+      .select(expr(s"((n_chars - mn) * $psiBins) div (mx - mn + 1)").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+    val bins = s.range(psiBins).select(col("id").as("bin"))
+    // DOUBLE-FNV draw: one FNV pass is linear in the seed's last
+    // character (FNV-1 low bits of "dp-seed-0..9" step by exactly
+    // prime mod 2²⁰ — the first cut of this operator produced ten
+    // near-identical u's, noise ∈ [0.21, 0.23] for every bin, caught
+    // by eyeballing the release); re-hashing the FIRST hash's decimal
+    // string cascades every digit and restores avalanche, in plain
+    // string algebra both engines replay.
+    val h1 = graft.functions.TextHashes.rollHash(
+      concat(lit("dp-seed-"), col("bin").cast("string")))
+    val u = (pmod(graft.functions.TextHashes.rollHash(h1.cast("string")),
+        lit(1048576L)).cast("double") + lit(0.5)) / lit(1048576.0)
+    val noise = -signum(u - lit(0.5)) * log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+    bins.join(counted, Seq("bin"), "left")
+      .na.fill(0L, Seq("n"))
+      .select(col("bin"),
+        dround((col("n") + noise) * 1e6, 0).cast("long").as("released_micro"))
+      .orderBy("bin")
+  }
+
   val queries: Map[String, Q] = Map(
     "dq_profile" -> dqProfile,
     "dq_checks" -> dqChecks,
     "dq_drift" -> dqDrift,
+    "dq_dp_hist" -> dqDpHist,
     "dq_kanon" -> dqKanon)
 
   val oracle: Map[String, String] = Map(
@@ -186,6 +230,32 @@ object Quality {
         |  CAST(count(*) AS BIGINT) AS n_users,
         |  CASE WHEN count(*) < 5 THEN 'violating' ELSE 'ok' END AS status
         |FROM prof GROUP BY dom, vol ORDER BY dom, vol""".stripMargin,
+    // truth + seeded noise re-derived from scratch: the same binning,
+    // the same FNV draw over 'dp-seed-'||bin, the same inverse-CDF
+    // Laplace float chain — a wrong count, a drifted seed, or a
+    // noiseless release all hash-mismatch
+    "dq_dp_hist" -> {
+      val fnv = graft.functions.TextHashes.fnvFoldSql(
+        "'dp-seed-' || CAST(bin AS VARCHAR)")
+      val signed = graft.functions.TextHashes.fnvSignedSql("hu")
+      s"""WITH bounds AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents),
+         | c AS (SELECT ((n_chars - mn) * $psiBins) // (mx - mn + 1) AS bin,
+         |         CAST(count(*) AS BIGINT) AS n
+         |       FROM documents CROSS JOIN bounds GROUP BY 1),
+         | bins AS (SELECT unnest(generate_series(0, ${psiBins - 1})) AS bin),
+         | filled AS (SELECT b.bin, coalesce(c.n, 0) AS n
+         |            FROM bins b LEFT JOIN c USING (bin)),
+         | h AS (SELECT bin, n, $fnv AS hu FROM filled),
+         | hs AS (SELECT bin, n, CAST($signed AS VARCHAR) AS s1 FROM h),
+         | h2 AS (SELECT bin, n, ${graft.functions.TextHashes.fnvFoldSql("s1")} AS hu FROM hs),
+         | uu AS (SELECT bin, n,
+         |     (((($signed) % 1048576) + 1048576) % 1048576 + 0.5) / 1048576.0 AS u
+         |   FROM h2)
+         |SELECT CAST(bin AS BIGINT) AS bin,
+         |  CAST(round((n + (-sign(u - 0.5)) * ln(1 - 2 * abs(u - 0.5))) * 1e6)
+         |    AS BIGINT) AS released_micro
+         |FROM uu ORDER BY bin""".stripMargin
+    },
     // the FNV split, integer binning, smoothing and quantized PSI terms
     // re-derived from scratch (the fnv replay is the ds_split pattern)
     "dq_drift" -> {

@@ -42,4 +42,31 @@ class QualitySpec extends AnyFunSuite {
     val psi = rows.map(r => math.abs(r.getAs[Long]("psi_micro"))).sum
     assert(psi < 100000L, s"PSI $psi micro-units on identically-distributed halves")
   }
+
+  test("dq_dp_hist: real noise on every bin, Laplace-plausible spread, deterministic replay") {
+    val run1 = Quality.queries("dq_dp_hist")(spark, sf).collect()
+      .map(r => r.getAs[Long]("bin") -> r.getAs[Long]("released_micro")).toMap
+    assert(run1.keySet == (0L until 10L).toSet)
+    // independently recompute the TRUE histogram and derive each bin's
+    // noise; the double-FNV draw must produce genuinely varied Laplace
+    // noise (the single-FNV first cut gave ten near-identical draws)
+    val docs = graft.io.Sources.table(spark, sf, "documents")
+    val Array(mn, mx) = docs.selectExpr("min(n_chars)", "max(n_chars)")
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val truth = docs.selectExpr(s"((n_chars - $mn) * 10) div ($mx - $mn + 1) AS bin")
+      .groupBy("bin").count().collect()
+      .map(r => r.getAs[Long]("bin") -> r.getAs[Long]("count")).toMap
+    val noises = (0L until 10L).map(b =>
+      run1(b) / 1e6 - truth.getOrElse(b, 0L))
+    assert(noises.forall(n => math.abs(n) > 1e-4), s"noiseless bin: $noises")
+    assert(noises.map(math.abs).max > 1.0, s"implausibly tight noise: $noises")
+    assert(noises.distinct.size == 10, s"repeated draws: $noises")
+    assert(noises.exists(_ > 0) && noises.exists(_ < 0), s"one-sided noise: $noises")
+    // Lap(1) noise beyond ±15 has probability ~3e-7 per draw
+    assert(noises.forall(n => math.abs(n) < 15.0), s"outlandish noise: $noises")
+    // a RECORDED seed means the release replays bit-identically
+    val run2 = Quality.queries("dq_dp_hist")(spark, sf).collect()
+      .map(r => r.getAs[Long]("bin") -> r.getAs[Long]("released_micro")).toMap
+    assert(run2 == run1)
+  }
 }
