@@ -96,6 +96,40 @@ object Curate {
   }
 
   // -------------------------------------------------------------------
+  // ds_temperature: temperature-based language rebalancing (Conneau &
+  // Lample's multilingual sampling, q_l ∝ p_l^α) at α = 1/2 — the knob
+  // every multilingual pretraining mix turns so high-resource
+  // languages stop drowning low-resource ones. Downsample-only
+  // deterministic form: the rarest language keeps everything and
+  // language l keeps rate_l = √(n_min / n_l), so the post-sample count
+  // √(n_l·n_min) is the geometric-mean flattening of the distribution.
+  // α = 1/2 deliberately: the rate is a sqrt of an integer ratio —
+  // IEEE-exact on BOTH engines — where a general p^α would ride
+  // pow/exp, whose cross-engine rounding is NOT guaranteed (the
+  // dq_drift ln is the only transcendental this library trusts).
+  // Keep/drop is the content-hash bucket against the 1e-6-quantized
+  // rate (the ds_mixture discipline: reproducible, no RNG). Scale:
+  // one |langs|-row aggregate broadcast back over one scan.
+  // -------------------------------------------------------------------
+  private val dsTemperature: Q = (s, d) => {
+    val docs = table(s, d, "documents")
+    val byLang = docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
+    val nMin = byLang.agg(min(col("n_total")).as("n_min"))
+    val rates = byLang.crossJoin(broadcast(nMin))
+      .select(col("lang"), col("n_total"),
+        dround(sqrt(col("n_min").cast("double") / col("n_total")) * 1e6, 0)
+          .cast("long").as("rate_micro"))
+    docs.select(col("lang"), bucket(1000000L).as("b"))
+      .join(broadcast(rates), Seq("lang"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"), first(col("rate_micro")).as("rate_micro"),
+        sum(when(col("b") < col("rate_micro"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("lang"), col("n_total"), col("rate_micro"), col("n_kept"),
+        dround(col("n_kept").cast("double") / col("n_total"), 4).as("kept_ratio"))
+      .orderBy("lang")
+  }
+
+  // -------------------------------------------------------------------
   // ds_pack: GPT-style sequence packing — concatenate docs in a
   // deterministic order and cut fixed token-budget sequences; a doc
   // belongs to the sequence its cumulative offset starts in. Sharded:
@@ -493,6 +527,7 @@ object Curate {
     "ds_dsir" -> dsDsir,
     "ds_split" -> dsSplit,
     "ds_mixture" -> dsMixture,
+    "ds_temperature" -> dsTemperature,
     "ds_pack" -> dsPack,
     "ds_curated" -> dsCurated,
     "ds_curated2" -> dsCurated2,
@@ -629,6 +664,23 @@ object Curate {
          |  round(sum(CASE WHEN ((fp % 10000) + 10000) % 10000 < $sqlMixtureThr
          |           THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS kept_ratio
          |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+    // the √(n_min/n_l) rate, its 1e-6 quantization, and the hash-bucket
+    // keep rule re-derived from scratch (sqrt/division IEEE-exact both
+    // engines; round() is the dround(·,0) twin)
+    "ds_temperature" ->
+      s"""$fnvCte,
+         | bl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_total FROM f GROUP BY lang),
+         | mn AS (SELECT min(n_total) AS n_min FROM bl),
+         | r AS (SELECT lang, n_total,
+         |     CAST(round(sqrt(n_min::DOUBLE / n_total) * 1e6) AS BIGINT) AS rate_micro
+         |   FROM bl CROSS JOIN mn)
+         |SELECT f.lang, r.n_total, r.rate_micro,
+         |  CAST(sum(CASE WHEN ((f.fp % 1000000) + 1000000) % 1000000 < r.rate_micro
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  round(sum(CASE WHEN ((f.fp % 1000000) + 1000000) % 1000000 < r.rate_micro
+         |           THEN 1 ELSE 0 END)::DOUBLE / r.n_total, 4) AS kept_ratio
+         |FROM f JOIN r ON r.lang = f.lang
+         |GROUP BY f.lang, r.n_total, r.rate_micro ORDER BY f.lang""".stripMargin,
     "ds_pack" ->
       s"""$fnvCte,
          | t AS (SELECT doc_id, ((fp % $packShards) + $packShards) % $packShards AS shard,

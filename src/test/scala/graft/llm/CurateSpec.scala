@@ -183,4 +183,29 @@ class CurateSpec extends AnyFunSuite {
     assert(picked.sum.toDouble / picked.length > corpus,
       s"sample mean ${picked.sum.toDouble / picked.length} vs corpus $corpus")
   }
+
+  test("ds_temperature: rarest language keeps all; rates flatten toward the geometric mean") {
+    val rows = Curate.queries("ds_temperature")(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_total"), r.getAs[Long]("rate_micro"),
+          r.getAs[Long]("n_kept"))).toMap
+    val nMin = rows.values.map(_._1).min
+    rows.foreach { case (lang, (n, rate, kept)) =>
+      // the α=1/2 rule verbatim: rate = round(√(n_min/n_l)·1e6)
+      assert(rate == math.round(math.sqrt(nMin.toDouble / n) * 1e6),
+        s"$lang rate $rate")
+      assert(kept <= n)
+      // the hash bucket tracks the rate closely even at sf0.001 counts
+      assert(math.abs(kept.toDouble / n - rate / 1e6) < 0.15,
+        s"$lang kept ${kept.toDouble / n} vs rate ${rate / 1e6}")
+    }
+    val rarest = rows.minBy(_._2._1)
+    assert(rarest._2._2 == 1000000L && rarest._2._3 == rarest._2._1,
+      s"rarest language must keep everything: $rarest")
+    // flattening: post-sample counts are ordered like the originals but
+    // with strictly smaller relative spread (√-compression)
+    val (pre, post) = (rows.values.map(_._1.toDouble), rows.values.map(_._3.toDouble))
+    assert(pre.max / pre.min > post.max / post.min,
+      s"spread must shrink: pre ${pre.max / pre.min} post ${post.max / post.min}")
+  }
 }
