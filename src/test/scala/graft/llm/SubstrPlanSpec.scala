@@ -46,4 +46,28 @@ class SubstrPlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("dd_substr_incr: detection joins carry fingerprints; corpus text only post-match") {
+    val p = executedPlan("dd_substr_incr")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // the persisted index feeds the seed join
+    assert(p.contains("graft_dedup_index"), s"plan must scan the persisted index:\n$p")
+    // the index scan reads (doc_id, pos, fph) only — never a text column
+    val idxScans = p.linesIterator.filter(l =>
+      l.contains("graft_dedup_index") && l.contains("ReadSchema")).toSeq
+    assert(idxScans.nonEmpty && idxScans.forall(l => !l.contains("text")),
+      s"index scan must not read text:\n${idxScans.mkString("\n")}")
+  }
+
+  test("ds_temperature / dq_dp_hist: one aggregate family, rates/noise broadcast, no cartesian data path") {
+    for (q <- Seq("ds_temperature", "dq_dp_hist")) {
+      val p = executedPlan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      // constant-width side relations (per-lang rates / the bounds row /
+      // the 10-bin frame) must broadcast, never shuffle the corpus
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"$q should broadcast its constant-width side:\n$p")
+    }
+  }
 }
