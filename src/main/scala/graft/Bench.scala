@@ -166,6 +166,25 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","n":${timings.size},""" +
       s""""failed_n":${failed.size},$canary"sf":${jstr(sfDir)}}""")
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p => Files.writeString(Paths.get(p), json))
+    // Standalone full artifact, ALWAYS written (VERDICT r12 next §2):
+    // BENCH_r12's stdout capture truncated the per-query map to the last
+    // ~81 names, so only a third of the suite was regression-comparable
+    // across rounds. The complete map lands in the repo as
+    // bench_details.json on every full-suite run (isolation runs skip it
+    // — a micro-bench must not clobber the definitive artifact), pretty-
+    // printed one query per line so line-level capture loses nothing.
+    if (only.isEmpty) {
+      val pretty = new StringBuilder
+      pretty ++= s"""{"metric":"total","value":$total,"unit":"sec","sf":${jstr(sfDir)},"""
+      pretty ++= s""""n":${timings.size},$canary"queries":{"""
+      pretty ++= timings.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"\n ${jstr(k)}: ${r4(v)}" }.mkString(",")
+      pretty ++= "\n},\"failed\":{"
+      pretty ++= failed.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"\n ${jstr(k)}: ${jstr(v)}" }.mkString(",")
+      pretty ++= "\n}}\n"
+      Files.writeString(Paths.get("/root/repo/bench_details.json"), pretty.toString)
+    }
     spark.stop()
   }
 }

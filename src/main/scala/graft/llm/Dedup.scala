@@ -512,9 +512,9 @@ object Dedup {
     * a collision would serve a different corpus's index). */
   private def dedupIndexPath(d: String): String = {
     val root = sys.env.getOrElse("SPARK_GRAFT_DEDUP_DIR", "/tmp/graft_dedup_index")
-    // v2: the winnow relation's key moved from the md5-hex string to
-    // its xxhash64 (8-byte shuffle keys); the version segment makes
-    // pre-existing v1 artifacts invisible instead of schema-mismatched
+    // v2 INTRODUCES the winnow relation (keyed by xxhash64 — 8-byte
+    // shuffle keys, never the fingerprint string); the version segment
+    // hides pre-winnow v1 artifacts instead of schema-mismatching them
     s"$root/v2_${d.replaceAll("[^A-Za-z0-9._-]", "_")}"
   }
 
@@ -568,6 +568,14 @@ object Dedup {
       selC.join(bandC, Seq("fph"), "left_semi")
         .write.mode("overwrite").parquet(s"$path/winnow")
       selC.unpersist(blocking = false)
+      // Corpus fingerprint sidecar, written LAST (ADVICE r12): _SUCCESS
+      // alone would serve a stale index if the corpus at the same path
+      // were regenerated — the ensurePrEdgesBucketed staleness class.
+      // Last-write ordering means a crashed build leaves no sidecar and
+      // the next ensure rebuilds.
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$path/_GRAFT_FINGERPRINT"),
+        VocabStore.fingerprint(d, "dedup_index"))
     } finally corpus.unpersist(blocking = false)
     path
   }
@@ -579,8 +587,16 @@ object Dedup {
 
   private def ensureDedupIndex(s: SparkSession, d: String): String = {
     val path = dedupIndexPath(d)
+    // trust = all three _SUCCESS markers AND the corpus manifest
+    // fingerprint recorded at build time still matching (ADVICE r12 —
+    // a corpus regenerated at the same path must rebuild, not serve
+    // the previous corpus's winnow/hashes/signatures to dd_substr_incr
+    // and st_substr); metadata-only check, never a data scan
     val ok = Seq("hashes", "signatures", "winnow").forall(p =>
-      java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/$p/_SUCCESS")))
+      java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/$p/_SUCCESS"))) &&
+      scala.util.Try(java.nio.file.Files.readString(
+          java.nio.file.Paths.get(s"$path/_GRAFT_FINGERPRINT")).trim)
+        .toOption.contains(VocabStore.fingerprint(d, "dedup_index"))
     if (!ok) dedupIndexBuild(s, d)
     path
   }

@@ -166,21 +166,25 @@ object Quality {
   }
 
   // -------------------------------------------------------------------
-  // dq_dp_hist: ε-differentially-private histogram release (Dwork et
-  // al.'s Laplace mechanism; sensitivity 1 — each document contributes
-  // one count) — the privacy-release counterpart of dq_kanon: the
-  // n_chars histogram (the dq_drift binning verbatim) leaves the
-  // engine as n_b + Lap(1/ε), ε = 1, and ONLY the released value is
-  // emitted (true counts stay inside — the release discipline).
-  // "Randomness" is a seeded inverse-CDF draw,
-  // u_b = ((fnv("dp-seed-" ‖ bin) mod 2²⁰) + 0.5) / 2²⁰ — exactly what
-  // a production release does with a RECORDED seed so the release is
-  // reproducible for audit, and what makes the draw cross-engine
-  // replayable (the ds_split FNV rule; rollHash IS the FNV fold the
-  // oracle re-derives in raw SQL). Noise = −sgn(u−½)·ln(1−2|u−½|)/ε,
-  // quantized to 1e-6 with the dq_drift ln-parity float chain. Scale:
-  // one bounds scan + one 10-key count; the noise arithmetic runs on
-  // the 10-row release relation.
+  // dq_dp_hist: DETERMINISTIC SIMULATION of an ε=1 Laplace-mechanism
+  // histogram release (Dwork et al.; sensitivity 1 — each document
+  // contributes one count): the n_chars histogram (the dq_drift
+  // binning verbatim) leaves the engine as n_b + Lap(1/ε), with the
+  // inverse-CDF draw u_b = ((fnv("dp-seed-" ‖ bin) mod 2²⁰) + 0.5)/2²⁰.
+  // NOT a privacy guarantee (ADVICE r12): the seed string is public
+  // source text, so the noise is a public function of the bin index —
+  // anyone can subtract it and recover every true count. The operator
+  // exists to exercise the release PLUMBING (only the noised value
+  // leaves the engine; true counts stay inside) in a form both engines
+  // replay bit-identically for the gate. A real deployment must source
+  // the seed from an out-of-band secret (env/config excluded from the
+  // release) or a true RNG, at which point the oracle twin degrades to
+  // a rows/schema check — the mechanism shape is what the gate pins.
+  // Noise = −sgn(u−½)·ln(1−2|u−½|)/ε, quantized to 1e-6 with the
+  // dq_drift ln-parity float chain; see dq_dp_geo for the integer-
+  // exact release a 100 TB deployment should prefer. Scale: one
+  // bounds scan + one 10-key count; the noise arithmetic runs on the
+  // 10-row release relation.
   // -------------------------------------------------------------------
   private val dqDpHist: Q = (s, d) => {
     val docs = table(s, d, "documents")
@@ -208,11 +212,59 @@ object Quality {
       .orderBy("bin")
   }
 
+  // -------------------------------------------------------------------
+  // dq_dp_geo: the discrete geometric mechanism (Ghosh–Roughgarden–
+  // Sundararajan, "Universally utility-maximizing privacy mechanisms")
+  // — the integer-exact DP release a 100 TB deployment should prefer
+  // over dq_dp_hist's Laplace chain (VERDICT r12 next §4): dq_dp_hist
+  // rides cross-engine `ln` BIT-PARITY, a float-library coincidence;
+  // this release is pure integer algebra end to end, so engines can
+  // never disagree. Two-sided geometric noise P(Z=k) ∝ α^|k| with
+  // α = 1/2 (ε = ln 2 ≈ 0.693), sampled by exact inverse-CDF over a
+  // uniform integer grid v ∈ [0, 3·2²⁰): the CDF thresholds of the
+  // α=½ geometric are exact powers of two in units of 1/(3·2²⁰) —
+  // P(Z ≤ −k)·M = 2²¹⁻ᵏ, P(Z=0)·M = 2²⁰ — so the quantile function is
+  // floor(log2(v)) = length(bin(v)) − 1, a string-length both engines
+  // compute identically. The grid's two extreme points carry exactly
+  // the mass of Z ≤ −21 and Z ≥ +21 (each (1/3)·2⁻²⁰·M = 1 point), so
+  // v=0 → −21 and v=M−1 → +21 is the EXACT inverse CDF, not a clamp.
+  // Same seeded double-FNV draw discipline as dq_dp_hist (seed string
+  // "dpg-seed-" — and the same caveat applies: a public seed makes
+  // this a deterministic SIMULATION for gate replay, not a privacy
+  // guarantee; a real release draws v from a secret seed or true RNG
+  // and the mechanism algebra is unchanged). Scale: identical to
+  // dq_dp_hist — one bounds scan + one 10-key count; the noise is
+  // computed on the 10-row release relation.
+  // -------------------------------------------------------------------
+  private val dqDpGeo: Q = (s, d) => {
+    val docs = table(s, d, "documents")
+    val bounds = docs.agg(min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"))
+    val counted = docs.crossJoin(broadcast(bounds))
+      .select(expr(s"((n_chars - mn) * $psiBins) div (mx - mn + 1)").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+    val bins = s.range(psiBins).select(col("id").as("bin"))
+    val h1 = graft.functions.TextHashes.rollHash(
+      concat(lit("dpg-seed-"), col("bin").cast("string")))
+    val filled = bins.join(counted, Seq("bin"), "left").na.fill(0L, Seq("n"))
+      .withColumn("v",
+        pmod(graft.functions.TextHashes.rollHash(h1.cast("string")), lit(3145728L)))
+    // exact inverse CDF of the two-sided α=½ geometric on the 3·2²⁰
+    // grid; positive side reflects v' = M−1−v ∈ [0, 2²⁰)
+    val z = when(col("v") === 0L, lit(-21))
+      .when(col("v") < 2097152L, (length(bin(col("v"))) - 1) - lit(20))
+      .when(col("v") === 3145727L, lit(21))
+      .otherwise(lit(20) - (length(bin(lit(3145727L) - col("v"))) - 1))
+    filled.select(col("bin"),
+        (col("n") + z.cast("long")).as("released"))
+      .orderBy("bin")
+  }
+
   val queries: Map[String, Q] = Map(
     "dq_profile" -> dqProfile,
     "dq_checks" -> dqChecks,
     "dq_drift" -> dqDrift,
     "dq_dp_hist" -> dqDpHist,
+    "dq_dp_geo" -> dqDpGeo,
     "dq_kanon" -> dqKanon)
 
   val oracle: Map[String, String] = Map(
@@ -255,6 +307,35 @@ object Quality {
          |  CAST(round((n + (-sign(u - 0.5)) * ln(1 - 2 * abs(u - 0.5))) * 1e6)
          |    AS BIGINT) AS released_micro
          |FROM uu ORDER BY bin""".stripMargin
+    },
+    // integer-only twin: same binning, same double-FNV draw over
+    // 'dpg-seed-'||bin, same power-of-two inverse CDF via binary
+    // string length — no float op anywhere, so no ln/round parity to
+    // ride (the whole point of the geometric release)
+    "dq_dp_geo" -> {
+      val fnv = graft.functions.TextHashes.fnvFoldSql(
+        "'dpg-seed-' || CAST(bin AS VARCHAR)")
+      val signed = graft.functions.TextHashes.fnvSignedSql("hu")
+      s"""WITH bounds AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents),
+         | c AS (SELECT ((n_chars - mn) * $psiBins) // (mx - mn + 1) AS bin,
+         |         CAST(count(*) AS BIGINT) AS n
+         |       FROM documents CROSS JOIN bounds GROUP BY 1),
+         | bins AS (SELECT unnest(generate_series(0, ${psiBins - 1})) AS bin),
+         | filled AS (SELECT b.bin, coalesce(c.n, 0) AS n
+         |            FROM bins b LEFT JOIN c USING (bin)),
+         | h AS (SELECT bin, n, $fnv AS hu FROM filled),
+         | hs AS (SELECT bin, n, CAST($signed AS VARCHAR) AS s1 FROM h),
+         | h2 AS (SELECT bin, n, ${graft.functions.TextHashes.fnvFoldSql("s1")} AS hu FROM hs),
+         | vv AS (SELECT bin, n,
+         |     ((($signed) % 3145728) + 3145728) % 3145728 AS v FROM h2),
+         | zz AS (SELECT bin, n,
+         |     CASE WHEN v = 0 THEN -21
+         |          WHEN v < 2097152 THEN (length(bin(v)) - 1) - 20
+         |          WHEN v = 3145727 THEN 21
+         |          ELSE 20 - (length(bin(3145727 - v)) - 1) END AS z
+         |   FROM vv)
+         |SELECT CAST(bin AS BIGINT) AS bin, CAST(n + z AS BIGINT) AS released
+         |FROM zz ORDER BY bin""".stripMargin
     },
     // the FNV split, integer binning, smoothing and quantized PSI terms
     // re-derived from scratch (the fnv replay is the ds_split pattern)
