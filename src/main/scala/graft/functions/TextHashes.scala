@@ -57,6 +57,16 @@ object TextHashKernels {
     }
     val nw = m - 3
     if (withPositions) {
+      // positioned fingerprints pack the 1-based position into a FIXED
+      // 8-digit prefix parsed back with substr(pf, 1, 8); a position
+      // ≥ 1e8 would overflow the width and silently corrupt every span
+      // coordinate downstream (ADVICE r12) — fail loudly instead. A
+      // 100M-codepoint single document is a pipeline bug, not data.
+      if (m >= 100000000)
+        throw new IllegalArgumentException(
+          s"winnowSel(withPositions): document has $n codepoints; positions past " +
+            "99,999,999 cannot be encoded in the 8-digit fingerprint prefix — " +
+            "split or truncate the document upstream")
       val out = new Array[Any](nw)
       var j = 0
       while (j < nw) {
@@ -135,6 +145,14 @@ object TextHashKernels {
         val ap = ait.next()
         if (ap >= runEnd) {
           val bp = ap - diag
+          // seed positions are 1-based codepoint indexes into ca/cb —
+          // JVM arrays, so anything outside [1, 2³¹) is corrupt input
+          // (an overflowed fingerprint prefix, a foreign index): fail
+          // loudly rather than truncate through toInt (ADVICE r12)
+          if (ap < 1L || ap > ca.length || bp < 1L || bp > cb.length)
+            throw new IllegalArgumentException(
+              s"substrExtend: seed position out of range (a=$ap/${ca.length}, " +
+                s"b=$bp/${cb.length}) — corrupt span index")
           val a0 = ap.toInt - 1 // 0-based seed index in ca
           val b0 = bp.toInt - 1
           var l = 0

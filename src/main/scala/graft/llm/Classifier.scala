@@ -483,7 +483,7 @@ object Classifier {
   private def featureCte: String = {
     val ratio =
       s"(CAST(${TextOps.sqlCountIn(TextOps.stopwords)} AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE))"
-    s"""f AS (SELECT doc_id,
+    s"""f AS MATERIALIZED (SELECT doc_id,
        |  (CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0) AS x1,
        |  ((CAST(length(text) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 10.0) AS x2,
        |  $ratio AS x3,
@@ -512,17 +512,26 @@ object Classifier {
           s"CASE WHEN ${vExpr(j)} <= 0 THEN 1.0 ELSE sqrt(${vExpr(j)}) END AS d$j")
         .mkString(", ") +
       " FROM mom)"
-    val fs = "fs AS (SELECT doc_id, " +
+    val fs = "fs AS MATERIALIZED (SELECT doc_id, " +
       (1 to 4).map(j => s"((x$j - m$j) / d$j) AS x$j").mkString(", ") +
       ", y FROM f, ms)"
     s"$mom,\n $ms,\n $fs"
   }
 
+  // MATERIALIZED on f/fs/g_k/it_k/cv (r13 oracle-cost work): DuckDB
+  // inlines a CTE at every reference, and it_k references it_{k-1}
+  // TWICE (directly and through g_k) — the unrolled T=8 training chain
+  // re-planned and re-scanned the feature relation ~2^9 times, putting
+  // ml_lr_train at 23.7 s and ds_doremi at 122 s of the gate's DuckDB
+  // budget. Materializing the one-row iteration states and the
+  // 500-row feature relation is semantically identical (same exprs,
+  // same order — the quantized-integer discipline is unchanged) and
+  // collapses the whole family to ~1 s.
   private def trainCtes: String = {
     val it0 = "it0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4)"
     val iters = (1 to T + 1).map { k =>
       val g =
-        s"""g$k AS (SELECT count(*) AS n,
+        s"""g$k AS MATERIALIZED (SELECT count(*) AS n,
            |  sum(CAST(floor($sqlR * 1000000.0) AS BIGINT)) AS q0,
            |  sum(CAST(floor(($sqlR * x1) * 1000000.0) AS BIGINT)) AS q1,
            |  sum(CAST(floor(($sqlR * x2) * 1000000.0) AS BIGINT)) AS q2,
@@ -534,7 +543,7 @@ object Classifier {
         val cols = (0 to 4).map(j =>
           s"(w$j - ($LR * ((CAST(q$j AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE)))) AS w$j")
           .mkString(", ")
-        s",\n it$k AS (SELECT $cols FROM it${k - 1}, g$k)"
+        s",\n it$k AS MATERIALIZED (SELECT $cols FROM it${k - 1}, g$k)"
       } else ""
       s" $g$wUp"
     }
@@ -623,7 +632,7 @@ object Classifier {
           yield s"sum(CAST(floor((x$i * x$j) * 1000000.0) AS BIGINT)) AS t${i}_$j"))
         .mkString(", ") + " FROM f)"
     def mExpr(i: Int) = s"((CAST(s$i AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE))"
-    val cv = "cv AS (SELECT " +
+    val cv = "cv AS MATERIALIZED (SELECT " +
       ((1 to PD).map(i => s"${mExpr(i)} AS m$i") ++
         (for (i <- 1 to PD; j <- i to PD) yield
           s"(((CAST(t${i}_$j AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE)) - (${mExpr(i)} * ${mExpr(j)})) AS c${i}_$j"))

@@ -650,6 +650,58 @@ object StreamQueries {
       .orderBy("user_id", "ts", "event_type")
   }
 
+  /** The stEnrich gate on a FILE-STREAM source (VERDICT r12 next §3):
+    * every other st_* gate stages its bounded input through the driver
+    * (a collect()ed array fed to MemoryStream.addData) — sanctioned
+    * harness plumbing, but no gate demonstrated the engine on a
+    * streaming SOURCE that never touches the driver. Here the events
+    * table is staged ONCE per corpus dir to a parquet landing directory
+    * (a distributed write — the S2 partitioned-scan discipline applied
+    * to readStream's input), then `readStream.schema(...).parquet`
+    * consumes it with maxFilesPerTrigger=2 over 4 staged files, forcing
+    * ≥2 real micro-batches through the file-source offset log. The
+    * enrichment, the foreachBatch idempotent parquet sink, and the
+    * read-back are stEnrich's verbatim; there is NO collect anywhere on
+    * the input path — rows go files → executors → sink. At production
+    * scale this IS the deployment shape: a landing directory consumed
+    * incrementally. Same oracle as st_enrich (the relation is
+    * identical; only the source differs). */
+  private val stEnrichFile: Q = (parent, d) => {
+    val s = scoped(parent)
+    // stage once per (corpus dir, process): the fixture is INPUT, not
+    // operator work (the ingestCache discipline — the staging write is
+    // distributed, the cache only memoizes the path string)
+    val src = cachedRows(d, "enrichfile_src") {
+      val p = s"$pidRoot/stenrichfile_src_${math.abs(d.hashCode.toLong)}"
+      graft.io.Sources.table(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+    val schema = s.read.parquet(src).schema
+    val name = s"st_enrich_file_${seq.incrementAndGet()}"
+    val root = s"$pidRoot/stenrichfile"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val out = s"$root/out"
+    val in = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(src)
+    val q = EventStream.enrichWithBounds(in, graft.ops.Relational.boundsDim(s))
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        EventStream.writeBatch(b.toDF(), id, out))
+      .option("checkpointLocation", ckpt(name)).start()
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      dropCkpt(name)
+    }
+    s.read.parquet(out)
+      .select(col("user_id"), col("ts"), col("event_type"),
+        col("value"), col("v_max"), col("a_max"))
+      .orderBy("user_id", "ts", "event_type")
+  }
+
   /** Streaming exact dedup under the gate: every event delivered once
     * in batch 1, then a PLANTED re-delivery (event_id % 10 == 3) in
     * batch 2 — the at-least-once ingest failure dedup exists for. A
@@ -1100,6 +1152,7 @@ object StreamQueries {
     "st_dedup_indexed" -> stDedupIndexed,
     "st_sliding" -> stSliding,
     "st_enrich" -> stEnrich,
+    "st_enrich_file" -> stEnrichFile,
     "st_ann_upsert" -> stAnnUpsert,
     "st_kmeans" -> stKmeans,
     "st_drift" -> stDrift,
@@ -1213,6 +1266,15 @@ object StreamQueries {
          |ORDER BY qid, rk""".stripMargin
     },
     "st_enrich" ->
+      """SELECT user_id, ts, event_type, value,
+        | CASE event_type WHEN 'click' THEN 9.5 WHEN 'view' THEN 7.0
+        |   WHEN 'purchase' THEN 11.0 WHEN 'signup' THEN 8.5 END AS v_max,
+        | CASE event_type WHEN 'click' THEN 2.0 WHEN 'view' THEN 1.5
+        |   WHEN 'purchase' THEN 3.0 WHEN 'signup' THEN 2.5 END AS a_max
+        |FROM events""".stripMargin,
+    // identical relation to st_enrich — only the SOURCE differs (file
+    // stream vs MemoryStream), which is exactly what the twin pins
+    "st_enrich_file" ->
       """SELECT user_id, ts, event_type, value,
         | CASE event_type WHEN 'click' THEN 9.5 WHEN 'view' THEN 7.0
         |   WHEN 'purchase' THEN 11.0 WHEN 'signup' THEN 8.5 END AS v_max,
