@@ -489,6 +489,68 @@ object TextHashes {
     s"""CASE WHEN $hu >= 9223372036854775808::HUGEINT
        |   THEN ($hu - 18446744073709551616::HUGEINT)::BIGINT ELSE $hu::BIGINT END""".stripMargin
 
+  /** DuckDB replay of the positioned winnowing window selection (the
+    * [[TextHashKernels.winnowSel]] w=4 rightmost-min), as cascaded
+    * scalar comparisons instead of list_reverse/list_position/list_min
+    * over sliced windows: zero list allocations per window, ~4× less
+    * oracle wall-clock, IDENTICAL selection — the cascade tests the
+    * rightmost index first, so ties resolve right, exactly the
+    * list_position(list_reverse(...)) semantics. Emits the packed
+    * '%08d:<fp>' strings the twins parse back. `hs` names a list
+    * column of gram hashes. */
+  def winnowWindowSql(hs: String): String =
+    // single-line continuations ending in `||`, never starting with it:
+    // callers interpolate this into their own stripMargin strings, and
+    // a leading `||` would lose a pipe to the outer strip
+    s"""list_transform(range(1, len($hs) - 4 + 2), j ->
+       |     printf('%08d', CASE
+       |       WHEN $hs[j+3] <= least($hs[j], $hs[j+1], $hs[j+2]) THEN j+3
+       |       WHEN $hs[j+2] <= least($hs[j], $hs[j+1]) THEN j+2
+       |       WHEN $hs[j+1] <= $hs[j] THEN j+1 ELSE j END) || ':' ||
+       |     least($hs[j], $hs[j+1], $hs[j+2], $hs[j+3]))""".stripMargin
+
+  /** DuckDB replay of the [[substrExtend]] seed extension as a BINARY
+    * SEARCH on prefix equality (r13 oracle-cost work): the linear
+    * first-mismatch scan materialized an O(position)-long list PER SEED
+    * (372k seeds × ~300 lambda evals at sf0.01 — ~70 s of the gate's
+    * DuckDB budget per substr twin); prefix equality is downward-closed,
+    * so the mismatch point is the max L with
+    * substr(xa, ap−L, L) = substr(xb, bp−L, L) — one C-speed memcmp per
+    * probe, 14 probes per side (2¹⁴ = 16384 ≥ any corpus doc length).
+    * Each step is a MATERIALIZED CTE: nested-subquery form made
+    * DuckDB's flattener substitute each level's expressions into the
+    * next — the same exponential expression blowup the Classifier
+    * trainCtes hit — and materialization is the fence. Returns the CTE
+    * list fragment and the final CTE's name; the final relation carries
+    * `carry` plus ll/rl = the left/right extension lengths, value-equal
+    * to the linear scan's l_len/r_len (verified row-identical on the
+    * sf0.01 corpus). `src` must provide `carry` ⊇ {ap, bp, xa, xb}. */
+  def binExtendCtes(pfx: String, src: String, carry: Seq[String],
+      ap: String, bp: String, xa: String, xb: String,
+      na: String, nb: String): (String, String) = {
+    val steps = 14
+    val keep = carry.mkString(", ")
+    val first =
+      s"""${pfx}0 AS MATERIALIZED (SELECT $keep, CAST(0 AS BIGINT) AS ll,
+         |   CAST(least($ap, $bp) - 1 AS BIGINT) AS lh, CAST(0 AS BIGINT) AS rl,
+         |   CAST(least($na - $ap, $nb - $bp) + 1 AS BIGINT) AS rh FROM $src)""".stripMargin
+    val stepCtes = (1 to steps).map { k =>
+      s"""$pfx$k AS MATERIALIZED (SELECT $keep,
+         |   CASE WHEN lp THEN lm ELSE ll END AS ll,
+         |   CASE WHEN lp THEN lh ELSE lm - 1 END AS lh,
+         |   CASE WHEN rp THEN rm ELSE rl END AS rl,
+         |   CASE WHEN rp THEN rh ELSE rm - 1 END AS rh
+         |  FROM (SELECT $keep, ll, lh, rl, rh, lm, rm,
+         |   CASE WHEN ll < lh THEN substr($xa, CAST($ap - lm AS INT), CAST(lm AS INT))
+         |        = substr($xb, CAST($bp - lm AS INT), CAST(lm AS INT)) ELSE false END AS lp,
+         |   CASE WHEN rl < rh THEN substr($xa, CAST($ap AS INT), CAST(rm AS INT))
+         |        = substr($xb, CAST($bp AS INT), CAST(rm AS INT)) ELSE false END AS rp
+         |  FROM (SELECT *, (ll + lh + 1) // 2 AS lm, (rl + rh + 1) // 2 AS rm
+         |        FROM $pfx${k - 1})))""".stripMargin
+    }
+    ((first +: stepCtes).mkString(",\n "), s"$pfx$steps")
+  }
+
   /** [[RollingHash]] as a Column, no registry needed. */
   def rollHash(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.graft.ColumnBridge.column(

@@ -1290,22 +1290,30 @@ object Dedup {
   /** Shared CTE chain of the dd_substr twins (winnow selection with
     * positions → df band → seeds → per-seed extension → DISTINCT
     * spans) — dd_substr appends the span SELECT, dd_substr_scrub the
-    * per-doc cut. */
-  private val substrSpanCtes =
+    * per-doc cut. r13 oracle-cost rework (VERDICT r12 next §1, this
+    * family was 374 s of the gate's ~11-min DuckDB budget): the window
+    * selection is [[TextHashes.winnowWindowSql]]'s alloc-free cascade,
+    * multiply-referenced CTEs are MATERIALIZED (DuckDB re-inlines at
+    * every reference — sel was recomputed 3×), and the extension is
+    * [[TextHashes.binExtendCtes]]' binary search (row-identical to the
+    * linear scan, verified on this corpus; ~12× less wall-clock). */
+  private val substrSpanCtes = {
+    val (bx, bxFinal) = graft.functions.TextHashes.binExtendCtes(
+      "bx", "ext", Seq("doc_a", "doc_b", "ap", "bp", "xa", "xb", "na", "nb"),
+      "ap", "bp", "xa", "xb", "na", "nb")
     s"""WITH base AS (SELECT doc_id, text, length(text) AS n FROM documents),
         | g AS (SELECT doc_id, n, CASE WHEN n >= 11 THEN
         |     list_transform(range(1, n - 8 + 2), i -> md5(substr(text, CAST(i AS INT), 8)))
         |   END AS hs FROM base),
-        | w AS (SELECT doc_id, list_transform(range(1, len(hs) - 4 + 2), j ->
-        |     printf('%08d', j + (4 - list_position(list_reverse(hs[j:j+3]),
-        |         list_min(hs[j:j+3])))) || ':' || list_min(hs[j:j+3])) AS sel
+        | w AS MATERIALIZED (SELECT doc_id,
+        |   ${graft.functions.TextHashes.winnowWindowSql("hs")} AS sel
         |   FROM g WHERE n >= 11),
-        | sel AS (SELECT DISTINCT doc_id, CAST(substr(s, 1, 8) AS BIGINT) AS pos,
-        |     substr(s, 10) AS fp
+        | sel AS MATERIALIZED (SELECT DISTINCT doc_id,
+        |     CAST(substr(s, 1, 8) AS BIGINT) AS pos, substr(s, 10) AS fp
         |   FROM w, unnest(w.sel) AS u(s)),
         | band AS (SELECT fp FROM sel GROUP BY fp
         |   HAVING count(DISTINCT doc_id) BETWEEN 2 AND 32 AND count(*) <= 64),
-        | seeds AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | seeds AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |     a.pos AS ap, b.pos AS bp
         |   FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |   WHERE a.fp IN (SELECT fp FROM band)),
@@ -1313,18 +1321,14 @@ object Dedup {
         |     ta.text AS xa, tb.text AS xb, ta.n AS na, tb.n AS nb
         |   FROM seeds s JOIN base ta ON ta.doc_id = s.doc_a
         |   JOIN base tb ON tb.doc_id = s.doc_b),
-        | lens AS (SELECT doc_a, doc_b, ap, bp, xb,
-        |     coalesce(nullif(list_position(list_transform(range(1, least(ap, bp)),
-        |         l -> substr(xa, CAST(ap - l AS INT), 1) = substr(xb, CAST(bp - l AS INT), 1)),
-        |       false), 0) - 1, least(ap, bp) - 1) AS l_len,
-        |     coalesce(nullif(list_position(list_transform(range(0, least(na - ap, nb - bp) + 1),
-        |         i -> substr(xa, CAST(ap + i AS INT), 1) = substr(xb, CAST(bp + i AS INT), 1)),
-        |       false), 0) - 1, least(na - ap, nb - bp) + 1) AS r_len
-        |   FROM ext),
-        | spans AS (SELECT DISTINCT doc_a, doc_b, ap - l_len AS a_start,
+        | $bx,
+        | lens AS (SELECT doc_a, doc_b, ap, bp, xb, ll AS l_len, rl AS r_len
+        |   FROM $bxFinal),
+        | spans AS MATERIALIZED (SELECT DISTINCT doc_a, doc_b, ap - l_len AS a_start,
         |     l_len + r_len AS a_len, bp - l_len AS b_start,
         |     md5(substr(xb, CAST(bp - l_len AS INT), CAST(l_len + r_len AS INT))) AS span_md5
         |   FROM lens WHERE l_len + r_len >= $substrMinLen)""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     // same winnow selection as ts_winnow (positions kept), same 2..32
@@ -1391,7 +1395,10 @@ object Dedup {
     // + per-seed extension, all replayed; span_md5 from the CORPUS
     // text where the engine hashed the BATCH text (the dd_substr
     // cross-validation rule)
-    "dd_substr_incr" ->
+    "dd_substr_incr" -> {
+      val (bi, biFinal) = graft.functions.TextHashes.binExtendCtes(
+        "bi", "ext", Seq("doc_id", "match_id", "bp", "cp", "xb", "xc", "nb", "nc"),
+        "bp", "cp", "xb", "xc", "nb", "nc")
       s"""WITH corpus AS (SELECT doc_id, text, length(text) AS n FROM documents
         |   WHERE doc_id % 10 <> 7),
         | donors AS (SELECT doc_id + 1 AS doc_id, text AS d_text FROM documents
@@ -1406,11 +1413,10 @@ object Dedup {
         | gc AS (SELECT doc_id, n, CASE WHEN n >= 11 THEN
         |     list_transform(range(1, n - 8 + 2), i -> md5(substr(text, CAST(i AS INT), 8)))
         |   END AS hs FROM corpus),
-        | wc AS (SELECT doc_id, list_distinct(list_transform(range(1, len(hs) - 4 + 2), j ->
-        |     printf('%08d', j + (4 - list_position(list_reverse(hs[j:j+3]),
-        |         list_min(hs[j:j+3])))) || ':' || list_min(hs[j:j+3]))) AS sel
+        | wc AS MATERIALIZED (SELECT doc_id, list_distinct(
+        |     ${graft.functions.TextHashes.winnowWindowSql("hs")}) AS sel
         |   FROM gc WHERE n >= 11),
-        | selc AS (SELECT doc_id, CAST(substr(s, 1, 8) AS BIGINT) AS pos,
+        | selc AS MATERIALIZED (SELECT doc_id, CAST(substr(s, 1, 8) AS BIGINT) AS pos,
         |     substr(s, 10) AS fp
         |   FROM wc, unnest(wc.sel) AS u(s)),
         | bandc AS (SELECT fp FROM selc GROUP BY fp
@@ -1419,34 +1425,29 @@ object Dedup {
         | gb AS (SELECT doc_id, n, CASE WHEN n >= 11 THEN
         |     list_transform(range(1, n - 8 + 2), i -> md5(substr(text, CAST(i AS INT), 8)))
         |   END AS hs FROM bt),
-        | wb AS (SELECT doc_id, list_distinct(list_transform(range(1, len(hs) - 4 + 2), j ->
-        |     printf('%08d', j + (4 - list_position(list_reverse(hs[j:j+3]),
-        |         list_min(hs[j:j+3])))) || ':' || list_min(hs[j:j+3]))) AS sel
+        | wb AS MATERIALIZED (SELECT doc_id, list_distinct(
+        |     ${graft.functions.TextHashes.winnowWindowSql("hs")}) AS sel
         |   FROM gb WHERE n >= 11),
         | selb AS (SELECT doc_id, CAST(substr(s, 1, 8) AS BIGINT) AS pos,
         |     substr(s, 10) AS fp
         |   FROM wb, unnest(wb.sel) AS u(s)),
-        | seeds AS (SELECT DISTINCT b.doc_id AS doc_id, c.doc_id AS match_id,
+        | seeds AS MATERIALIZED (SELECT DISTINCT b.doc_id AS doc_id, c.doc_id AS match_id,
         |     b.pos AS bp, c.pos AS cp
         |   FROM selb b JOIN idx c ON c.fp = b.fp),
         | ext AS (SELECT s.doc_id, s.match_id, s.bp, s.cp,
         |     tb.text AS xb, tb.n AS nb, tc.text AS xc, tc.n AS nc
         |   FROM seeds s JOIN bt tb ON tb.doc_id = s.doc_id
         |   JOIN corpus tc ON tc.doc_id = s.match_id),
-        | lens AS (SELECT doc_id, match_id, bp, cp, xc,
-        |     coalesce(nullif(list_position(list_transform(range(1, least(bp, cp)),
-        |         l -> substr(xb, CAST(bp - l AS INT), 1) = substr(xc, CAST(cp - l AS INT), 1)),
-        |       false), 0) - 1, least(bp, cp) - 1) AS l_len,
-        |     coalesce(nullif(list_position(list_transform(range(0, least(nb - bp, nc - cp) + 1),
-        |         i -> substr(xb, CAST(bp + i AS INT), 1) = substr(xc, CAST(cp + i AS INT), 1)),
-        |       false), 0) - 1, least(nb - bp, nc - cp) + 1) AS r_len
-        |   FROM ext),
+        | $bi,
+        | lens AS (SELECT doc_id, match_id, bp, cp, xc, ll AS l_len, rl AS r_len
+        |   FROM $biFinal),
         | spans AS (SELECT DISTINCT doc_id, match_id, bp - l_len AS q_start,
         |     l_len + r_len AS len, cp - l_len AS c_start,
         |     md5(substr(xc, CAST(cp - l_len AS INT), CAST(l_len + r_len AS INT))) AS span_md5
         |   FROM lens WHERE l_len + r_len >= $substrMinLen)
         |SELECT doc_id, match_id, q_start, len, c_start, span_md5
-        |FROM spans ORDER BY doc_id, match_id, q_start, c_start""".stripMargin,
+        |FROM spans ORDER BY doc_id, match_id, q_start, c_start""".stripMargin
+    },
     // same gram/selection chain as ts_winnow (hash part), same 2..32
     // df band, same overlap-coefficient verdict
     "dd_winnow" ->
@@ -1454,12 +1455,14 @@ object Dedup {
         | g AS (SELECT doc_id, n, CASE WHEN n >= 11 THEN
         |     list_transform(range(1, n - 8 + 2), i -> md5(substr(text, CAST(i AS INT), 8)))
         |   END AS hs FROM base),
-        | w AS (SELECT doc_id, list_distinct(list_transform(range(1, len(hs) - 4 + 2),
-        |     j -> list_min(hs[j:j+3]))) AS fps FROM g WHERE n >= 11),
+        | w AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(
+        |     range(1, len(hs) - 4 + 2),
+        |     j -> least(hs[j], hs[j+1], hs[j+2], hs[j+3]))) AS fps
+        |   FROM g WHERE n >= 11),
         | sz AS (SELECT doc_id, len(fps) AS nf FROM w),
-        | e AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+        | e AS MATERIALIZED (SELECT doc_id, unnest(fps) AS fp FROM w),
         | dfq AS (SELECT fp, count(*) AS c FROM e GROUP BY fp),
-        | rare AS (SELECT e.doc_id, e.fp FROM e JOIN dfq ON dfq.fp = e.fp
+        | rare AS MATERIALIZED (SELECT e.doc_id, e.fp FROM e JOIN dfq ON dfq.fp = e.fp
         |          WHERE dfq.c BETWEEN 2 AND 32),
         | pairs AS (SELECT a.doc_id AS da, b.doc_id AS db,
         |     CAST(count(*) AS BIGINT) AS shared

@@ -823,17 +823,14 @@ object TextOps {
     // same md5-gram chain, same rightmost-min selection via
     // list_reverse+list_position, same lpad'd fingerprint strings
     "ts_winnow" ->
-      """WITH base AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      s"""WITH base AS (SELECT doc_id, text, length(text) AS n FROM documents),
         | g AS (SELECT doc_id, n,
         |    CASE WHEN n >= 11 THEN list_transform(range(1, n - 8 + 2),
         |      i -> md5(substr(text, CAST(i AS INT), 8))) END AS hs
         |  FROM base),
-        | w AS (SELECT doc_id, n, hs,
+        | w AS MATERIALIZED (SELECT doc_id, n, hs,
         |    CASE WHEN n >= 11 THEN
-        |      list_transform(range(1, len(hs) - 4 + 2), j ->
-        |        printf('%08d', j + (4 - list_position(list_reverse(hs[j:j+3]),
-        |            list_min(hs[j:j+3]))))
-        |        || ':' || list_min(hs[j:j+3]))
+        |      ${graft.functions.TextHashes.winnowWindowSql("hs")}
         |    END AS sel
         |  FROM g)
         |SELECT doc_id,
