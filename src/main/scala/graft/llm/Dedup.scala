@@ -987,6 +987,75 @@ object Dedup {
   private val ddSubstr: Q = (s, d) =>
     substrSpansImpl(table(s, d, "documents").select("doc_id", "text"))
 
+  // -------------------------------------------------------------------
+  // dd_substr_uni: the adversarial-Unicode twin of dd_substr (VERDICT
+  // r12 next §5). The gate corpora are ASCII, where UTF-8 bytes =
+  // codepoints = UTF-16 units, so an off-by-one between the engine's
+  // UTF8String codepoint arithmetic, a JVM surrogate-pair slip, and
+  // DuckDB's codepoint substr semantics could never turn the gate red.
+  // This query runs the UNCHANGED span pipeline over a small
+  // deterministic corpus whose shared span and noise mix 1-byte ASCII,
+  // 2-byte (é), 3-byte (中), and 4-byte astral-plane (U+1F600 —
+  // a UTF-16 surrogate PAIR on the JVM) codepoints, built
+  // programmatically from codepoint numbers on BOTH sides (Character.
+  // toChars here, chr() in the twin) so no source-file or JSON
+  // encoding step can silently normalize the bytes. Every coordinate
+  // the gate hashes (a_start/a_len/b_start) is a codepoint index past
+  // multi-byte noise, and span_md5 crosses texts (engine hashes
+  // doc_a's span, twin doc_b's) — byte-vs-codepoint confusion on
+  // either side shifts a boundary or splits a surrogate and the hash
+  // goes red. SubstrDedupSpec pins the exact expected coordinates.
+  // -------------------------------------------------------------------
+  private[llm] def uniDocs: Seq[(Long, String)] = {
+    val e = "é"
+    val zh = "中"
+    val emo = new String(Character.toChars(0x1F600))
+    // per-doc unique filler with a 3-byte char in every 4-cp unit, cut
+    // at a CODEPOINT count (String.take counts UTF-16 units and could
+    // split a pair — noise stays in the BMP, but cut by codepoints
+    // anyway so the helper is safe to reuse with astral tags)
+    def noiseU(tag: String, n: Int): String = {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (sb.codePointCount(0, sb.length) < n) {
+        sb.append(tag).append(zh).append(i).append('~'); i += 1
+      }
+      val cps = sb.toString.codePoints().toArray.take(n)
+      new String(cps, 0, cps.length)
+    }
+    // 34-codepoint shared span mixing all four encoded widths
+    val span = s"UNI${e}SPAN${zh}DUP${emo}SEG-0123456789$e$zh${emo}ABCD"
+    Seq(
+      1L -> (noiseU("a", 21) + span + noiseU("z", 17)),
+      2L -> (noiseU("b", 45) + span + noiseU("y", 9)),
+      3L -> noiseU("c", 120))
+  }
+
+  /** A Scala string as a DuckDB expression: ASCII runs as quoted
+    * literals, every non-ASCII codepoint as chr(n) — the twin's text
+    * bytes come from DuckDB's own UTF-8 encoder, not from any
+    * source/JSON encoding path. */
+  private def sqlTextLit(s: String): String = {
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    val sb = new StringBuilder
+    def flush(): Unit =
+      if (sb.nonEmpty) { parts += "'" + sb.toString.replace("'", "''") + "'"; sb.clear() }
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (cp >= 0x20 && cp < 0x7f) sb.append(cp.toChar)
+      else { flush(); parts += s"chr($cp)" }
+      i += Character.charCount(cp)
+    }
+    flush()
+    if (parts.isEmpty) "''" else parts.mkString(" || ")
+  }
+
+  private val ddSubstrUni: Q = (s, _) => {
+    import s.implicits._
+    substrSpansImpl(s.createDataset(uniDocs).toDF("doc_id", "text"))
+  }
+
   private[graft] def substrSpansImpl(docs: DataFrame): DataFrame = {
     // persisted: feeds the df-band aggregate AND both sides of the
     // seed self-join (caller owns cache hygiene — see COVERAGE.md's
@@ -1224,6 +1293,7 @@ object Dedup {
   // -------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "dd_substr" -> ddSubstr,
+    "dd_substr_uni" -> ddSubstrUni,
     "dd_substr_scrub" -> ddSubstrScrub,
     "dd_substr_incr" -> ddSubstrIncr,
     "dd_substr_cov" -> ddSubstrCov,
@@ -1297,11 +1367,11 @@ object Dedup {
     * every reference — sel was recomputed 3×), and the extension is
     * [[TextHashes.binExtendCtes]]' binary search (row-identical to the
     * linear scan, verified on this corpus; ~12× less wall-clock). */
-  private val substrSpanCtes = {
+  private def substrSpanCtesFrom(baseBody: String): String = {
     val (bx, bxFinal) = graft.functions.TextHashes.binExtendCtes(
       "bx", "ext", Seq("doc_a", "doc_b", "ap", "bp", "xa", "xb", "na", "nb"),
       "ap", "bp", "xa", "xb", "na", "nb")
-    s"""WITH base AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    s"""WITH base AS ($baseBody),
         | g AS (SELECT doc_id, n, CASE WHEN n >= 11 THEN
         |     list_transform(range(1, n - 8 + 2), i -> md5(substr(text, CAST(i AS INT), 8)))
         |   END AS hs FROM base),
@@ -1330,6 +1400,11 @@ object Dedup {
         |   FROM lens WHERE l_len + r_len >= $substrMinLen)""".stripMargin
   }
 
+  /** The chain over the gate corpus — what dd_substr/scrub/cov append
+    * their final SELECTs to. */
+  private val substrSpanCtes = substrSpanCtesFrom(
+    "SELECT doc_id, text, length(text) AS n FROM documents")
+
   val oracle: Map[String, String] = Map(
     // same winnow selection as ts_winnow (positions kept), same 2..32
     // doc band + 64-occurrence cap; extension replayed per seed via
@@ -1343,6 +1418,19 @@ object Dedup {
       """
         |SELECT doc_a, doc_b, a_start, a_len, b_start, span_md5
         |FROM spans ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin),
+    // the UNCHANGED spans chain over the inline mixed-width corpus;
+    // text bytes produced by DuckDB's chr(), coordinates in codepoints
+    "dd_substr_uni" -> {
+      val vals = uniDocs
+        .map { case (id, t) => s"($id, ${sqlTextLit(t)})" }.mkString(",\n   ")
+      substrSpanCtesFrom(
+        s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, text, length(text) AS n
+           |  FROM (VALUES
+           |   $vals) AS t(doc_id, text)""".stripMargin) +
+        """
+          |SELECT doc_a, doc_b, a_start, a_len, b_start, span_md5
+          |FROM spans ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin
+    },
     // the spans chain verbatim, then the cut: every covered codepoint
     // of the HIGHER-id doc goes; kept text re-hashed independently
     "dd_substr_scrub" -> (substrSpanCtes +

@@ -173,6 +173,56 @@ class SubstrDedupSpec extends AnyFunSuite {
     assert(stream == batch, "micro-batched span probe diverged from batch")
   }
 
+  test("dd_substr_uni: mixed-width Unicode span recovered at exact codepoint coordinates") {
+    // the corpus mixes 1/2/3/4-byte codepoints (é, 中, U+1F600 — a JVM
+    // surrogate PAIR); coordinates must be codepoint indexes, so any
+    // byte- or UTF-16-unit-based arithmetic shifts them (VERDICT r12 §5)
+    val docs = Dedup.uniDocs
+    val out = spans(docs)
+    assert(out.length == 1, out.mkString("; "))
+    val r = out.head
+    assert(r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    // doc 1: 21 noise codepoints then the span; doc 2: 45 then the span
+    assert(r.getAs[Long]("a_start") == 22L, s"a_start ${r}")
+    assert(r.getAs[Long]("b_start") == 46L, s"b_start ${r}")
+    // the shared span is 34 CODEPOINTS (its UTF-16 length is 36 — two
+    // astral chars — and its UTF-8 length is 46); a_len in any other
+    // unit fails here
+    val span = docs.head._2.codePoints().toArray.slice(21, 21 + 34)
+    val spanStr = new String(span, 0, span.length)
+    assert(spanStr.codePointCount(0, spanStr.length) == 34)
+    assert(spanStr.length == 36)
+    assert(spanStr.getBytes("UTF-8").length == 46)
+    assert(r.getAs[Long]("a_len") == 34L, s"a_len ${r}")
+    assert(r.getAs[String]("span_md5") == md5hex(spanStr))
+    // the planted span really is what uniDocs intended (guards the
+    // fixture itself against accidental edits)
+    assert(spanStr.startsWith("UNIéSPAN") && spanStr.endsWith("ABCD"))
+  }
+
+  test("astral chars flanking the span do not extend through a surrogate slip") {
+    // both docs place the SAME astral char right before the span and
+    // DIFFERENT astral chars right after: correct codepoint extension
+    // grows the span left by exactly 1 and stops right at the boundary;
+    // splitting a surrogate pair on either side would misalign both
+    val emoSame = new String(Character.toChars(0x1F680)) // 🚀
+    val emoA = new String(Character.toChars(0x1F600))
+    val emoB = new String(Character.toChars(0x1F4A9))
+    val core = "FLANKED-DUPLICATE-SPAN-0123456789" // 33 cps
+    // distinct ASCII chars ('A'/'B') pin the left boundary: the noise
+    // helpers can both end in '~', which would legitimately extend the
+    // span one codepoint left and blur what this test isolates
+    val a = noise("aa", 39) + "A" + emoSame + core + emoA + noise("zz", 30)
+    val b = noise("bb", 69) + "B" + emoSame + core + emoB + noise("yy", 12)
+    val out = spans(Seq(1L -> a, 2L -> b))
+    assert(out.length == 1, out.mkString("; "))
+    val r = out.head
+    assert(r.getAs[Long]("a_start") == 41L) // the shared 🚀, 1-based
+    assert(r.getAs[Long]("b_start") == 71L)
+    assert(r.getAs[Long]("a_len") == (1 + core.codePointCount(0, core.length)).toLong)
+    assert(r.getAs[String]("span_md5") == md5hex(emoSame + core))
+  }
+
   test("two distinct shared spans in the same pair both surface") {
     val s2 = "SECOND-INDEPENDENT-DUPLICATE-SPAN-WITH-30+" // 42 cps
     val a = noise("aa", 30) + shared + noise("mm", 33) + s2 + noise("zz", 20)
