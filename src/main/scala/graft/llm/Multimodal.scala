@@ -814,7 +814,7 @@ object Multimodal {
        | sl AS (SELECT *, (j // 256)::INT AS win_idx,
        |          lag(v) OVER (PARTITION BY media_id ORDER BY j) AS pv
        |        FROM s),
-       | wins AS (SELECT media_id, win_idx, count(*)::BIGINT AS n_samples,
+       | wins AS MATERIALIZED (SELECT media_id, win_idx, count(*)::BIGINT AS n_samples,
        |   sqrt(sum(v * v)::DOUBLE / count(*)) AS rms_raw,
        |   max(abs(v)) AS peak,
        |   CAST(sum(CASE WHEN j % 256 <> 0 AND pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zcr
@@ -845,10 +845,10 @@ object Multimodal {
          |       LATERAL unnest(generate_series(0, m.height - 1)) y(y),
          |       LATERAL unnest([0, 1, 2]) c(c)
          |  WHERE m.kind = 'video'),
-        | vals AS (SELECT * FROM imgv UNION ALL SELECT * FROM audv
+        | vals AS MATERIALIZED (SELECT * FROM imgv UNION ALL SELECT * FROM audv
         |          UNION ALL SELECT * FROM vidv),
         | denom AS (SELECT media_id, count(*)::BIGINT AS nv FROM vals GROUP BY media_id),
-        | hist AS (
+        | hist AS MATERIALIZED (
         |  SELECT media_id, (v // 16)::INT AS bin, count(*)::BIGINT AS c
         |  FROM vals GROUP BY media_id, (v // 16)::INT),
         | ent AS (
