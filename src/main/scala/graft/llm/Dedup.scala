@@ -1433,24 +1433,40 @@ object Dedup {
     },
     // the spans chain verbatim, then the cut: every covered codepoint
     // of the HIGHER-id doc goes; kept text re-hashed independently
+    // the cut rebuilt from merged islands (r13 oracle-cost work): the
+    // first form probed every codepoint against every interval
+    // (O(chars × intervals) lambda evals — ~8 s of gate budget); the
+    // kept text is exactly the complement of the interval UNION, so
+    // merge b-side intervals with the cov gaps-and-islands walk and
+    // concatenate the O(islands) gap substrings instead. Same kept
+    // string, same md5 — interval union ≡ island set by construction.
     "dd_substr_scrub" -> (substrSpanCtes +
       """,
-        | r AS (SELECT doc_b AS doc_id,
-        |     list(struct_pack(cs := b_start, ce := b_start + a_len - 1)) AS rs
-        |   FROM spans GROUP BY doc_b),
-        | k AS (SELECT d.doc_id, d.text, r.rs FROM base d
-        |   LEFT JOIN r ON r.doc_id = d.doc_id),
-        | cutc AS (SELECT doc_id, text,
-        |     CASE WHEN rs IS NULL THEN text ELSE
-        |       -- coalesce: DuckDB's array_to_string of an EMPTY list is
-        |       -- NULL, and a fully-covered doc cuts every codepoint
-        |       coalesce(array_to_string(list_filter(list_transform(range(1, length(text) + 1),
-        |         i -> CASE WHEN len(list_filter(rs,
-        |                rr -> i >= rr.cs AND i <= rr.ce)) > 0
-        |              THEN NULL ELSE substr(text, CAST(i AS INT), 1) END),
-        |         x -> x IS NOT NULL), ''), '')
+        | iv2 AS (SELECT DISTINCT doc_b AS doc_id, b_start AS p,
+        |     b_start + a_len - 1 AS e FROM spans),
+        | m2 AS (SELECT doc_id, p, e,
+        |     CASE WHEN p > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY p, e
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+        |          THEN 1 ELSE 0 END AS ns FROM iv2),
+        | g3 AS (SELECT doc_id, p, e,
+        |     sum(ns) OVER (PARTITION BY doc_id ORDER BY p, e
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM m2),
+        | isl2 AS (SELECT doc_id, grp, min(p) AS s, max(e) AS e
+        |   FROM g3 GROUP BY doc_id, grp),
+        | gps AS (SELECT doc_id, s, e,
+        |     coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS pe
+        |   FROM isl2),
+        | mids AS (SELECT g.doc_id,
+        |     string_agg(substr(b.text, CAST(g.pe + 1 AS INT),
+        |       CAST(g.s - g.pe - 1 AS INT)), '' ORDER BY g.s) AS mid,
+        |     max(g.e) AS last_e
+        |   FROM gps g JOIN base b USING (doc_id) GROUP BY g.doc_id),
+        | cutc AS (SELECT b.doc_id, b.text,
+        |     CASE WHEN m.doc_id IS NULL THEN b.text
+        |          ELSE coalesce(m.mid, '') ||
+        |               substr(b.text, CAST(m.last_e + 1 AS INT))
         |     END AS kept
-        |   FROM k)
+        |   FROM base b LEFT JOIN mids m USING (doc_id))
         |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
         |  CAST(length(text) - length(kept) AS BIGINT) AS n_cut,
         |  md5(kept) AS clean_md5

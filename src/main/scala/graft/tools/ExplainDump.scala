@@ -53,7 +53,12 @@ object ExplainDump {
     "ts_hybrid_rrf" -> "hybrid RRF fusion: two output-sensitive top-k relations full-outer joined, the two-term reciprocal-rank sum quantized and window-ranked — O(queries·k) past the input builds",
     "gr_linkpred" -> "link prediction: adjacency self-join shuffles on the capped bridge key, degree joins on node id, existing edges anti-joined — candidate pairs bounded by Σ deg², never all-pairs",
     "ts_winnow" -> "winnowing fingerprints: the fused WinnowSel kernel runs the whole gram-hash + rightmost-min selection inside the scan projection — zero shuffle before the output sort",
-    "dd_winnow" -> "winnow near-copy pairs: fingerprint-keyed explode shuffle, df 2..32 band via semi-join, pair aggregate + two size joins — boilerplate fingerprints never pair")
+    "dd_winnow" -> "winnow near-copy pairs: fingerprint-keyed explode shuffle, df 2..32 band via semi-join, pair aggregate + two size joins — boilerplate fingerprints never pair",
+    "dd_substr" -> "substring-span dedup: winnow seeds shuffle as (xxhash64, pos) 16-byte rows, df band + semi-join + pair self-join all on the 8-byte key, texts join in ONCE per surviving pair for the SubstrExtend kernel — no cartesian, no per-seed text (SubstrPlanSpec)",
+    "dd_substr_incr" -> "span-level incremental decontamination: the batch probes the PERSISTED winnow index — detection joins carry fingerprints only, corpus text joins in post-match (SubstrPlanSpec pins text-free detection)",
+    "ds_temperature" -> "temperature rebalancing: one language aggregate, the |langs|-row rate relation broadcast back into the resample scan — per-doc keep/drop is scan-local FNV algebra",
+    "dq_dp_hist" -> "DP histogram release: one bounds scan + one 10-key count; the seeded Laplace noise is computed on the 10-row release relation, never per document",
+    "dq_dp_geo" -> "discrete geometric DP release: same one-aggregate shape as dq_dp_hist with integer-only noise algebra (binary-length inverse CDF) on the release relation")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
