@@ -197,9 +197,40 @@ object Unigram {
       .orderBy("doc_id")
   }
 
+  // -------------------------------------------------------------------
+  // tok_fertility: per-language tokenizer fertility — the diagnostic a
+  // vocab-sizing decision actually rides on (SentencePiece/XLM-R
+  // practice: a vocab trained on a skewed mix over-segments the
+  // low-resource languages; fertility = pieces/word per language is
+  // how that's detected, chars/piece is the compression view). One
+  // encode pass over the word-count relation (vocabulary-sized,
+  // broadcast back to word instances — the tok_unigram_encode shape),
+  // then a |langs|-key rollup; quantized integer ratios for the gate.
+  // Scale: corpus text is scanned once into word instances; the join
+  // side is vocabulary-bounded and broadcast — no corpus-sized shuffle.
+  // -------------------------------------------------------------------
+  private val tokFertility: Q = (s, d) => {
+    val v = ensureTrained(s, d)
+    val docs = table(s, d, "documents")
+    val enc = viterbi(wordCounts(docs.select("text")), v)
+      .select(col("word"), col("n_pieces"))
+    docs.select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(broadcast(enc), Seq("word"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_pieces"),
+        sum(length(col("word")).cast("long")).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_pieces"), col("n_chars"),
+        expr("(10000 * n_pieces) div n_words").as("fertility_q"),
+        expr("(10000 * n_chars) div n_pieces").as("cpt_q"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, Q] = Map(
     "tok_unigram_train" -> tokUnigramTrain,
-    "tok_unigram_encode" -> tokUnigramEncode)
+    "tok_unigram_encode" -> tokUnigramEncode,
+    "tok_fertility" -> tokFertility)
 
   // ---------------------------------------------------------------
   // Oracle: full from-scratch replay; Viterbi as recursive CTEs.
@@ -315,6 +346,24 @@ object Unigram {
          |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece ASC) AS BIGINT) AS rank,
          |  piece, len AS piece_len, cnt, cost_q
          |FROM v$R ORDER BY rank""".stripMargin,
+    // the full training replay + final-vocab segmentation, rolled up by
+    // language with the same integer-quantized ratios
+    "tok_fertility" ->
+      s"""$chain,
+         |${dpSql("F", s"v$R")},
+         |${btSql("F")},
+         | npc AS (SELECT word, CAST(count(*) AS BIGINT) AS n_pieces
+         |         FROM piecesF GROUP BY word),
+         | inst AS (SELECT lang, unnest(string_split(text, ' ')) AS word
+         |          FROM documents)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+         |  CAST(sum(length(word)) AS BIGINT) AS n_chars,
+         |  (10000 * CAST(sum(n_pieces) AS BIGINT)) // CAST(count(*) AS BIGINT) AS fertility_q,
+         |  (10000 * CAST(sum(length(word)) AS BIGINT)) // CAST(sum(n_pieces) AS BIGINT) AS cpt_q
+         |FROM (SELECT * FROM inst WHERE length(word) > 0) i
+         |JOIN npc USING (word)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "tok_unigram_encode" ->
       s"""$chain,
          |${dpSql("F", s"v$R")},

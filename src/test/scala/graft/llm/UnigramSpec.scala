@@ -73,4 +73,25 @@ class UnigramSpec extends AnyFunSuite {
       assert(r.getAs[Long]("sum_cost_q") > 0L)
     }
   }
+
+  test("fertility rollup conserves the encode totals and its ratios are sound") {
+    import org.apache.spark.sql.functions._
+    val fert = Unigram.queries("tok_fertility")(spark, sf).collect()
+    assert(fert.nonEmpty)
+    // language rollup and doc rollup count the SAME word instances
+    val enc = Unigram.queries("tok_unigram_encode")(spark, sf)
+      .agg(sum("n_words"), sum("n_pieces")).collect().head
+    assert(fert.map(_.getAs[Long]("n_words")).sum == enc.getLong(0))
+    assert(fert.map(_.getAs[Long]("n_pieces")).sum == enc.getLong(1))
+    fert.foreach { r =>
+      // at least one piece per word; a piece never exceeds its word
+      assert(r.getAs[Long]("fertility_q") >= 10000L, r.toString)
+      assert(r.getAs[Long]("cpt_q") >= 10000L, r.toString) // pieces are >= 1 char
+      // ratio replay from the emitted sums (integer division exact)
+      assert(r.getAs[Long]("fertility_q") ==
+        10000L * r.getAs[Long]("n_pieces") / r.getAs[Long]("n_words"))
+      assert(r.getAs[Long]("cpt_q") ==
+        10000L * r.getAs[Long]("n_chars") / r.getAs[Long]("n_pieces"))
+    }
+  }
 }
