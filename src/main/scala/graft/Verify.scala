@@ -64,9 +64,15 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // per-query timing on stderr: attribution when the driver's
+        // gate wall-clock drifts (the r12 artifact-zeroing lesson —
+        // a silent budget overrun should be diagnosable from the log)
+        System.err.println(f"[verify] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // per-query cache hygiene (ADVICE r6, the Bench/RunCurate idiom):
