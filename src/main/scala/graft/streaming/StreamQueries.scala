@@ -739,6 +739,70 @@ object StreamQueries {
         col("event_type"), col("value"))
   }
 
+  /** stDedup on the FILE-STREAM source — the STATEFUL complement of
+    * stEnrichFile (that gate is stateless; this one runs watermark +
+    * dropDuplicatesWithinWatermark state against a landing directory):
+    * the events land as parquet files, the stream consumes them, then
+    * the planted re-delivery (event_id ≡ 3 mod 10 — the at-least-once
+    * ingest failure) arrives as a LATE FILE while the query runs, the
+    * deployment shape of a crawler re-uploading a chunk. A re-delivered
+    * key still in state drops on the state match; one past the
+    * watermark horizon drops as late data — either way output must
+    * equal the plain events table row for row (st_dedup's gate
+    * discipline, zero driver collect on the input path). The landing
+    * dir is staged per invocation (it MUTATES mid-run — the phase-2
+    * append cannot be cached like the read-only stEnrichFile dir). */
+  private val stDedupFile: Q = (parent, d) => {
+    val s = scoped(parent)
+    def ev = graft.io.Sources.table(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"))
+    // staged ONCE per (d, process) — the landing dir itself must be
+    // fresh per invocation (it mutates mid-run), so each run links the
+    // staged part files in (hardlinks on tmpfs: O(files) metadata, no
+    // re-write of the events table on every bench pass)
+    val dupsPath = s"$pidRoot/stdedupfile_dups_${math.abs(d.hashCode.toLong)}"
+    val stage = cachedRows(d, "dedupfile_stage") {
+      val p = s"$pidRoot/stdedupfile_stage_${math.abs(d.hashCode.toLong)}"
+      ev.repartition(2).write.mode("overwrite").parquet(p)
+      ev.filter(col("event_id") % 10 === 3).repartition(1)
+        .write.mode("overwrite").parquet(dupsPath)
+      p
+    }
+    val name = s"st_dedup_file_${seq.incrementAndGet()}"
+    val root = s"$pidRoot/stdedupfile"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val src = s"$root/landing"
+    val out = s"$root/out"
+    def linkIn(fromDir: String, prefix: String): Unit = {
+      new java.io.File(src).mkdirs()
+      Option(new java.io.File(fromDir).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(f => java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(src, prefix + f.getName), f.toPath))
+    }
+    linkIn(stage, "a_")
+    val schema = s.read.parquet(src).schema
+    val in = s.readStream.schema(schema).parquet(src)
+    val q = EventStream.dedupStream(in.withColumnRenamed("event_id", "content_key"))
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        EventStream.writeBatch(b.toDF(), id, out))
+      .option("checkpointLocation", ckpt(name)).start()
+    try {
+      q.processAllAvailable()
+      linkIn(dupsPath, "b_") // the re-delivery, landing as a late file
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      dropCkpt(name)
+    }
+    s.read.parquet(out)
+      .select(col("content_key").as("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+
   /** The exactly-once-EFFECT parquet sink under the gate: the events
     * stream lands in batch_id partitions via foreachBatch + dynamic
     * partition overwrite, then the FIRST batch the stream actually
@@ -1162,6 +1226,7 @@ object StreamQueries {
     "st_scd2" -> stScd2,
     "st_windowed" -> stWindowed,
     "st_dedup" -> stDedup,
+    "st_dedup_file" -> stDedupFile,
     "st_sink" -> stSink,
     "st_restart" -> stRestart,
     "st_interval" -> stInterval,
@@ -1301,6 +1366,10 @@ object StreamQueries {
         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the planted re-delivery must vanish: output == the plain table
     "st_dedup" ->
+      "SELECT event_id, user_id, ts, event_type, value FROM events",
+    // same relation — the re-delivery arrives as a late FILE instead
+    // of a MemoryStream batch
+    "st_dedup_file" ->
       "SELECT event_id, user_id, ts, event_type, value FROM events",
     // the replayed batch must overwrite, not append: output == the table
     "st_sink" ->
