@@ -69,4 +69,42 @@ class QualitySpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("bin") -> r.getAs[Long]("released_micro")).toMap
     assert(run2 == run1)
   }
+
+  test("dq_dp_geo: integer noise matching the exact inverse CDF, independently replayed") {
+    val out = Quality.queries("dq_dp_geo")(spark, sf).collect()
+      .map(r => r.getAs[Long]("bin") -> r.getAs[Long]("released")).toMap
+    assert(out.keySet == (0L until 10L).toSet)
+    // independent truth + an independent plain-Scala replay of the
+    // double-FNV draw and the α=1/2 two-sided geometric quantile
+    val docs = graft.io.Sources.table(spark, sf, "documents")
+    val Array(mn, mx) = docs.selectExpr("min(n_chars)", "max(n_chars)")
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val truth = docs.selectExpr(s"((n_chars - $mn) * 10) div ($mx - $mn + 1) AS bin")
+      .groupBy("bin").count().collect()
+      .map(r => r.getAs[Long]("bin") -> r.getAs[Long]("count")).toMap
+    def fnv(s: String): Long = {
+      var h = 0xcbf29ce484222325L
+      s.getBytes("UTF-8").foreach(b => h = (h ^ (b & 0xffL)) * 0x100000001b3L)
+      h
+    }
+    def geoNoise(b: Long): Long = {
+      val v = java.lang.Math.floorMod(fnv(fnv(s"dpg-seed-$b").toString), 3145728L)
+      if (v == 0L) -21L
+      else if (v < 2097152L) (63 - java.lang.Long.numberOfLeadingZeros(v)) - 20L
+      else if (v == 3145727L) 21L
+      else 20L - (63 - java.lang.Long.numberOfLeadingZeros(3145727L - v))
+    }
+    val noises = (0L until 10L).map(b => out(b) - truth.getOrElse(b, 0L))
+    (0L until 10L).foreach(b =>
+      assert(noises(b.toInt) == geoNoise(b), s"bin $b: ${noises(b.toInt)} != ${geoNoise(b)}"))
+    // two-sided geometric plausibility: P(Z=0)=1/3, so 10 draws with
+    // NO zero has p=(2/3)^10≈1.7%; varied and bounded like Lap but
+    // integer-exact — |Z|>21 is impossible by construction
+    assert(noises.exists(_ != 0L) && noises.forall(n => math.abs(n) <= 21L))
+    assert(noises.exists(_ > 0L) && noises.exists(_ < 0L), s"one-sided: $noises")
+    // deterministic replay
+    val run2 = Quality.queries("dq_dp_geo")(spark, sf).collect()
+      .map(r => r.getAs[Long]("bin") -> r.getAs[Long]("released")).toMap
+    assert(run2 == out)
+  }
 }
