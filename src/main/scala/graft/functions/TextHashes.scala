@@ -476,8 +476,19 @@ object TextHashes {
     * '')` yields chars = bytes on the ASCII corpora these twins run
     * against. Returns the raw unsigned fold as HUGEINT. */
   def fnvFoldSql(expr: String): String =
+    fnvExtSql("14695981039346656037::HUGEINT", expr)
+
+  /** The fold CONTINUED from an arbitrary state (r13 oracle-cost work):
+    * FNV-1a is byte-sequential — fnv(s ‖ t) = fold(fnv(s), t) exactly —
+    * so twins whose inputs share long prefixes (the multimodal pixel
+    * grids: "id:x:y:c" per channel) stage the prefix fold once per
+    * (id,x,y) and extend by the 1-byte channel, instead of re-folding
+    * the whole string per pixel. `init` is a HUGEINT SQL expression
+    * holding the fold state after the prefix. Bit-identical by the
+    * sequential-fold identity; verified by the unchanged gate hashes. */
+  def fnvExtSql(init: String, expr: String): String =
     s"""list_reduce(
-       |    list_prepend(14695981039346656037::HUGEINT,
+       |    list_prepend(($init),
        |      [ord(c)::HUGEINT for c in string_split($expr, '')]),
        |    (acc, x) -> ((acc - (acc % 256) + xor((acc % 256)::BIGINT, x::BIGINT)::HUGEINT)
        |                 * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT

@@ -820,31 +820,50 @@ object Multimodal {
        |   CAST(sum(CASE WHEN j % 256 <> 0 AND pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zcr
        |  FROM sl GROUP BY media_id, win_idx)""".stripMargin
 
+  /** Staged pixel-grid FNV for the twins (r13 oracle-cost work): the
+    * synthetic decode's channel value is fnv("<prefix>x:y:c") per
+    * pixel, and the naive twin re-folded the WHOLE string per channel —
+    * O(pixels × strlen) interpreted lambda steps, ~20 s of gate budget
+    * across the mm family. FNV-1a is byte-sequential (fnv(s‖t) =
+    * fold(fnv(s), t)), so the chain stages the "<prefix>x:" fold per
+    * column and the "y:" extension per row (both MATERIALIZED), and
+    * each channel extends by ONE byte — bit-identical, ~7× fewer fold
+    * steps. Emits CTEs `<tag>x`, `<tag>xy`, `<tag>px(ids..., x, y, c,
+    * p)` with p = the raw HUGEINT fold mod 256. `srcRel` must expose
+    * `ids`, the prefix operands, and `$w`/`$h`. */
+  private def pixelFoldCtes(tag: String, srcRel: String, ids: Seq[String],
+      prefix: String, w: String, h: String, where: String = ""): String = {
+    val off = "14695981039346656037::HUGEINT"
+    val idSel = ids.mkString(", ")
+    s"""${tag}x AS MATERIALIZED (SELECT $idSel, $h AS _h, x.x,
+       |    ${TextHashes.fnvExtSql(off, s"$prefix || x.x || ':'")} AS hx
+       |  FROM $srcRel, LATERAL unnest(generate_series(0, $w - 1)) x(x) $where),
+       | ${tag}xy AS MATERIALIZED (SELECT $idSel, x, y.y,
+       |    ${TextHashes.fnvExtSql("hx", "y.y || ':'")} AS hxy
+       |  FROM ${tag}x, LATERAL unnest(generate_series(0, _h - 1)) y(y)),
+       | ${tag}px AS (SELECT $idSel, x, y, c.c,
+       |    ${TextHashes.fnvExtSql("hxy", "CAST(c.c AS VARCHAR)")} % 256 AS p
+       |  FROM ${tag}xy, LATERAL unnest([0, 1, 2]) c(c))""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "mm_features" ->
       s"""WITH m AS (SELECT media_id, kind, width, height, nFrames, n_bytes
          |           FROM read_parquet('/tmp/graft_fixtures/demo_media_meta/*.parquet')),
-         | imgv AS (
-         |  SELECT m.media_id,
-         |   ${TextHashes.fnvFoldSql("m.media_id || ':' || x.x || ':' || y.y || ':' || c.c")} % 256 AS v
-         |  FROM m, LATERAL unnest(generate_series(0, m.width - 1)) x(x),
-         |       LATERAL unnest(generate_series(0, m.height - 1)) y(y),
-         |       LATERAL unnest([0, 1, 2]) c(c)
-         |  WHERE m.kind = 'image'),
+         | ${pixelFoldCtes("im", "m", Seq("media_id"),
+            "m.media_id || ':'", "m.width", "m.height", "WHERE m.kind = 'image'")},
+         | imgv AS (SELECT media_id, p AS v FROM impx),
          | audv AS (
          |  SELECT m.media_id,
          |   (${TextHashes.fnvFoldSql("'a:' || m.media_id || ':' || t.j")} % 65536) // 256 AS v
          |  FROM m, LATERAL unnest(generate_series(0, m.nFrames - 1)) t(j)
          |  WHERE m.kind = 'audio'),
-         | vidv AS (
-         |  SELECT m.media_id,
-         |   ${TextHashes.fnvFoldSql(
-              "'v:' || m.media_id || ':' || f.f || ':' || x.x || ':' || y.y || ':' || c.c")} % 256 AS v
-         |  FROM m, LATERAL unnest(generate_series(0, m.nFrames - 1)) f(f),
-         |       LATERAL unnest(generate_series(0, m.width - 1)) x(x),
-         |       LATERAL unnest(generate_series(0, m.height - 1)) y(y),
-         |       LATERAL unnest([0, 1, 2]) c(c)
-         |  WHERE m.kind = 'video'),
+         | vf AS (SELECT m.media_id, m.width, m.height, f.f
+         |        FROM m, LATERAL unnest(generate_series(0, m.nFrames - 1)) f(f)
+         |        WHERE m.kind = 'video'),
+         | ${pixelFoldCtes("vd", "vf", Seq("media_id"),
+            "'v:' || vf.media_id || ':' || vf.f || ':'", "vf.width", "vf.height")},
+         | vidv AS (SELECT media_id, p AS v FROM vdpx),
         | vals AS MATERIALIZED (SELECT * FROM imgv UNION ALL SELECT * FROM audv
         |          UNION ALL SELECT * FROM vidv),
         | denom AS (SELECT media_id, count(*)::BIGINT AS nv FROM vals GROUP BY media_id),
@@ -911,12 +930,8 @@ object Multimodal {
       s"""WITH m AS (SELECT media_id, width AS w, height AS h
          |           FROM read_parquet('/tmp/graft_fixtures/demo_media_meta/*.parquet')
          |           WHERE kind = 'image'),
-         | src AS (
-         |  SELECT m.media_id, x.x, y.y, c.c,
-         |   (${TextHashes.fnvFoldSql("m.media_id || ':' || x.x || ':' || y.y || ':' || c.c")} % 256)::BIGINT AS p
-         |  FROM m, LATERAL unnest(generate_series(0, m.w - 1)) x(x),
-         |       LATERAL unnest(generate_series(0, m.h - 1)) y(y),
-         |       LATERAL unnest([0, 1, 2]) c(c)),
+         | ${pixelFoldCtes("rz", "m", Seq("media_id"), "m.media_id || ':'", "m.w", "m.h")},
+         | src AS (SELECT media_id, x, y, c, (p)::BIGINT AS p FROM rzpx),
         | o AS (
         |  SELECT m.media_id, m.w, m.h, oy.oy, ox.ox, c.c,
         |   ((2 * ox.ox + 1) * m.w - 16) // 32 AS x0,
@@ -970,10 +985,14 @@ object Multimodal {
     // nonzero sum_abs and diverge). scene_id replays as a running
     // window sum of the cut flags.
     "mm_video_scenes" -> {
-      val fnvA = TextHashes.fnvFoldSql(
-        "'v:' || bnd.media_id || ':' || bnd.anc || ':' || x.x || ':' || y.y || ':' || c.c")
-      val fnvP = TextHashes.fnvFoldSql(
-        "'v:' || bnd.media_id || ':' || bnd.panc || ':' || x.x || ':' || y.y || ':' || c.c")
+      // two prefix chains per boundary frame (anchor + previous
+      // anchor), staged with the same byte-sequential-fold identity as
+      // pixelFoldCtes — hand-rolled because each row carries TWO folds
+      val off = "14695981039346656037::HUGEINT"
+      val fnvAx = TextHashes.fnvExtSql(off,
+        "'v:' || bnd.media_id || ':' || bnd.anc || ':' || x.x || ':'")
+      val fnvPx = TextHashes.fnvExtSql(off,
+        "'v:' || bnd.media_id || ':' || bnd.panc || ':' || x.x || ':'")
       s"""WITH ids AS (SELECT unnest(generate_series(0, 23)) AS i),
          | m AS (SELECT i AS media_id, 15 + i % 4 AS w, 12 AS h,
          |         8 + i % 17 AS nf, 3 + i % 3 AS len FROM ids),
@@ -983,12 +1002,18 @@ object Multimodal {
          |               ELSE (g.f - 1) - (g.f - 1) % m.len END AS panc
          |        FROM m, LATERAL unnest(generate_series(0, m.nf - 1)) g(f)),
          | bnd AS (SELECT * FROM fr WHERE panc IS NOT NULL AND anc <> panc),
+         | vsx AS MATERIALIZED (SELECT bnd.media_id, bnd.f, bnd.h AS _h,
+         |    $fnvAx AS hxa, $fnvPx AS hxp
+         |  FROM bnd, LATERAL unnest(generate_series(0, bnd.w - 1)) x(x)),
+         | vsxy AS MATERIALIZED (SELECT media_id, f,
+         |    ${TextHashes.fnvExtSql("hxa", "y.y || ':'")} AS hya,
+         |    ${TextHashes.fnvExtSql("hxp", "y.y || ':'")} AS hyp
+         |  FROM vsx, LATERAL unnest(generate_series(0, _h - 1)) y(y)),
          | px AS (
-         |  SELECT bnd.media_id, bnd.f,
-         |   abs(($fnvA % 256)::BIGINT - ($fnvP % 256)::BIGINT) AS d
-         |  FROM bnd, LATERAL unnest(generate_series(0, bnd.w - 1)) x(x),
-         |       LATERAL unnest(generate_series(0, bnd.h - 1)) y(y),
-         |       LATERAL unnest([0, 1, 2]) c(c)),
+         |  SELECT media_id, f,
+         |   abs((${TextHashes.fnvExtSql("hya", "CAST(c.c AS VARCHAR)")} % 256)::BIGINT
+         |     - (${TextHashes.fnvExtSql("hyp", "CAST(c.c AS VARCHAR)")} % 256)::BIGINT) AS d
+         |  FROM vsxy, LATERAL unnest([0, 1, 2]) c(c)),
          | sums AS (SELECT media_id, f, CAST(sum(d) AS BIGINT) AS sum_abs
          |          FROM px GROUP BY media_id, f),
          | allf AS (SELECT fr.media_id, fr.f,
@@ -1007,13 +1032,9 @@ object Multimodal {
          |           WHERE kind = 'video'),
          | fr AS (SELECT m.media_id, m.w, m.h, g.f
          |        FROM m, LATERAL unnest(generate_series(0, m.nFrames - 1, 4)) g(f)),
-         | px AS (
-         |  SELECT fr.media_id, fr.f, y.y, x.x, c.c,
-         |   (${TextHashes.fnvFoldSql(
-              "'v:' || fr.media_id || ':' || fr.f || ':' || x.x || ':' || y.y || ':' || c.c")} % 256)::BIGINT AS p
-         |  FROM fr, LATERAL unnest(generate_series(0, fr.w - 1)) x(x),
-         |       LATERAL unnest(generate_series(0, fr.h - 1)) y(y),
-         |       LATERAL unnest([0, 1, 2]) c(c))
+         | ${pixelFoldCtes("fs", "fr", Seq("media_id", "f"),
+            "'v:' || fr.media_id || ':' || fr.f || ':'", "fr.w", "fr.h")},
+         | px AS (SELECT media_id, f, y, x, c, (p)::BIGINT AS p FROM fspx)
         |SELECT media_id, CAST(f AS INT) AS frame_idx,
         |  substr(md5(string_agg(printf('%02X', p), '' ORDER BY y, x, c)), 1, 16) AS frame_fp
         |FROM px GROUP BY media_id, f
@@ -1026,7 +1047,6 @@ object Multimodal {
     // shifts, and the pair scan is ALL-pairs — equal to the engine's
     // banded join because hamming ≤ 3 pigeonholes a matching band.
     "mm_phash" -> {
-      val fnvPix = TextHashes.fnvFoldSql("m.src || ':' || x.x || ':' || y.y || ':' || c.c")
       s"""WITH ids AS (SELECT i AS media_id, i AS src FROM
          |               (SELECT unnest(generate_series(0, 63)) AS i) WHERE i % 3 = 0
          |             UNION ALL
@@ -1034,13 +1054,12 @@ object Multimodal {
          |               (SELECT unnest(generate_series(0, 63)) AS i)
          |             WHERE i % 3 = 0 AND i < ${phashPlants * 3}),
          | m AS (SELECT media_id, src, 24 + src % 16 AS w, 16 + src % 12 AS h FROM ids),
+         | ${pixelFoldCtes("ph", "m", Seq("media_id"), "m.src || ':'", "m.w", "m.h")},
          | src AS (
-         |  SELECT m.media_id, x.x, y.y, c.c,
-         |   CASE WHEN m.media_id >= 1000 AND x.x < 3 AND y.y < 3 THEN 0
-         |        ELSE ($fnvPix % 256)::BIGINT END AS p
-         |  FROM m, LATERAL unnest(generate_series(0, m.w - 1)) x(x),
-         |       LATERAL unnest(generate_series(0, m.h - 1)) y(y),
-         |       LATERAL unnest([0, 1, 2]) c(c)),
+         |  SELECT media_id, x, y, c,
+         |   CASE WHEN media_id >= 1000 AND x < 3 AND y < 3 THEN 0
+         |        ELSE (p)::BIGINT END AS p
+         |  FROM phpx),
          | o AS (
          |  SELECT m.media_id, m.w, m.h, oy.oy, ox.ox, c.c,
          |   ((2 * ox.ox + 1) * m.w - 8) // 16 AS x0,
