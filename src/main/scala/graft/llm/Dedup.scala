@@ -1366,7 +1366,13 @@ object Dedup {
     * multiply-referenced CTEs are MATERIALIZED (DuckDB re-inlines at
     * every reference — sel was recomputed 3×), and the extension is
     * [[TextHashes.binExtendCtes]]' binary search (row-identical to the
-    * linear scan, verified on this corpus; ~12× less wall-clock). */
+    * linear scan, verified on this corpus; ~12× less wall-clock).
+    * Before extension, in-run seed CHAINS collapse (sg/seeds2): two
+    * seeds on the same diagonal less than k=8 apart have OVERLAPPING
+    * equal grams, so the region between them matches contiguously and
+    * they provably share one maximal run — extending only each chain's
+    * first seed emits the identical DISTINCT span set (re-verified
+    * row-identical; 372k → 250k extension rows at sf0.01). */
   private def substrSpanCtesFrom(baseBody: String): String = {
     val (bx, bxFinal) = graft.functions.TextHashes.binExtendCtes(
       "bx", "ext", Seq("doc_a", "doc_b", "ap", "bp", "xa", "xb", "na", "nb"),
@@ -1387,9 +1393,14 @@ object Dedup {
         |     a.pos AS ap, b.pos AS bp
         |   FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |   WHERE a.fp IN (SELECT fp FROM band)),
+        | sg AS (SELECT doc_a, doc_b, ap, bp,
+        |     CASE WHEN ap - lag(ap) OVER (PARTITION BY doc_a, doc_b, ap - bp
+        |            ORDER BY ap) < 8 THEN 0 ELSE 1 END AS headf
+        |   FROM seeds),
+        | seeds2 AS MATERIALIZED (SELECT doc_a, doc_b, ap, bp FROM sg WHERE headf = 1),
         | ext AS (SELECT s.doc_a, s.doc_b, s.ap, s.bp,
         |     ta.text AS xa, tb.text AS xb, ta.n AS na, tb.n AS nb
-        |   FROM seeds s JOIN base ta ON ta.doc_id = s.doc_a
+        |   FROM seeds2 s JOIN base ta ON ta.doc_id = s.doc_a
         |   JOIN base tb ON tb.doc_id = s.doc_b),
         | $bx,
         | lens AS (SELECT doc_a, doc_b, ap, bp, xb, ll AS l_len, rl AS r_len
@@ -1538,9 +1549,14 @@ object Dedup {
         | seeds AS MATERIALIZED (SELECT DISTINCT b.doc_id AS doc_id, c.doc_id AS match_id,
         |     b.pos AS bp, c.pos AS cp
         |   FROM selb b JOIN idx c ON c.fp = b.fp),
+        | sg AS (SELECT doc_id, match_id, bp, cp,
+        |     CASE WHEN bp - lag(bp) OVER (PARTITION BY doc_id, match_id, bp - cp
+        |            ORDER BY bp) < 8 THEN 0 ELSE 1 END AS headf
+        |   FROM seeds),
+        | seeds2 AS MATERIALIZED (SELECT doc_id, match_id, bp, cp FROM sg WHERE headf = 1),
         | ext AS (SELECT s.doc_id, s.match_id, s.bp, s.cp,
         |     tb.text AS xb, tb.n AS nb, tc.text AS xc, tc.n AS nc
-        |   FROM seeds s JOIN bt tb ON tb.doc_id = s.doc_id
+        |   FROM seeds2 s JOIN bt tb ON tb.doc_id = s.doc_id
         |   JOIN corpus tc ON tc.doc_id = s.match_id),
         | $bi,
         | lens AS (SELECT doc_id, match_id, bp, cp, xc, ll AS l_len, rl AS r_len
