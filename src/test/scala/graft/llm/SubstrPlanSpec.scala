@@ -70,4 +70,21 @@ class SubstrPlanSpec extends AnyFunSuite {
         s"$q should broadcast its constant-width side:\n$p")
     }
   }
+
+  test("dq_dp_geo: the same one-aggregate release shape as dq_dp_hist") {
+    val p = executedPlan("dq_dp_geo")
+    assert(!p.contains("CartesianProduct"), s"dq_dp_geo plans a cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"dq_dp_geo should broadcast its constant-width sides:\n$p")
+  }
+
+  test("tok_fertility: the vocabulary-sized encode relation broadcasts; corpus text never self-joins") {
+    val p = executedPlan("tok_fertility")
+    assert(!p.contains("CartesianProduct"), s"tok_fertility plans a cartesian:\n$p")
+    // word instances ⋈ per-word encode stats must be a broadcast of the
+    // vocabulary-bounded side — a shuffled join here would move the
+    // corpus-sized instance relation twice at 100 TB
+    assert(p.contains("BroadcastHashJoin"),
+      s"tok_fertility should broadcast the encode relation:\n$p")
+  }
 }
