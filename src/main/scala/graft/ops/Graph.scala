@@ -754,16 +754,16 @@ object Graph {
     * active set re-derived round by round with integer degrees. */
   private def kcoreSql: String = {
     val rounds = (1 to kcoreRounds).map { r =>
-      s"""e$r AS (SELECT a, b FROM und
+      s"""e$r AS MATERIALIZED (SELECT a, b FROM und
          |   WHERE a IN (SELECT doc_id FROM a${r - 1})
          |     AND b IN (SELECT doc_id FROM a${r - 1})),
-         | d$r AS (SELECT doc_id, count(*) AS deg FROM
+         | d$r AS MATERIALIZED (SELECT doc_id, count(*) AS deg FROM
          |   (SELECT a AS doc_id FROM e$r UNION ALL SELECT b AS doc_id FROM e$r)
          |   GROUP BY doc_id),
          | p$r AS (SELECT x.doc_id, CAST($r AS BIGINT) AS peel_round
          |   FROM a${r - 1} x LEFT JOIN d$r USING (doc_id)
          |   WHERE coalesce(deg, 0) < $kcoreK),
-         | a$r AS (SELECT x.doc_id FROM a${r - 1} x LEFT JOIN d$r USING (doc_id)
+         | a$r AS MATERIALIZED (SELECT x.doc_id FROM a${r - 1} x LEFT JOIN d$r USING (doc_id)
          |   WHERE coalesce(deg, 0) >= $kcoreK)""".stripMargin
     }
     val allp = (1 to kcoreRounds).map(r => s"SELECT * FROM p$r").mkString(" UNION ALL ")
@@ -772,7 +772,7 @@ object Graph {
        |   FROM (SELECT doc_id AS u FROM documents), nn,
        |        LATERAL unnest(generate_series(1, 1 + (u % 5))) g(j)
        |   WHERE (u * u + 17 * j + 7) % n_nodes <> u),
-       | und AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM dir),
+       | und AS MATERIALIZED (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM dir),
        | dg0 AS (SELECT doc_id, count(*) AS deg0 FROM
        |   (SELECT a AS doc_id FROM und UNION ALL SELECT b AS doc_id FROM und)
        |   GROUP BY doc_id),
