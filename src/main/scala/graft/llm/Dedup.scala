@@ -1056,6 +1056,56 @@ object Dedup {
     substrSpansImpl(s.createDataset(uniDocs).toDF("doc_id", "text"))
   }
 
+  // -------------------------------------------------------------------
+  // dd_linkage: blocked fuzzy record linkage — the metadata-catalog
+  // merge primitive (Fellegi–Sunter blocking practice): entity keys
+  // that differ by a typo must pair WITHOUT comparing all key pairs.
+  // Candidates come from a BLOCKING key (the 8-char key prefix — the
+  // record-linkage "blocking" discipline: like LSH banding, candidate
+  // generation is approximate BY DECLARED DESIGN and the verify step
+  // is exact); pairs verify with true Levenshtein ≤ 2, computed by
+  // both engines' native levenshtein (classic unit-cost edit distance
+  // in both). The corpus's keys are deterministic md5-derived strings
+  // (uniformly distinct — no natural near-pairs), so the gate PLANTS
+  // typos: every doc_id ≡ 3 (mod 7) arrives carrying donor doc_id−1's
+  // key with the 10th character substituted (hex alphabet ⇒ 'z' never
+  // collides ⇒ distance exactly 1; the mutation sits PAST the blocking
+  // prefix, honoring the blocking assumption a production deployment
+  // declares). Prefix collisions between unrelated md5 keys DO occur
+  // at corpus scale and must be rejected by the distance check — the
+  // verify stage is genuinely load-bearing, not plant-only.
+  // Scale shape: one shuffle on the blocking key; candidate volume is
+  // Σ block² with md5-uniform blocks, never corpus². At 100 TB the
+  // blocking key is the knob (longer prefix = fewer candidates, more
+  // typo positions excluded) — exactly the production trade.
+  // -------------------------------------------------------------------
+  private def linkageKeys(s: SparkSession, d: String): DataFrame = {
+    val base = table(s, d, "documents").select(col("doc_id"),
+      concat(lit("ent-"), substring(
+        md5(concat(lit("key-"), col("doc_id").cast("string")).cast("binary")),
+        1, 12)).as("k"))
+    val donors = base.select((col("doc_id") + 1).as("doc_id"), col("k").as("dk"))
+    base.join(donors, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 3 && col("dk").isNotNull,
+          concat(substring(col("dk"), 1, 9), lit("z"), substring(col("dk"), 11, 6)))
+          .otherwise(col("k")).as("k"))
+  }
+
+  private val ddLinkage: Q = (s, d) => {
+    val keys = linkageKeys(s, d)
+    val a = keys.select(col("doc_id").as("doc_a"), col("k").as("key_a"),
+      substring(col("k"), 1, 8).as("blk"))
+    val b = keys.select(col("doc_id").as("doc_b"), col("k").as("key_b"),
+      substring(col("k"), 1, 8).as("blk"))
+    a.join(b, Seq("blk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("key_a"), col("key_b"),
+        levenshtein(col("key_a"), col("key_b")).cast("long").as("dist"))
+      .filter(col("dist") <= 2)
+      .orderBy("doc_a", "doc_b")
+  }
+
   private[graft] def substrSpansImpl(docs: DataFrame): DataFrame = {
     // persisted: feeds the df-band aggregate AND both sides of the
     // seed self-join (caller owns cache hygiene — see COVERAGE.md's
@@ -1294,6 +1344,7 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     "dd_substr" -> ddSubstr,
     "dd_substr_uni" -> ddSubstrUni,
+    "dd_linkage" -> ddLinkage,
     "dd_substr_scrub" -> ddSubstrScrub,
     "dd_substr_incr" -> ddSubstrIncr,
     "dd_substr_cov" -> ddSubstrCov,
@@ -1429,6 +1480,26 @@ object Dedup {
       """
         |SELECT doc_a, doc_b, a_start, a_len, b_start, span_md5
         |FROM spans ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin),
+    // plant + blocking + the exact edit-distance verify all re-derived;
+    // a missed planted typo fails on rows, a leaked far pair on dist
+    "dd_linkage" ->
+      """WITH base AS (SELECT doc_id,
+        |    'ent-' || substr(md5('key-' || CAST(doc_id AS VARCHAR)), 1, 12) AS k
+        |  FROM documents),
+        | donors AS (SELECT doc_id + 1 AS doc_id, k AS dk FROM base),
+        | keys AS (SELECT b.doc_id,
+        |    CASE WHEN b.doc_id % 7 = 3 AND d.dk IS NOT NULL
+        |         THEN substr(d.dk, 1, 9) || 'z' || substr(d.dk, 11)
+        |         ELSE b.k END AS k
+        |  FROM base b LEFT JOIN donors d USING (doc_id)),
+        | cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.k AS key_a, b.k AS key_b
+        |  FROM keys a JOIN keys b
+        |    ON substr(a.k, 1, 8) = substr(b.k, 1, 8) AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, key_a, key_b,
+        |  CAST(levenshtein(key_a, key_b) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(key_a, key_b) <= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // the UNCHANGED spans chain over the inline mixed-width corpus;
     // text bytes produced by DuckDB's chr(), coordinates in codepoints
     "dd_substr_uni" -> {

@@ -1,0 +1,49 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** dd_linkage (blocked fuzzy record linkage): the planted typo pairs
+  * must all surface at exactly distance 1, nothing else may pair, and
+  * the blocking must be what keeps the candidate set non-quadratic. */
+class LinkageSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("every planted typo pairs with its donor at distance 1; no other pairs") {
+    val out = Dedup.queries("dd_linkage")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val ids = graft.io.Sources.table(spark, sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val planted = ids.filter(i => i % 7 == 3 && ids.contains(i - 1))
+    // exactness both ways: the pair set IS the plant set
+    val got = out.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(got == planted.map(i => (i - 1, i)),
+      s"pair set != plant set: extra=${got -- planted.map(i => (i - 1, i))} " +
+        s"missing=${planted.map(i => (i - 1, i)) -- got}")
+    out.foreach { r =>
+      assert(r.getAs[Long]("dist") == 1L, s"planted pair not distance 1: $r")
+      // the typo sits past the 8-char blocking prefix by construction
+      assert(r.getAs[String]("key_a").take(8) == r.getAs[String]("key_b").take(8))
+    }
+  }
+
+  test("an unplanted corpus links nothing: md5 keys have no accidental near pairs") {
+    // strip the plant by shifting ids off the 3-mod-7 lattice is not
+    // possible through the query seam; instead verify the NEGATIVE
+    // side directly — distances between distinct md5-derived keys are
+    // large, so nothing besides the plant could have paired above
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val keys = graft.io.Sources.table(spark, sf, "documents")
+      .select(col("doc_id"),
+        concat(lit("ent-"), substring(
+          md5(concat(lit("key-"), col("doc_id").cast("string")).cast("binary")),
+          1, 12)).as("k"))
+    val minDist = keys.as("a").join(keys.as("b"),
+        expr("a.doc_id < b.doc_id"))
+      .select(levenshtein(col("a.k"), col("b.k")).as("d"))
+      .agg(min("d")).collect().head.getInt(0)
+    assert(minDist > 2, s"md5 keys unexpectedly close: min distance $minDist")
+  }
+}
