@@ -528,25 +528,33 @@ object TextHashes {
     * so the mismatch point is the max L with
     * substr(xa, ap−L, L) = substr(xb, bp−L, L) — one C-speed memcmp per
     * probe, 14 probes per side (2¹⁴ = 16384 ≥ any corpus doc length).
-    * Each step is a MATERIALIZED CTE: nested-subquery form made
-    * DuckDB's flattener substitute each level's expressions into the
-    * next — the same exponential expression blowup the Classifier
-    * trainCtes hit — and materialization is the fence. Returns the CTE
-    * list fragment and the final CTE's name; the final relation carries
-    * `carry` plus ll/rl = the left/right extension lengths, value-equal
-    * to the linear scan's l_len/r_len (verified row-identical on the
-    * sf0.01 corpus). `src` must provide `carry` ⊇ {ap, bp, xa, xb}. */
+    * Exactly ONE MATERIALIZED fence, on the FINAL step: the
+    * intermediate steps are single-referenced CTEs (linear inlining,
+    * and per-step materialization measured 1.8× slower — each copy
+    * rewrites the carried text columns), but the fence at the end is
+    * load-bearing — downstream consumers reference ll/rl several times
+    * (span start/len/md5/threshold), and without it each reference
+    * re-inlines the whole 14-level chain and the multiply-referenced
+    * bound columns inside every level compound EXPONENTIALLY (measured:
+    * the un-fenced form did not finish in 10 minutes; the same blowup
+    * killed the nested-subquery prototype and the Classifier
+    * trainCtes). Returns the CTE list fragment and the final CTE's
+    * name; the final relation carries `carry` plus ll/rl = the
+    * left/right extension lengths, value-equal to the linear scan's
+    * l_len/r_len (verified row-identical on the sf0.01 corpus). `src`
+    * must provide `carry` ⊇ {ap, bp, xa, xb}. */
   def binExtendCtes(pfx: String, src: String, carry: Seq[String],
       ap: String, bp: String, xa: String, xb: String,
       na: String, nb: String): (String, String) = {
     val steps = 14
     val keep = carry.mkString(", ")
     val first =
-      s"""${pfx}0 AS MATERIALIZED (SELECT $keep, CAST(0 AS BIGINT) AS ll,
+      s"""${pfx}0 AS (SELECT $keep, CAST(0 AS BIGINT) AS ll,
          |   CAST(least($ap, $bp) - 1 AS BIGINT) AS lh, CAST(0 AS BIGINT) AS rl,
          |   CAST(least($na - $ap, $nb - $bp) + 1 AS BIGINT) AS rh FROM $src)""".stripMargin
     val stepCtes = (1 to steps).map { k =>
-      s"""$pfx$k AS MATERIALIZED (SELECT $keep,
+      val mat = if (k == steps) "MATERIALIZED " else ""
+      s"""$pfx$k AS $mat(SELECT $keep,
          |   CASE WHEN lp THEN lm ELSE ll END AS ll,
          |   CASE WHEN lp THEN lh ELSE lm - 1 END AS lh,
          |   CASE WHEN rp THEN rm ELSE rl END AS rl,
