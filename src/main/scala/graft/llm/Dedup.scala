@@ -1057,6 +1057,56 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // dd_cdc: content-defined chunking (the rsync/FastCDC primitive —
+  // Xia et al., "FastCDC", USENIX ATC 2016): chunk boundaries are
+  // declared where a rolling window's hash satisfies a mask, so an
+  // insertion shifts ONE chunk instead of re-aligning every fixed-size
+  // block — the primitive under dedup storage, incremental sync, and
+  // chunk-level corpus dedup. This is the MASK-ONLY variant (no
+  // min/max chunk clamps): classic FastCDC's bounds make boundary i
+  // depend on the previous boundary (a sequential chain); dropping
+  // them makes every boundary a pure content-local predicate — the
+  // embarrassingly-parallel formulation a distributed engine wants,
+  // at the cost of an exponential (mean 16 cp) instead of clamped
+  // chunk-length distribution. Boundary = position i ≥ 2 whose 8-cp
+  // gram md5 starts with hex '0' (P = 1/16). Emitted per doc: chunk
+  // count, max chunk length, the count of chunks whose content hash
+  // recurs ANYWHERE in the corpus (the storage-dedup signal — the
+  // near-dup-rich corpus genuinely shares chunks), and an order-exact
+  // digest of the chunk-hash sequence. Scale: chunking is scan-local
+  // array algebra (one md5 per gram, the winnow cost shape); the only
+  // shuffle is the 16-byte chunk-hash frequency aggregate.
+  // -------------------------------------------------------------------
+  private val ddCdc: Q = (s, d) => {
+    val docs = table(s, d, "documents")
+    val chunks = docs.select(col("doc_id"), col("text"))
+      .withColumn("cuts", expr(
+        """filter(sequence(1, length(text)),
+          |  i -> i >= 2 AND i <= length(text) - 7 AND
+          |       substring(md5(CAST(substring(text, i, 8) AS BINARY)), 1, 1) = '0')""".stripMargin))
+      .withColumn("starts", expr("concat(array(1), cuts)"))
+      .withColumn("ends", expr("concat(cuts, array(length(text) + 1))"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          """transform(sequence(1, size(starts)), k -> named_struct(
+            |  'ch', md5(CAST(substring(text, element_at(starts, k),
+            |          element_at(ends, k) - element_at(starts, k)) AS BINARY)),
+            |  'clen', element_at(ends, k) - element_at(starts, k)))""".stripMargin)))
+      .select(col("doc_id"), col("pos").as("idx"),
+        col("col.ch").as("ch"), col("col.clen").as("clen"))
+    val freq = chunks.groupBy("ch").agg(count(lit(1)).as("occ"))
+    chunks.join(freq, Seq("ch"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        max(col("clen")).cast("long").as("max_chunk"),
+        sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+        md5(concat_ws(",",
+          transform(array_sort(collect_list(struct(col("idx"), col("ch")))),
+            x => x.getField("ch"))).cast("binary")).as("chunks_md5"))
+      .orderBy("doc_id")
+  }
+
+  // -------------------------------------------------------------------
   // dd_linkage: blocked fuzzy record linkage — the metadata-catalog
   // merge primitive (Fellegi–Sunter blocking practice): entity keys
   // that differ by a typo must pair WITHOUT comparing all key pairs.
@@ -1345,6 +1395,7 @@ object Dedup {
     "dd_substr" -> ddSubstr,
     "dd_substr_uni" -> ddSubstrUni,
     "dd_linkage" -> ddLinkage,
+    "dd_cdc" -> ddCdc,
     "dd_substr_scrub" -> ddSubstrScrub,
     "dd_substr_incr" -> ddSubstrIncr,
     "dd_substr_cov" -> ddSubstrCov,
@@ -1480,6 +1531,32 @@ object Dedup {
       """
         |SELECT doc_a, doc_b, a_start, a_len, b_start, span_md5
         |FROM spans ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin),
+    // boundaries, chunk slicing, corpus-wide chunk frequency, and the
+    // ordered digest all re-derived in list algebra; a shifted
+    // boundary, a lost chunk, or a wrong dup count all hash-mismatch
+    "dd_cdc" ->
+      """WITH base AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        | cu AS (SELECT doc_id, text, n,
+        |    list_filter(range(1, n + 1),
+        |      i -> i >= 2 AND i <= n - 7 AND
+        |           substr(md5(substr(text, CAST(i AS INT), 8)), 1, 1) = '0') AS cuts
+        |  FROM base),
+        | se AS (SELECT doc_id, text,
+        |    list_prepend(CAST(1 AS BIGINT), cuts) AS starts,
+        |    list_append(cuts, CAST(n + 1 AS BIGINT)) AS ends
+        |  FROM cu),
+        | ck AS MATERIALIZED (SELECT doc_id, k AS idx,
+        |    md5(substr(text, CAST(starts[k] AS INT),
+        |        CAST(ends[k] - starts[k] AS INT))) AS ch,
+        |    ends[k] - starts[k] AS clen
+        |  FROM se, LATERAL unnest(generate_series(1, len(starts))) u(k)),
+        | fq AS (SELECT ch, count(*) AS occ FROM ck GROUP BY ch)
+        |SELECT ck.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(max(ck.clen) AS BIGINT) AS max_chunk,
+        |  CAST(sum(CASE WHEN fq.occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+        |  md5(string_agg(ck.ch, ',' ORDER BY ck.idx)) AS chunks_md5
+        |FROM ck JOIN fq USING (ch)
+        |GROUP BY ck.doc_id ORDER BY ck.doc_id""".stripMargin,
     // plant + blocking + the exact edit-distance verify all re-derived;
     // a missed planted typo fails on rows, a leaked far pair on dist
     "dd_linkage" ->
