@@ -102,6 +102,52 @@ object TextHashKernels {
     }
   }
 
+  /** Content-defined chunking (the fused kernel behind dd_cdc): one
+    * pass computes every 8-codepoint gram's md5, cuts where the first
+    * hex nibble is 0 (positions 2 .. n−7, 1-based — the mask-only
+    * FastCDC variant), and emits (chunk md5 hex, chunk codepoint
+    * length) per chunk. The declarative HOF form (filter over
+    * sequence + md5-in-lambda) evaluated INTERPRETED per position —
+    * 12.7 s at sf0.1 vs sub-second fused (the WinnowSel lesson
+    * verbatim). Value-identical to the oracle's list-algebra replay:
+    * same positions, same grams, same md5s. */
+  def cdcChunks(s: UTF8String): ArrayData = {
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(dig: Array[Byte]): String = {
+      val sb = new java.lang.StringBuilder(32)
+      var b = 0
+      while (b < 16) {
+        sb.append(Character.forDigit((dig(b) >> 4) & 0xf, 16))
+        sb.append(Character.forDigit(dig(b) & 0xf, 16))
+        b += 1
+      }
+      sb.toString
+    }
+    val cuts = collection.mutable.ArrayBuffer[Int]() // 1-based positions
+    var i = 2
+    while (i <= n - 7) {
+      val dig = md.digest(new String(cps, i - 1, 8)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (((dig(0) >> 4) & 0xf) == 0) cuts += i
+      i += 1
+    }
+    val starts = 1 +: cuts
+    val ends = cuts :+ (n + 1)
+    val out = new Array[Any](starts.length)
+    var k = 0
+    while (k < starts.length) {
+      val s0 = starts(k); val e0 = ends(k)
+      val chunk = new String(cps, s0 - 1, e0 - s0)
+      val dig = md.digest(chunk.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out(k) = org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(hex(dig)), (e0 - s0).toLong)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Seed-and-extend maximal shared-substring spans (the cross-document
     * exact substring dedup kernel behind dd_substr — Lee et al.,
     * "Deduplicating Training Data Makes Language Models Better", 2022,
@@ -357,6 +403,28 @@ case class WinnowSel(child: Expression, withPositions: Boolean) extends UnaryExp
     copy(child = newChild)
 }
 
+/** `cdc_chunks(text)` — content-defined chunking as one fused
+  * codegen'd pass (see [[TextHashKernels.cdcChunks]]): gram hashing,
+  * mask cuts, and chunk hashing in a single tight loop with a reused
+  * MessageDigest. */
+case class CdcChunks(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ch", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("clen", LongType, nullable = false))),
+    containsNull = false)
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"cdc_chunks needs a string argument, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashKernels.cdcChunks(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashKernels.cdcChunks($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `substr_extend(text_a, text_b, aps, bps)` — maximal shared-substring
   * spans from aligned winnow seeds (see [[TextHashKernels.substrExtend]]).
   * Interpreted eval (CodegenFallback, the SimHash precedent): the
@@ -574,6 +642,11 @@ object TextHashes {
   def rollHash(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.graft.ColumnBridge.column(
       RollingHash(org.apache.spark.sql.graft.ColumnBridge.expression(text)))
+
+  /** [[CdcChunks]] as a Column. */
+  def cdcChunksCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      CdcChunks(org.apache.spark.sql.graft.ColumnBridge.expression(text)))
 
   /** [[CharEntropy]] as a Column. */
   def charEntropy(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -1079,19 +1079,11 @@ object Dedup {
   // -------------------------------------------------------------------
   private val ddCdc: Q = (s, d) => {
     val docs = table(s, d, "documents")
-    val chunks = docs.select(col("doc_id"), col("text"))
-      .withColumn("cuts", expr(
-        """filter(sequence(1, length(text)),
-          |  i -> i >= 2 AND i <= length(text) - 7 AND
-          |       substring(md5(CAST(substring(text, i, 8) AS BINARY)), 1, 1) = '0')""".stripMargin))
-      .withColumn("starts", expr("concat(array(1), cuts)"))
-      .withColumn("ends", expr("concat(cuts, array(length(text) + 1))"))
-      .select(col("doc_id"),
-        posexplode(expr(
-          """transform(sequence(1, size(starts)), k -> named_struct(
-            |  'ch', md5(CAST(substring(text, element_at(starts, k),
-            |          element_at(ends, k) - element_at(starts, k)) AS BINARY)),
-            |  'clen', element_at(ends, k) - element_at(starts, k)))""".stripMargin)))
+    // the fused CdcChunks kernel: the declarative HOF form (filter over
+    // sequence + md5-in-lambda) evaluated INTERPRETED per position —
+    // 12.7 s at sf0.1 vs sub-second fused (the WinnowSel lesson)
+    val chunks = docs.select(col("doc_id"),
+        posexplode(graft.functions.TextHashes.cdcChunksCol(col("text"))))
       .select(col("doc_id"), col("pos").as("idx"),
         col("col.ch").as("ch"), col("col.clen").as("clen"))
     val freq = chunks.groupBy("ch").agg(count(lit(1)).as("occ"))

@@ -58,7 +58,10 @@ object ExplainDump {
     "dd_substr_incr" -> "span-level incremental decontamination: the batch probes the PERSISTED winnow index — detection joins carry fingerprints only, corpus text joins in post-match (SubstrPlanSpec pins text-free detection)",
     "ds_temperature" -> "temperature rebalancing: one language aggregate, the |langs|-row rate relation broadcast back into the resample scan — per-doc keep/drop is scan-local FNV algebra",
     "dq_dp_hist" -> "DP histogram release: one bounds scan + one 10-key count; the seeded Laplace noise is computed on the 10-row release relation, never per document",
-    "dq_dp_geo" -> "discrete geometric DP release: same one-aggregate shape as dq_dp_hist with integer-only noise algebra (binary-length inverse CDF) on the release relation")
+    "dq_dp_geo" -> "discrete geometric DP release: same one-aggregate shape as dq_dp_hist with integer-only noise algebra (binary-length inverse CDF) on the release relation",
+    "tok_fertility" -> "per-language fertility: vocabulary-sized encode stats broadcast to word instances, |langs|-key rollup — corpus text never self-joins (SubstrPlanSpec pins the broadcast)",
+    "dd_linkage" -> "blocked fuzzy linkage: ONE blocking-key shuffle, exact levenshtein verify inside blocks — candidates are sum-of-block-squares, never corpus-squared (LinkageScaleProbe validates the arithmetic at 5M keys)",
+    "dd_cdc" -> "content-defined chunking: boundary mask + slicing are scan-local array algebra; the only exchange is the 16-byte chunk-hash frequency aggregate")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
