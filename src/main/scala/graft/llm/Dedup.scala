@@ -572,12 +572,26 @@ object Dedup {
       // alone would serve a stale index if the corpus at the same path
       // were regenerated — the ensurePrEdgesBucketed staleness class.
       // Last-write ordering means a crashed build leaves no sidecar and
-      // the next ensure rebuilds.
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$path/_GRAFT_FINGERPRINT"),
-        VocabStore.fingerprint(d, "dedup_index"))
+      // the next ensure rebuilds. Written through the Hadoop FS layer
+      // (ADVICE r13): the index parquet goes through Spark's FS, so a
+      // non-local SPARK_GRAFT_DEDUP_DIR scheme must land the sidecar on
+      // the SAME filesystem or every ensure would silently rebuild.
+      val out = hadoopFs(s, s"$path/_GRAFT_FINGERPRINT")
+      val os = out._1.create(out._2, true)
+      try os.write(VocabStore.fingerprint(d, "dedup_index")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally os.close()
     } finally corpus.unpersist(blocking = false)
     path
+  }
+
+  /** (FileSystem, Path) for a possibly-non-local path string, resolved
+    * against the session's Hadoop conf — the same resolution Spark's
+    * own parquet writes use, so sidecars land beside the data whatever
+    * the scheme. */
+  private def hadoopFs(s: SparkSession, p: String) = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    (hp.getFileSystem(s.sparkContext.hadoopConfiguration), hp)
   }
 
   /** Cross-package seam: the streaming indexed-dedup gate
@@ -592,11 +606,16 @@ object Dedup {
     // a corpus regenerated at the same path must rebuild, not serve
     // the previous corpus's winnow/hashes/signatures to dd_substr_incr
     // and st_substr); metadata-only check, never a data scan
-    val ok = Seq("hashes", "signatures", "winnow").forall(p =>
-      java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/$p/_SUCCESS"))) &&
-      scala.util.Try(java.nio.file.Files.readString(
-          java.nio.file.Paths.get(s"$path/_GRAFT_FINGERPRINT")).trim)
-        .toOption.contains(VocabStore.fingerprint(d, "dedup_index"))
+    val ok = Seq("hashes", "signatures", "winnow").forall { p =>
+      val (fs, hp) = hadoopFs(s, s"$path/$p/_SUCCESS")
+      fs.exists(hp)
+    } && scala.util.Try {
+      val (fs, hp) = hadoopFs(s, s"$path/_GRAFT_FINGERPRINT")
+      val in = fs.open(hp)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+    }.toOption.contains(VocabStore.fingerprint(d, "dedup_index"))
     if (!ok) dedupIndexBuild(s, d)
     path
   }
@@ -1069,7 +1088,9 @@ object Dedup {
   // embarrassingly-parallel formulation a distributed engine wants,
   // at the cost of an exponential (mean 16 cp) instead of clamped
   // chunk-length distribution. Boundary = position i ≥ 2 whose 8-cp
-  // gram md5 starts with hex '0' (P = 1/16). Emitted per doc: chunk
+  // window GEAR hash (FastCDC's rolling gear — splitmix64 table,
+  // O(1) shift-add roll per position; TextHashKernels.cdcChunks) has
+  // its top 4 bits zero (P = 1/16). Emitted per doc: chunk
   // count, max chunk length, the count of chunks whose content hash
   // recurs ANYWHERE in the corpus (the storage-dedup signal — the
   // near-dup-rich corpus genuinely shares chunks), and an order-exact
@@ -1523,16 +1544,28 @@ object Dedup {
       """
         |SELECT doc_a, doc_b, a_start, a_len, b_start, span_md5
         |FROM spans ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin),
-    // boundaries, chunk slicing, corpus-wide chunk frequency, and the
-    // ordered digest all re-derived in list algebra; a shifted
-    // boundary, a lost chunk, or a wrong dup count all hash-mismatch
+    // the gear table regenerated from the same splitmix64 constants,
+    // then boundaries, chunk slicing, corpus-wide chunk frequency, and
+    // the ordered digest all re-derived in list algebra; a wrong gear
+    // entry, a shifted boundary, a lost chunk, or a wrong dup count
+    // all hash-mismatch. The per-doc gs list maps each codepoint to
+    // its gear value ONCE; the cut lambda is then 8 list reads + the
+    // 2⁶⁴-wrapped weighted sum the engine's rolling update maintains.
     "dd_cdc" ->
-      """WITH base AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      s"""WITH ${graft.functions.TextHashes.gearTableCtes},
+        | base AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        | cp AS (SELECT doc_id, text, n,
+        |    CASE WHEN n >= 9 THEN
+        |      list_transform(string_split(text, ''), c -> gr[(ord(c) % 256) + 1])
+        |    ELSE [] END AS gs
+        |  FROM base, gear),
         | cu AS (SELECT doc_id, text, n,
-        |    list_filter(range(1, n + 1),
-        |      i -> i >= 2 AND i <= n - 7 AND
-        |           substr(md5(substr(text, CAST(i AS INT), 8)), 1, 1) = '0') AS cuts
-        |  FROM base),
+        |    list_filter(range(2, greatest(n - 6, 2)),
+        |      i -> ((gs[i]*128::HUGEINT + gs[i+1]*64::HUGEINT + gs[i+2]*32::HUGEINT
+        |           + gs[i+3]*16::HUGEINT + gs[i+4]*8::HUGEINT + gs[i+5]*4::HUGEINT
+        |           + gs[i+6]*2::HUGEINT + gs[i+7]) % 18446744073709551616::HUGEINT)
+        |           < 1152921504606846976::HUGEINT) AS cuts
+        |  FROM cp),
         | se AS (SELECT doc_id, text,
         |    list_prepend(CAST(1 AS BIGINT), cuts) AS starts,
         |    list_append(cuts, CAST(n + 1 AS BIGINT)) AS ends

@@ -11,13 +11,22 @@ import graft.TestSpark
 class CdcSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  /** Independent plain-Scala replay of the boundary rule + slicing. */
+  /** Independent plain-Scala replay of the boundary rule + slicing:
+    * the gear table regenerated from the splitmix64 constants, the
+    * window hash computed DIRECTLY (non-rolling Σ gear·2^(7−k)) so a
+    * bug in the kernel's O(1) rolling update cannot hide here. */
   private def chunks(text: String): Seq[String] = {
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def gear(b: Int): Long = {
+      var z = b + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
     val n = text.length
-    val cuts = (2 to n - 7).filter(i => md5hex(text.substring(i - 1, i + 7)).head == '0')
+    val cuts = (2 to n - 7).filter { i =>
+      val h = (0 until 8).map(k => gear(text.charAt(i - 1 + k) & 0xff) << (7 - k)).sum
+      (h >>> 60) == 0L
+    }
     val starts = 1 +: cuts
     val ends = cuts :+ (n + 1)
     starts.zip(ends).map { case (s0, e0) => text.substring(s0 - 1, e0 - 1) }
