@@ -803,6 +803,105 @@ object StreamQueries {
       .orderBy("event_id")
   }
 
+  /** stSessions on the FILE-STREAM source (VERDICT r13 next §2): the
+    * two r13 file gates covered stateless enrichment and watermark
+    * dedup; this one puts the heaviest custom-state machinery — the
+    * flatMapGroupsWithState sessionizer with event-time timeouts —
+    * behind a parquet landing directory, zero collect on the input
+    * path. Files are staged TIME-RANGE-PARTITIONED (repartitionByRange
+    * on ts → part-k covers time-quartile k) and linked into the
+    * landing dir with strictly increasing mtimes, because the file
+    * source consumes oldest-modified first and the sessionizer's
+    * cross-batch state machine (like any production session pipeline)
+    * assumes in-order delivery BETWEEN batches: range partitioning
+    * guarantees batch 2's rows are ≥ batch 1's max ts, so the rolling
+    * state never sees time move backwards and the watermark never
+    * outruns a continuing session (proof in the delay note below).
+    * maxFilesPerTrigger=2 over 4 staged files forces ≥2 real
+    * micro-batches through the offset log (pinned by
+    * StSessionsFileSpec); the flush sentinel then arrives as a LATE
+    * FILE — the stDedupFile re-delivery shape — and the engine's
+    * watermark-followup batch fires every session's event-time
+    * timeout. Watermark delay is 30 s, not stSessions' 0 s: with the
+    * corpus split across batches, a delay strictly positive makes
+    * batch-boundary ts TIES immune to the late-data filter whichever
+    * comparison Spark uses (batch-2 rows are ≥ batch-1 max > batch-1
+    * max − 30 s = watermark); and the delay cannot close a continuing
+    * session early — a timeout fires only when watermark > last + gap,
+    * which with time-ordered batches implies no in-gap successor
+    * exists in ANY later batch. Oracle: `w8_sessions`' gaps-and-islands
+    * twin, verbatim (the stSessions discipline). */
+  private val stSessionsFile: Q = (parent, d) => {
+    val s = scoped(parent)
+    import s.implicits._
+    // staged once per (corpus dir, process): 4 time-quartile parquet
+    // files + the 1-row flush-sentinel file (its ts depends only on
+    // the corpus max — far enough that watermark − 30 s clears every
+    // last + gap)
+    val (stage, sentinelDir) = cachedRows(d, "sessionsfile_src") {
+      val ev = graft.io.Sources.table(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      val p = s"$pidRoot/stsessionsfile_src_${math.abs(d.hashCode.toLong)}"
+      ev.repartitionByRange(4, col("ts")).write.mode("overwrite").parquet(p)
+      val maxMs = s.read.parquet(p).agg(max(col("ts"))).head
+        .getTimestamp(0).getTime
+      val flushMs = maxMs + EventStream.sessionGapUs / 1000L + 3600000L
+      val sp = s"${p}_sentinel"
+      s.createDataset(Seq(
+          EventStream.Ev(-1L, new Timestamp(flushMs), "click", 0.0)))
+        .toDF().repartition(1).write.mode("overwrite").parquet(sp)
+      (p, sp)
+    }
+    val name = s"st_sessions_file_${seq.incrementAndGet()}"
+    val root = s"$pidRoot/stsessionsfile"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val src = s"$root/landing"
+    val out = s"$root/out"
+    // link staged part files in, in PART-INDEX order (= time order, the
+    // repartitionByRange contract) with strictly increasing mtimes —
+    // the file source's pickup order
+    var mtime = System.currentTimeMillis() - 3600000L
+    def linkIn(fromDir: String, prefix: String): Unit = {
+      new java.io.File(src).mkdirs()
+      Option(new java.io.File(fromDir).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .foreach { f =>
+          val t = java.nio.file.Paths.get(src, prefix + f.getName)
+          java.nio.file.Files.createLink(t, f.toPath)
+          mtime += 2000L
+          t.toFile.setLastModified(mtime)
+        }
+    }
+    linkIn(stage, "a_")
+    val schema = s.read.parquet(src).schema
+    val in = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(src)
+    val q = EventStream.sessionize(s,
+        in.withWatermark("ts", "30 seconds").as[EventStream.Ev])
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.Dataset[EventStream.Session], id: Long) =>
+        EventStream.writeBatch(b.toDF(), id, out))
+      .option("checkpointLocation", ckpt(name)).start()
+    try {
+      q.processAllAvailable()
+      linkIn(sentinelDir, "b_") // the flush, landing as a late file
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      dropCkpt(name)
+    }
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("start_us")
+    s.read.parquet(out).filter(col("user_id") >= 0L)
+      .select(col("user_id"),
+        row_number().over(w).cast("long").as("session_id"),
+        expr("start_us DIV 1000000").as("start_s"),
+        expr("end_us DIV 1000000").as("end_s"),
+        col("n_events").cast("long").as("n_events"),
+        graft.functions.Numeric.dround(col("total_value"), 4).as("total_value"))
+      .orderBy("user_id", "session_id")
+  }
+
   /** The exactly-once-EFFECT parquet sink under the gate: the events
     * stream lands in batch_id partitions via foreachBatch + dynamic
     * partition overwrite, then the FIRST batch the stream actually
@@ -1222,6 +1321,7 @@ object StreamQueries {
     "st_drift" -> stDrift,
     "st_anomaly" -> stAnomaly,
     "st_sessions" -> stSessions,
+    "st_sessions_file" -> stSessionsFile,
     "st_asof" -> stAsof,
     "st_scd2" -> stScd2,
     "st_windowed" -> stWindowed,
@@ -1348,6 +1448,9 @@ object StreamQueries {
         |FROM events""".stripMargin,
     "st_anomaly" -> graft.ops.Events.oracle("w15_anomaly"),
     "st_sessions" -> graft.ops.Events.oracle("w8_sessions"),
+    // the file-source twin computes the identical session relation —
+    // only the source differs (landing dir vs MemoryStream)
+    "st_sessions_file" -> graft.ops.Events.oracle("w8_sessions"),
     "st_asof" -> graft.ops.Relational.oracle("j7_asof"),
     "st_scd2" -> graft.ops.Events.oracle("w12_scd2"),
     "st_windowed" ->
