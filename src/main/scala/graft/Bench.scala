@@ -110,6 +110,12 @@ object Bench {
     // queries of other work on BOTH sides — no adjacency anywhere.
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
+    // per-round wall-clock for the iterative trainers (VERDICT r13 next
+    // §3): RoundClock entries drained per run; the recorded set is the
+    // one from the run that set the query's min, so the rounds map in
+    // bench_details.json is consistent with the reported total
+    val roundDetails = scala.collection.mutable.LinkedHashMap[String, Seq[RoundClock.Round]]()
+    RoundClock.drain() // discard warmup/canary rounds
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
     for (pass <- 1 to passes) {
       val order = selected.toSeq.sortBy(_._1)
@@ -119,6 +125,9 @@ object Bench {
           val t0 = System.nanoTime()
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           val sec = (System.nanoTime() - t0) / 1e9
+          val rs = RoundClock.drain()
+          if (sec < timings.getOrElse(name, Double.MaxValue) && rs.nonEmpty)
+            roundDetails(name) = rs
           timings(name) = math.min(timings.getOrElse(name, Double.MaxValue), sec)
         } catch {
           case e: Throwable =>
@@ -173,7 +182,12 @@ object Bench {
     // bench_details.json on every full-suite run (isolation runs skip it
     // — a micro-bench must not clobber the definitive artifact), pretty-
     // printed one query per line so line-level capture loses nothing.
-    if (only.isEmpty) {
+    // Destination: SPARK_GRAFT_BENCH_DETAILS if set, else the repo-root
+    // literal (ADVICE r13: the hardcoded absolute path broke checkouts
+    // at other locations; the env var keeps the driver's default). An
+    // isolation run MAY write details when the env var names an
+    // explicit destination — only the default path is clobber-protected.
+    if (only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_DETAILS")) {
       val pretty = new StringBuilder
       pretty ++= s"""{"metric":"total","value":$total,"unit":"sec","sf":${jstr(sfDir)},"""
       pretty ++= s""""n":${timings.size},$canary"queries":{"""
@@ -182,8 +196,21 @@ object Bench {
       pretty ++= "\n},\"failed\":{"
       pretty ++= failed.toSeq.sortBy(_._1)
         .map { case (k, v) => s"\n ${jstr(k)}: ${jstr(v)}" }.mkString(",")
+      // per-round wall-clock arrays for the iterative trainers, keyed
+      // by the loop family (bpe_train_rich / gr_lpa_conv / ...), round
+      // order preserved — the VERDICT r13 next §3 attribution artifact
+      val fams = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+      roundDetails.values.foreach(rs =>
+        rs.groupBy(_.family).foreach { case (f, xs) =>
+          fams(f) = xs.sortBy(_.round).map(_.sec)
+        })
+      pretty ++= "\n},\"rounds\":{"
+      pretty ++= fams.toSeq.sortBy(_._1).map { case (f, xs) =>
+        s"\n ${jstr(f)}: [${xs.map(r4).mkString(",")}]"
+      }.mkString(",")
       pretty ++= "\n}}\n"
-      Files.writeString(Paths.get("/root/repo/bench_details.json"), pretty.toString)
+      Files.writeString(Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_DETAILS", "/root/repo/bench_details.json")), pretty.toString)
     }
     spark.stop()
   }

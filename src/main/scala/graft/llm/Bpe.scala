@@ -106,12 +106,14 @@ object Bpe {
     * rewrite scan, the cumulative merge table, and the freshness
     * anti-join are byte-identical across both modes. */
   private def train(words: DataFrame, rounds: Int, k: Int,
-      likelihood: Boolean = false): (DataFrame, DataFrame) = {
+      likelihood: Boolean = false, label: String = "bpe_train"): (DataFrame, DataFrame) = {
     var seqs = words
       .select(col("word"), col("n"), charify(col("word")).as("seq"))
       .localCheckpoint()
     var merges: DataFrame = null
-    for (i <- 1 to rounds) {
+    // per-round wall-clock ledger (VERDICT r13 next §3): each round ends
+    // in eager localCheckpoints, so the loop body's time IS the round's
+    for (i <- 1 to rounds) graft.RoundClock.time(label, i) {
       val ex = seqs.select(col("word"), col("n"),
           posexplode(split(trim(col("seq")), " ")).as(Seq("pos", "sym")))
         .withColumn("nxt", lead(col("sym"), 1).over(wWord))
@@ -249,7 +251,8 @@ object Bpe {
   /** bpe_train_rich: the ≥1000-merge regime — 6 rounds × 192 merges
     * over the md5-derived corpus, per-round cost still vocab-resident. */
   private val bpeTrainRich: Q = (s, d) =>
-    trainOut(train(richWords(table(s, d, "events")), richRounds, richK)._1)
+    trainOut(train(richWords(table(s, d, "events")), richRounds, richK,
+      label = "bpe_train_rich")._1)
 
   /** bpe_encode: tokenize the corpus with the trained merges. Word
     * instances join the encoded VOCAB (broadcast — vocabulary-sized),
@@ -288,7 +291,7 @@ object Bpe {
 
   private def trainWpDocs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val r = train(wordCounts(table(s, d, "documents").select("text")),
-      docRounds, docK, likelihood = true)
+      docRounds, docK, likelihood = true, label = "wp_train")
     cacheVocab(s, d, "wp", r._2)
     r
   }

@@ -214,7 +214,7 @@ object Graph {
     var rounds = convMaxRounds.toLong
     var converged = false
     var i = 1
-    while (i <= convMaxRounds && !converged) {
+    while (i <= convMaxRounds && !converged) graft.RoundClock.time("pr_pagerank_conv", i) {
       val contribs = ranks
         .join(edges, ranks("doc_id") === edges("src"))
         .select(col("dst").as("doc_id"), expr("r div 3").as("c"))
@@ -268,8 +268,11 @@ object Graph {
       .localCheckpoint()
     var rounds = lpaMaxRounds.toLong
     var converged = false
+    // per-round ledger (VERDICT r13 next §3): each round materializes
+    // through localCheckpoint + the convergence-scalar count, so the
+    // body's wall-clock is the round's true cost
     var i = 1
-    while (i <= lpaMaxRounds && !converged) {
+    while (i <= lpaMaxRounds && !converged) graft.RoundClock.time("gr_lpa_conv", i) {
       val counts = adj
         .join(labels.select(col("doc_id").as("nbr"), col("lbl")), Seq("nbr"))
         .groupBy("node", "lbl").agg(count(lit(1)).as("c"))
