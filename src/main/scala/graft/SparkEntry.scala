@@ -4,13 +4,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * `queries` is the union of the per-module inventories; each SQL-
-  * expressible query has a DuckDB oracle twin in `oracleSql` with
-  * byte-identical column aliases (the driver's compare sorts columns by
-  * name before hashing). Queries without an oracle entry (MinHash,
-  * SimHash, sign-LSH ANN, the rolling-hash fingerprint) use engine-
-  * specific hash seeds and get the weaker rows-only check + ScalaTest
-  * coverage instead.
+  * `queries` is the union of the per-module inventories; EVERY query
+  * has a DuckDB oracle twin in `oracleSql` with byte-identical column
+  * aliases (the driver's compare sorts columns by name before
+  * hashing) — zero rows-only residue since the hash-seeded families
+  * (MinHash, SimHash, sign-LSH ANN, the rolling-hash fingerprint)
+  * gained exact twins that replay the engine's integer hash algebra
+  * in HUGEINT SQL (r11–r13; `TextHashes.fnvFoldSql` is the shared
+  * fold). The driver's gate is rows + schema + hash per query.
   */
 object SparkEntry {
 

@@ -31,8 +31,14 @@ class LinkageSpec extends AnyFunSuite {
   test("an unplanted corpus links nothing: md5 keys have no accidental near pairs") {
     // strip the plant by shifting ids off the 3-mod-7 lattice is not
     // possible through the query seam; instead verify the NEGATIVE
-    // side directly — distances between distinct md5-derived keys are
-    // large, so nothing besides the plant could have paired above
+    // side directly. The bound must be > 3, not > 2 (ADVICE r13): the
+    // exactness assertion above relies on a mutated key (distance 1
+    // from its donor) never sitting within distance 2 of an UNRELATED
+    // key — by the triangle inequality that needs every original pair
+    // at distance > 3, or an original at exactly 3 from a donor could
+    // legitimately pass the ≤ 2 verify against the mutant and flake
+    // the plant-set equality on a different corpus. Measured: min
+    // pairwise distance is 6 at this sf.
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val keys = graft.io.Sources.table(spark, sf, "documents")
@@ -44,6 +50,7 @@ class LinkageSpec extends AnyFunSuite {
         expr("a.doc_id < b.doc_id"))
       .select(levenshtein(col("a.k"), col("b.k")).as("d"))
       .agg(min("d")).collect().head.getInt(0)
-    assert(minDist > 2, s"md5 keys unexpectedly close: min distance $minDist")
+    assert(minDist > 3, s"md5 keys too close for the exactness test's " +
+      s"triangle argument: min distance $minDist (needs > 3)")
   }
 }
