@@ -568,6 +568,13 @@ object Dedup {
       selC.join(bandC, Seq("fph"), "left_semi")
         .write.mode("overwrite").parquet(s"$path/winnow")
       selC.unpersist(blocking = false)
+      // chunk-level layer (dd_cdc_incr): the corpus's distinct CDC
+      // chunk hashes — 16 bytes per distinct chunk, the dedup-store
+      // ingest index
+      corpus.select(explode(
+          graft.functions.TextHashes.cdcChunksCol(col("text"))).as("c"))
+        .select(col("c.ch").as("ch")).distinct()
+        .write.mode("overwrite").parquet(s"$path/chunks")
       // Corpus fingerprint sidecar, written LAST (ADVICE r12): _SUCCESS
       // alone would serve a stale index if the corpus at the same path
       // were regenerated — the ensurePrEdgesBucketed staleness class.
@@ -606,7 +613,7 @@ object Dedup {
     // a corpus regenerated at the same path must rebuild, not serve
     // the previous corpus's winnow/hashes/signatures to dd_substr_incr
     // and st_substr); metadata-only check, never a data scan
-    val ok = Seq("hashes", "signatures", "winnow").forall { p =>
+    val ok = Seq("hashes", "signatures", "winnow", "chunks").forall { p =>
       val (fs, hp) = hadoopFs(s, s"$path/$p/_SUCCESS")
       fs.exists(hp)
     } && scala.util.Try {
@@ -1120,6 +1127,38 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // dd_cdc_incr: incremental chunk-level dedup — the dd_incremental
+  // regime applied to CDC chunks, i.e. the storage-ingest shape every
+  // dedup store (restic/borg/Venti lineage) and incremental-crawl
+  // archive runs: an arriving batch (doc_id ≡ 7 mod 10) is chunked
+  // with the SAME gear rule and its chunk hashes are probed against
+  // the persisted corpus chunk index ([[dedupIndexBuild]]'s `chunks`
+  // relation — built once per corpus version, 16 bytes per distinct
+  // chunk). Per batch doc: chunk count, novel-chunk count, and the
+  // novel/duplicate byte split — novel_chars IS the marginal storage
+  // cost of ingesting the doc, the number a dedup store bills. Scale:
+  // batch-side driven; the probe join shuffles 16-byte hashes only
+  // (never text), and the index side is O(distinct corpus chunks) —
+  // at 100 TB the persisted index is exactly what makes per-batch
+  // ingest independent of corpus re-chunking.
+  // -------------------------------------------------------------------
+  private val ddCdcIncr: Q = (s, d) => {
+    val idx = ensureDedupIndex(s, d)
+    val batch = table(s, d, "documents").filter(col("doc_id") % 10 === 7)
+    val bc = batch.select(col("doc_id"),
+        explode(graft.functions.TextHashes.cdcChunksCol(col("text"))).as("c"))
+      .select(col("doc_id"), col("c.ch").as("ch"), col("c.clen").as("clen"))
+    val known = s.read.parquet(s"$idx/chunks").withColumn("known", lit(1L))
+    bc.join(known, Seq("ch"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("known").isNull, 1L).otherwise(0L)).as("n_novel"),
+        sum(when(col("known").isNull, col("clen")).otherwise(0L)).as("novel_chars"),
+        sum(when(col("known").isNotNull, col("clen")).otherwise(0L)).as("dup_chars"))
+      .orderBy("doc_id")
+  }
+
+  // -------------------------------------------------------------------
   // dd_linkage: blocked fuzzy record linkage — the metadata-catalog
   // merge primitive (Fellegi–Sunter blocking practice): entity keys
   // that differ by a typo must pair WITHOUT comparing all key pairs.
@@ -1409,6 +1448,7 @@ object Dedup {
     "dd_substr_uni" -> ddSubstrUni,
     "dd_linkage" -> ddLinkage,
     "dd_cdc" -> ddCdc,
+    "dd_cdc_incr" -> ddCdcIncr,
     "dd_substr_scrub" -> ddSubstrScrub,
     "dd_substr_incr" -> ddSubstrIncr,
     "dd_substr_cov" -> ddSubstrCov,
@@ -1531,6 +1571,37 @@ object Dedup {
   private val substrSpanCtes = substrSpanCtesFrom(
     "SELECT doc_id, text, length(text) AS n FROM documents")
 
+  /** The gear chunking chain over the gate corpus up to the ck
+    * relation (doc_id, idx, ch, clen) — shared by the dd_cdc and
+    * dd_cdc_incr twins. The per-doc gs list maps each codepoint to its
+    * gear value ONCE; the cut lambda is then 8 list reads plus the
+    * 2⁶⁴-wrapped weighted window sum the engine's O(1) rolling update
+    * maintains (identical by the rolling-recurrence algebra). */
+  private val cdcCkCtes: String =
+    s"""WITH ${graft.functions.TextHashes.gearTableCtes},
+       | base AS (SELECT doc_id, text, length(text) AS n FROM documents),
+       | cpc AS (SELECT doc_id, text, n,
+       |    CASE WHEN n >= 9 THEN
+       |      list_transform(string_split(text, ''), c -> gr[(ord(c) % 256) + 1])
+       |    ELSE [] END AS gs
+       |  FROM base, gear),
+       | cu AS (SELECT doc_id, text, n,
+       |    list_filter(range(2, greatest(n - 6, 2)),
+       |      i -> ((gs[i]*128::HUGEINT + gs[i+1]*64::HUGEINT + gs[i+2]*32::HUGEINT
+       |           + gs[i+3]*16::HUGEINT + gs[i+4]*8::HUGEINT + gs[i+5]*4::HUGEINT
+       |           + gs[i+6]*2::HUGEINT + gs[i+7]) % 18446744073709551616::HUGEINT)
+       |           < 1152921504606846976::HUGEINT) AS cuts
+       |  FROM cpc),
+       | se AS (SELECT doc_id, text,
+       |    list_prepend(CAST(1 AS BIGINT), cuts) AS starts,
+       |    list_append(cuts, CAST(n + 1 AS BIGINT)) AS ends
+       |  FROM cu),
+       | ck AS MATERIALIZED (SELECT doc_id, k AS idx,
+       |    md5(substr(text, CAST(starts[k] AS INT),
+       |        CAST(ends[k] - starts[k] AS INT))) AS ch,
+       |    ends[k] - starts[k] AS clen
+       |  FROM se, LATERAL unnest(generate_series(1, len(starts))) u(k))""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // same winnow selection as ts_winnow (positions kept), same 2..32
     // doc band + 64-occurrence cap; extension replayed per seed via
@@ -1548,33 +1619,9 @@ object Dedup {
     // then boundaries, chunk slicing, corpus-wide chunk frequency, and
     // the ordered digest all re-derived in list algebra; a wrong gear
     // entry, a shifted boundary, a lost chunk, or a wrong dup count
-    // all hash-mismatch. The per-doc gs list maps each codepoint to
-    // its gear value ONCE; the cut lambda is then 8 list reads + the
-    // 2⁶⁴-wrapped weighted sum the engine's rolling update maintains.
+    // all hash-mismatch.
     "dd_cdc" ->
-      s"""WITH ${graft.functions.TextHashes.gearTableCtes},
-        | base AS (SELECT doc_id, text, length(text) AS n FROM documents),
-        | cp AS (SELECT doc_id, text, n,
-        |    CASE WHEN n >= 9 THEN
-        |      list_transform(string_split(text, ''), c -> gr[(ord(c) % 256) + 1])
-        |    ELSE [] END AS gs
-        |  FROM base, gear),
-        | cu AS (SELECT doc_id, text, n,
-        |    list_filter(range(2, greatest(n - 6, 2)),
-        |      i -> ((gs[i]*128::HUGEINT + gs[i+1]*64::HUGEINT + gs[i+2]*32::HUGEINT
-        |           + gs[i+3]*16::HUGEINT + gs[i+4]*8::HUGEINT + gs[i+5]*4::HUGEINT
-        |           + gs[i+6]*2::HUGEINT + gs[i+7]) % 18446744073709551616::HUGEINT)
-        |           < 1152921504606846976::HUGEINT) AS cuts
-        |  FROM cp),
-        | se AS (SELECT doc_id, text,
-        |    list_prepend(CAST(1 AS BIGINT), cuts) AS starts,
-        |    list_append(cuts, CAST(n + 1 AS BIGINT)) AS ends
-        |  FROM cu),
-        | ck AS MATERIALIZED (SELECT doc_id, k AS idx,
-        |    md5(substr(text, CAST(starts[k] AS INT),
-        |        CAST(ends[k] - starts[k] AS INT))) AS ch,
-        |    ends[k] - starts[k] AS clen
-        |  FROM se, LATERAL unnest(generate_series(1, len(starts))) u(k)),
+      s"""$cdcCkCtes,
         | fq AS (SELECT ch, count(*) AS occ FROM ck GROUP BY ch)
         |SELECT ck.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
         |  CAST(max(ck.clen) AS BIGINT) AS max_chunk,
@@ -1582,6 +1629,19 @@ object Dedup {
         |  md5(string_agg(ck.ch, ',' ORDER BY ck.idx)) AS chunks_md5
         |FROM ck JOIN fq USING (ch)
         |GROUP BY ck.doc_id ORDER BY ck.doc_id""".stripMargin,
+    // the same chunk chain, then the batch/corpus split and the
+    // novel-vs-known probe re-derived; a chunk wrongly marked known
+    // (or a stale index) flips the byte split and hash-mismatches
+    "dd_cdc_incr" ->
+      s"""$cdcCkCtes,
+        | corpus_ch AS (SELECT DISTINCT ch FROM ck WHERE doc_id % 10 <> 7),
+        | batch AS (SELECT ck.*, (c.ch IS NOT NULL) AS known
+        |  FROM ck LEFT JOIN corpus_ch c USING (ch) WHERE ck.doc_id % 10 = 7)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN known THEN 0 ELSE 1 END) AS BIGINT) AS n_novel,
+        |  CAST(sum(CASE WHEN known THEN 0 ELSE clen END) AS BIGINT) AS novel_chars,
+        |  CAST(sum(CASE WHEN known THEN clen ELSE 0 END) AS BIGINT) AS dup_chars
+        |FROM batch GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // plant + blocking + the exact edit-distance verify all re-derived;
     // a missed planted typo fails on rows, a leaked far pair on dist
     "dd_linkage" ->

@@ -238,6 +238,59 @@ object Graph {
   }
 
   // -------------------------------------------------------------------
+  // gr_trustrank: seed-biased PageRank (Gyöngyi–Garcia-Molina–Pedersen,
+  // "Combating Web Spam with TrustRank", VLDB 2004) — the link-spam /
+  // source-quality primitive a crawl-scale pretraining pipeline runs
+  // before content filters ever see a byte: trust mass starts on a
+  // small vetted SEED set and propagates ONLY along links, so pages
+  // unreachable from trusted sources score ~0 however good their
+  // content looks (the inverse of PageRank's uniform teleport, which
+  // spam farms can accumulate). Same planted edge relation and the
+  // same integer nano-unit arithmetic as pr_pagerank — the teleport
+  // vector is the ONLY change: seeds are doc_id ≡ 0 (mod 53) (~2% of
+  // the corpus, the "limited oracle budget" the paper's seed selection
+  // models), teleport = 15% of rankUnit/n_seeds to seeds and ZERO
+  // elsewhere. Scale shape: identical to pr_pagerank (one ranks⋈edges
+  // shuffle + one partially-aggregated contrib shuffle per round; the
+  // seed census is a broadcast scalar relation, never a collect) — so
+  // the bucketed-edge layout and the hub-skew map-side combine results
+  // carry over unchanged.
+  // -------------------------------------------------------------------
+  private val trustSeedMod = 53
+
+  private val grTrustrank: Q = (s, d) => {
+    val docs = table(s, d, "documents").select(col("doc_id"))
+    val isSeed = col("doc_id") % trustSeedMod === 0
+    val ns = docs.filter(isSeed).agg(count(lit(1)).as("n_seeds"))
+    val nodes = docs.crossJoin(broadcast(ns))
+      .select(col("doc_id"), col("n_seeds"), isSeed.as("is_seed"))
+    val n = docs.agg(count(lit(1)).as("n_nodes"))
+    val edges = docs.crossJoin(broadcast(n))
+      .select(col("doc_id").as("src"),
+        explode(array(lit(1L), lit(2L), lit(3L))).as("j"), col("n_nodes"))
+      .select(col("src"),
+        pmod(col("src") * 31 + col("j") * 17 + 7, col("n_nodes")).as("dst"))
+      .persist() // caller-owned hygiene (COVERAGE.md convention)
+    val seedTele = expr(s"(15 * ($rankUnit div n_seeds)) div 100")
+    var trust = nodes.select(col("doc_id"), col("n_seeds"), col("is_seed"),
+      when(col("is_seed"), expr(s"$rankUnit div n_seeds"))
+        .otherwise(lit(0L)).as("t"))
+    for (_ <- 1 to iterations) {
+      val contribs = trust
+        .join(edges, trust("doc_id") === edges("src"))
+        .select(col("dst").as("doc_id"), expr("t div 3").as("c"))
+        .groupBy("doc_id").agg(sum(col("c")).as("contrib"))
+      trust = nodes
+        .join(contribs, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_seeds"), col("is_seed"),
+          (when(col("is_seed"), seedTele).otherwise(lit(0L))
+            + expr("(85 * coalesce(contrib, 0)) div 100")).as("t"))
+    }
+    trust.select(col("doc_id"), col("t").as("trust_q"), col("is_seed"))
+      .orderBy("doc_id")
+  }
+
+  // -------------------------------------------------------------------
   // gr_lpa_conv: convergence-stopped label propagation — iterate until
   // NO label changes (the natural LPA fixpoint; synchronous LPA can
   // 2-cycle on bipartite structures, so the 30-round cap is the
@@ -721,6 +774,7 @@ object Graph {
     "pr_pagerank" -> prPagerank,
     "pr_pagerank_bucketed" -> prPagerankBucketed,
     "pr_pagerank_conv" -> prPagerankConv,
+    "gr_trustrank" -> grTrustrank,
     "gr_triangles" -> grTriangles,
     "gr_lpa" -> grLpa,
     "gr_lpa_conv" -> grLpaConv)
@@ -907,6 +961,33 @@ object Graph {
     // identical oracle: the bucketed variant changes the PHYSICAL edge
     // layout (one-time bucketed write), never the relation
     "pr_pagerank_bucketed" -> pagerankSql,
+    // TrustRank: the five seed-teleport rounds unrolled with the same
+    // integer algebra; a wrong seed set, a uniform-teleport slip, or a
+    // lost round all hash-mismatch
+    "gr_trustrank" -> {
+      val rounds = (1 to iterations).map { i =>
+        val prev = s"t${i - 1}"
+        s""" t$i AS (SELECT nd.doc_id, nd.is_seed,
+           |   CASE WHEN nd.is_seed
+           |        THEN (15 * ($rankUnit // ns.n_seeds)) // 100 ELSE 0 END
+           |   + (85 * coalesce(c.s, 0)) // 100 AS t
+           |  FROM snodes nd CROSS JOIN ns
+           |  LEFT JOIN (SELECT e.dst AS doc_id, CAST(sum(p.t // 3) AS BIGINT) AS s
+           |             FROM edges e JOIN $prev p ON p.doc_id = e.src
+           |             GROUP BY e.dst) c ON c.doc_id = nd.doc_id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $edgesCte,
+         | ns AS (SELECT count(*) AS n_seeds FROM documents
+         |        WHERE doc_id % $trustSeedMod = 0),
+         | snodes AS (SELECT doc_id, doc_id % $trustSeedMod = 0 AS is_seed
+         |            FROM documents),
+         | t0 AS (SELECT nd.doc_id, nd.is_seed,
+         |   CASE WHEN nd.is_seed THEN $rankUnit // ns.n_seeds ELSE 0 END AS t
+         |  FROM snodes nd CROSS JOIN ns),
+         |$rounds
+         |SELECT doc_id, CAST(t AS BIGINT) AS trust_q, is_seed
+         |FROM t$iterations ORDER BY doc_id""".stripMargin
+    },
     // the dynamic stopping rule replayed STATICALLY: all 40 rounds
     // unrolled (MATERIALIZED — each round is referenced by the next
     // round, its Δmax, and the final pick; inlining would blow up
