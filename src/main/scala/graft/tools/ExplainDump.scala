@@ -61,7 +61,9 @@ object ExplainDump {
     "dq_dp_geo" -> "discrete geometric DP release: same one-aggregate shape as dq_dp_hist with integer-only noise algebra (binary-length inverse CDF) on the release relation",
     "tok_fertility" -> "per-language fertility: vocabulary-sized encode stats broadcast to word instances, |langs|-key rollup — corpus text never self-joins (SubstrPlanSpec pins the broadcast)",
     "dd_linkage" -> "blocked fuzzy linkage: ONE blocking-key shuffle, exact levenshtein verify inside blocks — candidates are sum-of-block-squares, never corpus-squared (LinkageScaleProbe validates the arithmetic at 5M keys)",
-    "dd_cdc" -> "content-defined chunking: boundary mask + slicing are scan-local array algebra; the only exchange is the 16-byte chunk-hash frequency aggregate")
+    "dd_cdc" -> "content-defined chunking: the gear-hash boundary roll + slicing are scan-local integer algebra; the only exchange is the 16-byte chunk-hash frequency aggregate",
+    "dd_cdc_incr" -> "incremental chunk dedup: the batch's chunk hashes probe the persisted corpus chunk index — the join carries 16-byte hashes only, text never shuffles, index side is O(distinct corpus chunks)",
+    "gr_trustrank" -> "TrustRank: pr_pagerank's exact shuffle shape (ranks⋈edges + partially-aggregated contribs per round); the seed census rides as a broadcast one-row relation — only the teleport vector differs")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

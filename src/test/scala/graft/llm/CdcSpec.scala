@@ -52,6 +52,37 @@ class CdcSpec extends AnyFunSuite {
     }
   }
 
+  test("dd_cdc_incr: independent replay of the novel/known byte split") {
+    val docs = graft.io.Sources.table(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val corpusCh = docs.filter(_._1 % 10 != 7).flatMap(d => chunks(d._2))
+      .map(md5hex).toSet
+    val out = Dedup.queries("dd_cdc_incr")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val batch = docs.filter(_._1 % 10 == 7)
+    assert(out.size == batch.length)
+    batch.foreach { case (id, t) =>
+      val cs = chunks(t)
+      val (dup, novel) = cs.partition(c => corpusCh(md5hex(c)))
+      val r = out(id)
+      assert(r.getAs[Long]("n_chunks") == cs.length.toLong, s"doc $id n_chunks")
+      assert(r.getAs[Long]("n_novel") == novel.length.toLong, s"doc $id n_novel")
+      assert(r.getAs[Long]("novel_chars") == novel.map(_.length.toLong).sum,
+        s"doc $id novel_chars")
+      assert(r.getAs[Long]("dup_chars") == dup.map(_.length.toLong).sum,
+        s"doc $id dup_chars")
+      // chunk slicing conserves the doc: the byte split must too
+      assert(r.getAs[Long]("novel_chars") + r.getAs[Long]("dup_chars") == t.length.toLong)
+    }
+    // the gate is only meaningful if the corpus genuinely shares chunks
+    // with the batch (the near-dup-rich generation guarantees it)
+    assert(out.values.map(_.getAs[Long]("dup_chars")).sum > 0L,
+      "no batch doc shares a single chunk with the corpus — gate is vacuous")
+  }
+
   test("a front edit re-aligns within O(1) chunks (the CDC property)") {
     val t = graft.io.Sources.table(spark, "/root/testdata/sf0.001", "documents")
       .orderBy(desc("n_chars")).select("text").head().getString(0)
