@@ -102,17 +102,35 @@ object TextHashKernels {
     }
   }
 
-  /** FastCDC gear table (Xia et al., USENIX ATC 2016): 256 uniform
-    * 64-bit constants, one per byte value, generated by splitmix64
-    * (Steele–Lea–Flood 2014 — pure wrap-mod-2⁶⁴ integer algebra, so
-    * the DuckDB twin regenerates the IDENTICAL table from the same
-    * three constants; see [[TextHashes.gearTableCtes]]). */
-  val GEAR: Array[Long] = Array.tabulate(256) { b =>
-    var z = b + 0x9E3779B97F4A7C15L
+  /** splitmix64 (Steele–Lea–Flood 2014) — the one deterministic 64-bit
+    * mixer every derived constant table in this library draws from:
+    * pure wrap-mod-2⁶⁴ integer algebra, so the DuckDB twins regenerate
+    * IDENTICAL tables from the same three constants (see
+    * [[TextHashes.gearTableCtes]] / [[TextHashes.permTableCtes]]). */
+  def splitmix64(x: Long): Long = {
+    var z = x + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
     z ^ (z >>> 31)
   }
+
+  /** FastCDC gear table (Xia et al., USENIX ATC 2016): 256 uniform
+    * 64-bit constants, one per byte value. */
+  val GEAR: Array[Long] = Array.tabulate(256)(b => splitmix64(b.toLong))
+
+  /** Universal-hash permutation family over a 64-bit base hash (the
+    * one-hash MinHash cost cut, Appleby/Broder practice): perm i maps
+    * h ↦ (Aᵢ·h + Bᵢ) mod 2⁶⁴ with Aᵢ odd (a bijection mod 2⁶⁴). The
+    * [[permHash]] value is returned with the TOP BIT FLIPPED, which
+    * makes SIGNED Long order equal UNSIGNED order of the affine value
+    * — so a plain Spark `min` aggregate selects the true unsigned
+    * minimum, and the DuckDB twin's HUGEINT `min` (natively unsigned)
+    * selects the same element. Equality comparisons are flip-
+    * invariant, so cross-source signature matches agree exactly. */
+  val PERM_A: Array[Long] = Array.tabulate(64)(i => splitmix64(1000L + i) | 1L)
+  val PERM_B: Array[Long] = Array.tabulate(64)(i => splitmix64(2000L + i))
+  def permHash(h: Long, i: Int): Long =
+    (PERM_A(i) * h + PERM_B(i)) ^ java.lang.Long.MIN_VALUE
 
   /** Content-defined chunking (the fused kernel behind dd_cdc): the
     * FastCDC rolling GEAR hash decides the cuts — position i (1-based,
@@ -448,6 +466,25 @@ case class CdcChunks(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `perm_hash_i(h)` — the i-th affine MinHash permutation of a 64-bit
+  * base hash as native codegen (see [[TextHashKernels.permHash]]).
+  * Native because the multiply WRAPS mod 2⁶⁴ by design — under the
+  * session's ANSI mode the equivalent SQL `a * h` would throw on
+  * overflow, and the wrap IS the algebra the DuckDB twin replays. */
+case class PermHash(child: Expression, i: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() =
+    if (child.dataType == LongType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"perm_hash needs a bigint argument, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashKernels.permHash(input.asInstanceOf[Long], i)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashKernels.permHash($c, $i)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `substr_extend(text_a, text_b, aps, bps)` — maximal shared-substring
   * spans from aligned winnow seeds (see [[TextHashKernels.substrExtend]]).
   * Interpreted eval (CodegenFallback, the SimHash precedent): the
@@ -624,6 +661,33 @@ object TextHashes {
        | gear AS (SELECT list(g ORDER BY b) AS gr FROM g3)""".stripMargin
   }
 
+  /** DuckDB regeneration of [[TextHashKernels.PERM_A]]/[[PERM_B]]: the
+    * same splitmix64 over 1000+i / 2000+i, Aᵢ forced odd with integer
+    * algebra (a − a%2 + 1 ≡ a|1 for the low bit). Yields a k-row
+    * `perms(i, a, b)` relation of HUGEINT uint64 values. */
+  def permTableCtes(k: Int): String = {
+    val s30 = "1073741824::HUGEINT"
+    val s27 = "134217728::HUGEINT"
+    val s31 = "2147483648::HUGEINT"
+    def mix(pfx: String, in: String): String =
+      s"""${pfx}0 AS (SELECT i, ($in)::HUGEINT + 11400714819323198485::HUGEINT AS z0 FROM pb),
+         | ${pfx}1 AS (SELECT i, ${mulmod64(xor64("z0", s"z0 // $s30"), "13787848793156543929")} AS z1 FROM ${pfx}0),
+         | ${pfx}2 AS (SELECT i, ${mulmod64(xor64("z1", s"z1 // $s27"), "10723151780598845931")} AS z2 FROM ${pfx}1),
+         | ${pfx}3 AS (SELECT i, ${xor64("z2", s"z2 // $s31")} AS g FROM ${pfx}2)""".stripMargin
+    s"""pb AS (SELECT i FROM range(0, $k) t(i)),
+       | ${mix("pa", "1000 + i")},
+       | ${mix("pq", "2000 + i")},
+       | perms AS (SELECT pa3.i, pa3.g - (pa3.g % 2) + 1 AS a, pq3.g AS b
+       |           FROM pa3 JOIN pq3 USING (i))""".stripMargin
+  }
+
+  /** (h·a + b) mod 2⁶⁴ over HUGEINT uint64 expressions — the affine
+    * MinHash permutation the perms relation parameterizes; bit-equal
+    * to [[TextHashKernels.permHash]] minus the top-bit flip (which the
+    * HUGEINT min makes unnecessary: it is natively unsigned). */
+  def affinePermSql(h: String, a: String, b: String): String =
+    s"(${mulmod64(h, a)} + $b) % 18446744073709551616::HUGEINT"
+
   /** The fold reinterpreted as the engine's signed Long. Takes the name
     * of a column holding the HUGEINT fold. */
   def fnvSignedSql(hu: String): String =
@@ -716,6 +780,11 @@ object TextHashes {
   def rollHash(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.graft.ColumnBridge.column(
       RollingHash(org.apache.spark.sql.graft.ColumnBridge.expression(text)))
+
+  /** [[PermHash]] as a Column. */
+  def permHashCol(h: org.apache.spark.sql.Column, i: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      PermHash(org.apache.spark.sql.graft.ColumnBridge.expression(h), i))
 
   /** [[CdcChunks]] as a Column. */
   def cdcChunksCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -1127,6 +1127,53 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // dd_source_overlap: corpus-level source-overlap MinHash sketch —
+  // the "how much does source A duplicate source B" diagnostic a
+  // multi-source pretraining mix needs BEFORE doc-level dedup (two
+  // crawls of the same sites, a dataset re-released inside another —
+  // the inter-SOURCE redundancy that decides which source to drop
+  // wholesale). Per source: a k=32 MinHash-union signature over the
+  // source's 3-token shingle SET (union sketches compose: min over
+  // docs of per-doc mins), then pairwise signature agreement estimates
+  // shingle-set Jaccard per source pair. Unlike dd_minhash (engine-
+  // seeded xxhash64, fixture-verified), the signature here is FULLY
+  // replayable: base hash = the FNV-1a fold (fnvFoldSql), permutations
+  // = the splitmix64-derived affine family (TextHashKernels.PERM_A/B,
+  // native PermHash codegen — the multiply wraps mod 2⁶⁴ by design,
+  // which ANSI SQL would throw on), flipped-top-bit encoding so signed
+  // min ≡ unsigned min on both engines. Scale shape: one scan-local
+  // shingle+hash pass, ONE |sources|×k constant-width min reduce
+  // (partial aggregation does the work map-side — the ml_kmeans
+  // integer-reduce shape), then a |sources|² broadcast self-join of a
+  // 20-row relation. The corpus never pairs: at 100 TB this costs one
+  // scan regardless of redundancy, which is exactly why the sketch
+  // exists (exact source-pair Jaccard would shuffle every shingle).
+  // -------------------------------------------------------------------
+  private val sourceOverlapK = 32
+
+  private val ddSourceOverlap: Q = (s, d) => {
+    val docs = table(s, d, "documents")
+    val sh = docs.select(col("source"),
+        explode(graft.functions.ArrayFns.shingles3(col("text"))).as("sh"))
+      .select(col("source"), graft.functions.TextHashes.rollHash(col("sh")).as("h"))
+    val aggs = (0 until sourceOverlapK).map(i =>
+      min(graft.functions.TextHashes.permHashCol(col("h"), i)).as(s"v$i"))
+    val sigs = sh.groupBy("source").agg(aggs.head, aggs.tail: _*)
+    val a = sigs.select(col("source").as("source_a") +:
+      (0 until sourceOverlapK).map(i => col(s"v$i").as(s"a$i")): _*)
+    val b = sigs.select(col("source").as("source_b") +:
+      (0 until sourceOverlapK).map(i => col(s"v$i").as(s"b$i")): _*)
+    val matches = (0 until sourceOverlapK)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    a.join(broadcast(b), col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"), matches.as("matches"))
+      .select(col("source_a"), col("source_b"), col("matches"),
+        expr(s"(matches * 10000) div $sourceOverlapK").as("est_q"))
+      .orderBy("source_a", "source_b")
+  }
+
+  // -------------------------------------------------------------------
   // dd_cdc_incr: incremental chunk-level dedup — the dd_incremental
   // regime applied to CDC chunks, i.e. the storage-ingest shape every
   // dedup store (restic/borg/Venti lineage) and incremental-crawl
@@ -1449,6 +1496,7 @@ object Dedup {
     "dd_linkage" -> ddLinkage,
     "dd_cdc" -> ddCdc,
     "dd_cdc_incr" -> ddCdcIncr,
+    "dd_source_overlap" -> ddSourceOverlap,
     "dd_substr_scrub" -> ddSubstrScrub,
     "dd_substr_incr" -> ddSubstrIncr,
     "dd_substr_cov" -> ddSubstrCov,
@@ -1629,6 +1677,33 @@ object Dedup {
         |  md5(string_agg(ck.ch, ',' ORDER BY ck.idx)) AS chunks_md5
         |FROM ck JOIN fq USING (ch)
         |GROUP BY ck.doc_id ORDER BY ck.doc_id""".stripMargin,
+    // the perm table regenerated from the splitmix64 constants, then
+    // shingles, the FNV base fold, the affine permutations (HUGEINT
+    // min is natively unsigned — the engine's top-bit flip exists only
+    // to make its SIGNED min agree), per-source union signatures, and
+    // pairwise agreement all re-derived; one wrong perm constant or a
+    // single flipped min hash-mismatches the whole matrix
+    "dd_source_overlap" -> {
+      val k = 32 // sourceOverlapK
+      s"""WITH ${graft.functions.TextHashes.permTableCtes(k)},
+         | toks AS (SELECT source, string_split(text, ' ') AS ts FROM documents),
+         | shl AS (SELECT source,
+         |    CASE WHEN len(ts) >= 3 THEN
+         |      list_transform(range(1, len(ts) - 1),
+         |        j -> ts[j] || ' ' || ts[j+1] || ' ' || ts[j+2])
+         |    ELSE [] END AS shs FROM toks),
+         | shx AS (SELECT source, unnest(shs) AS sh FROM shl),
+         | huf AS (SELECT source, ${graft.functions.TextHashes.fnvFoldSql("sh")} AS h
+         |   FROM shx),
+         | sigs AS MATERIALIZED (SELECT source, i,
+         |    min(${graft.functions.TextHashes.affinePermSql("h", "a", "b")}) AS v
+         |  FROM huf CROSS JOIN perms GROUP BY source, i)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  CAST(sum(CASE WHEN a.v = b.v THEN 1 ELSE 0 END) AS BIGINT) AS matches,
+         |  CAST((sum(CASE WHEN a.v = b.v THEN 1 ELSE 0 END) * 10000) // $k AS BIGINT) AS est_q
+         |FROM sigs a JOIN sigs b ON a.i = b.i AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     // the same chunk chain, then the batch/corpus split and the
     // novel-vs-known probe re-derived; a chunk wrongly marked known
     // (or a stale index) flips the byte split and hash-mismatches

@@ -63,7 +63,8 @@ object ExplainDump {
     "dd_linkage" -> "blocked fuzzy linkage: ONE blocking-key shuffle, exact levenshtein verify inside blocks — candidates are sum-of-block-squares, never corpus-squared (LinkageScaleProbe validates the arithmetic at 5M keys)",
     "dd_cdc" -> "content-defined chunking: the gear-hash boundary roll + slicing are scan-local integer algebra; the only exchange is the 16-byte chunk-hash frequency aggregate",
     "dd_cdc_incr" -> "incremental chunk dedup: the batch's chunk hashes probe the persisted corpus chunk index — the join carries 16-byte hashes only, text never shuffles, index side is O(distinct corpus chunks)",
-    "gr_trustrank" -> "TrustRank: pr_pagerank's exact shuffle shape (ranks⋈edges + partially-aggregated contribs per round); the seed census rides as a broadcast one-row relation — only the teleport vector differs")
+    "gr_trustrank" -> "TrustRank: pr_pagerank's exact shuffle shape (ranks⋈edges + partially-aggregated contribs per round); the seed census rides as a broadcast one-row relation — only the teleport vector differs",
+    "dd_source_overlap" -> "source-overlap sketch: scan-local shingle+FNV+perm hashing, ONE |sources|×k constant-width min reduce (map-side partials do the work), |sources|² broadcast self-join — the corpus never pairs")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
