@@ -1682,7 +1682,11 @@ object Dedup {
     // min is natively unsigned — the engine's top-bit flip exists only
     // to make its SIGNED min agree), per-source union signatures, and
     // pairwise agreement all re-derived; one wrong perm constant or a
-    // single flipped min hash-mismatches the whole matrix
+    // single flipped min hash-mismatches the whole matrix. The DISTINCT
+    // + MATERIALIZED fence before the 32-way perm join is oracle-cost
+    // work (7.1 → 1.0 s): min over a SET equals min over the multiset,
+    // and the fence stops the per-shingle fold re-evaluating per perm
+    // (the binExtendCtes final-fence lesson)
     "dd_source_overlap" -> {
       val k = 32 // sourceOverlapK
       s"""WITH ${graft.functions.TextHashes.permTableCtes(k)},
@@ -1692,9 +1696,10 @@ object Dedup {
          |      list_transform(range(1, len(ts) - 1),
          |        j -> ts[j] || ' ' || ts[j+1] || ' ' || ts[j+2])
          |    ELSE [] END AS shs FROM toks),
-         | shx AS (SELECT source, unnest(shs) AS sh FROM shl),
-         | huf AS (SELECT source, ${graft.functions.TextHashes.fnvFoldSql("sh")} AS h
-         |   FROM shx),
+         | shx0 AS (SELECT source, unnest(shs) AS sh FROM shl),
+         | shx AS (SELECT DISTINCT source, sh FROM shx0),
+         | huf AS MATERIALIZED (SELECT source,
+         |   ${graft.functions.TextHashes.fnvFoldSql("sh")} AS h FROM shx),
          | sigs AS MATERIALIZED (SELECT source, i,
          |    min(${graft.functions.TextHashes.affinePermSql("h", "a", "b")}) AS v
          |  FROM huf CROSS JOIN perms GROUP BY source, i)
