@@ -93,6 +93,100 @@ object Dedup {
 
   private val ddJaccard: Q = (s, d) => jaccardPairs(s, d).orderBy("doc_a", "doc_b")
 
+  // ---------------------------------------------------------------------
+  // dd_ppjoin: PREFIX-FILTERED exact set-similarity self-join (the
+  // PPJoin family — Xiao, Wang, Lin, Yuan, "Efficient Similarity Joins
+  // for Near Duplicate Detection", WWW 2008; the distributed prefix
+  // shape is Vernica, Carey, Li, SIGMOD 2010). Same metric as
+  // dd_jaccard but a fundamentally different candidate generator:
+  // where dd_jaccard BLOCKS on (lang, length band, token band) — a
+  // heuristic that can split a true pair across buckets — the prefix
+  // filter is provably LOSSLESS: under any single global token order,
+  // two sets with overlap ≥ α must collide within their first
+  // |x| − ⌈τ·|x|⌉ + 1 tokens, so every pair with jaccard ≥ τ reaches
+  // verification. That makes the gate itself the completeness proof:
+  // the oracle computes the BLOCKING-FREE exact pair set, and
+  // hash-equality certifies the filter dropped nothing.
+  //
+  // Scale shape: tokens shuffle twice at 8 bytes/row (df count on tok,
+  // regroup on doc_id) — the token-ID stream, never the text; candidate
+  // volume is Σ_tok C(prefix-occurrences, 2), which df-ASCENDING
+  // ordering drives toward the output bound (rarest tokens index the
+  // prefixes). On a match-sparse web corpus that is O(near-dups); this
+  // synthetic corpus is match-SATURATED (≥0.9 pairs are 7% of ALL
+  // pairs), so the measured sf0.1 volume — 14.0k prefix rows → 3.28M
+  // candidates → 965k true pairs vs 12.5M unfiltered (74% pruned
+  // before a single intersect) — is the structural Ω(output) floor
+  // dd_jaccard's header already documents, not a filter weakness.
+  private val ppjoinTau = 0.9 // as the (9, 10) integer ratio below
+
+  /** df-ordered prefix rows: (tok, doc_id, sz, pos) for the
+    * |x| − ⌈0.9·|x|⌉ + 1 globally-rarest tokens of each doc. */
+  private def ppjoinPrefixes(t: DataFrame): DataFrame = {
+    // global document frequency per (hashed) token — the ordering key.
+    // ANY consistent total order preserves completeness; (df asc, tok
+    // asc) is the canonical choice that keeps collision lists short.
+    val df = t.select(explode(col("tk")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    t.select(col("doc_id"), col("sz"), explode(col("tk")).as("tok"))
+      .join(df, "tok")
+      .groupBy("doc_id")
+      .agg(first(col("sz")).as("sz"),
+        array_sort(collect_list(struct(col("df"), col("tok")))).as("otk"))
+      // ⌈0.9·sz⌉ in exact integer form: (9·sz + 9) DIV 10
+      .select(col("doc_id"), col("sz"),
+        posexplode(expr("slice(otk, 1, sz - (9*sz+9) DIV 10 + 1)")))
+      .select(col("doc_id"), col("sz"), col("pos"), col("col.tok").as("tok"))
+  }
+
+  /** Candidate pairs: prefix-token collision + length filter + PPJoin's
+    * position filter, distinct. Provably a SUPERSET of the τ-similar
+    * pairs (the verify join below applies the exact threshold), so the
+    * position filter may be applied per collision, not per first
+    * collision. Seam for DdPpjoinSpec's pruning measurement. */
+  private[llm] def ppjoinCandidates(t: DataFrame): DataFrame = {
+    val pr = ppjoinPrefixes(t)
+    val a = pr.select(col("tok"), col("doc_id").as("doc_a"),
+      col("sz").as("sa"), col("pos").as("ia"))
+    val b = pr.select(col("tok"), col("doc_id").as("doc_b"),
+      col("sz").as("sb"), col("pos").as("ib"))
+    a.join(b, Seq("tok"))
+      .filter(col("doc_a") < col("doc_b"))
+      // length filter: jaccard ≥ 0.9 forces min·10 ≥ max·9 (implied by
+      // the threshold, hence lossless; mirrored in the oracle twin)
+      .filter(least(col("sa"), col("sb")) * 10 >=
+        greatest(col("sa"), col("sb")) * 9)
+      // position filter: a collision at 0-based prefix positions
+      // (ia, ib) bounds the achievable overlap by min(sa−ia, sb−ib);
+      // required overlap α = ⌈τ/(1+τ)·(sa+sb)⌉ = (9(sa+sb)+18) DIV 19
+      .filter(least(col("sa") - col("ia"), col("sb") - col("ib")) >=
+        expr("(9*(sa+sb)+18) DIV 19"))
+      .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** All pairs with token-set jaccard ≥ 0.9, zero blocking loss. The
+    * final threshold is applied to the UNROUNDED quotient (exact small
+    * integers through an IEEE division — bit-identical in DuckDB), so
+    * the emitted set coincides exactly with the prefix theorem's ≥ τ
+    * truth set; rounding touches only the displayed column. */
+  private val ddPpjoin: Q = (s, d) => {
+    val t = table(s, d, "documents")
+      .select(col("doc_id"), tokHashes.as("tk"))
+      .withColumn("sz", size(col("tk")))
+      .persist() // read by df-count, prefix regroup, and both verify sides
+    ppjoinCandidates(t)
+      .join(t.select(col("doc_id").as("doc_a"),
+        col("tk").as("tk_a"), col("sz").as("sa")), Seq("doc_a"))
+      .join(t.select(col("doc_id").as("doc_b"),
+        col("tk").as("tk_b"), col("sz").as("sb")), Seq("doc_b"))
+      .withColumn("inter",
+        ArrayFns.sortedLongIntersectCount(col("tk_a"), col("tk_b")).cast("double"))
+      .withColumn("jac", col("inter") / (col("sa") + col("sb") - col("inter")))
+      .filter(col("jac") >= ppjoinTau)
+      .select(col("doc_a"), col("doc_b"), dround(col("jac"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** 3-token shingle rows of a document: one native codegen'd
     * scan-local expression (graft.functions.Shingles3) + explode —
     * ZERO shuffle. Two prior shapes both failed at scale: the
@@ -1504,6 +1598,7 @@ object Dedup {
     "dd_urls" -> ddUrls,
     "dd_exact" -> ddExact,
     "dd_jaccard" -> ddJaccard,
+    "dd_ppjoin" -> ddPpjoin,
     "dd_cluster" -> ddCluster,
     "dd_cluster_lsh" -> ddClusterLsh,
     "dd_minhash" -> ddMinhash,
@@ -1959,6 +2054,22 @@ object Dedup {
         |    AND least(len(a.tk), len(b.tk)) * 10 >= greatest(len(a.tk), len(b.tk)) * 9
         |    AND a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.9 ORDER BY doc_a, doc_b""".stripMargin,
+    // BLOCKING-FREE exact twin: the whole point of the gate — DuckDB
+    // enumerates every admissible pair with no prefix filter, so
+    // hash-equality proves the engine's prefix+position filters are
+    // lossless. The length filter is implied by jaccard ≥ 0.9
+    // (j ≤ min/max), hence mirrorable without a divergence window; the
+    // threshold compares the UNROUNDED IEEE quotient on both sides.
+    "dd_ppjoin" ->
+      """WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk
+        |           FROM documents),
+        | c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+        |           / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) AS j
+        |       FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |        AND least(len(a.tk), len(b.tk)) * 10 >= greatest(len(a.tk), len(b.tk)) * 9)
+        |SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM c WHERE j >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // Independent clustering twin: DuckDB recomputes the SAME pair set,
     // closes it transitively with a recursive CTE (a completely different
     // algorithm from the engine's large-star/small-star rounds), and

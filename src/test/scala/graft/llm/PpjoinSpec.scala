@@ -1,0 +1,52 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** dd_ppjoin (prefix-filtered exact set-similarity join): the prefix +
+  * position filters must be LOSSLESS — the emitted pair set equals the
+  * brute-force all-pairs jaccard ≥ 0.9 set — while actually pruning the
+  * candidate space the verify join pays for. */
+class PpjoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("emitted pairs equal the brute-force jaccard >= 0.9 truth set") {
+    val got = Dedup.queries("dd_ppjoin")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(got.nonEmpty, "gate cannot fail on an empty result (r3 lesson)")
+    // brute force: unfiltered quadratic over the 500-doc corpus, same
+    // distinct-token metric, same unrounded >= 0.9 threshold
+    val t = graft.io.Sources.table(spark, sf, "documents")
+      .select(col("doc_id"),
+        array_sort(transform(array_distinct(split(col("text"), " ")),
+          x => xxhash64(x))).as("tk"))
+    val inter = graft.functions.ArrayFns
+      .sortedLongIntersectCount(col("tk_a"), col("tk_b")).cast("double")
+    val truth = t.select(col("doc_id").as("doc_a"), col("tk").as("tk_a"))
+      .crossJoin(t.select(col("doc_id").as("doc_b"), col("tk").as("tk_b")))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jac", inter / (size(col("tk_a")) + size(col("tk_b")) - inter))
+      .filter(col("jac") >= 0.9)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(got == truth,
+      s"prefix filter lost or invented pairs: missing=${(truth -- got).take(5)} " +
+        s"extra=${(got -- truth).take(5)}")
+  }
+
+  test("the candidate set prunes the quadratic space and covers the truth set") {
+    val t = graft.io.Sources.table(spark, sf, "documents")
+      .select(col("doc_id"),
+        array_sort(transform(array_distinct(split(col("text"), " ")),
+          x => xxhash64(x))).as("tk"))
+      .withColumn("sz", size(col("tk")))
+    val n = t.count()
+    val cands = Dedup.ppjoinCandidates(t).count()
+    val emitted = Dedup.queries("dd_ppjoin")(spark, sf).count()
+    assert(cands < n * (n - 1) / 2,
+      s"prefix filter pruned nothing: $cands candidates for $n docs")
+    assert(cands >= emitted,
+      s"candidate set smaller than the emitted set: $cands < $emitted")
+  }
+}
