@@ -902,6 +902,83 @@ object StreamQueries {
       .orderBy("user_id", "session_id")
   }
 
+  /** stSliding on the FILE-STREAM source: with stSessionsFile covering
+    * flatMapGroupsWithState and stDedupFile covering watermark-dedup
+    * state, this one puts the BUILT-IN windowed-aggregation state
+    * machine (2 h windows sliding by 1 h, 10 min watermark) behind a
+    * parquet landing directory — the last stateful family still
+    * demonstrated only behind a driver-fed MemoryStream. Staging is
+    * stSessionsFile's verbatim: time-range-partitioned part files
+    * linked in with strictly increasing mtimes (the file source
+    * consumes oldest-modified first), maxFilesPerTrigger=2 over 4
+    * staged files forcing ≥2 real micro-batches through the offset
+    * log, and the flush sentinel arriving as a LATE FILE. Correctness
+    * under the split: batch k+1's rows are ≥ batch k's max ts (the
+    * repartitionByRange contract), so the watermark (max − 10 min)
+    * never drops a row, and a window's state absorbs rows across batch
+    * boundaries exactly as within one — the property the windowed
+    * state store exists to provide. The sentinel sits 3 h past the
+    * corpus max: watermark = sentinel − 10 min then exceeds every
+    * window end (≤ max + 2 h), flushing all windows; its own two
+    * windows are filtered out below. Oracle: st_sliding's
+    * window-expansion twin, verbatim — only the source differs. */
+  private val stSlidingFile: Q = (parent, d) => {
+    val s = scoped(parent)
+    import s.implicits._
+    val (stage, sentinelDir) = cachedRows(d, "slidingfile_src") {
+      val ev = graft.io.Sources.table(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      val p = s"$pidRoot/stslidingfile_src_${math.abs(d.hashCode.toLong)}"
+      ev.repartitionByRange(4, col("ts")).write.mode("overwrite").parquet(p)
+      val maxMs = s.read.parquet(p).agg(max(col("ts"))).head
+        .getTimestamp(0).getTime
+      val sp = s"${p}_sentinel"
+      s.createDataset(Seq(EventStream.Ev(-1L,
+          new Timestamp(maxMs + 3L * 3600000L), "sentinel__", 0.0)))
+        .toDF().repartition(1).write.mode("overwrite").parquet(sp)
+      (p, sp)
+    }
+    val name = s"st_sliding_file_${seq.incrementAndGet()}"
+    val root = s"$pidRoot/stslidingfile"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val src = s"$root/landing"
+    val out = s"$root/out"
+    var mtime = System.currentTimeMillis() - 3600000L
+    def linkIn(fromDir: String, prefix: String): Unit = {
+      new java.io.File(src).mkdirs()
+      Option(new java.io.File(fromDir).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .foreach { f =>
+          val t = java.nio.file.Paths.get(src, prefix + f.getName)
+          java.nio.file.Files.createLink(t, f.toPath)
+          mtime += 2000L
+          t.toFile.setLastModified(mtime)
+        }
+    }
+    linkIn(stage, "a_")
+    val schema = s.read.parquet(src).schema
+    val in = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(src)
+    val q = EventStream.slidingStats(in)
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        EventStream.writeBatch(b.toDF(), id, out))
+      .option("checkpointLocation", ckpt(name)).start()
+    try {
+      q.processAllAvailable()
+      linkIn(sentinelDir, "b_") // the flush, landing as a late file
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      dropCkpt(name)
+    }
+    s.read.parquet(out)
+      .filter(!(col("event_type") <=> "sentinel__"))
+      .select(col("win_start"), col("event_type"), col("n"),
+        graft.functions.Numeric.dround(col("sum_q") / 1000000.0, 4).as("total_value"))
+      .orderBy("win_start", "event_type")
+  }
+
   /** The exactly-once-EFFECT parquet sink under the gate: the events
     * stream lands in batch_id partitions via foreachBatch + dynamic
     * partition overwrite, then the FIRST batch the stream actually
@@ -1322,6 +1399,7 @@ object StreamQueries {
     "st_anomaly" -> stAnomaly,
     "st_sessions" -> stSessions,
     "st_sessions_file" -> stSessionsFile,
+    "st_sliding_file" -> stSlidingFile,
     "st_asof" -> stAsof,
     "st_scd2" -> stScd2,
     "st_windowed" -> stWindowed,
@@ -1460,6 +1538,16 @@ object StreamQueries {
     // each event expanded into its two covering hourly-aligned window
     // starts, then the same quantized-integer aggregation
     "st_sliding" ->
+      """WITH w AS (SELECT event_type, value, date_trunc('hour', ts) AS h FROM events),
+        | x AS (SELECT event_type, value, h AS win_start FROM w
+        |       UNION ALL
+        |       SELECT event_type, value, h - INTERVAL 1 HOUR FROM w)
+        |SELECT win_start, event_type, count(*) AS n,
+        | round(sum(CAST(floor(value * 1000000) AS BIGINT)) / 1000000.0, 4) AS total_value
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the file-source twin computes the identical sliding relation —
+    // only the source differs (landing dir vs MemoryStream)
+    "st_sliding_file" ->
       """WITH w AS (SELECT event_type, value, date_trunc('hour', ts) AS h FROM events),
         | x AS (SELECT event_type, value, h AS win_start FROM w
         |       UNION ALL
