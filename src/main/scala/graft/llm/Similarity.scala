@@ -701,6 +701,141 @@ object Similarity {
     * top-k independently — the engine from knnCosine, the oracle from
     * the raw embeddings — then count the overlap. A fabricated recall,
     * a missed true neighbor, or a drifted fixture all hash-mismatch. */
+  // ---------------------------------------------------------------------
+  // ann_nsw: GRAPH-based ANN — the navigable-small-world family (Malkov
+  // et al., Inf. Systems 2014; HNSW is its hierarchical refinement,
+  // Malkov & Yashunin, TPAMI 2018). The missing fourth ANN family next
+  // to the engine's IVF (partition), PQ (compression), and sign-LSH
+  // (hashing) methods: a proximity GRAPH searched by beam search, the
+  // structure behind most production vector stores.
+  //
+  // Spark-first shape: the graph is a pointer-chasing structure with no
+  // relational form, so it lives where such logic belongs — INSIDE a
+  // partition (the mapPartitions clause of the build plan's preference
+  // order: compose > Expression > LogicalPlan > mapPartitions; graph
+  // ANN is the canonical last case). Vectors hash-shard on vec_id; each
+  // shard builds its own single-layer NSW imperatively and serves the
+  // broadcast probe set by beam search; shard answers union and an
+  // exact-cosine re-rank merges top-k. This IS the 100 TB deployment
+  // layout (DiskANN-style sharded serving): every shard's graph is
+  // memory-resident and independent, queries fan out and merge — no
+  // cross-shard edges, no shuffle of the vector table beyond the one
+  // sharding exchange. The HIERARCHY is deliberately absent: its log(n)
+  // entry-point descent pays off at billions of nodes per graph; under
+  // sharding each graph holds n/shards nodes and the flat beam search
+  // from a fixed entry is within noise of it (and deterministic).
+  //
+  // Build is insertion-order NSW: node 0 is the entry; node i links to
+  // its M nearest among [0, i) found by beam search (efC wide), with
+  // reverse edges pruned back to M by distance — all ties broken by id,
+  // so the graph, the candidate set, and the fixture are run-stable.
+  private val nswShards = 8
+  private val nswM = 8
+  private val nswEfBuild = 32
+  private val nswEfSearch = 32
+
+  /** Per-shard NSW build + beam-search serve, executed once per shard
+    * inside mapPartitions. Returns (qid, cid) candidates. */
+  private def nswCandidates(s: SparkSession, emb: DataFrame): DataFrame = {
+    import s.implicits._
+    val probes = emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id"), col("ve")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1) // O(nProbes) driver state, the centroid precedent
+    val bProbes = s.sparkContext.broadcast(probes)
+    emb.repartition(nswShards, col("vec_id"))
+      .sortWithinPartitions("vec_id") // insertion order = id order, deterministic
+      .select(col("vec_id"), col("ve")).as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val rows = it.toArray
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val ids = rows.map(_._1)
+          // unit-normalize once: cosine ranking becomes a plain dot
+          val vecs = rows.map { case (_, v) =>
+            val a = v.toArray
+            val n = math.sqrt(a.map(x => x * x).sum)
+            if (n > 0) a.map(_ / n) else a
+          }
+          val n = ids.length
+          val adj = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
+          // (negDot, id): ascending order = best first, id-deterministic
+          val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int)
+          def beam(q: Array[Double], ef: Int, upTo: Int): Array[(Double, Int)] = {
+            def d(i: Int): Double = {
+              val v = vecs(i); var s = 0.0; var k = 0
+              while (k < v.length) { s += q(k) * v(k); k += 1 }
+              -s
+            }
+            val visited = new java.util.BitSet(upTo)
+            val cand = scala.collection.mutable.PriorityQueue.empty(ord.reverse)
+            val res = scala.collection.mutable.PriorityQueue.empty(ord)
+            val e = (d(0), 0)
+            visited.set(0); cand.enqueue(e); res.enqueue(e)
+            var done = false
+            while (!done && cand.nonEmpty) {
+              val c = cand.dequeue()
+              if (res.size >= ef && ord.gt(c, res.head)) done = true
+              else adj(c._2).foreach { nb =>
+                if (nb < upTo && !visited.get(nb)) {
+                  visited.set(nb)
+                  val x = (d(nb), nb)
+                  if (res.size < ef || ord.lt(x, res.head)) {
+                    cand.enqueue(x); res.enqueue(x)
+                    if (res.size > ef) res.dequeue()
+                  }
+                }
+              }
+            }
+            res.dequeueAll.toArray.reverse // best first
+          }
+          var i = 1
+          while (i < n) {
+            val near = beam(vecs(i), nswEfBuild, i).take(nswM)
+            adj(i) ++= near.map(_._2)
+            near.foreach { case (_, j) =>
+              adj(j) += i
+              if (adj(j).size > nswM) {
+                val keep = adj(j).toArray.map { x =>
+                  val v = vecs(j); val w = vecs(x); var s = 0.0; var k = 0
+                  while (k < v.length) { s += v(k) * w(k); k += 1 }
+                  (-s, x)
+                }.sorted(ord).take(nswM).map(_._2)
+                adj(j).clear(); adj(j) ++= keep
+              }
+            }
+            i += 1
+          }
+          bProbes.value.iterator.flatMap { case (qid, qv) =>
+            beam(qv, nswEfSearch, n).iterator
+              .map { case (_, node) => (qid, ids(node)) }
+              .filter(_._2 != qid)
+          }
+        }
+      }.toDF("qid", "cid")
+  }
+
+  /** Graph-ANN top-k: beam-searched per-shard candidates, exact-cosine
+    * re-rank. Same gate as the other ANN methods: the candidate set is
+    * engine-specific, but GIVEN the dumped fixture the scoring and
+    * ranking are fully determined and hash-checked by the oracle. */
+  private val annNsw: Q = (s, d) => {
+    val emb = table(s, d, "embeddings").select(col("vec_id"), asDouble.as("ve"))
+    // no dedup needed: vec_ids are unique and shards are disjoint, so a
+    // (qid, cid) pair can only be emitted by cid's own shard
+    val cands = nswCandidates(s, emb.persist()).persist()
+    graft.io.Sinks.dumpFixture(cands, "annnsw_cands")
+    cands
+      .join(emb.select(col("vec_id").as("qid"), col("ve").as("qe")), Seq("qid"))
+      .join(emb.select(col("vec_id").as("cid"), col("ve").as("ce")), Seq("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("sim"))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))))
+      .filter(col("rk") <= kNeighbors)
+      .select(col("qid"), col("rk"), col("cid"), dround(col("sim"), 4).as("sim"))
+      .orderBy("qid", "rk")
+  }
+
   private def annRecall(servedQ: Q, fixture: String): Q = (s, d) => {
     val served = servedQ(s, d).select("qid", "cid").persist()
     graft.io.Sinks.dumpFixture(served, fixture)
@@ -714,6 +849,7 @@ object Similarity {
 
   private val annPqRecall: Q = annRecall(annPq, "annpq_topk")
   private val annIvfPqRecall: Q = annRecall(annIvfPq, "annivfpq_topk")
+  private val annNswRecall: Q = annRecall(annNsw, "annnsw_topk")
 
   // -------------------------------------------------------------------
   // ann_tune: the recall-vs-nProbe operating-point table — the FAISS
@@ -1236,6 +1372,8 @@ object Similarity {
     "knn_cosine" -> knnCosine,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
+    "ann_nsw" -> annNsw,
+    "ann_nsw_recall" -> annNswRecall,
     "dd_embcos" -> ddEmbCos,
     "dd_embcos_recall" -> ddEmbCosRecall,
     "dd_embcos_recall_planted" -> ddEmbCosRecallPlanted,
@@ -1401,6 +1539,8 @@ object Similarity {
     // hash-mismatch; candidate generation stays with the recall tests.
     "ann_lsh" -> annCandOracle("annlsh_cands"),
     "ann_ivf" -> annCandOracle("annivf_cands"),
+    "ann_nsw" -> annCandOracle("annnsw_cands"),
+    "ann_nsw_recall" -> annRecallOracle("annnsw_topk"),
     "ann_pq" -> annCandOracle("annpq_cands"),
     "ann_ivf_pq" -> annCandOracle("annivfpq_cands"),
     // Upsert twin: the candidate-fixture pattern with the embedding
