@@ -49,4 +49,27 @@ class PpjoinSpec extends AnyFunSuite {
     assert(cands >= emitted,
       s"candidate set smaller than the emitted set: $cands < $emitted")
   }
+
+  test("plan shape: no cartesian; verify joins broadcast the table side; " +
+    "no wide dedup before the threshold") {
+    // the scale claims the operator doc makes, pinned against the real
+    // plan (the SubstrPlanSpec discipline). On a match-SATURATED corpus
+    // the OUTPUT is Ω(n²) — a runnable 100× replication probe would
+    // measure the output, not the operator — so the probe duty falls on
+    // the plan shape: candidates only ever meet through the prefix-token
+    // join, and the match stream is never exchanged before the exact
+    // threshold cuts it.
+    val df = Dedup.queries("dd_ppjoin")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"dd_ppjoin plans a cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"dd_ppjoin plans a nested-loop join:\n$p")
+    // both verify joins and the candidate self-join build broadcast maps
+    // (prefix relation and token-set table are the small sides); the
+    // match stream itself must reach the intersect map-side
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"match stream exchanged before the threshold:\n$p")
+  }
 }
