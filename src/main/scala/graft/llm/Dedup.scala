@@ -423,7 +423,7 @@ object Dedup {
     * equal (count, sum) across rounds means identical sets up to a ~2⁻⁶⁴
     * collision); the loop additionally hard-fails past `maxIter` rounds
     * rather than silently emitting a non-converged labelling. */
-  private[llm] def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  private[graft] def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     // canonical form: u > v, no self loops, set semantics
     def canon(e: DataFrame): DataFrame = e
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))

@@ -766,7 +766,33 @@ object Graph {
     linkpredCore(adj)
   }
 
+  // -------------------------------------------------------------------
+  // gr_wcc: weakly connected components — the graph-op face of the
+  // large-star/small-star engine that dd_cluster/dd_cluster_lsh run on
+  // dedup pair lists (graft.llm.Dedup.connectedComponents — Kiveris et
+  // al., SoCC '14: O(log n) rounds, one node-id shuffle each, no
+  // O(diameter) label propagation). The planted graph is deliberately
+  // CHAIN-shaped (diameter up to 19) — the structure propagation-style
+  // CC is worst at and the star algorithm collapses in logarithmic
+  // rounds: within-decade chains u → u+1 (u % 10 ≠ 9), plus one sparse
+  // bridge u → u+10 at u % 100 = 50 merging decades 5 and 6 of every
+  // century. Directions are read as undirected (the "weakly" part).
+  // Oracle: an independent transitive closure by recursive CTE over
+  // the same planted edges (the dd_cluster twin discipline).
+  private val grWcc: Q = (s, d) => {
+    val docs = table(s, d, "documents").select(col("doc_id"))
+    val chain = docs.filter(col("doc_id") % 10 =!= 9)
+      .select(col("doc_id").as("u"), (col("doc_id") + 1).as("v"))
+    val bridge = docs.filter(col("doc_id") % 100 === 50)
+      .select(col("doc_id").as("u"), (col("doc_id") + 10).as("v"))
+    graft.llm.Dedup.connectedComponents(chain.unionByName(bridge))
+      .groupBy(col("comp").as("comp_id"))
+      .agg(count(lit(1)).as("n_nodes"), max(col("id")).as("max_node"))
+      .orderBy("comp_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "gr_wcc" -> grWcc,
     "gr_linkpred" -> grLinkpred,
     "gr_bfs" -> grBfs,
     "gr_kcore" -> grKcore,
@@ -902,6 +928,22 @@ object Graph {
          |FROM nodes nd LEFT JOIN ml USING (doc_id)
          |ORDER BY nd.doc_id""".stripMargin,
     "gr_kcore" -> kcoreSql,
+    // Independent algorithm: unbounded recursive transitive closure
+    // (vs the engine's large-star/small-star rounds) over the same
+    // planted chain+bridge edges, symmetrized — the dd_cluster twin
+    // discipline applied to the graph-op face.
+    "gr_wcc" ->
+      """WITH RECURSIVE d AS (SELECT doc_id FROM documents),
+        | chain AS (SELECT doc_id AS u, doc_id + 1 AS v FROM d WHERE doc_id % 10 <> 9),
+        | bridge AS (SELECT doc_id AS u, doc_id + 10 AS v FROM d WHERE doc_id % 100 = 50),
+        | e0 AS (SELECT u, v FROM chain UNION ALL SELECT u, v FROM bridge),
+        | edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+        | reach AS (SELECT u AS id, v AS r FROM edges
+        |           UNION
+        |           SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u),
+        | comp AS (SELECT id, least(min(r), id) AS comp FROM reach GROUP BY id)
+        |SELECT comp AS comp_id, count(*) AS n_nodes, max(id) AS max_node
+        |FROM comp GROUP BY comp ORDER BY comp_id""".stripMargin,
     // Independent algorithm: UNBOUNDED semi-naive recursive closure
     // (vs the engine's bounded iterative doubling) → mutual pairs →
     // per-node min. Reflexivity comes from the LEFT JOIN + coalesce
