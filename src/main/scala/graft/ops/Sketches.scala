@@ -205,7 +205,77 @@ object Sketches {
       .orderBy("item")
   }
 
+  // -------------------------------------------------------------------
+  // sk_theta: KMV/theta sketch over per-source shingle sets — the set
+  // operation HLL cannot do. sk_setops estimates |A∩B| by
+  // inclusion–exclusion over three HLL counts, whose relative error
+  // EXPLODES as the true intersection shrinks (its own operating
+  // envelope, BASELINE.md); a theta sketch (Bar-Yossef et al.'s KMV
+  // distinct-counter, RANDOM 2002, generalized by the DataSketches
+  // theta framework) intersects NATIVELY: keep each set's k smallest
+  // hash values, θ = min over sets of the k-th value, and any set
+  // expression evaluates on the sub-θ sample with error ~1/√|sample|.
+  //
+  // Scale shape: the sketch is k longs per set — the per-set top-k is
+  // a WindowGroupLimit plan (map-side partial k-min per partition, one
+  // k-row merge), so two 100 TB corpora compare through 2×256 longs,
+  // never a shingle-set shuffle (dd_source_overlap's MinHash twin
+  // estimates only jaccard; this one yields cardinalities of every set
+  // op directly). Determinism: the hash is the repo's FNV-1a fold
+  // (rollHash) shifted into 63 bits (sign-free ordering in BOTH
+  // engines), every derived count is integer, and the two estimate
+  // divisions are exact-integer-into-IEEE — so, like ann_hamming and
+  // dq_dp_geo, the ORACLE REPLAYS THE SKETCH ITSELF end to end: no
+  // fixture, the k-min selection is inside the hash gate.
+  private val thetaK = 256
+  private[ops] def thetaSets(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents")
+      .filter(col("source").isin("src0", "src1"))
+      .select(col("source").as("set_id"),
+        explode(graft.functions.ArrayFns.shingles3(col("text"))).as("g3"))
+      .dropDuplicates("set_id", "g3")
+      .select(col("set_id"),
+        shiftrightunsigned(rollHash(col("g3")), 1).as("u"))
+      .dropDuplicates("set_id", "u")
+
+  private val skTheta: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    // persisted: the k-min ranks and the exact-side counts both read it
+    val u = thetaSets(s, d).persist()
+    val rk = u.withColumn("r",
+        row_number().over(Window.partitionBy("set_id").orderBy("u")))
+      .filter(col("r") <= thetaK).persist() // θ extraction + the θ-cut
+    val th = rk.filter(col("r") === thetaK).groupBy()
+      .agg(min(when(col("set_id") === "src0", col("u"))).as("th_a"),
+        min(when(col("set_id") === "src1", col("u"))).as("th_b"))
+    val cut = rk.crossJoin(broadcast(th)) // 1-row broadcast side
+      .filter(col("u") < least(col("th_a"), col("th_b")))
+      .groupBy("u").agg(count(lit(1)).as("nsets"))
+      .groupBy().agg(count(lit(1)).as("n_union_sketch"),
+        sum(when(col("nsets") === 2, 1L).otherwise(0L)).as("n_inter_sketch"))
+    val exact = u.groupBy("u").agg(count(lit(1)).as("ns"))
+      .groupBy().agg(count(lit(1)).as("x_union"),
+        sum(when(col("ns") === 2, 1L).otherwise(0L)).as("x_inter"))
+    val xab = u.groupBy().agg(
+      sum(when(col("set_id") === "src0", 1L).otherwise(0L)).as("x_a"),
+      sum(when(col("set_id") === "src1", 1L).otherwise(0L)).as("x_b"))
+    val two63 = lit(9.223372036854775808e18) // 2^63, exactly representable
+    val theta = least(col("th_a"), col("th_b"))
+    cut.crossJoin(broadcast(th)).crossJoin(broadcast(exact))
+      .crossJoin(broadcast(xab))
+      .select(
+        lit(thetaK.toLong).as("k"),
+        theta.as("theta"),
+        col("n_union_sketch"), col("n_inter_sketch"),
+        dround(lit((thetaK - 1).toDouble) * two63 / col("th_a"), 4).as("est_a"),
+        dround(lit((thetaK - 1).toDouble) * two63 / col("th_b"), 4).as("est_b"),
+        dround(col("n_union_sketch") * two63 / theta, 4).as("est_union"),
+        dround(col("n_inter_sketch") * two63 / theta, 4).as("est_inter"),
+        col("x_a"), col("x_b"), col("x_union"), col("x_inter"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "sk_theta" -> skTheta,
     "sk_hll" -> skHll,
     "sk_quantile" -> skQuantile,
     "sk_topk" -> skTopk,
@@ -213,6 +283,44 @@ object Sketches {
     "sk_setops" -> skSetops)
 
   val oracle: Map[String, String] = Map(
+    // END-TO-END theta-sketch twin, no fixture (the ann_hamming/dq_dp_geo
+    // discipline): the k-min selection, θ extraction, θ-cut counts, and
+    // exact-integer-into-IEEE estimates all replay from the raw table
+    // via the shared FNV fold
+    "sk_theta" -> {
+      val fold = graft.functions.TextHashes.fnvFoldSql("g3")
+      s"""WITH s AS (SELECT source AS set_id, string_split(text, ' ') AS tk
+         |           FROM documents WHERE source IN ('src0', 'src1')),
+         | g AS (SELECT DISTINCT set_id,
+         |         tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g3
+         |       FROM s, LATERAL unnest(generate_series(1, len(tk)-2)) t(i)),
+         | hu AS (SELECT DISTINCT set_id, (($fold) // 2)::BIGINT AS u FROM g),
+         | rk AS (SELECT set_id, u,
+         |          row_number() OVER (PARTITION BY set_id ORDER BY u) AS r FROM hu),
+         | sk AS (SELECT set_id, u, r FROM rk WHERE r <= 256),
+         | th AS (SELECT min(CASE WHEN set_id = 'src0' AND r = 256 THEN u END) AS th_a,
+         |               min(CASE WHEN set_id = 'src1' AND r = 256 THEN u END) AS th_b
+         |        FROM sk),
+         | cut AS (SELECT u, count(*) AS nsets FROM sk, th
+         |         WHERE u < least(th.th_a, th.th_b) GROUP BY u),
+         | mc AS (SELECT count(*) AS n_union_sketch,
+         |          CAST(sum(CASE WHEN nsets = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_inter_sketch
+         |        FROM cut),
+         | ex AS (SELECT count(*) AS x_union,
+         |          CAST(sum(CASE WHEN ns = 2 THEN 1 ELSE 0 END) AS BIGINT) AS x_inter
+         |        FROM (SELECT u, count(*) AS ns FROM hu GROUP BY u)),
+         | xab AS (SELECT CAST(sum(CASE WHEN set_id = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS x_a,
+         |           CAST(sum(CASE WHEN set_id = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS x_b
+         |         FROM hu)
+         |SELECT CAST(256 AS BIGINT) AS k, least(th.th_a, th.th_b) AS theta,
+         |  mc.n_union_sketch, mc.n_inter_sketch,
+         |  round(255.0 * 9223372036854775808.0 / th.th_a, 4) AS est_a,
+         |  round(255.0 * 9223372036854775808.0 / th.th_b, 4) AS est_b,
+         |  round(mc.n_union_sketch * 9223372036854775808.0 / least(th.th_a, th.th_b), 4) AS est_union,
+         |  round(mc.n_inter_sketch * 9223372036854775808.0 / least(th.th_a, th.th_b), 4) AS est_inter,
+         |  xab.x_a, xab.x_b, ex.x_union, ex.x_inter
+         |FROM mc, th, ex, xab""".stripMargin
+    },
     // exact side recomputed from the raw table; estimates come from the
     // engine's dumped fixture; the error column is re-derived — a
     // mis-stated exact count or fabricated err goes red
