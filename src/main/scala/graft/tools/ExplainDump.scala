@@ -64,7 +64,11 @@ object ExplainDump {
     "dd_cdc" -> "content-defined chunking: the gear-hash boundary roll + slicing are scan-local integer algebra; the only exchange is the 16-byte chunk-hash frequency aggregate",
     "dd_cdc_incr" -> "incremental chunk dedup: the batch's chunk hashes probe the persisted corpus chunk index — the join carries 16-byte hashes only, text never shuffles, index side is O(distinct corpus chunks)",
     "gr_trustrank" -> "TrustRank: pr_pagerank's exact shuffle shape (ranks⋈edges + partially-aggregated contribs per round); the seed census rides as a broadcast one-row relation — only the teleport vector differs",
-    "dd_source_overlap" -> "source-overlap sketch: scan-local shingle+FNV+perm hashing, ONE |sources|×k constant-width min reduce (map-side partials do the work), |sources|² broadcast self-join — the corpus never pairs")
+    "dd_source_overlap" -> "source-overlap sketch: scan-local shingle+FNV+perm hashing, ONE |sources|×k constant-width min reduce (map-side partials do the work), |sources|² broadcast self-join — the corpus never pairs",
+    "dd_ppjoin" -> "lossless prefix-filtered similarity join: df-ordered prefixes meet through ONE broadcast token join, length+position filters cut 74% before any intersect, the match stream reaches the exact threshold map-side — the only wide exchange is the post-threshold survivor dedup",
+    "ann_hamming" -> "binary-quantized serve: sign packing + popcount-XOR Hamming are scan-local integer algebra over two BIGINT words; shortlist is a WindowGroupLimit top-R, rerank touches R×probes full vectors",
+    "sk_theta" -> "theta sketch: per-set k-min as WindowGroupLimit (map-side partial k-min), θ/cut/estimates on ≤2k-row broadcast relations — the shingle sets never shuffle",
+    "gr_wcc" -> "weakly connected components: alternating large-star/small-star rounds, each one node-id shuffle over canonical edges — O(log n) rounds, no O(diameter) propagation, no adjacency collected")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
