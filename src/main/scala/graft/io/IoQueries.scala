@@ -153,13 +153,58 @@ object IoQueries {
       .orderBy("event_id")
   }
 
+  /** s8: SCHEMA EVOLUTION across parquet generations — the lakehouse
+    * reality a 100 TB table lives with: generation 1 landed without a
+    * column, generation 2 added `len_band`, and one mergeSchema read
+    * spans both (Spark reconciles footers by name; gen-1 rows surface
+    * the new column as null). The aggregate distinguishes legacy rows
+    * from evolved ones, so a silent column drop, a wrong null-fill, or
+    * a misaligned by-position merge all hash-mismatch. The oracle
+    * re-derives both generations from `documents` and unions by name —
+    * it never reads the fixture dirs, so the parquet round trip itself
+    * is inside the gate too. */
+  private val s8Evolve: Q = (s, d) => {
+    val dir = s"$fx/s8_evolve/${new java.io.File(d).getName}-${math.abs(d.hashCode.toLong)}"
+    val docs = graft.io.Sources.table(s, d, "documents")
+    if (!Files.exists(Paths.get(s"$dir/gen2/_SUCCESS"))) {
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$dir/gen1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          expr("CAST(floor(n_chars / 100) AS BIGINT)").as("len_band"))
+        .write.mode("overwrite").parquet(s"$dir/gen2")
+    }
+    s.read.option("mergeSchema", "true").parquet(s"$dir/gen1", s"$dir/gen2")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("len_band").isNull, 1L).otherwise(0L)).as("n_legacy"),
+        sum(coalesce(col("len_band"), lit(0L))).as("band_sum"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, Q] = Map(
     "s1_csv_schema" -> s1CsvSchema,
     "s2_week_prune" -> s2WeekPrune,
     "s6_jsonl" -> s6Jsonl,
-    "s7_orc" -> s7Orc)
+    "s7_orc" -> s7Orc,
+    "s8_evolve" -> s8Evolve)
 
   val oracle: Map[String, String] = Map(
+    // both generations re-derived from the raw table and unioned BY
+    // NAME — the fixture dirs are never read, so the write/evolve/read
+    // round trip is entirely inside the gate
+    "s8_evolve" ->
+      """WITH g1 AS (SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 0),
+        | g2 AS (SELECT doc_id, lang, n_chars,
+        |          CAST(floor(n_chars / 100) AS BIGINT) AS len_band
+        |        FROM documents WHERE doc_id % 2 = 1),
+        | m AS (SELECT doc_id, lang, n_chars, NULL::BIGINT AS len_band FROM g1
+        |       UNION ALL SELECT doc_id, lang, n_chars, len_band FROM g2)
+        |SELECT lang, count(*) AS n,
+        |  CAST(sum(CASE WHEN len_band IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy,
+        |  CAST(sum(coalesce(len_band, 0)) AS BIGINT) AS band_sum
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
     // round-trip identity vs the ORIGINAL table — any JSON write/read
     // loss (escaping, type mapping, null handling) hash-mismatches
     "s6_jsonl" ->

@@ -259,7 +259,47 @@ object Quality {
       .orderBy("bin")
   }
 
+  // -------------------------------------------------------------------
+  // dq_ldiversity: DISTINCT l-diversity audit (Machanavajjhala et al.,
+  // TKDD 2007) — the attack k-anonymity misses: a QI group can hold
+  // k ≥ 5 users and still leak if they all share one SENSITIVE value
+  // (the homogeneity attack — group membership alone reveals it).
+  // Same QI as dq_kanon ((dominant event type) × (volume bucket), so
+  // the two audits read as one ladder); sensitive attribute = the
+  // user's LAST event type (ts desc, event_id desc tiebreak — fully
+  // deterministic). A group is 'violating' when its distinct sensitive
+  // values < l = 3. Shuffle shape: the same one user_id exchange
+  // family as dq_kanon plus a |groups|-key distinct count — domain-
+  // bounded output, never a row explosion.
+  // -------------------------------------------------------------------
+  private val lDiv = 3
+  private val dqLdiversity: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = table(s, d, "events")
+      .select("event_id", "user_id", "ts", "event_type")
+    val counts = ev.groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+    val dom = counts.withColumn("rk", row_number().over(
+        Window.partitionBy("user_id").orderBy(desc("c"), asc("event_type"))))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_type").as("dom"))
+    val last = ev.withColumn("rk", row_number().over(
+        Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_type").as("sensitive"))
+    val tot = ev.groupBy("user_id").agg(count(lit(1)).as("n_ev"))
+    tot.join(dom, Seq("user_id")).join(last, Seq("user_id"))
+      .select(col("dom"), expr("n_ev div 5").as("vol"), col("sensitive"))
+      .groupBy("dom", "vol")
+      .agg(count(lit(1)).as("n_users"),
+        countDistinct(col("sensitive")).as("n_sensitive"))
+      .select(col("dom"), col("vol"), col("n_users"), col("n_sensitive"),
+        when(col("n_sensitive") < lDiv, lit("violating"))
+          .otherwise(lit("ok")).as("status"))
+      .orderBy("dom", "vol")
+  }
+
   val queries: Map[String, Q] = Map(
+    "dq_ldiversity" -> dqLdiversity,
     "dq_profile" -> dqProfile,
     "dq_checks" -> dqChecks,
     "dq_drift" -> dqDrift,
@@ -270,6 +310,27 @@ object Quality {
   val oracle: Map[String, String] = Map(
     // the QI derivation (mode with min-type tie-break, div-5 volume
     // bucket) and the k=5 rule re-derived from scratch
+    // QI derivation + last-event sensitive + the l=3 rule replayed from
+    // scratch; the deterministic (ts desc, event_id desc) tiebreak keeps
+    // both engines on the same sensitive value for every user
+    "dq_ldiversity" ->
+      """WITH d AS (SELECT user_id, event_type, count(*) AS c,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY count(*) DESC, event_type) AS rk
+        |  FROM events GROUP BY user_id, event_type),
+        | lastev AS (SELECT user_id, event_type AS sensitive FROM (
+        |    SELECT user_id, event_type, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rk FROM events) WHERE rk = 1),
+        | tot AS (SELECT user_id, count(*) AS n_ev FROM events GROUP BY user_id),
+        | prof AS (SELECT t.user_id, dm.event_type AS dom, t.n_ev // 5 AS vol,
+        |            le.sensitive
+        |   FROM tot t JOIN d dm ON dm.user_id = t.user_id AND dm.rk = 1
+        |   JOIN lastev le ON le.user_id = t.user_id)
+        |SELECT dom, CAST(vol AS BIGINT) AS vol,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(count(DISTINCT sensitive) AS BIGINT) AS n_sensitive,
+        |  CASE WHEN count(DISTINCT sensitive) < 3 THEN 'violating' ELSE 'ok' END AS status
+        |FROM prof GROUP BY dom, vol ORDER BY dom, vol""".stripMargin,
     "dq_kanon" ->
       """WITH d AS (SELECT user_id, event_type, count(*) AS c,
         |    row_number() OVER (PARTITION BY user_id
