@@ -75,6 +75,22 @@ object ArrayKernels {
     s
   }
 
+  /** Sign-bit packing of 32 consecutive vector components into one
+    * long: bit i set iff v(offset+i) > 0 — ann_hamming's quantizer.
+    * Loud width guard, the TextHashes convention: a short vector is a
+    * schema bug, not a zero-fill. */
+  def signPack(v: ArrayData, offset: Int): Long = {
+    require(v.numElements() >= offset + 32,
+      s"signPack: need ${offset + 32} components, got ${v.numElements()}")
+    var acc = 0L
+    var i = 0
+    while (i < 32) {
+      if (v.getDouble(offset + i) > 0) acc |= (1L << i)
+      i += 1
+    }
+    acc
+  }
+
   /** Deterministic ±1 hyperplane component via splitmix64 — fixed,
     * engine-owned planes shared by every sign-LSH caller (no RNG state
     * shipped to executors). */
@@ -185,6 +201,24 @@ case class AdcDot(left: Expression, right: Expression, k: Int)
 }
 
 /** `vec_dot(a, b)` over array<double>. */
+/** Codegen'd sign-bit packer (bits [offset, offset+32) of sign(v>0) →
+  * one long) — replaces the interpreted aggregate/zip_with HOF pair in
+  * ann_hamming's scan projection (the NormalizeText/VecDot discipline:
+  * the hot scan stays inside whole-stage codegen). */
+case class SignPack(child: Expression, offset: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"needs array<double>, got $other")
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    ArrayKernels.signPack(v.asInstanceOf[ArrayData], offset)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ArrayKernels.signPack($c, $offset)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
@@ -210,6 +244,9 @@ object ArrayFns {
   def vecDot(a: Column, b: Column): Column =
     ColumnBridge.column(VecDot(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def signPack(v: Column, offset: Int): Column =
+    ColumnBridge.column(SignPack(ColumnBridge.expression(v), offset))
 
   def sortedLongIntersectCount(a: Column, b: Column): Column =
     ColumnBridge.column(SortedLongIntersectCount(

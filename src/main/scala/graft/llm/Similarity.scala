@@ -862,12 +862,12 @@ object Similarity {
   // BIGINT << overflows — two positive 32-bit words sidestep both.
   private val hammingR = 32
 
-  private val packW0 = expr(
-    "aggregate(zip_with(slice(ve, 1, 32), sequence(0, 31), " +
-      "(v, i) -> IF(v > 0D, shiftleft(1L, i), 0L)), 0L, (a, x) -> a | x)")
-  private val packW1 = expr(
-    "aggregate(zip_with(slice(ve, 33, 32), sequence(0, 31), " +
-      "(v, i) -> IF(v > 0D, shiftleft(1L, i), 0L)), 0L, (a, x) -> a | x)")
+  // native codegen'd packer (the VecDot/NormalizeText discipline): the
+  // HOF form aggregate(zip_with(slice...)) evaluates its lambdas
+  // interpreted per element — 64 boxed closures per vector in the one
+  // pass that touches every row
+  private val packW0 = ArrayFns.signPack(col("ve"), 0)
+  private val packW1 = ArrayFns.signPack(col("ve"), 32)
 
   private val annHamming: Q = (s, d) => {
     val emb = table(s, d, "embeddings").select(col("vec_id"), asDouble.as("ve"))

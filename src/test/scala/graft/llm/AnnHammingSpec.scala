@@ -15,14 +15,12 @@ class AnnHammingSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   test("sign packing is bit-exact vs a reference fold; ham within [0, 64]") {
+    // the engine's actual kernel (native SignPack codegen), checked
+    // against an independent plain-Scala fold below
     val rows = graft.io.Sources.table(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
-      .withColumn("w0", expr(
-        "aggregate(zip_with(slice(ve, 1, 32), sequence(0, 31), " +
-          "(v, i) -> IF(v > 0D, shiftleft(1L, i), 0L)), 0L, (a, x) -> a | x)"))
-      .withColumn("w1", expr(
-        "aggregate(zip_with(slice(ve, 33, 32), sequence(0, 31), " +
-          "(v, i) -> IF(v > 0D, shiftleft(1L, i), 0L)), 0L, (a, x) -> a | x)"))
+      .withColumn("w0", graft.functions.ArrayFns.signPack(col("ve"), 0))
+      .withColumn("w1", graft.functions.ArrayFns.signPack(col("ve"), 32))
       .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
