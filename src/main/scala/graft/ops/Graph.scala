@@ -791,8 +791,52 @@ object Graph {
       .orderBy("comp_id")
   }
 
+  // gr_wcc_incr: INCREMENTAL connected components — the daily-crawl
+  // shape: yesterday's labelling is a persisted asset; today's edge
+  // batch must not trigger a full recompute. Algebra: contract every
+  // batch endpoint through its base label (components are single
+  // quotient nodes), run the SAME star algorithm on the contracted
+  // graph — |batch edges| + touched components, NOT the corpus — and
+  // compose labels (contraction preserves connectivity; labels are
+  // min-ids, so the quotient minimum IS the global minimum of the
+  // merged component). Here the base is the chain graph missing its
+  // x8→x9 links and the batch delivers those plus the bridges, so the
+  // FINAL edge set equals gr_wcc's exactly — the oracle is gr_wcc's
+  // from-scratch transitive closure verbatim, and hash-equality proves
+  // the incremental algebra (the st_sessions_file twin discipline).
+  // Disjointness note the composition relies on: quotient node ids are
+  // base LABELS (per-component min node ids, here decade starts) or
+  // batch-only nodes (x9s) — never the same id in both roles.
+  private val grWccIncr: Q = (s, d) => {
+    val docs = table(s, d, "documents").select(col("doc_id"))
+    val baseE = docs.filter(col("doc_id") % 10 <= 7)
+      .select(col("doc_id").as("u"), (col("doc_id") + 1).as("v"))
+    val batchE = docs.filter(col("doc_id") % 10 === 8)
+      .select(col("doc_id").as("u"), (col("doc_id") + 1).as("v"))
+      .unionByName(docs.filter(col("doc_id") % 100 === 50)
+        .select(col("doc_id").as("u"), (col("doc_id") + 10).as("v")))
+    val baseL = graft.llm.Dedup.connectedComponents(baseE).persist()
+    val qEdges = batchE
+      .join(baseL.select(col("id").as("u"), col("comp").as("lu")), Seq("u"), "left")
+      .join(baseL.select(col("id").as("v"), col("comp").as("lv")), Seq("v"), "left")
+      .select(coalesce(col("lu"), col("u")).as("u"),
+        coalesce(col("lv"), col("v")).as("v"))
+    val qComp = graft.llm.Dedup.connectedComponents(qEdges).persist()
+    val qc = qComp.select(col("id").as("comp"), col("comp").as("qcomp"))
+    val baseFinal = baseL.join(qc, Seq("comp"), "left")
+      .select(col("id"), coalesce(col("qcomp"), col("comp")).as("comp"))
+    val newNodes = qComp
+      .join(baseL.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("comp"))
+    baseFinal.unionByName(newNodes)
+      .groupBy(col("comp").as("comp_id"))
+      .agg(count(lit(1)).as("n_nodes"), max(col("id")).as("max_node"))
+      .orderBy("comp_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "gr_wcc" -> grWcc,
+    "gr_wcc_incr" -> grWccIncr,
     "gr_linkpred" -> grLinkpred,
     "gr_bfs" -> grBfs,
     "gr_kcore" -> grKcore,
@@ -804,6 +848,19 @@ object Graph {
     "gr_triangles" -> grTriangles,
     "gr_lpa" -> grLpa,
     "gr_lpa_conv" -> grLpaConv)
+
+  private val wccTwin: String =
+    """WITH RECURSIVE d AS (SELECT doc_id FROM documents),
+      | chain AS (SELECT doc_id AS u, doc_id + 1 AS v FROM d WHERE doc_id % 10 <> 9),
+      | bridge AS (SELECT doc_id AS u, doc_id + 10 AS v FROM d WHERE doc_id % 100 = 50),
+      | e0 AS (SELECT u, v FROM chain UNION ALL SELECT u, v FROM bridge),
+      | edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+      | reach AS (SELECT u AS id, v AS r FROM edges
+      |           UNION
+      |           SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u),
+      | comp AS (SELECT id, least(min(r), id) AS comp FROM reach GROUP BY id)
+      |SELECT comp AS comp_id, count(*) AS n_nodes, max(id) AS max_node
+      |FROM comp GROUP BY comp ORDER BY comp_id""".stripMargin
 
   // The oracle replays all five rounds as chained CTEs — same planted
   // edges, same integer arithmetic, re-derived end to end in DuckDB.
@@ -932,18 +989,12 @@ object Graph {
     // (vs the engine's large-star/small-star rounds) over the same
     // planted chain+bridge edges, symmetrized — the dd_cluster twin
     // discipline applied to the graph-op face.
-    "gr_wcc" ->
-      """WITH RECURSIVE d AS (SELECT doc_id FROM documents),
-        | chain AS (SELECT doc_id AS u, doc_id + 1 AS v FROM d WHERE doc_id % 10 <> 9),
-        | bridge AS (SELECT doc_id AS u, doc_id + 10 AS v FROM d WHERE doc_id % 100 = 50),
-        | e0 AS (SELECT u, v FROM chain UNION ALL SELECT u, v FROM bridge),
-        | edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
-        | reach AS (SELECT u AS id, v AS r FROM edges
-        |           UNION
-        |           SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u),
-        | comp AS (SELECT id, least(min(r), id) AS comp FROM reach GROUP BY id)
-        |SELECT comp AS comp_id, count(*) AS n_nodes, max(id) AS max_node
-        |FROM comp GROUP BY comp ORDER BY comp_id""".stripMargin,
+    "gr_wcc" -> wccTwin,
+    // the incremental path must land on the exact labelling of the
+    // from-scratch closure — twin shared verbatim (the final edge set
+    // base ∪ batch equals gr_wcc's by construction, so hash-equality
+    // proves the contraction/composition algebra)
+    "gr_wcc_incr" -> wccTwin,
     // Independent algorithm: UNBOUNDED semi-naive recursive closure
     // (vs the engine's bounded iterative doubling) → mutual pairs →
     // per-node min. Reflexivity comes from the LEFT JOIN + coalesce
