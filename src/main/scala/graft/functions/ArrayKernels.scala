@@ -75,6 +75,33 @@ object ArrayKernels {
     s
   }
 
+  /** Rotation densification of a one-permutation MinHash sketch
+    * (Shrivastava & Li, ICML 2014): input is the sparse (bin → min)
+    * map over k = 24 bins; an empty bin j takes the nearest FORWARD
+    * non-empty bin's value + t (t = circular distance). Terminates
+    * because a signature row exists only for docs with ≥ 1 shingle.
+    * (The SQL-chain form of this — a 24-term coalesce per bin — blew
+    * janino's method limit and fell back to interpreted eval.) */
+  def ophDensify(m: org.apache.spark.sql.catalyst.util.MapData): ArrayData = {
+    val k = 24
+    val vals = new Array[Long](k)
+    val has = new Array[Boolean](k)
+    val keys = m.keyArray(); val vs = m.valueArray()
+    var i = 0
+    while (i < m.numElements()) {
+      val b = keys.getInt(i); vals(b) = vs.getLong(i); has(b) = true; i += 1
+    }
+    val out = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      var t = 0
+      while (!has((j + t) % k)) t += 1
+      out(j) = vals((j + t) % k) + t
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Sign-bit packing of 32 consecutive vector components into one
     * long: bit i set iff v(offset+i) > 0 — ann_hamming's quantizer.
     * Loud width guard, the TextHashes convention: a short vector is a
@@ -201,6 +228,22 @@ case class AdcDot(left: Expression, right: Expression, k: Int)
 }
 
 /** `vec_dot(a, b)` over array<double>. */
+/** Codegen'd OPH rotation densification: map<int,long> (bin → min)
+  * → array<long> of 24 filled signature rows. */
+case class OphDensify(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case MapType(IntegerType, LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"needs map<int,long>, got $other")
+  }
+  override protected def nullSafeEval(m: Any): Any =
+    ArrayKernels.ophDensify(m.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ArrayKernels.ophDensify($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Codegen'd sign-bit packer (bits [offset, offset+32) of sign(v>0) →
   * one long) — replaces the interpreted aggregate/zip_with HOF pair in
   * ann_hamming's scan projection (the NormalizeText/VecDot discipline:
@@ -247,6 +290,9 @@ object ArrayFns {
 
   def signPack(v: Column, offset: Int): Column =
     ColumnBridge.column(SignPack(ColumnBridge.expression(v), offset))
+
+  def ophDensify(m: Column): Column =
+    ColumnBridge.column(OphDensify(ColumnBridge.expression(m)))
 
   def sortedLongIntersectCount(a: Column, b: Column): Column =
     ColumnBridge.column(SortedLongIntersectCount(

@@ -250,6 +250,90 @@ object Dedup {
     ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  // ---------------------------------------------------------------------
+  // dd_oph: ONE-PERMUTATION MinHash (Li, Owen, Zhang, NIPS 2012) with
+  // rotation densification (Shrivastava & Li, ICML 2014) — the modern
+  // cost rework of classic k-hash MinHash: each shingle folds through
+  // ONE hash (vs numHashes=24 per shingle in minhashSignatures), the
+  // hash space splits into 24 bins, the per-bin minimum is the sketch
+  // row, and an EMPTY bin borrows the nearest forward non-empty bin's
+  // value + t (the rotation fix that restores the unbiased collision
+  // estimate). 24× less hashing on the pass that touches every shingle
+  // of a 100 TB corpus.
+  //
+  // Gate upgrade over dd_minhash: the base hash is the repo FNV fold
+  // shifted into 63 bits and every downstream step (binning, mins,
+  // densification, banding, candidate join, exact verify) is integer
+  // or string algebra — so the ORACLE REPLAYS THE SKETCH AND THE
+  // BUCKET LAYOUT end to end (dd_minhash's xxhash64 layout is
+  // fixture-gated; this one is the first document-level MinHash whose
+  // candidate generation sits inside the hash gate, the sk_theta
+  // discipline applied to LSH).
+  private val ophBins = 24
+  private val ophBandRows = 6 // 4 bands × 6 rows — dd_minhash's layout
+
+  /** Densified OPH signature: (doc_id, h0..h23). */
+  private[llm] def ophSignatures(docs: DataFrame): DataFrame = {
+    val mins = shingleRows(docs)
+      .select(col("doc_id"),
+        shiftrightunsigned(TextHashes.rollHash(col("sh")), 1).as("u"))
+      .withColumn("bin", (col("u") % ophBins).cast("int"))
+      .groupBy("doc_id", "bin").agg(min(col("u")).as("mn"))
+    // rotation densification in the native OphDensify kernel (the
+    // coalesce-chain SQL form was 24×24 terms — past janino's method
+    // limit, silently interpreted); output: sig = array<long>[24]
+    mins.groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("bin"), col("mn")))).as("m"))
+      .select(col("doc_id"), ArrayFns.ophDensify(col("m")).as("sig"))
+  }
+
+  private val ddOph: Q = (s, d) => {
+    val docs = table(s, d, "documents")
+    // persisted: the 4 band projections all read the signature relation
+    val sigs = ophSignatures(docs).persist()
+    val bandCols = (0 until ophBins / ophBandRows).map { b =>
+      val cols = (b * ophBandRows until (b + 1) * ophBandRows)
+        .map(i => col("sig").getItem(i))
+      concat_ws(":", lit(b) +: cols: _*)
+    }
+    val allBands = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bkey"))
+      .persist() // widths, both candidate sides, and the overflow census
+    // hot-bucket cap + exact-dup star resolution — dd_minhash's declared
+    // cap semantics, but here BOTH paths replay in the twin (bucket
+    // widths and md5 groups are plain SQL): on a copy-saturated corpus
+    // every bucket overflows and the output degrades gracefully to the
+    // exact-dup stars instead of a quadratic in-bucket explosion
+    // (measured: the 100×-replication probe was 178 s uncapped).
+    val widths = allBands.groupBy("bkey").agg(count(lit(1)).as("bw"))
+    val hot = widths.filter(col("bw") > minhashBucketCap)
+    val bands = allBands.join(broadcast(hot), Seq("bkey"), "left_anti")
+    val cand = bands.as("x").join(bands.as("y"), Seq("bkey"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .persist() // verify join + the star anti-join
+    val overDocs = allBands.join(broadcast(hot), Seq("bkey"), "left_semi")
+      .select("doc_id").distinct()
+    val star = docs.join(overDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      .groupBy("h").agg(min(col("doc_id")).as("doc_a"),
+        sort_array(collect_list(col("doc_id"))).as("members"))
+      .select(col("doc_a"), explode(col("members")).as("doc_b"))
+      .filter(col("doc_b") > col("doc_a"))
+      .select(col("doc_a"), col("doc_b"), lit(1.0).as("jaccard"))
+    val t = docs.select(col("doc_id"), tokHashes.as("tk")).persist()
+    val inter = ArrayFns.sortedLongIntersectCount(col("tk_a"), col("tk_b")).cast("double")
+    val verified = cand
+      .join(t.select(col("doc_id").as("doc_a"), col("tk").as("tk_a")), Seq("doc_a"))
+      .join(t.select(col("doc_id").as("doc_b"), col("tk").as("tk_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        dround(inter / (size(col("tk_a")) + size(col("tk_b")) - inter), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.5) // the dd_minhash verify discipline
+    verified
+      .unionByName(star.join(cand, Seq("doc_a", "doc_b"), "left_anti"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** MinHash LSH near-dup: band the signature, shuffle on
     * (band, band-signature), pair within buckets, then verify candidates
     * with exact Jaccard ≥ 0.5 on distinct token sets.
@@ -1623,6 +1707,7 @@ object Dedup {
     "dd_cluster" -> ddCluster,
     "dd_cluster_lsh" -> ddClusterLsh,
     "dd_minhash" -> ddMinhash,
+    "dd_oph" -> ddOph,
     "dd_simhash" -> ddSimhash,
     "dd_lines" -> ddLines,
     "dd_lines_hashed" -> ddLinesHashed,
@@ -2075,6 +2160,56 @@ object Dedup {
         |    AND least(len(a.tk), len(b.tk)) * 10 >= greatest(len(a.tk), len(b.tk)) * 9
         |    AND a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.9 ORDER BY doc_a, doc_b""".stripMargin,
+    // FULL-PIPELINE OPH twin (the sk_theta discipline applied to LSH):
+    // shingles, the one FNV fold, binning, per-bin mins, rotation
+    // densification (nearest forward non-empty bin as a min-t
+    // window), band keys, the candidate self-join, and the exact
+    // verify all replay from the raw table — the bucket layout itself
+    // is inside the hash gate, no fixture
+    "dd_oph" -> {
+      val fold = TextHashes.fnvFoldSql("g3")
+      s"""WITH tkv AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         | sh AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g3
+         |        FROM tkv, LATERAL unnest(generate_series(1, len(tk)-2)) g(i)),
+         | hu AS (SELECT doc_id, (($fold) // 2)::BIGINT AS u FROM sh),
+         | mins AS (SELECT doc_id, CAST(u % 24 AS INT) AS bin, min(u) AS mn
+         |          FROM hu GROUP BY doc_id, CAST(u % 24 AS INT)),
+         | bins AS (SELECT d.doc_id, g.j FROM (SELECT DISTINCT doc_id FROM mins) d,
+         |          LATERAL unnest(generate_series(0, 23)) g(j)),
+         | dense AS (SELECT doc_id, j, mn + t AS h FROM (
+         |     SELECT b.doc_id, b.j, m.mn, ((m.bin - b.j + 24) % 24) AS t,
+         |       row_number() OVER (PARTITION BY b.doc_id, b.j
+         |         ORDER BY ((m.bin - b.j + 24) % 24)) AS rn
+         |     FROM bins b JOIN mins m ON m.doc_id = b.doc_id) WHERE rn = 1),
+         | bk AS (SELECT doc_id, CAST(j // 6 AS VARCHAR) || ':' ||
+         |          string_agg(CAST(h AS VARCHAR), ':' ORDER BY j) AS bkey
+         |        FROM dense GROUP BY doc_id, j // 6),
+         | bw AS (SELECT bkey, count(*) AS c FROM bk GROUP BY bkey),
+         | thin AS (SELECT bk.doc_id, bk.bkey
+         |          FROM bk JOIN bw ON bw.bkey = bk.bkey AND bw.c <= 64),
+         | cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |          FROM thin x JOIN thin y ON x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         | overd AS (SELECT DISTINCT bk.doc_id
+         |           FROM bk JOIN bw ON bw.bkey = bk.bkey AND bw.c > 64),
+         | md AS (SELECT d.doc_id, md5(d.text) AS h FROM documents d
+         |        JOIN overd o ON o.doc_id = d.doc_id),
+         | star AS (SELECT g.mn AS doc_a, m.doc_id AS doc_b,
+         |            CAST(1.0 AS DOUBLE) AS jaccard
+         |          FROM (SELECT h, min(doc_id) AS mn FROM md GROUP BY h) g
+         |          JOIN md m ON m.h = g.h AND m.doc_id > g.mn),
+         | t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk FROM documents),
+         | v AS (SELECT cand.doc_a, cand.doc_b,
+         |   round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+         |     / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))), 4) AS jaccard
+         |  FROM cand JOIN t a ON a.doc_id = cand.doc_a JOIN t b ON b.doc_id = cand.doc_b)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= 0.5
+         |  UNION ALL
+         |  SELECT s.doc_a, s.doc_b, s.jaccard FROM star s
+         |  LEFT JOIN cand c ON c.doc_a = s.doc_a AND c.doc_b = s.doc_b
+         |  WHERE c.doc_a IS NULL)
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
     // BLOCKING-FREE exact twin: the whole point of the gate — DuckDB
     // enumerates every admissible pair with no prefix filter, so
     // hash-equality proves the engine's prefix+position filters are
