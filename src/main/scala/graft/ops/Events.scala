@@ -232,6 +232,75 @@ object Events {
       lag(col("event_type"), 1).over(w).as("prev_type"))
   }
 
+  /** W18 multi-touch attribution (extension): each purchase credits
+    * the user's click touchpoints in the preceding 24 h under the
+    * three standard models — FIRST-touch, LAST-touch, LINEAR — with
+    * the click's UTC hour-of-day as the channel dimension (the
+    * campaign stand-in this corpus affords); purchases with no touch
+    * land on channel −1, so total credited value is conserved under
+    * every model. Money never rides an order-dependent double sum:
+    * purchase value micro-quantizes to a long, the linear split is
+    * integer DIV per touch (remainder dropped deterministically), and
+    * the display divides back at the end — the st_sliding discipline.
+    *
+    * Shuffle shape: the touch join is the j8 bucketized range join —
+    * clicks key on (user_id, epoch-day), each purchase explodes into
+    * its 2 covering day buckets, so the time inequality never plans a
+    * nested loop; per-purchase first/last are one struct-min/max agg
+    * and the rollup is 25 channel keys. */
+  private val w18Attribution: Q = (s, d) => {
+    val dayUs = 86400000000L
+    val ev = table(s, d, "events").select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"), unix_micros(col("ts")).as("t"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"), col("t").as("pt"),
+        floor(col("value") * 1000000L).cast("long").as("q"))
+      .persist() // touch join + the unattributed anti-join
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("cid"), col("t").as("ct"),
+        expr(s"CAST((t % $dayUs) DIV 3600000000 AS INT)").as("channel"))
+      .withColumn("db", (col("ct") / dayUs).cast("long"))
+    val pb = purch.withColumn("db",
+      explode(array(expr(s"pt DIV $dayUs"), expr(s"pt DIV $dayUs - 1"))))
+    val touches = pb.join(clicks, Seq("user_id", "db"))
+      .filter(col("ct") >= col("pt") - dayUs && col("ct") < col("pt"))
+      .select(col("pid"), col("q"), col("cid"), col("ct"), col("channel"))
+      .persist() // per-purchase agg + the linear rollup
+    val perP = touches.groupBy("pid", "q")
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("ct"), col("cid"), col("channel"))).as("f"),
+        max(struct(col("ct"), col("cid"), col("channel"))).as("l"))
+      .persist() // three rollups + the anti-join
+    val firstC = perP.select(col("f.channel").as("channel"), col("q"))
+      .groupBy("channel").agg(sum(col("q")).as("first_q"),
+        count(lit(1)).as("n_first"))
+    val lastC = perP.select(col("l.channel").as("channel"), col("q"))
+      .groupBy("channel").agg(sum(col("q")).as("last_q"),
+        count(lit(1)).as("n_last"))
+    val linear = touches.join(perP.select("pid", "n"), Seq("pid"))
+      .groupBy("channel").agg(sum(expr("q DIV n")).as("lin_q"))
+    val unattr = purch.join(perP.select("pid"), Seq("pid"), "left_anti")
+      .agg(sum(col("q")).as("uq"), count(lit(1)).as("un"))
+      .select(lit(-1).cast("int").as("channel"),
+        col("un").as("n_first"), col("un").as("n_last"),
+        col("uq").as("first_q"), col("uq").as("last_q"), col("uq").as("lin_q"))
+    firstC.join(lastC, Seq("channel"), "full")
+      .join(linear, Seq("channel"), "full")
+      .select(col("channel"), col("n_first"), col("n_last"),
+        col("first_q"), col("last_q"), col("lin_q"))
+      .unionByName(unattr)
+      .select(col("channel"),
+        coalesce(col("n_first"), lit(0L)).as("n_first"),
+        coalesce(col("n_last"), lit(0L)).as("n_last"),
+        graft.functions.Numeric.dround(
+          coalesce(col("first_q"), lit(0L)) / 1000000.0, 4).as("first_value"),
+        graft.functions.Numeric.dround(
+          coalesce(col("last_q"), lit(0L)) / 1000000.0, 4).as("last_value"),
+        graft.functions.Numeric.dround(
+          coalesce(col("lin_q"), lit(0L)) / 1000000.0, 4).as("linear_value"))
+      .orderBy("channel")
+  }
+
   /** W10 ordered funnel (extension): view → click → purchase per
     * user, each step the EARLIEST event strictly after the previous
     * step (greedy-first semantics, declared; micros-precision longs so
@@ -491,6 +560,7 @@ object Events {
   val queries: Map[String, Q] = Map(
     "w8_sessions" -> w8Sessions,
     "w9_deltas" -> w9Deltas,
+    "w18_attribution" -> w18Attribution,
     "w10_funnel" -> w10Funnel,
     "w11_retention" -> w11Retention,
     "w12_scd2" -> w12Scd2,
@@ -577,6 +647,51 @@ object Events {
         |  round(CAST(act.n_active AS DOUBLE) / sizes.n_cohort, 4) AS rate
         |FROM act JOIN sizes ON sizes.cw = act.cw
         |ORDER BY cohort_week, week_k""".stripMargin,
+    // attribution twin: the inequality join runs NATIVELY in DuckDB
+    // (no bucketing needed oracle-side), first/last via windowed
+    // row_number with the (ct, cid) tiebreak mirroring the engine's
+    // struct-min; all money stays in micro-quantized integer algebra
+    "w18_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |            CAST(epoch_us(ts) AS BIGINT) AS t FROM events),
+        | p AS (SELECT event_id AS pid, user_id, t AS pt,
+        |         CAST(floor(value * 1000000) AS BIGINT) AS q
+        |       FROM e WHERE event_type = 'purchase'),
+        | c AS (SELECT user_id, event_id AS cid, t AS ct,
+        |         CAST((t % 86400000000) // 3600000000 AS INT) AS channel
+        |       FROM e WHERE event_type = 'click'),
+        | touch AS (SELECT p.pid, p.q, c.cid, c.ct, c.channel
+        |           FROM p JOIN c ON c.user_id = p.user_id
+        |            AND c.ct >= p.pt - 86400000000 AND c.ct < p.pt),
+        | pp AS (SELECT pid, q, count(*) AS n FROM touch GROUP BY pid, q),
+        | rk AS (SELECT pid, channel,
+        |          row_number() OVER (PARTITION BY pid ORDER BY ct, cid) AS rf,
+        |          row_number() OVER (PARTITION BY pid ORDER BY ct DESC, cid DESC) AS rl
+        |        FROM touch),
+        | firstc AS (SELECT rk.channel, sum(pp.q) AS first_q, count(*) AS n_first
+        |            FROM rk JOIN pp ON pp.pid = rk.pid WHERE rk.rf = 1 GROUP BY rk.channel),
+        | lastc AS (SELECT rk.channel, sum(pp.q) AS last_q, count(*) AS n_last
+        |           FROM rk JOIN pp ON pp.pid = rk.pid WHERE rk.rl = 1 GROUP BY rk.channel),
+        | lin AS (SELECT t.channel, sum(t.q // pp.n) AS lin_q
+        |         FROM touch t JOIN pp ON pp.pid = t.pid GROUP BY t.channel),
+        | unat AS (SELECT CAST(-1 AS INT) AS channel,
+        |            count(*) AS n_first, count(*) AS n_last,
+        |            sum(q) AS uq FROM p
+        |          WHERE pid NOT IN (SELECT pid FROM pp)),
+        | merged AS (
+        |   SELECT coalesce(f.channel, l.channel, li.channel) AS channel,
+        |     f.n_first, l.n_last, f.first_q, l.last_q, li.lin_q
+        |   FROM firstc f FULL JOIN lastc l ON l.channel = f.channel
+        |   FULL JOIN lin li ON li.channel = coalesce(f.channel, l.channel)
+        |   UNION ALL
+        |   SELECT channel, n_first, n_last, uq, uq, uq FROM unat)
+        |SELECT channel,
+        |  CAST(coalesce(n_first, 0) AS BIGINT) AS n_first,
+        |  CAST(coalesce(n_last, 0) AS BIGINT) AS n_last,
+        |  round(CAST(coalesce(first_q, 0) AS BIGINT) / 1000000.0, 4) AS first_value,
+        |  round(CAST(coalesce(last_q, 0) AS BIGINT) / 1000000.0, 4) AS last_value,
+        |  round(CAST(coalesce(lin_q, 0) AS BIGINT) / 1000000.0, 4) AS linear_value
+        |FROM merged ORDER BY channel""".stripMargin,
     // Independent funnel twin: same greedy-first semantics derived
     // with DuckDB's own step CTEs over micros-exact longs.
     "w10_funnel" ->
