@@ -274,6 +274,61 @@ object StreamQueries {
       .orderBy("win_start", "event_type")
   }
 
+  /** st_handoff: the LAMBDA→KAPPA migration seam — the sign-off
+    * invariant for replacing a batch pipeline with its streaming twin:
+    * batch owns history strictly BEFORE an hour-aligned cutover, the
+    * stream owns the tail from the cutover on, and because the hourly
+    * windows are cut-aligned no window straddles the seam — so
+    * batch ∪ stream must equal the full-table hourly relation row for
+    * row (st_windowed's oracle, verbatim). The cut is the hour floor
+    * of the corpus midpoint, derived from the data. A wrong boundary
+    * predicate (≤ vs <), a double-counted boundary hour, or a stream
+    * that drops the first tail window all fail the hash. */
+  private val stHandoff: Q = (parent, d) => {
+    val s = scoped(parent)
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val evAll = graft.io.Sources.table(s, d, "events")
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+    val mm = evAll.agg(min(unix_micros(col("ts"))).as("mn"),
+      max(unix_micros(col("ts"))).as("mx")).head
+    val (mnUs, mxUs) = (mm.getLong(0), mm.getLong(1))
+    val hourUs = 3600000000L
+    val cutUs = ((mnUs + (mxUs - mnUs) / 2) / hourUs) * hourUs
+    // batch leg: the same hourly aggregate as a plain batch plan
+    val batchLeg = evAll.filter(unix_micros(col("ts")) < cutUs)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("total_value"))
+    // stream leg: the tail through the REAL streaming engine
+    val tail = cachedRows(d, "handoff_tail") {
+      evAll.filter(unix_micros(col("ts")) >= cutUs)
+        .as[EventStream.Ev].collect()
+    }
+    val source = MemoryStream[EventStream.Ev]
+    val name = s"st_handoff_${seq.incrementAndGet()}"
+    val q = EventStream.windowedStats(source.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation", ckpt(name)).start()
+    val (schema, rows) = try {
+      source.addData(tail.toIndexedSeq :+
+        EventStream.Ev(-1L, new Timestamp(mxUs / 1000L + 7200000L), "sentinel__", 0.0))
+      q.processAllAvailable()
+      val tbl = s.table(name)
+      (tbl.schema, tbl.filter(!(col("event_type") <=> "sentinel__")).collect())
+    } finally {
+      q.stop()
+      s.catalog.dropTempView(name)
+      dropCkpt(name)
+    }
+    val streamLeg = s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    batchLeg.unionByName(streamLeg)
+      .select(col("win_start"), col("event_type"), col("n"),
+        graft.functions.Numeric.dround(col("total_value"), 4).as("total_value"))
+      .orderBy("win_start", "event_type")
+  }
+
   /** The SLIDING-window aggregate as a stream (2 h / 1 h hop): the
     * overlap regime st_windowed's tumbling gate can't falsify — each
     * event must land in exactly its two covering windows, across
@@ -1403,6 +1458,7 @@ object StreamQueries {
     "st_asof" -> stAsof,
     "st_scd2" -> stScd2,
     "st_windowed" -> stWindowed,
+    "st_handoff" -> stHandoff,
     "st_dedup" -> stDedup,
     "st_dedup_file" -> stDedupFile,
     "st_sink" -> stSink,
@@ -1531,6 +1587,12 @@ object StreamQueries {
     "st_sessions_file" -> graft.ops.Events.oracle("w8_sessions"),
     "st_asof" -> graft.ops.Relational.oracle("j7_asof"),
     "st_scd2" -> graft.ops.Events.oracle("w12_scd2"),
+    // batch leg + stream leg must reassemble the full hourly table —
+    // the oracle is st_windowed's twin verbatim
+    "st_handoff" ->
+      """SELECT date_trunc('hour', ts) AS win_start, event_type,
+        | count(*) AS n, round(sum(value), 4) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "st_windowed" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type,
         | count(*) AS n, round(sum(value), 4) AS total_value
