@@ -68,7 +68,10 @@ object ExplainDump {
     "dd_ppjoin" -> "lossless prefix-filtered similarity join: df-ordered prefixes meet through ONE broadcast token join, length+position filters cut 74% before any intersect, the match stream reaches the exact threshold map-side — the only wide exchange is the post-threshold survivor dedup",
     "ann_hamming" -> "binary-quantized serve: sign packing + popcount-XOR Hamming are scan-local integer algebra over two BIGINT words; shortlist is a WindowGroupLimit top-R, rerank touches R×probes full vectors",
     "sk_theta" -> "theta sketch: per-set k-min as WindowGroupLimit (map-side partial k-min), θ/cut/estimates on ≤2k-row broadcast relations — the shingle sets never shuffle",
-    "gr_wcc" -> "weakly connected components: alternating large-star/small-star rounds, each one node-id shuffle over canonical edges — O(log n) rounds, no O(diameter) propagation, no adjacency collected")
+    "gr_wcc" -> "weakly connected components: alternating large-star/small-star rounds, each one node-id shuffle over canonical edges — O(log n) rounds, no O(diameter) propagation, no adjacency collected",
+    "gr_wcc_incr" -> "incremental CC: batch edges contract through the base labelling (two broadcast label joins), the star rounds run on the batch-sized quotient, labels compose by one comp-keyed join — the corpus never re-enters the loop",
+    "dd_oph" -> "one-permutation MinHash: ONE FNV fold per shingle in the scan, per-bin mins, the OphDensify kernel on |docs| rows, band self-join with the broadcast hot-bucket anti-join + md5-star overflow path",
+    "w18_attribution" -> "multi-touch attribution: clicks key on (user_id, epoch-day), purchases explode into 2 covering buckets — the j8 bucketized range join, no nested loop; struct-min/max first/last agg + a 25-key channel rollup in integer money")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
