@@ -791,6 +791,65 @@ object Graph {
       .orderBy("comp_id")
   }
 
+  // -------------------------------------------------------------------
+  // gr_hits: Kleinberg's HITS (JACM 1999) — hubs & authorities over
+  // the same planted crawl graph as pr_pagerank: a good HUB links to
+  // good authorities (h = A·a), a good AUTHORITY is linked from good
+  // hubs (a = Aᵀ·h), alternated with L1 normalization. The crawl-
+  // curation reading: authorities are the pages worth keeping, hubs
+  // the link lists that FIND them — a different signal from PageRank's
+  // single stationary mass (and the planted graph's in/out asymmetry
+  // makes the two columns genuinely disagree).
+  //
+  // Determinism discipline: the pr_pagerank integer algebra applied to
+  // the two-sided iteration — scores are micro-units (1e6, not the
+  // PageRank nano-unit: a raw authority sum multiplies in-degree ×
+  // unit × unit and must stay inside a long at crawl-scale in-degrees),
+  // every normalization is `raw * UNIT DIV S` with S a broadcast
+  // one-row sum (never a collected driver scalar), so four rounds are
+  // BIT-identical on any partitioning and fully unrollable in the twin.
+  // Per round: two edge joins + two partial-aggregated shuffles — the
+  // PageRank round shape, run in both directions.
+  //
+  // The plant is deliberately IRREGULAR (out-degree 1 + u mod 3, the
+  // gr_kcore discipline): pr_pagerank's j ∈ {1,2,3} map is a bijection
+  // per j (31 ⊥ n), i.e. 3-regular BOTH ways — on that graph hub and
+  // authority vectors are provably uniform and the operator gates
+  // nothing. Varying out-degree separates the two signals.
+  private val hitsRounds = 4
+  private val hitsUnit = 1000000L
+  private val grHits: Q = (s, d) => {
+    val docs = table(s, d, "documents").select(col("doc_id"))
+    val n = docs.agg(count(lit(1)).as("n_nodes"))
+    val nodes = docs.crossJoin(broadcast(n))
+    val edges = nodes
+      .select(col("doc_id").as("src"),
+        explode(array(lit(1L), lit(2L), lit(3L))).as("j"), col("n_nodes"))
+      .filter(col("j") <= lit(1L) + pmod(col("src"), lit(3L)))
+      .select(col("src"),
+        pmod(col("src") * 31 + col("j") * 17 + 7, col("n_nodes")).as("dst"))
+      .persist()
+    var a = docs.select(col("doc_id"), lit(hitsUnit).as("a"))
+    var h = docs.select(col("doc_id"), lit(hitsUnit).as("h"))
+    for (_ <- 1 to hitsRounds) {
+      val hraw = edges.join(a.select(col("doc_id").as("dst"), col("a")), Seq("dst"))
+        .groupBy("src").agg(sum(col("a")).as("raw"))
+      h = docs.join(hraw.select(col("src").as("doc_id"), col("raw")), Seq("doc_id"), "left")
+        .crossJoin(broadcast(hraw.agg(sum(col("raw")).as("sh"))))
+        .select(col("doc_id"), expr(s"coalesce(raw, 0L) * $hitsUnit DIV sh").as("h"))
+        .localCheckpoint() // constant-size plan per round, the pr loop rule
+      val araw = edges.join(h.select(col("doc_id").as("src"), col("h")), Seq("src"))
+        .groupBy("dst").agg(sum(col("h")).as("raw"))
+      a = docs.join(araw.select(col("dst").as("doc_id"), col("raw")), Seq("doc_id"), "left")
+        .crossJoin(broadcast(araw.agg(sum(col("raw")).as("sa"))))
+        .select(col("doc_id"), expr(s"coalesce(raw, 0L) * $hitsUnit DIV sa").as("a"))
+        .localCheckpoint()
+    }
+    h.join(a, Seq("doc_id"))
+      .select(col("doc_id"), col("h").as("hub"), col("a").as("auth"))
+      .orderBy("doc_id")
+  }
+
   // gr_wcc_incr: INCREMENTAL connected components — the daily-crawl
   // shape: yesterday's labelling is a persisted asset; today's edge
   // batch must not trigger a full recompute. Algebra: contract every
@@ -835,6 +894,7 @@ object Graph {
   }
 
   val queries: Map[String, Q] = Map(
+    "gr_hits" -> grHits,
     "gr_wcc" -> grWcc,
     "gr_wcc_incr" -> grWccIncr,
     "gr_linkpred" -> grLinkpred,
@@ -848,6 +908,46 @@ object Graph {
     "gr_triangles" -> grTriangles,
     "gr_lpa" -> grLpa,
     "gr_lpa_conv" -> grLpaConv)
+
+  /** One HITS half-step as a CTE pair: raw sums from `prevOther` along
+    * the given edge direction, then the integer L1 normalization.
+    * MATERIALIZED is load-bearing (the r13 oracle-cost lesson): DuckDB
+    * re-inlines a plain CTE at every reference, and each half-step
+    * references the previous one twice (join + normalizer subquery) —
+    * un-materialized, the 8-step chain expands 2⁸ copies of the base
+    * relation and the gate hangs. */
+  private def hitsStep(cur: String, prevOther: String,
+      fromCol: String, toCol: String): String =
+    s""" ${cur}r AS MATERIALIZED (
+       |   SELECT e.$fromCol AS doc_id, CAST(sum(p.v) AS BIGINT) AS raw
+       |   FROM edges e JOIN $prevOther p ON p.doc_id = e.$toCol GROUP BY e.$fromCol),
+       | $cur AS MATERIALIZED (SELECT nd.doc_id,
+       |   CAST(coalesce(r.raw, 0) * $hitsUnit
+       |        // (SELECT CAST(sum(raw) AS BIGINT) FROM ${cur}r) AS BIGINT) AS v
+       |  FROM nodes nd LEFT JOIN ${cur}r r ON r.doc_id = nd.doc_id)""".stripMargin
+
+  // HITS' own irregular plant (out-degree 1 + doc_id mod 3)
+  private lazy val hitsEdgesCte: String =
+    """n AS (SELECT count(*) AS n_nodes FROM documents),
+      | nodes AS (SELECT doc_id FROM documents),
+      | edges AS MATERIALIZED (SELECT doc_id AS src,
+      |             (doc_id * 31 + u.j * 17 + 7) % n.n_nodes AS dst
+      |           FROM nodes CROSS JOIN n, UNNEST([1, 2, 3]) u(j)
+      |           WHERE u.j <= 1 + doc_id % 3)""".stripMargin
+
+  private lazy val hitsTwin: String = {
+    val rounds = (1 to hitsRounds).map { i =>
+      val prevA = if (i == 1) "a0" else s"a${i - 1}"
+      hitsStep(s"h$i", prevA, "src", "dst") + "," +
+        hitsStep(s"a$i", s"h$i", "dst", "src")
+    }.mkString(",\n")
+    s"""WITH $hitsEdgesCte,
+       | a0 AS (SELECT doc_id, CAST($hitsUnit AS BIGINT) AS v FROM nodes),
+       |$rounds
+       |SELECT h$hitsRounds.doc_id, h$hitsRounds.v AS hub, a$hitsRounds.v AS auth
+       |FROM h$hitsRounds JOIN a$hitsRounds ON a$hitsRounds.doc_id = h$hitsRounds.doc_id
+       |ORDER BY h$hitsRounds.doc_id""".stripMargin
+  }
 
   private val wccTwin: String =
     """WITH RECURSIVE d AS (SELECT doc_id FROM documents),
@@ -985,6 +1085,9 @@ object Graph {
          |FROM nodes nd LEFT JOIN ml USING (doc_id)
          |ORDER BY nd.doc_id""".stripMargin,
     "gr_kcore" -> kcoreSql,
+    // all four double-sided rounds unrolled as chained CTEs — same
+    // planted edges, same micro-unit integer normalization
+    "gr_hits" -> hitsTwin,
     // Independent algorithm: unbounded recursive transitive closure
     // (vs the engine's large-star/small-star rounds) over the same
     // planted chain+bridge edges, symmetrized — the dd_cluster twin
