@@ -282,6 +282,21 @@ object Report {
         dround(sum(col("l_quantity")), 4).as("sum_qty"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
+  /** A18 grouping sets — the ARBITRARY grouping selection neither
+    * rollup nor cube expresses: exactly the two single-column
+    * marginals, no pair level, no grand total (rollup(f,s) is the
+    * prefix chain, cube the full lattice). Same scale posture: Spark
+    * expands the requested sets and partial-aggregates every level
+    * map-side — one scan, one shuffle. */
+  private val a18Groupsets: Q = (s, d) =>
+    graft.io.Sources.table(s, d, "lineitem")
+      .groupingSets(Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        dround(sum(col("l_quantity")), 4).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
   /** A15 equi-depth histogram — decile buckets of lineitem price. The
     * naive form is `ntile(10)` over a GLOBAL order: one range exchange
     * into effectively one sorting task at 100 TB. The scale shape used
@@ -336,6 +351,7 @@ object Report {
     "a15_equidepth" -> a15Equidepth,
     "a14_rollup" -> a14Rollup,
     "a17_cube" -> a17Cube,
+    "a18_groupsets" -> a18Groupsets,
     "ep3_report" -> ep3Report,
     "ep3_player_report" -> ep3PlayerReport,
     "ep3_max_params_report" -> ep3MaxParamsReport,
@@ -396,6 +412,13 @@ object Report {
         | CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
         | count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    // the non-hierarchical selection: exactly the two marginals
+    "a18_groupsets" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        | count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "ep3_player_report" ->
       """WITH yap AS (
