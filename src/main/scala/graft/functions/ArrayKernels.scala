@@ -84,6 +84,9 @@ object ArrayKernels {
     * janino's method limit and fell back to interpreted eval.) */
   def ophDensify(m: org.apache.spark.sql.catalyst.util.MapData): ArrayData = {
     val k = 24
+    // loud guard (the signPack convention): an empty bin map would spin
+    // the rotation scan forever — fail the task, don't hang the executor
+    require(m.numElements() > 0, "ophDensify: empty bin map (doc with no shingles?)")
     val vals = new Array[Long](k)
     val has = new Array[Boolean](k)
     val keys = m.keyArray(); val vs = m.valueArray()

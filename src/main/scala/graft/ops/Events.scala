@@ -259,7 +259,7 @@ object Events {
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("cid"), col("t").as("ct"),
         expr(s"CAST((t % $dayUs) DIV 3600000000 AS INT)").as("channel"))
-      .withColumn("db", (col("ct") / dayUs).cast("long"))
+      .withColumn("db", expr(s"ct DIV $dayUs")) // exact integer bucket, same idiom as the purchase side
     val pb = purch.withColumn("db",
       explode(array(expr(s"pt DIV $dayUs"), expr(s"pt DIV $dayUs - 1"))))
     val touches = pb.join(clicks, Seq("user_id", "db"))
@@ -278,7 +278,12 @@ object Events {
       .groupBy("channel").agg(sum(col("q")).as("last_q"),
         count(lit(1)).as("n_last"))
     val linear = touches.join(perP.select("pid", "n"), Seq("pid"))
-      .groupBy("channel").agg(sum(expr("q DIV n")).as("lin_q"))
+      // floor division (DuckDB `//` semantics), not Spark DIV's
+      // truncate-toward-zero: identical for the nonnegative purchase
+      // values on current corpora, but refund-style negative q must
+      // not split the engine from the twin. n > 0 always (a count),
+      // so (q - pmod(q, n)) is the largest multiple of n ≤ q.
+      .groupBy("channel").agg(sum(expr("(q - pmod(q, n)) DIV n")).as("lin_q"))
     val unattr = purch.join(perP.select("pid"), Seq("pid"), "left_anti")
       .agg(sum(col("q")).as("uq"), count(lit(1)).as("un"))
       .select(lit(-1).cast("int").as("channel"),

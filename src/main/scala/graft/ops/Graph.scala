@@ -830,7 +830,9 @@ object Graph {
         pmod(col("src") * 31 + col("j") * 17 + 7, col("n_nodes")).as("dst"))
       .persist()
     var a = docs.select(col("doc_id"), lit(hitsUnit).as("a"))
-    var h = docs.select(col("doc_id"), lit(hitsUnit).as("h"))
+    // only a's init participates (the twin defines only a0): h is
+    // assigned from hraw before first use in round 1
+    var h: DataFrame = null
     for (_ <- 1 to hitsRounds) {
       val hraw = edges.join(a.select(col("doc_id").as("dst"), col("a")), Seq("dst"))
         .groupBy("src").agg(sum(col("a")).as("raw"))
