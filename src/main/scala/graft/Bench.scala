@@ -26,6 +26,14 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // the generated-class cache defaults to 100 entries; a 255-query
+      // suite generates far more codegen units than that between a
+      // query's pass-1 and pass-2 executions, so BOTH timed runs can
+      // re-pay janino compilation (the dd_lines_hashed r14 artifact
+      // outlier: 16.95 s vs a 1.41-1.66 s band — cold-vs-steady
+      // measured 7.67 vs 1.49 s, i.e. a ~6 s compile tail per evicted
+      // execution). Size the cache to hold the whole suite.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -110,6 +118,15 @@ object Bench {
     // queries of other work on BOTH sides — no adjacency anywhere.
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
+    // every observed sample (pass times + outlier re-runs, in order):
+    // the r14 dd_lines_hashed post-mortem had only the min, so "one
+    // cold pass" vs "slow in both passes" was unadjudicable from the
+    // artifact — the samples map makes the next outlier self-diagnosing
+    val samples = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
+    def record(name: String, sec: Double): Unit = {
+      samples(name) = samples.getOrElse(name, Nil) :+ sec
+      timings(name) = math.min(timings.getOrElse(name, Double.MaxValue), sec)
+    }
     // per-round wall-clock for the iterative trainers (VERDICT r13 next
     // §3): RoundClock entries drained per run; the recorded set is the
     // one from the run that set the query's min, so the rounds map in
@@ -128,7 +145,7 @@ object Bench {
           val rs = RoundClock.drain()
           if (sec < timings.getOrElse(name, Double.MaxValue) && rs.nonEmpty)
             roundDetails(name) = rs
-          timings(name) = math.min(timings.getOrElse(name, Double.MaxValue), sec)
+          record(name, sec)
         } catch {
           case e: Throwable =>
             timings.remove(name)
@@ -141,6 +158,59 @@ object Bench {
         // made late heavy queries ~20x slower than isolated runs.
         spark.sharedState.cacheManager.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      }
+    }
+
+    // Outlier confirmation (VERDICT r14 next §1): the r14 driver
+    // artifact recorded dd_lines_hashed at 16.95 s against a committed
+    // 1.41-1.66 s band — BOTH timed passes paid a compile/throttle tail,
+    // so min-across-passes alone could not absorb it. Any query whose
+    // min exceeds 3x its committed per-query reference (the previous
+    // definitive bench_details.json, read before this run overwrites
+    // it, and only when its sf matches) gets ONE decorrelated re-run
+    // at the end of the suite, and the re-run participates in the min.
+    // A genuine regression survives the re-run and stays in the
+    // artifact — with its confirmation visible in the samples map. The
+    // re-run set is capped at 20 (ratio-desc) so a globally slow host
+    // cannot double the run. SPARK_GRAFT_OUTLIER=0 disables.
+    val detailsPath = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_DETAILS", "/root/repo/bench_details.json")
+    val priorDetails: Option[(String, Map[String, Double])] =
+      try {
+        val txt = Files.readString(Paths.get(detailsPath))
+        val sfRe = """"sf":\s*"((?:[^"\\]|\\.)*)"""".r
+        val qRe = """(?m)^\s*"((?:[^"\\]|\\.)*)":\s*([0-9.]+)\s*,?\s*$""".r
+        val priorSf = sfRe.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+        // per-query lines only exist inside the "queries" object; the
+        // one-entry-per-line pretty format makes them line-parsable
+        val qsec = txt.indexOf("\"queries\"")
+        val fsec = txt.indexOf("\"failed\"")
+        val body = if (qsec >= 0 && fsec > qsec) txt.substring(qsec, fsec) else ""
+        val m = qRe.findAllMatchIn(body)
+          .map(x => x.group(1) -> x.group(2).toDouble).toMap
+        Some((priorSf, m))
+      } catch { case _: Throwable => None }
+    if (sys.env.getOrElse("SPARK_GRAFT_OUTLIER", "1") == "1") {
+      val ref = priorDetails match {
+        case Some((psf, m)) if psf == sfDir => m
+        case _ => Map.empty[String, Double]
+      }
+      val outliers = timings.toSeq.flatMap { case (n, t) =>
+        ref.get(n).filter(r => t > math.max(1.0, 3 * r)).map(r => (n, t / r))
+      }.sortBy(-_._2).take(20).map(_._1)
+      if (outliers.nonEmpty)
+        System.err.println(s"[bench] outlier re-run: ${outliers.mkString(",")}")
+      outliers.foreach { name =>
+        SparkEntry.queries.get(name).foreach { fn =>
+          try {
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            record(name, (System.nanoTime() - t0) / 1e9)
+            RoundClock.drain()
+          } catch { case _: Throwable => }
+          spark.sharedState.cacheManager.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        }
       }
     }
 
@@ -187,7 +257,16 @@ object Bench {
     // at other locations; the env var keeps the driver's default). An
     // isolation run MAY write details when the env var names an
     // explicit destination — only the default path is clobber-protected.
-    if (only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_DETAILS")) {
+    // Clobber guard (VERDICT r14 next §7): a full-suite run at a
+    // DIFFERENT sf than the committed definitive artifact (e.g. an
+    // sf0.01 iteration loop) must not overwrite it by default — only a
+    // same-sf full run, a fresh checkout (no artifact yet), or an
+    // explicit SPARK_GRAFT_BENCH_DETAILS destination writes.
+    val sfMatchesPrior = priorDetails.forall { case (psf, _) => psf == sfDir }
+    if (!sfMatchesPrior && !sys.env.contains("SPARK_GRAFT_BENCH_DETAILS"))
+      System.err.println(s"[bench] NOT writing $detailsPath: existing artifact " +
+        s"is a different sf (set SPARK_GRAFT_BENCH_DETAILS to force a destination)")
+    if ((only.isEmpty && sfMatchesPrior) || sys.env.contains("SPARK_GRAFT_BENCH_DETAILS")) {
       val pretty = new StringBuilder
       pretty ++= s"""{"metric":"total","value":$total,"unit":"sec","sf":${jstr(sfDir)},"""
       pretty ++= s""""n":${timings.size},$canary"queries":{"""
@@ -208,9 +287,15 @@ object Bench {
       pretty ++= fams.toSeq.sortBy(_._1).map { case (f, xs) =>
         s"\n ${jstr(f)}: [${xs.map(r4).mkString(",")}]"
       }.mkString(",")
+      // every observed sample per query (pass order, then any outlier
+      // re-runs) — the min's provenance, so a future artifact outlier
+      // is diagnosable without re-running anything
+      pretty ++= "\n},\"samples\":{"
+      pretty ++= samples.toSeq.sortBy(_._1).map { case (k, xs) =>
+        s"\n ${jstr(k)}: [${xs.map(r4).mkString(",")}]"
+      }.mkString(",")
       pretty ++= "\n}}\n"
-      Files.writeString(Paths.get(sys.env.getOrElse(
-        "SPARK_GRAFT_BENCH_DETAILS", "/root/repo/bench_details.json")), pretty.toString)
+      Files.writeString(Paths.get(detailsPath), pretty.toString)
     }
     spark.stop()
   }
