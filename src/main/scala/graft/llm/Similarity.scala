@@ -734,15 +734,102 @@ object Similarity {
   private val nswEfBuild = 32
   private val nswEfSearch = 32
 
+  /** The single-shard NSW kernel, shared by the in-query build
+    * ([[nswCandidates]]) and the persisted build/serve split
+    * ([[nswBuild]]/[[nswServeCandidates]]): insertion-order
+    * construction (node i links to its M nearest among [0, i) found by
+    * an efBuild-wide beam search, reverse edges pruned back to M by
+    * distance) and best-first beam search, all ties broken by position
+    * — graph, candidates, and fixtures are run-stable. Vectors are
+    * unit-normalized up front so cosine ranking is a plain dot. */
+  private[llm] object NswKernel {
+    // (negDot, pos): ascending order = best first, position-deterministic
+    val ord: Ordering[(Double, Int)] =
+      Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int)
+    def normalize(v: Seq[Double]): Array[Double] = {
+      val a = v.toArray
+      val n = math.sqrt(a.map(x => x * x).sum)
+      if (n > 0) a.map(_ / n) else a
+    }
+    def beam(vecs: Array[Array[Double]], adj: Int => scala.collection.Seq[Int],
+             q: Array[Double], ef: Int, upTo: Int): Array[(Double, Int)] = {
+      def d(i: Int): Double = {
+        val v = vecs(i); var s = 0.0; var k = 0
+        while (k < v.length) { s += q(k) * v(k); k += 1 }
+        -s
+      }
+      val visited = new java.util.BitSet(upTo)
+      val cand = scala.collection.mutable.PriorityQueue.empty(ord.reverse)
+      val res = scala.collection.mutable.PriorityQueue.empty(ord)
+      val e = (d(0), 0)
+      visited.set(0); cand.enqueue(e); res.enqueue(e)
+      var done = false
+      while (!done && cand.nonEmpty) {
+        val c = cand.dequeue()
+        if (res.size >= ef && ord.gt(c, res.head)) done = true
+        else adj(c._2).foreach { nb =>
+          if (nb < upTo && !visited.get(nb)) {
+            visited.set(nb)
+            val x = (d(nb), nb)
+            if (res.size < ef || ord.lt(x, res.head)) {
+              cand.enqueue(x); res.enqueue(x)
+              if (res.size > ef) res.dequeue()
+            }
+          }
+        }
+      }
+      res.dequeueAll.toArray.reverse // best first
+    }
+    def build(vecs: Array[Array[Double]], m: Int, efB: Int): Array[Array[Int]] = {
+      val n = vecs.length
+      val adj = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
+      var i = 1
+      while (i < n) {
+        val near = beam(vecs, p => adj(p), vecs(i), efB, i).take(m)
+        adj(i) ++= near.map(_._2)
+        near.foreach { case (_, j) =>
+          adj(j) += i
+          if (adj(j).size > m) {
+            val keep = adj(j).toArray.map { x =>
+              val v = vecs(j); val w = vecs(x); var s = 0.0; var k = 0
+              while (k < v.length) { s += v(k) * w(k); k += 1 }
+              (-s, x)
+            }.sorted(ord).take(m).map(_._2)
+            adj(j).clear(); adj(j) ++= keep
+          }
+        }
+        i += 1
+      }
+      adj.map(_.toArray)
+    }
+    def serve(ids: Array[Long], vecs: Array[Array[Double]], adj: Array[Array[Int]],
+              probes: Array[(Long, Array[Double])], efS: Int): Iterator[(Long, Long)] =
+      probes.iterator.flatMap { case (qid, qv) =>
+        beam(vecs,
+          p => scala.collection.immutable.ArraySeq.unsafeWrapArray(adj(p)),
+          qv, efS, vecs.length).iterator
+          .map { case (_, node) => (qid, ids(node)) }
+          .filter(_._2 != qid)
+      }
+  }
+
+  /** The broadcast probe set every NSW path serves: the nProbes lowest
+    * vec_ids, unit-normalized (O(nProbes) driver state, the centroid
+    * precedent). */
+  private def nswProbes(s: SparkSession, emb: DataFrame)
+      : org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Double])]] = {
+    val probes = emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id"), col("ve")).collect()
+      .map(r => (r.getLong(0), NswKernel.normalize(r.getSeq[Double](1))))
+      .sortBy(_._1)
+    s.sparkContext.broadcast(probes)
+  }
+
   /** Per-shard NSW build + beam-search serve, executed once per shard
     * inside mapPartitions. Returns (qid, cid) candidates. */
   private def nswCandidates(s: SparkSession, emb: DataFrame): DataFrame = {
     import s.implicits._
-    val probes = emb.filter(col("vec_id") < nProbes)
-      .select(col("vec_id"), col("ve")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1) // O(nProbes) driver state, the centroid precedent
-    val bProbes = s.sparkContext.broadcast(probes)
+    val bProbes = nswProbes(s, emb)
     emb.repartition(nswShards, col("vec_id"))
       .sortWithinPartitions("vec_id") // insertion order = id order, deterministic
       .select(col("vec_id"), col("ve")).as[(Long, Seq[Double])]
@@ -751,67 +838,80 @@ object Similarity {
         if (rows.isEmpty) Iterator.empty
         else {
           val ids = rows.map(_._1)
-          // unit-normalize once: cosine ranking becomes a plain dot
-          val vecs = rows.map { case (_, v) =>
-            val a = v.toArray
-            val n = math.sqrt(a.map(x => x * x).sum)
-            if (n > 0) a.map(_ / n) else a
-          }
-          val n = ids.length
-          val adj = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
-          // (negDot, id): ascending order = best first, id-deterministic
-          val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int)
-          def beam(q: Array[Double], ef: Int, upTo: Int): Array[(Double, Int)] = {
-            def d(i: Int): Double = {
-              val v = vecs(i); var s = 0.0; var k = 0
-              while (k < v.length) { s += q(k) * v(k); k += 1 }
-              -s
-            }
-            val visited = new java.util.BitSet(upTo)
-            val cand = scala.collection.mutable.PriorityQueue.empty(ord.reverse)
-            val res = scala.collection.mutable.PriorityQueue.empty(ord)
-            val e = (d(0), 0)
-            visited.set(0); cand.enqueue(e); res.enqueue(e)
-            var done = false
-            while (!done && cand.nonEmpty) {
-              val c = cand.dequeue()
-              if (res.size >= ef && ord.gt(c, res.head)) done = true
-              else adj(c._2).foreach { nb =>
-                if (nb < upTo && !visited.get(nb)) {
-                  visited.set(nb)
-                  val x = (d(nb), nb)
-                  if (res.size < ef || ord.lt(x, res.head)) {
-                    cand.enqueue(x); res.enqueue(x)
-                    if (res.size > ef) res.dequeue()
-                  }
-                }
-              }
-            }
-            res.dequeueAll.toArray.reverse // best first
-          }
-          var i = 1
-          while (i < n) {
-            val near = beam(vecs(i), nswEfBuild, i).take(nswM)
-            adj(i) ++= near.map(_._2)
-            near.foreach { case (_, j) =>
-              adj(j) += i
-              if (adj(j).size > nswM) {
-                val keep = adj(j).toArray.map { x =>
-                  val v = vecs(j); val w = vecs(x); var s = 0.0; var k = 0
-                  while (k < v.length) { s += v(k) * w(k); k += 1 }
-                  (-s, x)
-                }.sorted(ord).take(nswM).map(_._2)
-                adj(j).clear(); adj(j) ++= keep
-              }
-            }
-            i += 1
-          }
-          bProbes.value.iterator.flatMap { case (qid, qv) =>
-            beam(qv, nswEfSearch, n).iterator
-              .map { case (_, node) => (qid, ids(node)) }
-              .filter(_._2 != qid)
-          }
+          val vecs = rows.map(r => NswKernel.normalize(r._2))
+          val adj = NswKernel.build(vecs, nswM, nswEfBuild)
+          NswKernel.serve(ids, vecs, adj, bProbes.value, nswEfSearch)
         }
+      }.toDF("qid", "cid")
+  }
+
+  /** On-disk NSW graph location — the ivfIndexPath discipline. */
+  private def nswIndexPath(d: String): String = ivfIndexPath(d) + "-nsw"
+  private[graft] def nswIndexPathFor(d: String): String = nswIndexPath(d)
+
+  /** Build and PERSIST the per-shard NSW graphs (VERDICT r14 next §3 —
+    * ann_nsw's gate owns the whole index lifecycle, so its 100× probe
+    * was build-dominated; the production shape is the same build/serve
+    * split ann_ivf got via tools/IvfBuild). One row per node: (shard,
+    * pos, vec_id, ven, adj) — shard is the build partition id, pos the
+    * insertion position within the shard, ven the unit-normalized
+    * vector (the vectors live IN the index, the IVF-flat precedent),
+    * adj the M-pruned neighbor positions. At 100 TB this is the
+    * separate DiskANN-style shard-build job: each task builds one
+    * memory-resident graph, nothing shuffles but the one sharding
+    * exchange, and the output is a plain columnar relation any serve
+    * job can re-group. */
+  private[graft] def nswBuild(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val path = nswIndexPath(d)
+    val emb = table(s, d, "embeddings").select(col("vec_id"), asDouble.as("ve"))
+    emb.repartition(nswShards, col("vec_id"))
+      .sortWithinPartitions("vec_id")
+      .select(col("vec_id"), col("ve")).as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val shard = org.apache.spark.TaskContext.getPartitionId()
+        val rows = it.toArray
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val ids = rows.map(_._1)
+          val vecs = rows.map(r => NswKernel.normalize(r._2))
+          val adj = NswKernel.build(vecs, nswM, nswEfBuild)
+          ids.indices.iterator.map(p =>
+            (shard, p, ids(p), vecs(p).toSeq, adj(p).toSeq))
+        }
+      }.toDF("shard", "pos", "vec_id", "ven", "adj")
+      .write.mode("overwrite").parquet(s"$path/graph")
+    path
+  }
+
+  private def ensureNswIndex(s: SparkSession, d: String): String = {
+    val path = nswIndexPath(d)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/graph/_SUCCESS")))
+      nswBuild(s, d)
+    path
+  }
+
+  /** Serve-only NSW candidates over the PERSISTED graph: re-group the
+    * index rows by shard (groupByKey — the stored shard id, NOT a fresh
+    * repartition, so the served graph is byte-identical to the built
+    * one), reassemble arrays in insertion order, and beam-search the
+    * broadcast probes. No build work on the query path — the ann_ivf
+    * probe-only discipline. */
+  private def nswServeCandidates(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val idx = ensureNswIndex(s, d)
+    val emb = table(s, d, "embeddings").select(col("vec_id"), asDouble.as("ve"))
+    val bProbes = nswProbes(s, emb)
+    s.read.parquet(s"$idx/graph")
+      .select(col("shard"), col("pos"), col("vec_id"), col("ven"), col("adj"))
+      .as[(Int, Int, Long, Seq[Double], Seq[Int])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray.sortBy(_._2) // insertion order
+        val ids = rows.map(_._3)
+        val vecs = rows.map(_._4.toArray)
+        val adj = rows.map(_._5.toArray)
+        NswKernel.serve(ids, vecs, adj, bProbes.value, nswEfSearch)
       }.toDF("qid", "cid")
   }
 
@@ -905,6 +1005,29 @@ object Similarity {
     exact.agg(count(lit(1)).as("n_exact")).crossJoin(hits)
       .select(col("n_exact"), col("hits"),
         dround(col("hits").cast("double") / col("n_exact"), 4).as("recall"))
+  }
+
+  /** Graph-ANN top-k over the PERSISTED index (VERDICT r14 next §3):
+    * the serve half of the build/serve split — beam search reads the
+    * graph tools/NswBuild (or lazy first touch) wrote, then the family's
+    * exact-cosine re-rank. The build partitioner, insertion order, and
+    * kernel are shared with [[annNsw]], so the served graph is
+    * byte-identical to the in-query one and the two gates' results must
+    * agree exactly (asserted in NswServeSpec — a persistence bug that
+    * drops an edge or reorders nodes diverges them). */
+  private val annNswServe: Q = (s, d) => {
+    val emb = table(s, d, "embeddings").select(col("vec_id"), asDouble.as("ve"))
+    val cands = nswServeCandidates(s, d).persist()
+    graft.io.Sinks.dumpFixture(cands, "annnswserve_cands")
+    cands
+      .join(emb.select(col("vec_id").as("qid"), col("ve").as("qe")), Seq("qid"))
+      .join(emb.select(col("vec_id").as("cid"), col("ve").as("ce")), Seq("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("sim"))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))))
+      .filter(col("rk") <= kNeighbors)
+      .select(col("qid"), col("rk"), col("cid"), dround(col("sim"), 4).as("sim"))
+      .orderBy("qid", "rk")
   }
 
   private val annPqRecall: Q = annRecall(annPq, "annpq_topk")
@@ -1433,6 +1556,7 @@ object Similarity {
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
     "ann_nsw" -> annNsw,
+    "ann_nsw_serve" -> annNswServe,
     "ann_nsw_recall" -> annNswRecall,
     "ann_hamming" -> annHamming,
     "dd_embcos" -> ddEmbCos,
@@ -1601,6 +1725,7 @@ object Similarity {
     "ann_lsh" -> annCandOracle("annlsh_cands"),
     "ann_ivf" -> annCandOracle("annivf_cands"),
     "ann_nsw" -> annCandOracle("annnsw_cands"),
+    "ann_nsw_serve" -> annCandOracle("annnswserve_cands"),
     "ann_nsw_recall" -> annRecallOracle("annnsw_topk"),
     // END-TO-END twin, no fixture: quantizer, Hamming shortlist, and
     // exact rerank are all deterministic integer/IEEE algebra, so the
