@@ -149,8 +149,13 @@ object Dedup {
     * self-join, and without the pin the df-count + regroup + explode
     * pipeline runs twice (measured cold: candidate stage 8.3 → 6.6 s;
     * the duplicated subtree also doubles the janino surface). */
-  private[llm] def ppjoinMatches(t: DataFrame): DataFrame = {
-    val pr = ppjoinPrefixes(t).persist()
+  private[llm] def ppjoinMatches(t: DataFrame): DataFrame =
+    ppjoinCollisions(ppjoinPrefixes(t).persist())
+
+  /** The collision join + length/position filters over a prefix
+    * relation (tok, doc_id, sz, pos) — shared by the lossless join and
+    * the df-capped variant (which feeds it the cold prefixes only). */
+  private def ppjoinCollisions(pr: DataFrame): DataFrame = {
     val a = pr.select(col("tok"), col("doc_id").as("doc_a"),
       col("sz").as("sa"), col("pos").as("ia"))
     val b = pr.select(col("tok"), col("doc_id").as("doc_b"),
@@ -205,6 +210,114 @@ object Dedup {
       .filter(col("jac") >= ppjoinTau)
       .select(col("doc_a"), col("doc_b"), dround(col("jac"), 4).as("jaccard"))
       .dropDuplicates("doc_a", "doc_b")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---------------------------------------------------------------------
+  // dd_ppjoin_capped: PPJoin with the COLLISION-LIST CAP (VERDICT r14
+  // next §4 — BASELINE declared the df-cap knob; this implements it
+  // with dd_minhash/dd_oph's cap semantics). The scale threat the
+  // lossless join cannot dodge: a VIRAL page (one text shared by a
+  // large fraction of a crawl) gives every one of its tokens df ≥
+  // copies, so even df-ascending prefixes collide copies × copies —
+  // the candidate stream goes quadratic in the copy count no matter
+  // how rare the ordering makes the prefix tokens. The cap bounds it:
+  // prefix tokens whose COLLISION LIST exceeds the cap are withheld
+  // from the pairwise join, and every doc that touched a hot token is
+  // routed through the exact-dup md5 STAR instead (copies are exact
+  // dups, so the star recovers their pairs LINEARLY — hub → member,
+  // jaccard 1.0 by construction; downstream CC clustering recovers the
+  // full class). Declared recall trade: a near-but-not-exact pair
+  // whose only shared prefix tokens are hot is LOST (PpjoinCapSpec
+  // measures it: zero connectivity loss on this corpus).
+  //
+  // Gate corpus: dd_ppjoin's token universe is match-SATURATED (≥0.9
+  // pairs are 7% of all pairs — output IS the quadratic), which would
+  // hide the cap; the capped gate runs on the match-SPARSE 3-shingle
+  // universe (25 natural ≥0.9 pairs at sf0.01, max natural shingle df
+  // = 7) with a deterministic planted viral page: doc_id % 10 = 3 docs
+  // all carry one literal text, so the viral shingles' prefix
+  // collision lists are exactly |corpus|/10 wide and the cap provably
+  // bites while natural pairs flow untouched. Sets key on the repo FNV
+  // fold of each shingle, so — like dd_oph and unlike dd_ppjoin's
+  // xxhash64 tokens — the ENTIRE pipeline (shingles, fold, df order,
+  // prefix membership, cap census, collision + length + position
+  // filters, exact verify, md5 stars) replays in the DuckDB twin.
+  private[llm] val ppjoinDfCapDefault = 16
+  private[llm] val ppjoinViral: String =
+    "breaking news this viral story is sweeping the web today share " +
+    "it with your friends before it disappears click here to read the " +
+    "full exclusive report and subscribe for more updates every day " +
+    "you will not believe what happens next in this amazing video"
+
+  /** The planted corpus both sides derive: viral literal on
+    * doc_id % 10 = 3, original text elsewhere. */
+  private def viralDocs(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents").select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(10)) === 3, lit(ppjoinViral))
+        .otherwise(col("text")).as("text"))
+
+  /** The capped join's set relation: (doc_id, tk sorted distinct
+    * shingle-FNV array, sz) over the planted corpus — shared with the
+    * PpjoinCapProbe funnel. */
+  private[graft] def ppjoinShingleT(docs: DataFrame): DataFrame =
+    shingleRows(docs)
+      .select(col("doc_id"), TextHashes.rollHash(col("sh")).as("h"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("h"))).as("tk"))
+      .withColumn("sz", size(col("tk")))
+      .select(col("doc_id"), col("tk"), col("sz"))
+
+  /** Probe seams (tools/PpjoinCapProbe): the planted corpus, the prefix
+    * relation, and the collision join over an arbitrary prefix subset. */
+  private[graft] def ppjoinCapCorpus(s: SparkSession, d: String): DataFrame =
+    viralDocs(s, d)
+  private[graft] def ppjoinCapPrefixes(t: DataFrame): DataFrame =
+    ppjoinPrefixes(t)
+  private[graft] def ppjoinCapCollisions(pr: DataFrame): DataFrame =
+    ppjoinCollisions(pr)
+
+  private val ddPpjoinCapped: Q = (s, d) => {
+    val cap = s.conf.getOption("graft.ppjoin.dfCap")
+      .map(_.toInt).getOrElse(ppjoinDfCapDefault)
+    val docs = viralDocs(s, d).persist() // shingle pass + the md5 star pass
+    val t = ppjoinShingleT(docs)
+      .persist() // prefix build + both verify sides
+    val pr = ppjoinPrefixes(t).persist() // width census + the cold join
+    // collision-list census: hot = prefix tokens wider than the cap.
+    // TINY by construction (a token is hot only if > cap docs carry it
+    // in their PREFIX), so both the anti-join and the semi-join
+    // broadcast — the hot set is the viral page's shingles.
+    val wid = pr.groupBy("tok").agg(count(lit(1)).as("w"))
+    val hot = wid.filter(col("w") > cap).select("tok")
+    val cold = pr.join(broadcast(hot), Seq("tok"), "left_anti")
+    val inter = ArrayFns.sortedLongIntersectCount(col("tk_a"), col("tk_b")).cast("double")
+    val verified = ppjoinCollisions(cold)
+      .join(t.select(col("doc_id").as("doc_a"),
+        col("tk").as("tk_a"), col("sz").as("sa")), Seq("doc_a"))
+      .join(t.select(col("doc_id").as("doc_b"),
+        col("tk").as("tk_b"), col("sz").as("sb")), Seq("doc_b"))
+      .withColumn("jac", inter / (col("sa") + col("sb") - inter))
+      .filter(col("jac") >= ppjoinTau)
+      .select(col("doc_a"), col("doc_b"), dround(col("jac"), 4).as("jaccard"))
+      .dropDuplicates("doc_a", "doc_b")
+      .persist() // output + the star anti-join
+    // exact-dup star over every doc that touched a hot token (the
+    // dd_oph overflow rule): hub = min doc_id per md5 class, members
+    // link to the hub at jaccard 1.0 (md5-identical ⇒ identical
+    // shingle sets ⇒ exact jaccard 1.0 by construction)
+    val overDocs = pr.join(broadcast(hot), Seq("tok"), "left_semi")
+      .select("doc_id").distinct()
+    val star = docs.join(overDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("mh"))
+      .groupBy("mh").agg(min(col("doc_id")).as("doc_a"),
+        sort_array(collect_list(col("doc_id"))).as("members"))
+      .select(col("doc_a"), explode(col("members")).as("doc_b"))
+      .filter(col("doc_b") > col("doc_a"))
+      .select(col("doc_a"), col("doc_b"), lit(1.0).as("jaccard"))
+    verified
+      .unionByName(star.join(verified, Seq("doc_a", "doc_b"), "left_anti"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -1704,6 +1817,7 @@ object Dedup {
     "dd_exact" -> ddExact,
     "dd_jaccard" -> ddJaccard,
     "dd_ppjoin" -> ddPpjoin,
+    "dd_ppjoin_capped" -> ddPpjoinCapped,
     "dd_cluster" -> ddCluster,
     "dd_cluster_lsh" -> ddClusterLsh,
     "dd_minhash" -> ddMinhash,
@@ -2226,6 +2340,62 @@ object Dedup {
         |        AND least(len(a.tk), len(b.tk)) * 10 >= greatest(len(a.tk), len(b.tk)) * 9)
         |SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM c WHERE j >= 0.9
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // FULL-pipeline replay of the capped join (the dd_oph discipline):
+    // viral plant, shingles, FNV fold, df order, prefix membership,
+    // collision-list census + cap, collision/length/position filters,
+    // exact verify, and the md5 overflow stars — a wrong prefix
+    // boundary, a mis-capped token, a lost natural pair, or a star that
+    // pairs non-identical docs all hash-mismatch.
+    "dd_ppjoin_capped" -> {
+      val fold = graft.functions.TextHashes.fnvFoldSql("sh")
+      val signed = graft.functions.TextHashes.fnvSignedSql("hu")
+      s"""WITH t0 AS (SELECT doc_id,
+         |        CASE WHEN doc_id % 10 = 3 THEN '$ppjoinViral' ELSE text END AS text
+         |       FROM documents),
+         | tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM t0),
+         | shs AS (SELECT doc_id,
+         |          unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                                for i in range(1, len(w) - 1)])) AS sh
+         |         FROM tok WHERE len(w) >= 3),
+         | hu0 AS (SELECT doc_id, ($fold) AS hu FROM shs),
+         | hd AS (SELECT DISTINCT doc_id, ($signed) AS h FROM hu0),
+         | sz AS (SELECT doc_id, count(*) AS sz FROM hd GROUP BY doc_id),
+         | df AS (SELECT h, count(*) AS df FROM hd GROUP BY h),
+         | ord AS (SELECT hd.doc_id, hd.h,
+         |          row_number() OVER (PARTITION BY hd.doc_id
+         |                             ORDER BY df.df ASC, hd.h ASC) - 1 AS pos
+         |         FROM hd JOIN df USING (h)),
+         | pre AS (SELECT o.doc_id, o.h, o.pos, s.sz FROM ord o JOIN sz s USING (doc_id)
+         |         WHERE o.pos < s.sz - (9 * s.sz + 9) // 10 + 1),
+         | wid AS (SELECT h, count(*) AS w FROM pre GROUP BY h),
+         | cold AS (SELECT p.doc_id, p.h, p.pos, p.sz
+         |          FROM pre p JOIN wid USING (h) WHERE wid.w <= 16),
+         | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM cold a JOIN cold b ON a.h = b.h AND a.doc_id < b.doc_id
+         |           AND least(a.sz, b.sz) * 10 >= greatest(a.sz, b.sz) * 9
+         |           AND least(a.sz - a.pos, b.sz - b.pos)
+         |               >= (9 * (a.sz + b.sz) + 18) // 19),
+         | sets AS (SELECT doc_id, list(h ORDER BY h) AS tk FROM hd GROUP BY doc_id),
+         | ver AS (SELECT doc_a, doc_b,
+         |          CAST(len(list_intersect(x.tk, y.tk)) AS DOUBLE)
+         |            / (len(x.tk) + len(y.tk) - len(list_intersect(x.tk, y.tk))) AS j
+         |         FROM cand JOIN sets x ON x.doc_id = doc_a
+         |                   JOIN sets y ON y.doc_id = doc_b),
+         | vpairs AS (SELECT doc_a, doc_b, round(j, 4) AS jaccard
+         |            FROM ver WHERE j >= 0.9),
+         | overdocs AS (SELECT DISTINCT p.doc_id
+         |              FROM pre p JOIN wid USING (h) WHERE wid.w > 16),
+         | star0 AS (SELECT o.doc_id, md5(t0.text) AS mh
+         |           FROM overdocs o JOIN t0 USING (doc_id)),
+         | hub AS (SELECT mh, min(doc_id) AS hub_id FROM star0 GROUP BY mh),
+         | star AS (SELECT h.hub_id AS doc_a, s.doc_id AS doc_b, 1.0 AS jaccard
+         |          FROM star0 s JOIN hub h USING (mh) WHERE s.doc_id > h.hub_id)
+         |SELECT doc_a, doc_b, jaccard FROM vpairs
+         |UNION ALL
+         |SELECT s.doc_a, s.doc_b, s.jaccard FROM star s
+         | ANTI JOIN vpairs v USING (doc_a, doc_b)
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
     // Independent clustering twin: DuckDB recomputes the SAME pair set,
     // closes it transitively with a recursive CTE (a completely different
     // algorithm from the engine's large-star/small-star rounds), and
