@@ -211,32 +211,52 @@ object Bpe {
   private val trainedVocab =
     new java.util.concurrent.ConcurrentHashMap[String, Array[(String, Long)]]()
 
+  /** Driver-vocab hard bound (VERDICT r14 next §5): the collected
+    * (word, n_syms) table is corpus-vocabulary-sized — flat under
+    * replication (measured, wp_train probe), but a real heavy-tailed
+    * 100 TB corpus has an UNBOUNDED word vocabulary, so the collect
+    * gets an explicit top-V-by-count cap the driver cannot outgrow.
+    * Truncation semantics are deterministic ((count desc, word asc) —
+    * a total TakeOrdered, never a full sort) and DECLARED: encode
+    * inner-joins word instances against the vocab, so an out-of-vocab
+    * word contributes nothing to the token counts — the same rule an
+    * untrained word already followed. The cap rides in the VocabStore
+    * sidecar meta, so an artifact truncated under one cap never serves
+    * a session running another (it reads as absent → retrain). */
+  private[llm] def vocabTopV(s: SparkSession): Int =
+    s.conf.getOption("graft.tokenizer.topV").map(_.toInt).getOrElse(65536)
+  private def vocabMeta(s: SparkSession): String = s"topV=${vocabTopV(s)}"
+  private def vocabKey(s: SparkSession, d: String, family: String): String =
+    s"$d#$family#${vocabMeta(s)}"
+
   private def vocabOf(seqs: DataFrame): Array[(String, Long)] =
     seqs.select(col("word"),
-        size(split(trim(col("seq")), " ")).cast("long").as("n_syms"))
+        size(split(trim(col("seq")), " ")).cast("long").as("n_syms"), col("n"))
+      .orderBy(desc("n"), asc("word")).limit(vocabTopV(seqs.sparkSession))
+      .select("word", "n_syms")
       .collect().map(r => (r.getString(0), r.getLong(1)))
 
   private def cacheVocab(s: SparkSession, d: String, family: String,
       seqs: DataFrame): Unit = {
     import s.implicits._
     val rows = vocabOf(seqs)
-    trainedVocab.put(s"$d#$family", rows)
-    VocabStore.write(d, family, rows.toSeq.toDF("word", "n_syms"))
+    trainedVocab.put(vocabKey(s, d, family), rows)
+    VocabStore.write(d, family, rows.toSeq.toDF("word", "n_syms"), vocabMeta(s))
   }
 
   /** Encode-side vocab lookup: in-process cache → on-disk artifact →
     * retrain (the last resort a fresh JVM no longer hits when a prior
-    * training job ran). */
+    * training job ran). Both tiers key on the active top-V cap. */
   private[llm] def encVocab(s: SparkSession, d: String, family: String)(
       retrain: => Unit): Array[(String, Long)] =
-    Option(trainedVocab.get(s"$d#$family"))
-      .orElse(VocabStore.read(s, d, family).map { df =>
+    Option(trainedVocab.get(vocabKey(s, d, family)))
+      .orElse(VocabStore.read(s, d, family, vocabMeta(s)).map { df =>
         val rows = df.collect().map(r =>
           (r.getAs[String]("word"), r.getAs[Long]("n_syms")))
-        trainedVocab.put(s"$d#$family", rows)
+        trainedVocab.put(vocabKey(s, d, family), rows)
         rows
       })
-      .getOrElse { retrain; trainedVocab.get(s"$d#$family") }
+      .getOrElse { retrain; trainedVocab.get(vocabKey(s, d, family)) }
 
   private def trainDocs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val r = train(wordCounts(table(s, d, "documents").select("text")), docRounds, docK)

@@ -147,26 +147,44 @@ object Unigram {
   private val trained =
     new java.util.concurrent.ConcurrentHashMap[String, Array[(String, Long, Long, Long)]]()
 
-  private def collectVocab(v: DataFrame): Array[(String, Long, Long, Long)] =
-    v.select("piece", "len", "cnt", "cost_q").collect()
+  private def vocabMeta(s: SparkSession): String = s"topV=${Bpe.vocabTopV(s)}"
+  private def vocabKey(s: SparkSession, d: String): String =
+    s"$d#${vocabMeta(s)}"
+
+  /** Driver-vocab hard bound (VERDICT r14 next §5, the Bpe.vocabOf
+    * rule): the EM vocab is piece-bounded but a heavy-tailed corpus
+    * grows it without limit, so the collect caps at top-V. Unlike the
+    * word-map, Viterbi REQUIRES every single character or a word
+    * becomes unsegmentable (INF cost), so the cap preserves ALL len=1
+    * pieces unconditionally and truncates only multi-char pieces —
+    * (cnt desc, piece asc), deterministic. */
+  private def collectVocab(v: DataFrame): Array[(String, Long, Long, Long)] = {
+    val topV = Bpe.vocabTopV(v.sparkSession)
+    val chars = v.filter(col("len") === 1)
+    val multi = v.filter(col("len") > 1)
+      .orderBy(desc("cnt"), asc("piece"))
+      .limit(math.max(0, topV - chars.count().toInt))
+    chars.unionByName(multi)
+      .select("piece", "len", "cnt", "cost_q").collect()
       .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+  }
 
   /** Train, refresh both cache tiers, return the vocab relation. */
   private def retrain(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val r = collectVocab(trainVocab(s, d))
-    trained.put(d, r)
+    trained.put(vocabKey(s, d), r)
     val df = r.toSeq.toDF("piece", "len", "cnt", "cost_q")
-    VocabStore.write(d, "unigram", df)
+    VocabStore.write(d, "unigram", df, vocabMeta(s))
     df
   }
 
   private def ensureTrained(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Option(trained.get(d))
+    Option(trained.get(vocabKey(s, d)))
       .map(_.toSeq.toDF("piece", "len", "cnt", "cost_q"))
-      .orElse(VocabStore.read(s, d, "unigram").map { df =>
-        trained.put(d, collectVocab(df))
+      .orElse(VocabStore.read(s, d, "unigram", vocabMeta(s)).map { df =>
+        trained.put(vocabKey(s, d), collectVocab(df))
         df
       })
       .getOrElse(retrain(s, d))

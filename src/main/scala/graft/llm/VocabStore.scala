@@ -40,7 +40,8 @@ object VocabStore {
     * under the corpus dir (two levels — parquet table dirs hold their
     * part files one level down). Regenerating any corpus table changes
     * sizes/mtimes and invalidates the artifact. */
-  private[graft] def fingerprint(d: String, family: String): String = {
+  private[graft] def fingerprint(d: String, family: String,
+      meta: String = ""): String = {
     val dir = new java.io.File(d)
     def list(f: java.io.File): Array[java.io.File] =
       Option(f.listFiles()).getOrElse(Array.empty)
@@ -48,8 +49,12 @@ object VocabStore {
       if (f.isDirectory) list(f) else Array(f)
     }.sortBy(_.getPath)
       .map(f => s"${f.getName}|${f.length}|${f.lastModified}")
+    // meta carries trainer knobs that change artifact CONTENT without
+    // changing the corpus — e.g. the top-V vocab cap (VERDICT r14 next
+    // §5): an artifact truncated under one cap must not serve an
+    // encode session running another
     val payload =
-      s"v$trainerVersion|$family|${Try(dir.getCanonicalPath).getOrElse(d)}|" +
+      s"v$trainerVersion|$family|$meta|${Try(dir.getCanonicalPath).getOrElse(d)}|" +
         files.mkString(";")
     java.security.MessageDigest.getInstance("MD5")
       .digest(payload.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -62,23 +67,25 @@ object VocabStore {
     * written LAST, after the parquet commit, so a crash mid-write
     * leaves an artifact without a valid sidecar — which reads as
     * absent, never as trusted. */
-  def write(d: String, family: String, vocab: DataFrame): Unit = {
+  def write(d: String, family: String, vocab: DataFrame,
+      meta: String = ""): Unit = {
     val p = path(d, family)
     vocab.coalesce(1).write.mode("overwrite").parquet(p)
     val n = vocab.sparkSession.read.parquet(p).count()
-    Files.writeString(sidecar(p), s"${fingerprint(d, family)}|$n")
+    Files.writeString(sidecar(p), s"${fingerprint(d, family, meta)}|$n")
   }
 
   /** Read back a persisted vocabulary IF its sidecar fingerprint
     * matches the current corpus + trainer and its row count matches
     * the recorded one; None (→ caller retrains) otherwise. Corrupt or
     * unreadable artifacts also read as None via the Try. */
-  def read(s: SparkSession, d: String, family: String): Option[DataFrame] = {
+  def read(s: SparkSession, d: String, family: String,
+      meta: String = ""): Option[DataFrame] = {
     val p = path(d, family)
     if (!Files.exists(Paths.get(s"$p/_SUCCESS")) || !Files.exists(sidecar(p))) None
     else Try {
       val Array(fp, n) = Files.readString(sidecar(p)).trim.split('|')
-      if (fp != fingerprint(d, family)) None
+      if (fp != fingerprint(d, family, meta)) None
       else {
         val df = s.read.parquet(p)
         if (df.count() == n.toLong) Some(df) else None
