@@ -298,7 +298,74 @@ object Quality {
       .orderBy("dom", "vol")
   }
 
+  // -------------------------------------------------------------------
+  // dq_tcloseness: t-CLOSENESS audit (Li, Li, Venkatasubramanian, ICDE
+  // 2007) — the attack l-diversity misses: a group can hold l distinct
+  // sensitive values and still leak if its DISTRIBUTION is skewed
+  // against the corpus (3 values at 98/1/1% reveals nearly as much as
+  // one). The third rung of the release-audit ladder (dq_kanon →
+  // dq_ldiversity → this), same QI ((dominant event type) × (volume
+  // bucket)) and same sensitive attribute (last event type), so all
+  // three audits read one profile relation. Distance = variational
+  // distance ½·Σ|pᵢ − qᵢ| (the categorical equal-ground-distance EMD of
+  // the paper) between the group's sensitive distribution p and the
+  // global q; violating when > t = 2/5. Measured at sf0.01: distances
+  // span 0.04–0.84 with a clean 0.393/0.407 gap around the threshold —
+  // 20 ok / 18 violating groups, and the three audits genuinely
+  // disagree (TclosenessSpec).
+  //
+  // Determinism discipline: the rule is EXACT INTEGER algebra — with
+  // group counts cᵢ, global counts Cᵢ, group size n, corpus size N:
+  //     dist = Σ|cᵢ·N − Cᵢ·n| / (2·n·N),   violating ⟺ 5·Σ|…| > 4·n·N
+  // so the status never rides an IEEE boundary; only the DISPLAYED
+  // dist column divides (exact small ints into IEEE, dround — the
+  // w18 money rule). Shuffle shape: the dq_kanon user_id exchange
+  // family, then one |QI-domain| aggregate; the sensitive domain (≤ 5
+  // values) and the one-row corpus total broadcast — domain-bounded
+  // output, zero row explosion at any corpus size.
+  // -------------------------------------------------------------------
+  private val tCloseNum = 2L // t = 2/5
+  private val tCloseDen = 5L
+  private val dqTcloseness: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = table(s, d, "events")
+      .select("event_id", "user_id", "ts", "event_type")
+    val counts = ev.groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+    val dom = counts.withColumn("rk", row_number().over(
+        Window.partitionBy("user_id").orderBy(desc("c"), asc("event_type"))))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_type").as("dom"))
+    val last = ev.withColumn("rk", row_number().over(
+        Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_type").as("sensitive"))
+    val tot = ev.groupBy("user_id").agg(count(lit(1)).as("n_ev"))
+    val prof = tot.join(dom, Seq("user_id")).join(last, Seq("user_id"))
+      .select(col("dom"), expr("n_ev div 5").as("vol"), col("sensitive"))
+      .persist() // group cells, group sizes, global distribution, total
+    val g = prof.groupBy("dom", "vol", "sensitive").agg(count(lit(1)).as("c"))
+    val q = prof.groupBy("sensitive").agg(count(lit(1)).as("cg"))
+    val ng = prof.groupBy("dom", "vol").agg(count(lit(1)).as("n_users"))
+    val n = prof.agg(count(lit(1)).as("nn"))
+    // every (group × sensitive-domain) cell — a group MISSING a value
+    // contributes |0·N − Cᵢ·n| (the skew the audit exists to see), so
+    // the domain comes from the broadcast global relation, not the group
+    ng.crossJoin(broadcast(q)).crossJoin(broadcast(n))
+      .join(g, Seq("dom", "vol", "sensitive"), "left")
+      .groupBy("dom", "vol")
+      .agg(first(col("n_users")).as("n_users"), first(col("nn")).as("nn"),
+        sum(abs(coalesce(col("c"), lit(0L)) * col("nn")
+          - col("cg") * col("n_users"))).as("num"))
+      .select(col("dom"), col("vol"), col("n_users"),
+        graft.functions.Numeric.dround(
+          col("num") / (lit(2.0) * col("n_users") * col("nn")), 4).as("dist"),
+        when(col("num") * tCloseDen > lit(2L) * tCloseNum * col("n_users") * col("nn"),
+          lit("violating")).otherwise(lit("ok")).as("status"))
+      .orderBy("dom", "vol")
+  }
+
   val queries: Map[String, Q] = Map(
+    "dq_tcloseness" -> dqTcloseness,
     "dq_ldiversity" -> dqLdiversity,
     "dq_profile" -> dqProfile,
     "dq_checks" -> dqChecks,
@@ -308,6 +375,39 @@ object Quality {
     "dq_kanon" -> dqKanon)
 
   val oracle: Map[String, String] = Map(
+    // the full ladder replay: QI + last-event sensitive from scratch,
+    // the (group × global-domain) cell grid with missing-value cells,
+    // the exact-integer variational distance and the 5·num > 4·n·N rule
+    "dq_tcloseness" ->
+      """WITH d AS (SELECT user_id, event_type, count(*) AS c,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY count(*) DESC, event_type) AS rk
+        |  FROM events GROUP BY user_id, event_type),
+        | lastev AS (SELECT user_id, event_type AS sensitive FROM (
+        |    SELECT user_id, event_type, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rk FROM events) WHERE rk = 1),
+        | tot AS (SELECT user_id, count(*) AS n_ev FROM events GROUP BY user_id),
+        | prof AS (SELECT t.user_id, dm.event_type AS dom, t.n_ev // 5 AS vol,
+        |            le.sensitive
+        |   FROM tot t JOIN d dm ON dm.user_id = t.user_id AND dm.rk = 1
+        |   JOIN lastev le ON le.user_id = t.user_id),
+        | g AS (SELECT dom, vol, sensitive, count(*) AS c FROM prof GROUP BY 1, 2, 3),
+        | q AS (SELECT sensitive, count(*) AS cg FROM prof GROUP BY 1),
+        | ng AS (SELECT dom, vol, count(*) AS n_users FROM prof GROUP BY 1, 2),
+        | nn AS (SELECT count(*) AS nn FROM prof),
+        | cells AS (SELECT ng.dom, ng.vol, ng.n_users, nn.nn, q.cg,
+        |             coalesce(g.c, 0) AS c
+        |   FROM ng CROSS JOIN q CROSS JOIN nn
+        |   LEFT JOIN g ON g.dom = ng.dom AND g.vol = ng.vol
+        |             AND g.sensitive = q.sensitive)
+        |SELECT dom, CAST(vol AS BIGINT) AS vol,
+        |  CAST(max(n_users) AS BIGINT) AS n_users,
+        |  round(sum(abs(c * nn - cg * n_users))::DOUBLE
+        |        / (2.0 * max(n_users) * max(nn)), 4) AS dist,
+        |  CASE WHEN sum(abs(c * nn - cg * n_users)) * 5
+        |            > 2 * 2 * max(n_users) * max(nn)
+        |       THEN 'violating' ELSE 'ok' END AS status
+        |FROM cells GROUP BY dom, vol ORDER BY dom, vol""".stripMargin,
     // the QI derivation (mode with min-type tie-break, div-5 volume
     // bucket) and the k=5 rule re-derived from scratch
     // QI derivation + last-event sensitive + the l=3 rule replayed from
