@@ -780,10 +780,22 @@ object Similarity {
       }
       res.dequeueAll.toArray.reverse // best first
     }
-    def build(vecs: Array[Array[Double]], m: Int, efB: Int): Array[Array[Int]] = {
+    def build(vecs: Array[Array[Double]], m: Int, efB: Int): Array[Array[Int]] =
+      buildFrom(vecs, Array.empty, m, efB)
+
+    /** Insertion continued from a prior graph: positions [0, init.len)
+      * start with the persisted adjacency and new nodes insert in
+      * position order — because insertion MUTATES earlier nodes (the
+      * reverse-edge prune), the result is BY CONSTRUCTION the graph a
+      * from-scratch build over the full position order produces, which
+      * is what lets NswUpsertSpec assert upsert ≡ rebuild exactly. */
+    def buildFrom(vecs: Array[Array[Double]], init: Array[Array[Int]],
+                  m: Int, efB: Int): Array[Array[Int]] = {
       val n = vecs.length
       val adj = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
-      var i = 1
+      var j = 0
+      while (j < init.length) { adj(j) ++= init(j); j += 1 }
+      var i = math.max(init.length, 1)
       while (i < n) {
         val near = beam(vecs, p => adj(p), vecs(i), efB, i).take(m)
         adj(i) ++= near.map(_._2)
@@ -1022,6 +1034,63 @@ object Similarity {
     cands
       .join(emb.select(col("vec_id").as("qid"), col("ve").as("qe")), Seq("qid"))
       .join(emb.select(col("vec_id").as("cid"), col("ve").as("ce")), Seq("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("sim"))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))))
+      .filter(col("rk") <= kNeighbors)
+      .select(col("qid"), col("rk"), col("cid"), dround(col("sim"), 4).as("sim"))
+      .orderBy("qid", "rk")
+  }
+
+  /** Incremental NSW index maintenance (the ann_ivf_upsert shape for
+    * the graph family): a batch of new vectors inserts into the
+    * PERSISTED per-shard graphs — no rebuild — and serving runs over
+    * the enlarged graphs. Batch = the ivf-upsert plant (directional ×2
+    * twins of vectors [0, plantN), ids + upsertOffset — cosine exactly
+    * 1.0 with their originals, so reachability through the graph is a
+    * deterministic claim). Shard routing reuses the build partitioner
+    * (pmod(murmur3(vec_id), shards) — the same function
+    * repartition(n, vec_id) applied at build time), and because every
+    * batch id sorts AFTER every corpus id, per-shard insertion in id
+    * order yields BY CONSTRUCTION the graph a from-scratch build over
+    * the union produces — NswUpsertSpec asserts that equality exactly,
+    * which also pins the shard-routing assumption. Dataflow: one
+    * cogroup of (persisted graph, batch) on the shard id; insertion +
+    * beam serve run inside the group (the mapPartitions clause); the
+    * rerank joins candidates against corpus ∪ batch vectors. */
+  private val annNswUpsert: Q = (s, d) => {
+    import s.implicits._
+    val idx = ensureNswIndex(s, d)
+    val emb = table(s, d, "embeddings").select(col("vec_id"), asDouble.as("ve"))
+    val batch = emb.filter(col("vec_id") < plantN)
+      .select((col("vec_id") + upsertOffset).as("vec_id"),
+        transform(col("ve"), x => x * 2.0).as("ve"))
+    val bProbes = nswProbes(s, emb)
+    val gRows = s.read.parquet(s"$idx/graph")
+      .select(col("shard"), col("pos"), col("vec_id"), col("ven"), col("adj"))
+      .as[(Int, Int, Long, Seq[Double], Seq[Int])]
+      .groupByKey(_._1)
+    val bRows = batch
+      .select(pmod(hash(col("vec_id")), lit(nswShards)).cast("int").as("shard"),
+        col("vec_id"), col("ve"))
+      .as[(Int, Long, Seq[Double])]
+      .groupByKey(_._1)
+    val cands = gRows.cogroup(bRows) { (_, git, bit) =>
+      val g = git.toArray.sortBy(_._2)
+      val b = bit.toArray.sortBy(_._2)
+      if (g.isEmpty && b.isEmpty) Iterator.empty
+      else {
+        val ids = g.map(_._3) ++ b.map(_._2)
+        val vecs = g.map(_._4.toArray) ++ b.map(r => NswKernel.normalize(r._3))
+        val adj = NswKernel.buildFrom(vecs, g.map(_._5.toArray), nswM, nswEfBuild)
+        NswKernel.serve(ids, vecs, adj, bProbes.value, nswEfSearch)
+      }
+    }.toDF("qid", "cid").persist()
+    graft.io.Sinks.dumpFixture(cands.select("qid", "cid"), "annnswup_cands")
+    val all = emb.unionByName(batch)
+    cands
+      .join(all.select(col("vec_id").as("qid"), col("ve").as("qe")), Seq("qid"))
+      .join(all.select(col("vec_id").as("cid"), col("ve").as("ce")), Seq("cid"))
       .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("sim"))
       .withColumn("rk",
         row_number().over(Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))))
@@ -1557,6 +1626,7 @@ object Similarity {
     "ann_ivf" -> annIvf,
     "ann_nsw" -> annNsw,
     "ann_nsw_serve" -> annNswServe,
+    "ann_nsw_upsert" -> annNswUpsert,
     "ann_nsw_recall" -> annNswRecall,
     "ann_hamming" -> annHamming,
     "dd_embcos" -> ddEmbCos,
@@ -1726,6 +1796,25 @@ object Similarity {
     "ann_ivf" -> annCandOracle("annivf_cands"),
     "ann_nsw" -> annCandOracle("annnsw_cands"),
     "ann_nsw_serve" -> annCandOracle("annnswserve_cands"),
+    // the ann_ivf_upsert oracle shape: batch vectors re-derived from
+    // the same x2 arithmetic, candidates scored over corpus ∪ batch
+    "ann_nsw_upsert" ->
+      s"""WITH p AS (SELECT qid, cid FROM read_parquet('/tmp/graft_fixtures/annnswup_cands/*.parquet')),
+         | base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | batch AS (SELECT vec_id + $upsertOffset AS vec_id,
+         |             list_transform(v, x -> x * 2.0) AS v
+         |           FROM base WHERE vec_id < $plantN),
+         | e AS (SELECT * FROM base UNION ALL SELECT * FROM batch),
+         | sims AS (
+         |  SELECT p.qid, p.cid,
+         |   list_dot_product(q.v, c.v)
+         |     / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+         |  FROM p JOIN e q ON q.vec_id = p.qid JOIN e c ON c.vec_id = p.cid),
+         | ranked AS (
+         |  SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+         |  FROM sims)
+         |SELECT qid, rk, cid, round(sim, 4) AS sim FROM ranked WHERE rk <= $kNeighbors
+         |ORDER BY qid, rk""".stripMargin,
     "ann_nsw_recall" -> annRecallOracle("annnsw_topk"),
     // END-TO-END twin, no fixture: quantizer, Hamming shortlist, and
     // exact rerank are all deterministic integer/IEEE algebra, so the

@@ -72,6 +72,7 @@ object ExplainDump {
     "gr_wcc_incr" -> "incremental CC: batch edges contract through the base labelling (two broadcast label joins), the star rounds run on the batch-sized quotient, labels compose by one comp-keyed join — the corpus never re-enters the loop",
     "dd_oph" -> "one-permutation MinHash: ONE FNV fold per shingle in the scan, per-bin mins, the OphDensify kernel on |docs| rows, band self-join with the broadcast hot-bucket anti-join + md5-star overflow path",
     "w18_attribution" -> "multi-touch attribution: clicks key on (user_id, epoch-day), purchases explode into 2 covering buckets — the j8 bucketized range join, no nested loop; struct-min/max first/last agg + a 25-key channel rollup in integer money",
+    "ann_nsw_upsert" -> "incremental graph maintenance: ONE cogroup of (persisted shards, batch) on the stored shard id — insertion + beam serve run inside the group, the persisted index never rewrites, rerank joins corpus ∪ batch vectors",
     "ann_nsw_serve" -> "persisted-graph NSW serve: the parquet graph re-groups by the STORED shard id, beam search runs per shard against broadcast probes, exact-cosine rerank joins vectors back — zero build work on the query path",
     "dd_ppjoin_capped" -> "df-capped prefix join: the width census broadcasts, hot prefixes anti-joined out BEFORE the pairwise join (collision lists bounded by the cap), overflow docs route through the linear md5-star aggregate — never copies × copies",
     "dq_tcloseness" -> "t-closeness audit: one user_id window family builds the profile, the (QI × sensitive-domain) cell grid comes from two broadcast relations (global distribution + one-row total), integer rule on a domain-bounded aggregate")
