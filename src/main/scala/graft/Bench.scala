@@ -148,7 +148,11 @@ object Bench {
           record(name, sec)
         } catch {
           case e: Throwable =>
+            // drop pass-1 entries from BOTH maps (ADVICE r15): a query
+            // that succeeds in pass 1 but fails in pass 2 must not leave
+            // orphan samples that contradict its presence under "failed"
             timings.remove(name)
+            samples.remove(name)
             failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
         }
         // per-query hygiene: drop caches persisted inside queries and
@@ -161,17 +165,25 @@ object Bench {
       }
     }
 
-    // Outlier confirmation (VERDICT r14 next §1): the r14 driver
-    // artifact recorded dd_lines_hashed at 16.95 s against a committed
-    // 1.41-1.66 s band — BOTH timed passes paid a compile/throttle tail,
-    // so min-across-passes alone could not absorb it. Any query whose
-    // min exceeds 3x its committed per-query reference (the previous
-    // definitive bench_details.json, read before this run overwrites
-    // it, and only when its sf matches) gets ONE decorrelated re-run
-    // at the end of the suite, and the re-run participates in the min.
+    // Outlier confirmation (VERDICT r14 next §1, tightened per VERDICT
+    // r15 wrong §1): the r14 driver artifact recorded dd_lines_hashed at
+    // 16.95 s against a committed 1.41-1.66 s band — BOTH timed passes
+    // paid a compile/throttle tail, so min-across-passes alone could not
+    // absorb it. Two triggers, each earning ONE decorrelated re-run at
+    // the end of the suite (the re-run participates in the min):
+    //   (a) min exceeds 2x its committed per-query reference (the
+    //       previous definitive bench_details.json, read before this run
+    //       overwrites it, only when its sf matches). r15's 3x trigger
+    //       let dd_embcos/dd_embcos_exact escape at 2.17x/2.99x while
+    //       the suite gate is 2x — the guard must be at least as strict
+    //       as the gate it protects.
+    //   (b) the query's own samples disagree by more than 2x (max/min),
+    //       with min above 1 s — a pass tail on a query with NO prior
+    //       reference (new this round) or with an inflated committed
+    //       reference still gets adjudicated by a third sample.
     // A genuine regression survives the re-run and stays in the
     // artifact — with its confirmation visible in the samples map. The
-    // re-run set is capped at 20 (ratio-desc) so a globally slow host
+    // re-run set is capped at 30 (ratio-desc) so a globally slow host
     // cannot double the run. SPARK_GRAFT_OUTLIER=0 disables.
     val detailsPath = sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_DETAILS", "/root/repo/bench_details.json")
@@ -179,7 +191,10 @@ object Bench {
       try {
         val txt = Files.readString(Paths.get(detailsPath))
         val sfRe = """"sf":\s*"((?:[^"\\]|\\.)*)"""".r
-        val qRe = """(?m)^\s*"((?:[^"\\]|\\.)*)":\s*([0-9.]+)\s*,?\s*$""".r
+        // value pattern accepts scientific notation (ADVICE r15): Scala
+        // formats sub-millisecond doubles as 1.0E-4, which [0-9.]+ could
+        // not match — such queries silently vanished from the reference
+        val qRe = """(?m)^\s*"((?:[^"\\]|\\.)*)":\s*([0-9.]+(?:[eE]-?[0-9]+)?)\s*,?\s*$""".r
         val priorSf = sfRe.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
         // per-query lines only exist inside the "queries" object; the
         // one-entry-per-line pretty format makes them line-parsable
@@ -195,9 +210,16 @@ object Bench {
         case Some((psf, m)) if psf == sfDir => m
         case _ => Map.empty[String, Double]
       }
-      val outliers = timings.toSeq.flatMap { case (n, t) =>
-        ref.get(n).filter(r => t > math.max(1.0, 3 * r)).map(r => (n, t / r))
-      }.sortBy(-_._2).take(20).map(_._1)
+      val vsRef = timings.toSeq.flatMap { case (n, t) =>
+        ref.get(n).filter(r => t > math.max(1.0, 2 * r)).map(r => (n, t / r))
+      }
+      val selfDisagree = timings.toSeq.flatMap { case (n, t) =>
+        val xs = samples.getOrElse(n, Nil)
+        if (xs.size >= 2 && t > 1.0 && xs.max > 2 * xs.min) Some((n, xs.max / xs.min))
+        else None
+      }
+      val outliers = (vsRef ++ selfDisagree.filterNot(x => vsRef.exists(_._1 == x._1)))
+        .sortBy(-_._2).take(30).map(_._1)
       if (outliers.nonEmpty)
         System.err.println(s"[bench] outlier re-run: ${outliers.mkString(",")}")
       outliers.foreach { name =>
@@ -205,8 +227,14 @@ object Bench {
           try {
             val t0 = System.nanoTime()
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            record(name, (System.nanoTime() - t0) / 1e9)
-            RoundClock.drain()
+            val sec = (System.nanoTime() - t0) / 1e9
+            // mirror the main-loop RoundClock logic (ADVICE r15): if the
+            // re-run sets the min, its rounds are the ones the artifact
+            // must carry, or the rounds map contradicts the reported time
+            val rs = RoundClock.drain()
+            if (sec < timings.getOrElse(name, Double.MaxValue) && rs.nonEmpty)
+              roundDetails(name) = rs
+            record(name, sec)
           } catch { case _: Throwable => }
           spark.sharedState.cacheManager.clearCache()
           spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))

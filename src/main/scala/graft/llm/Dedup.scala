@@ -279,6 +279,10 @@ object Dedup {
     ppjoinCollisions(pr)
 
   private val ddPpjoinCapped: Q = (s, d) => {
+    // NOTE (ADVICE r15): the DuckDB twin interpolates
+    // ppjoinDfCapDefault at build time, so the hash gate is only valid
+    // at the DEFAULT cap — graft.ppjoin.dfCap is a deployment knob for
+    // uncertified runs (PpjoinCapSpec covers non-default caps).
     val cap = s.conf.getOption("graft.ppjoin.dfCap")
       .map(_.toInt).getOrElse(ppjoinDfCapDefault)
     val docs = viralDocs(s, d).persist() // shingle pass + the md5 star pass
@@ -2369,7 +2373,7 @@ object Dedup {
          |         WHERE o.pos < s.sz - (9 * s.sz + 9) // 10 + 1),
          | wid AS (SELECT h, count(*) AS w FROM pre GROUP BY h),
          | cold AS (SELECT p.doc_id, p.h, p.pos, p.sz
-         |          FROM pre p JOIN wid USING (h) WHERE wid.w <= 16),
+         |          FROM pre p JOIN wid USING (h) WHERE wid.w <= $ppjoinDfCapDefault),
          | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |          FROM cold a JOIN cold b ON a.h = b.h AND a.doc_id < b.doc_id
          |           AND least(a.sz, b.sz) * 10 >= greatest(a.sz, b.sz) * 9
@@ -2384,7 +2388,7 @@ object Dedup {
          | vpairs AS (SELECT doc_a, doc_b, round(j, 4) AS jaccard
          |            FROM ver WHERE j >= 0.9),
          | overdocs AS (SELECT DISTINCT p.doc_id
-         |              FROM pre p JOIN wid USING (h) WHERE wid.w > 16),
+         |              FROM pre p JOIN wid USING (h) WHERE wid.w > $ppjoinDfCapDefault),
          | star0 AS (SELECT o.doc_id, md5(t0.text) AS mh
          |           FROM overdocs o JOIN t0 USING (doc_id)),
          | hub AS (SELECT mh, min(doc_id) AS hub_id FROM star0 GROUP BY mh),

@@ -314,6 +314,12 @@ object Similarity {
     ensureIvfIndex(s, d)
   private[graft] def upsertConsts: (Long, Long, Int, Int, Int) =
     (plantN.toLong, upsertOffset, nProbes, ivfNProbe, kNeighbors)
+  /** NSW engine tuning (shards, M, efBuild, efSearch) for specs
+    * (ADVICE r15: NswUpsertSpec re-declared these as literals, so an
+    * engine retune would silently leave its independent rebuild
+    * asserting stale parameters). */
+  private[graft] def nswTuning: (Int, Int, Int, Int) =
+    (nswShards, nswM, nswEfBuild, nswEfSearch)
 
   /** IVF approximate top-k over the PERSISTED index: each probe ranks
     * the 16 stored centroids (an 80-row cross join — the quantizer, not
@@ -752,7 +758,20 @@ object Similarity {
       if (n > 0) a.map(_ / n) else a
     }
     def beam(vecs: Array[Array[Double]], adj: Int => scala.collection.Seq[Int],
-             q: Array[Double], ef: Int, upTo: Int): Array[(Double, Int)] = {
+             q: Array[Double], ef: Int, upTo: Int): Array[(Double, Int)] =
+      beamLive(vecs, adj, q, ef, upTo, _ => true)
+
+    /** Beam search with a liveness predicate — the mark-delete serve
+      * (the HNSW/FAISS deleted-docs convention): a TOMBSTONED node is
+      * still EXPANDED (it routes the search — hard-removing it would
+      * sever the paths its insertion created) but never enters the
+      * result ring, so the ef best LIVE nodes come back. With
+      * `live = _ => true` this is byte-identical to the plain beam —
+      * same visits, same ring, same ties — so the existing
+      * build/serve/upsert gates are untouched by construction. */
+    def beamLive(vecs: Array[Array[Double]], adj: Int => scala.collection.Seq[Int],
+                 q: Array[Double], ef: Int, upTo: Int,
+                 live: Int => Boolean): Array[(Double, Int)] = {
       def d(i: Int): Double = {
         val v = vecs(i); var s = 0.0; var k = 0
         while (k < v.length) { s += q(k) * v(k); k += 1 }
@@ -762,7 +781,7 @@ object Similarity {
       val cand = scala.collection.mutable.PriorityQueue.empty(ord.reverse)
       val res = scala.collection.mutable.PriorityQueue.empty(ord)
       val e = (d(0), 0)
-      visited.set(0); cand.enqueue(e); res.enqueue(e)
+      visited.set(0); cand.enqueue(e); if (live(0)) res.enqueue(e)
       var done = false
       while (!done && cand.nonEmpty) {
         val c = cand.dequeue()
@@ -772,8 +791,11 @@ object Similarity {
             visited.set(nb)
             val x = (d(nb), nb)
             if (res.size < ef || ord.lt(x, res.head)) {
-              cand.enqueue(x); res.enqueue(x)
-              if (res.size > ef) res.dequeue()
+              cand.enqueue(x)
+              if (live(nb)) {
+                res.enqueue(x)
+                if (res.size > ef) res.dequeue()
+              }
             }
           }
         }
@@ -816,10 +838,17 @@ object Similarity {
     }
     def serve(ids: Array[Long], vecs: Array[Array[Double]], adj: Array[Array[Int]],
               probes: Array[(Long, Array[Double])], efS: Int): Iterator[(Long, Long)] =
+      serveLive(ids, vecs, adj, probes, efS, _ => true)
+
+    /** Serve with a per-vec_id liveness predicate (ann_nsw_delete):
+      * tombstoned nodes route but never surface. */
+    def serveLive(ids: Array[Long], vecs: Array[Array[Double]], adj: Array[Array[Int]],
+                  probes: Array[(Long, Array[Double])], efS: Int,
+                  liveId: Long => Boolean): Iterator[(Long, Long)] =
       probes.iterator.flatMap { case (qid, qv) =>
-        beam(vecs,
+        beamLive(vecs,
           p => scala.collection.immutable.ArraySeq.unsafeWrapArray(adj(p)),
-          qv, efS, vecs.length).iterator
+          qv, efS, vecs.length, p => liveId(ids(p))).iterator
           .map { case (_, node) => (qid, ids(node)) }
           .filter(_._2 != qid)
       }
@@ -1099,6 +1128,55 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
+  /** Tombstoned deletes for the persisted NSW graph (VERDICT r15 next
+    * §3 — IVF had the full build/serve/upsert/delete lifecycle, NSW
+    * lacked delete, so a production NSW index could not retire vectors
+    * without a rebuild). Same delete semantics as [[annIvfDelete]]:
+    * the tombstone set is [[isTombstoned]] (every third planted id —
+    * ids that seeded near-dup neighborhoods, so their removal MUST
+    * change top-k membership), deletion is O(1) metadata, the
+    * persisted graph files are untouched. The GRAPH twist: a
+    * tombstoned node cannot simply be anti-joined out — its edges
+    * carry the beam search (hard-removing a node severs the paths its
+    * insertion created and strands its neighborhood), so the serve
+    * marks it dead instead: [[NswKernel.beamLive]] still EXPANDS dead
+    * nodes (routing) but excludes them from the result ring — the
+    * HNSW/Lucene mark-delete convention, physical reclaim deferred to
+    * the next rebuild/compaction. Gate: the annCandOracle fixture
+    * pattern with the tombstone predicate RE-APPLIED on the DuckDB
+    * side (the ann_ivf_delete oracle shape) — an engine leak of a
+    * deleted id turns the row sets unequal; NswDeleteSpec pins
+    * soundness, membership change, and exact top-k equality with a
+    * from-scratch rebuild over the live vectors. */
+  private val annNswDelete: Q = (s, d) => {
+    import s.implicits._
+    val idx = ensureNswIndex(s, d)
+    val emb = table(s, d, "embeddings").select(col("vec_id"), asDouble.as("ve"))
+    val bProbes = nswProbes(s, emb)
+    val cands = s.read.parquet(s"$idx/graph")
+      .select(col("shard"), col("pos"), col("vec_id"), col("ven"), col("adj"))
+      .as[(Int, Int, Long, Seq[Double], Seq[Int])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray.sortBy(_._2) // insertion order
+        val ids = rows.map(_._3)
+        val vecs = rows.map(_._4.toArray)
+        val adj = rows.map(_._5.toArray)
+        NswKernel.serveLive(ids, vecs, adj, bProbes.value, nswEfSearch,
+          id => !tombstonedId(id))
+      }.toDF("qid", "cid").persist()
+    graft.io.Sinks.dumpFixture(cands, "annnswdel_cands")
+    cands
+      .join(emb.select(col("vec_id").as("qid"), col("ve").as("qe")), Seq("qid"))
+      .join(emb.select(col("vec_id").as("cid"), col("ve").as("ce")), Seq("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("sim"))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))))
+      .filter(col("rk") <= kNeighbors)
+      .select(col("qid"), col("rk"), col("cid"), dround(col("sim"), 4).as("sim"))
+      .orderBy("qid", "rk")
+  }
+
   private val annPqRecall: Q = annRecall(annPq, "annpq_topk")
   private val annIvfPqRecall: Q = annRecall(annIvfPq, "annivfpq_topk")
   private val annNswRecall: Q = annRecall(annNsw, "annnsw_topk")
@@ -1297,6 +1375,11 @@ object Similarity {
   // -------------------------------------------------------------------
   private[llm] def isTombstoned(id: Column): Column =
     id < plantN && id % 3 === 0
+  /** Scalar twin of [[isTombstoned]] for the in-kernel NSW serve —
+    * one predicate definition in two evaluation regimes, asserted
+    * consistent in NswDeleteSpec. */
+  private[llm] def tombstonedId(id: Long): Boolean =
+    id < plantN && id % 3 == 0
 
   private val annIvfDelete: Q = (s, d) => {
     val idx = ensureIvfIndex(s, d)
@@ -1627,6 +1710,7 @@ object Similarity {
     "ann_nsw" -> annNsw,
     "ann_nsw_serve" -> annNswServe,
     "ann_nsw_upsert" -> annNswUpsert,
+    "ann_nsw_delete" -> annNswDelete,
     "ann_nsw_recall" -> annNswRecall,
     "ann_hamming" -> annHamming,
     "dd_embcos" -> ddEmbCos,
@@ -1872,6 +1956,24 @@ object Similarity {
     // row entirely — a row-set mismatch, not a near-miss.
     "ann_ivf_delete" ->
       s"""WITH p AS (SELECT qid, cid FROM read_parquet('/tmp/graft_fixtures/annivfdel_cands/*.parquet')
+         |           WHERE NOT (cid < $plantN AND cid % 3 = 0)),
+         | e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | sims AS (
+         |  SELECT p.qid, p.cid,
+         |   list_dot_product(q.v, c.v)
+         |     / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+         |  FROM p JOIN e q ON q.vec_id = p.qid JOIN e c ON c.vec_id = p.cid),
+         | ranked AS (
+         |  SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+         |  FROM sims)
+         |SELECT qid, rk, cid, round(sim, 4) AS sim FROM ranked WHERE rk <= $kNeighbors
+         |ORDER BY qid, rk""".stripMargin,
+    // NSW mark-delete twin — the ann_ivf_delete oracle shape over the
+    // NSW fixture: the tombstone predicate is RE-APPLIED to the served
+    // candidates, so a dead id leaking through the liveness ring turns
+    // the row sets unequal, not just a value off.
+    "ann_nsw_delete" ->
+      s"""WITH p AS (SELECT qid, cid FROM read_parquet('/tmp/graft_fixtures/annnswdel_cands/*.parquet')
          |           WHERE NOT (cid < $plantN AND cid % 3 = 0)),
          | e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          | sims AS (

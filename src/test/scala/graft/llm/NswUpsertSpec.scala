@@ -17,13 +17,11 @@ import graft.TestSpark
 class NswUpsertSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
-  private val shards = 8
-  private val m = 8
-  private val efB = 32
-  private val efS = 32
-  private val plantN = 64
-  private val upsertOffset = 2000000L
-  private val nProbes = 5
+  // engine constants read THROUGH the engine (ADVICE r15): a retune of
+  // the NSW parameters or the plant must retune this rebuild with it
+  private val (shards, m, efB, efS) = Similarity.nswTuning
+  private val (plantNL, upsertOffset, nProbes, _, _) = Similarity.upsertConsts
+  private val plantN = plantNL
 
   private lazy val served = Similarity.queries("ann_nsw_upsert")(spark, sf).collect()
 
