@@ -43,6 +43,52 @@ object KernelProps extends Properties("kernel") {
       }
     }
 
+  // ---- dense-output drift envelope on closed-form LQR-style systems ----
+  //
+  // VERDICT r15 next §5: the YAP fixtures tolerate solver output through
+  // round(…, 2), so integrator drift — step accumulation AND the quartic
+  // dense-interpolation error between step ends — must stay pinned or it
+  // could silently grow past that tolerance. Random spiral systems
+  // y' = [[a,-b],[b,a]] y have the closed form
+  // e^{at}·R(bt)·y0 (R = rotation), so the TRUE state is known at every
+  // dense-grid point; horizons sweep 1–40 s and every evaluation point
+  // lands strictly inside a step (0.1 spacing, the YAP frame grid), so
+  // the interpolation polynomial is exercised at every accepted step.
+  // Envelope: |err| ≤ C·rtol·scale·max(t,1) with C = 3 — measured worst
+  // over 200 instances × 6 horizons is C = 1.20 (tools scratch, round
+  // 16), so the margin is 2.5× while a tableau or interpolation-
+  // coefficient regression (wrong p/b/e row ⇒ order collapse) blows it
+  // by orders of magnitude.
+  private val spiralGen = for {
+    a <- Gen.choose(-1.0, 0.2)
+    b <- Gen.choose(-2.0, 2.0)
+    x0 <- Gen.choose(-2.0, 2.0)
+    y0 <- Gen.choose(-2.0, 2.0)
+    tf <- Gen.oneOf(1.0, 2.0, 5.0, 10.0, 20.0, 40.0)
+  } yield (a, b, Array(x0, y0), tf)
+
+  property("dense-output drift stays inside the 3*rtol*t envelope") =
+    forAll(spiralGen) { case (a, b, y0, tf) =>
+      val rtol = 1e-3
+      val atol = 1e-6
+      def rhs(t: Double, y: Array[Double], out: Array[Double]): Unit = {
+        out(0) = a * y(0) - b * y(1)
+        out(1) = b * y(0) + a * y(1)
+      }
+      val tEval = (1 to (tf * 10).toInt).map(_ * 0.1).toArray
+      val (ys, _) = RK45.integrate(rhs, 0.0, tf, y0, tEval, rtol, atol)
+      tEval.indices.forall { i =>
+        val t = tEval(i)
+        val g = math.exp(a * t)
+        val ct = math.cos(b * t); val st = math.sin(b * t)
+        val ex = g * (ct * y0(0) - st * y0(1))
+        val ey = g * (st * y0(0) + ct * y0(1))
+        val scale = atol / rtol + math.max(math.abs(ex), math.abs(ey))
+        val err = math.max(math.abs(ys(i)(0) - ex), math.abs(ys(i)(1) - ey))
+        err <= 3.0 * rtol * scale * math.max(t, 1.0)
+      }
+    }
+
   // ---- kernel emission invariants on randomized plays ----
   private val posGen = Gen.oneOf("CB", "FS", "DE", "MLB", "DT", "QB", "WR")
   private val playGen = for {
