@@ -259,6 +259,144 @@ object Multimodal {
     (w, h, frames.toArray)
   }
 
+  /** A REAL MJPEG RIFF/AVI payload — the COMPRESSED-codec face of the
+    * video path (VERDICT r15 next §7): same container discipline as
+    * [[encodeAvi]] but the stream is 'MJPG' (biCompression = 'MJPG')
+    * and every movi chunk is '00dc' carrying a self-contained baseline
+    * JFIF JPEG of the deterministic frame, produced by the in-house
+    * [[Jpeg]] encoder. MJPEG is the standard any AVI demuxer +
+    * baseline-JPEG decoder plays; decode below goes through ImageIO's
+    * OWN JPEG reader, so encoder and decoder are independent
+    * implementations meeting on the published bitstream format. */
+  private[llm] def encodeMjpegAvi(id: Long, w: Int, h: Int, nFrames: Int,
+      fps: Int = 10): Array[Byte] = {
+    val jpegs = Array.tabulate(nFrames) { f =>
+      val px = new Array[Int](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var c = 0
+          while (c < 3) { px((y * w + x) * 3 + c) = videoPixel(id, f, x, y, c); c += 1 }
+          x += 1
+        }
+        y += 1
+      }
+      Jpeg.encodeFrame(px, w, h)
+    }
+    val chunkSizes = jpegs.map(j => 8 + j.length + (j.length & 1)) // word-aligned
+    val maxFrame = jpegs.map(_.length).max
+    val moviSize = 4 + chunkSizes.sum
+    val idx1Size = nFrames * 16
+    val riffSize = 4 + (8 + 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))) +
+      (8 + moviSize) + (8 + idx1Size)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = buf.put(s.getBytes("US-ASCII"))
+    fourcc("RIFF"); buf.putInt(riffSize); fourcc("AVI ")
+    fourcc("LIST"); buf.putInt(4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40)))
+    fourcc("hdrl")
+    fourcc("avih"); buf.putInt(56)
+    buf.putInt(1000000 / fps)
+      .putInt(maxFrame * fps)
+      .putInt(0).putInt(0x10) // AVIF_HASINDEX
+      .putInt(nFrames).putInt(0).putInt(1)
+      .putInt(maxFrame).putInt(w).putInt(h)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); buf.putInt(4 + (8 + 56) + (8 + 40)); fourcc("strl")
+    fourcc("strh"); buf.putInt(56)
+    fourcc("vids"); fourcc("MJPG")
+    buf.putInt(0).putShort(0).putShort(0).putInt(0)
+      .putInt(1).putInt(fps)
+      .putInt(0).putInt(nFrames).putInt(maxFrame).putInt(-1).putInt(0)
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+    fourcc("strf"); buf.putInt(40)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+    fourcc("MJPG") // biCompression
+    buf.putInt(maxFrame).putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); buf.putInt(moviSize); fourcc("movi")
+    val frameOffsets = new Array[Int](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      frameOffsets(f) = buf.position() - 8
+      fourcc("00dc"); buf.putInt(jpegs(f).length)
+      buf.put(jpegs(f))
+      if ((jpegs(f).length & 1) == 1) buf.put(0.toByte) // word alignment
+      f += 1
+    }
+    fourcc("idx1"); buf.putInt(idx1Size)
+    f = 0
+    while (f < nFrames) {
+      fourcc("00dc"); buf.putInt(0x10)
+      buf.putInt(frameOffsets(f) - (frameOffsets(0) - 4))
+      buf.putInt(jpegs(f).length)
+      f += 1
+    }
+    buf.array()
+  }
+
+  /** REAL MJPEG decode: walk the RIFF container to the stream format
+    * (BITMAPINFOHEADER with biCompression = 'MJPG' required), demux
+    * the '00dc' chunks, and hand EACH chunk — a standalone baseline
+    * JPEG — to the JDK's own ImageIO JPEG codec. Returns top-down
+    * row-major RGB frames (the decodeAvi contract). */
+  private[llm] def decodeMjpegAvi(bytes: Array[Byte]): (Int, Int, Array[Array[Int]]) = {
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    require(fourcc() == "RIFF", "not a RIFF container")
+    buf.getInt
+    require(fourcc() == "AVI ", "not an AVI")
+    var w = 0; var h = 0
+    val frames = scala.collection.mutable.ArrayBuffer[Array[Int]]()
+    def walk(end: Int): Unit = {
+      while (buf.position() + 8 <= end) {
+        val id = fourcc()
+        val size = buf.getInt
+        val next = buf.position() + size + (size & 1)
+        id match {
+          case "LIST" =>
+            fourcc()
+            walk(next)
+          case "strf" =>
+            val p0 = buf.position()
+            require(buf.getInt == 40, "BITMAPINFOHEADER expected")
+            w = buf.getInt; h = buf.getInt
+            buf.getShort // planes
+            require(buf.getShort == 24, "24-bit expected")
+            require(fourcc() == "MJPG", "MJPG compression expected")
+            buf.position(p0)
+          case "00dc" =>
+            val img = ImageIO.read(
+              new ByteArrayInputStream(bytes, buf.position(), size))
+            require(img != null, "ImageIO could not decode the JPEG chunk")
+            require(img.getWidth == w && img.getHeight == h, "frame dims diverge from strf")
+            val px = new Array[Int](w * h * 3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val base = (y * w + x) * 3
+                px(base) = (rgb >> 16) & 0xff
+                px(base + 1) = (rgb >> 8) & 0xff
+                px(base + 2) = rgb & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            frames += px
+          case _ => ()
+        }
+        buf.position(next)
+      }
+    }
+    walk(bytes.length)
+    require(w > 0 && frames.nonEmpty, "no MJPEG stream found")
+    (w, h, frames.toArray)
+  }
+
   /** A real PNG payload over deterministic pixels: channel (x, y, c) of
     * image `id` is FNV("id:x:y:c") mod 256. PNG is lossless, so decoding
     * MUST reproduce exactly these values — the property the oracle
@@ -623,6 +761,20 @@ object Multimodal {
     })
   }
 
+  /** MJPEG demo corpus: 12 videos, widths 15–18 and height 12 (never a
+    * multiple of 8, so every frame exercises the MCU edge-replication
+    * padding), 4–8 frames each — same deterministic pixels as the DIB
+    * corpus, different codec. */
+  private[llm] def demoMediaMjpeg(spark: SparkSession, n: Int = 12): Dataset[Media] = {
+    import spark.implicits._
+    spark.createDataset((0 until n).map { i =>
+      val w = 15 + i % 4
+      val nFrames = 4 + i % 5
+      Media(i.toLong, "video", encodeMjpegAvi(i.toLong, w, 12, nFrames),
+        MediaMeta(w, 12, 0, nFrames))
+    })
+  }
+
   final case class SceneRow(media_id: Long, frame_idx: Int, sum_abs: Long,
       is_cut: Boolean, scene_id: Long)
 
@@ -735,6 +887,39 @@ object Multimodal {
     "mm_video_scenes" -> ((s, _) =>
       sceneCuts(s, demoMediaScenes(s)).toDF()
         .orderBy("media_id", "frame_idx")),
+    // COMPRESSED-codec video: MJPEG/AVI demuxed and every '00dc' chunk
+    // decoded by ImageIO's own JPEG reader (our encoder, the JDK's
+    // decoder — independent implementations meeting on the published
+    // bitstream). JPEG is lossy, so the gate is the fixture pattern:
+    // the DECODED pixels dump to /tmp/graft_fixtures/mjpeg_pixels and
+    // the oracle independently regenerates each pixel's SOURCE value
+    // from id arithmetic and replays the per-frame error aggregation —
+    // fanout, schema, and the error algebra are hash-gated, while the
+    // decode-fidelity claim itself (max_err ≤ the pinned tolerance on
+    // every frame) is MjpegSpec's, exactly like the ANN candidate
+    // gates split engine-specific content from oracle-checked algebra.
+    "mm_mjpeg_frames" -> ((s, _) => {
+      import s.implicits._
+      val rows = demoMediaMjpeg(s).mapPartitions(_.flatMap { m =>
+        val (w, h, frames) = decodeMjpegAvi(m.bytes)
+        frames.iterator.zipWithIndex.flatMap { case (px, f) =>
+          px.indices.iterator.map { j =>
+            val c = j % 3
+            val xy = j / 3
+            val x = xy % w
+            val y = xy / w
+            (m.media_id, f, x, y, c, px(j),
+              math.abs(px(j) - videoPixel(m.media_id, f, x, y, c)).toLong)
+          }
+        }
+      }).toDF("media_id", "frame_idx", "x", "y", "c", "v", "err").persist()
+      graft.io.Sinks.dumpFixture(
+        rows.select("media_id", "frame_idx", "x", "y", "c", "v"), "mjpeg_pixels")
+      rows.groupBy("media_id", "frame_idx")
+        .agg(count(lit(1)).as("n_px"), max(col("err")).as("max_err"),
+          graft.functions.Numeric.dround(avg(col("err")), 4).as("mean_err"))
+        .orderBy("media_id", "frame_idx")
+    }),
     // size contract (out bytes = out_w·out_h·3, independent of input
     // size) PLUS a content fingerprint: md5 over the hex of the raw RGB
     // payload — the oracle regenerates the SOURCE pixels from id
@@ -888,6 +1073,23 @@ object Multimodal {
       """SELECT kind, count(*) AS n, max(width) AS max_w, max(nFrames) AS max_frames
         |FROM read_parquet('/tmp/graft_fixtures/demo_media_meta/*.parquet')
         |GROUP BY kind ORDER BY kind""".stripMargin,
+    // MJPEG decode twin (the candidate-fixture split): GIVEN the
+    // decoded pixels the engine dumped, DuckDB regenerates each
+    // pixel's SOURCE value from the id arithmetic alone (never
+    // touching the JPEG bytes) and independently replays the
+    // per-frame error aggregation — a wrong fanout, a dropped frame,
+    // or drifted error algebra all hash-mismatch.
+    "mm_mjpeg_frames" ->
+      s"""WITH p AS (SELECT media_id, frame_idx, x, y, c, v
+         |           FROM read_parquet('/tmp/graft_fixtures/mjpeg_pixels/*.parquet')),
+         | e AS (SELECT media_id, frame_idx,
+         |   abs(v - (${TextHashes.fnvFoldSql(
+               "'v:' || media_id || ':' || frame_idx || ':' || x || ':' || y || ':' || c")} % 256))::BIGINT AS err
+         |  FROM p)
+         |SELECT media_id, frame_idx, count(*)::BIGINT AS n_px,
+         |  max(err) AS max_err, round(avg(err), 4) AS mean_err
+         |FROM e GROUP BY media_id, frame_idx
+         |ORDER BY media_id, frame_idx""".stripMargin,
     // sample-exact replay of the WAV decode + windowing: samples from
     // the id arithmetic (low 16 FNV bits, signed offset), windows of
     // 256, rms over the exact integer sum of squares, zero-crossings
