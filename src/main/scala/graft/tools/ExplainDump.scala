@@ -75,7 +75,9 @@ object ExplainDump {
     "ann_nsw_upsert" -> "incremental graph maintenance: ONE cogroup of (persisted shards, batch) on the stored shard id — insertion + beam serve run inside the group, the persisted index never rewrites, rerank joins corpus ∪ batch vectors",
     "ann_nsw_serve" -> "persisted-graph NSW serve: the parquet graph re-groups by the STORED shard id, beam search runs per shard against broadcast probes, exact-cosine rerank joins vectors back — zero build work on the query path",
     "dd_ppjoin_capped" -> "df-capped prefix join: the width census broadcasts, hot prefixes anti-joined out BEFORE the pairwise join (collision lists bounded by the cap), overflow docs route through the linear md5-star aggregate — never copies × copies",
-    "dq_tcloseness" -> "t-closeness audit: one user_id window family builds the profile, the (QI × sensitive-domain) cell grid comes from two broadcast relations (global distribution + one-row total), integer rule on a domain-bounded aggregate")
+    "dq_tcloseness" -> "t-closeness audit: one user_id window family builds the profile, the (QI × sensitive-domain) cell grid comes from two broadcast relations (global distribution + one-row total), integer rule on a domain-bounded aggregate",
+    "ann_nsw_delete" -> "tombstoned graph deletes: the persisted shards re-group by stored shard id, the mark-delete beam (dead nodes route, never surface) runs in-group, rerank joins live candidates only — no graph rewrite, no rebuild",
+    "mm_mjpeg_frames" -> "MJPEG decode audit: container demux + per-chunk ImageIO JPEG decode stay partition-local in one generator pass; the only exchange is the (media, frame)-keyed error aggregate over integer rows")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

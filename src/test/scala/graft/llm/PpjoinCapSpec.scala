@@ -15,7 +15,9 @@ import graft.TestSpark
 class PpjoinCapSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
-  private val cap = 16
+  // the engine's default — read THROUGH the engine (the NswUpsertSpec
+  // constants rule), so a retune retunes the independent replay too
+  private val cap = Dedup.ppjoinDfCapDefault
   private val tau = 0.9
 
   // independent replay: planted corpus -> distinct shingle-hash sets
@@ -81,6 +83,36 @@ class PpjoinCapSpec extends AnyFunSuite {
     val ct = components(truth).values.toSet
     val ce = components(emitted).values.toSet
     assert(ct == ce, "capped output merges or splits a truth component")
+  }
+
+  test("non-default caps work end to end: the knob changes the trade, soundly") {
+    // graft.ppjoin.dfCap is a deployment knob the hash gate can't cover
+    // (the DuckDB twin interpolates the default — ADVICE r15); pin the
+    // knob's semantics here instead. Effectively-uncapped (2^30): no
+    // prefix token is hot, so the full truth set — including the viral
+    // class's quadratic C(n/10, 2) pairs — is emitted exactly. A tight
+    // cap (4): still sound, and never emits MORE than the default cap
+    // (the trade is monotone in the cap).
+    def runAt(c: Int): Set[(Long, Long)] = {
+      spark.conf.set("graft.ppjoin.dfCap", c.toString)
+      try Dedup.queries("dd_ppjoin_capped")(spark, sf)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      finally spark.conf.unset("graft.ppjoin.dfCap")
+    }
+    val uncapped = runAt(1 << 30)
+    assert(uncapped == truth,
+      s"uncapped run is not the lossless join: only-engine ${(uncapped -- truth).take(3)}, " +
+        s"only-truth ${(truth -- uncapped).take(3)}")
+    val viralClass = sets.keys.count(_ % 10 == 3)
+    val viralPairs = truth.count { case (a, b) => a % 10 == 3 && b % 10 == 3 }
+    assert(viralPairs == viralClass.toLong * (viralClass - 1) / 2,
+      "the uncapped truth set must carry the full viral quadratic")
+    val tight = runAt(4)
+    assert((tight -- truth).isEmpty, "tight cap emitted a pair below tau")
+    assert(tight.size <= emitted.size,
+      s"cap 4 emitted ${tight.size} pairs > default cap's ${emitted.size}")
+    info(s"pairs: uncapped ${uncapped.size}, default-cap ${emitted.size}, cap-4 ${tight.size}")
   }
 
   test("the cap bites: uncapped prefix collision lists exceed it") {
