@@ -1177,6 +1177,63 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
+  /** The NSW maintenance features COMPOSED against one persisted graph
+    * — the ann_lifecycle discipline for the graph family: a batch
+    * UPSERTS into the persisted shards (the cogroup insert, no
+    * rebuild), the tombstone set DELETES at serve time (mark-delete
+    * beam: dead nodes route, never surface), and the enlarged live
+    * graph serves the probes with the family's exact-cosine rerank.
+    * The composition is falsifiable in a way the parts are not:
+    * probes 0 and 3 are themselves tombstoned, so their ORIGINAL
+    * vectors are unreachable — yet their freshly-upserted ×2 twins
+    * (ids + upsertOffset, outside the tombstone set) must still
+    * surface at rank 1 with cosine exactly 1.0, proving the insert
+    * reached every shard AND the delete didn't take the new arrivals
+    * with it (NswLifecycleSpec). Oracle: the upsert twin's batch
+    * derivation with the tombstone predicate re-applied to the
+    * fixture. */
+  private val annNswLifecycle: Q = (s, d) => {
+    import s.implicits._
+    val idx = ensureNswIndex(s, d)
+    val emb = table(s, d, "embeddings").select(col("vec_id"), asDouble.as("ve"))
+    val batch = emb.filter(col("vec_id") < plantN)
+      .select((col("vec_id") + upsertOffset).as("vec_id"),
+        transform(col("ve"), x => x * 2.0).as("ve"))
+    val bProbes = nswProbes(s, emb)
+    val gRows = s.read.parquet(s"$idx/graph")
+      .select(col("shard"), col("pos"), col("vec_id"), col("ven"), col("adj"))
+      .as[(Int, Int, Long, Seq[Double], Seq[Int])]
+      .groupByKey(_._1)
+    val bRows = batch
+      .select(pmod(hash(col("vec_id")), lit(nswShards)).cast("int").as("shard"),
+        col("vec_id"), col("ve"))
+      .as[(Int, Long, Seq[Double])]
+      .groupByKey(_._1)
+    val cands = gRows.cogroup(bRows) { (_, git, bit) =>
+      val g = git.toArray.sortBy(_._2)
+      val b = bit.toArray.sortBy(_._2)
+      if (g.isEmpty && b.isEmpty) Iterator.empty
+      else {
+        val ids = g.map(_._3) ++ b.map(_._2)
+        val vecs = g.map(_._4.toArray) ++ b.map(r => NswKernel.normalize(r._3))
+        val adj = NswKernel.buildFrom(vecs, g.map(_._5.toArray), nswM, nswEfBuild)
+        NswKernel.serveLive(ids, vecs, adj, bProbes.value, nswEfSearch,
+          id => !tombstonedId(id))
+      }
+    }.toDF("qid", "cid").persist()
+    graft.io.Sinks.dumpFixture(cands.select("qid", "cid"), "annnswlc_cands")
+    val all = emb.unionByName(batch)
+    cands
+      .join(all.select(col("vec_id").as("qid"), col("ve").as("qe")), Seq("qid"))
+      .join(all.select(col("vec_id").as("cid"), col("ve").as("ce")), Seq("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("sim"))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))))
+      .filter(col("rk") <= kNeighbors)
+      .select(col("qid"), col("rk"), col("cid"), dround(col("sim"), 4).as("sim"))
+      .orderBy("qid", "rk")
+  }
+
   private val annPqRecall: Q = annRecall(annPq, "annpq_topk")
   private val annIvfPqRecall: Q = annRecall(annIvfPq, "annivfpq_topk")
   private val annNswRecall: Q = annRecall(annNsw, "annnsw_topk")
@@ -1711,6 +1768,7 @@ object Similarity {
     "ann_nsw_serve" -> annNswServe,
     "ann_nsw_upsert" -> annNswUpsert,
     "ann_nsw_delete" -> annNswDelete,
+    "ann_nsw_lifecycle" -> annNswLifecycle,
     "ann_nsw_recall" -> annNswRecall,
     "ann_hamming" -> annHamming,
     "dd_embcos" -> ddEmbCos,
@@ -1884,6 +1942,27 @@ object Similarity {
     // the same x2 arithmetic, candidates scored over corpus ∪ batch
     "ann_nsw_upsert" ->
       s"""WITH p AS (SELECT qid, cid FROM read_parquet('/tmp/graft_fixtures/annnswup_cands/*.parquet')),
+         | base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | batch AS (SELECT vec_id + $upsertOffset AS vec_id,
+         |             list_transform(v, x -> x * 2.0) AS v
+         |           FROM base WHERE vec_id < $plantN),
+         | e AS (SELECT * FROM base UNION ALL SELECT * FROM batch),
+         | sims AS (
+         |  SELECT p.qid, p.cid,
+         |   list_dot_product(q.v, c.v)
+         |     / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+         |  FROM p JOIN e q ON q.vec_id = p.qid JOIN e c ON c.vec_id = p.cid),
+         | ranked AS (
+         |  SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+         |  FROM sims)
+         |SELECT qid, rk, cid, round(sim, 4) AS sim FROM ranked WHERE rk <= $kNeighbors
+         |ORDER BY qid, rk""".stripMargin,
+    // composed lifecycle twin: the upsert batch derivation with the
+    // tombstone predicate re-applied to the fixture candidates — a
+    // deleted id surfacing OR a missing twin both break the row sets
+    "ann_nsw_lifecycle" ->
+      s"""WITH p AS (SELECT qid, cid FROM read_parquet('/tmp/graft_fixtures/annnswlc_cands/*.parquet')
+         |           WHERE NOT (cid < $plantN AND cid % 3 = 0)),
          | base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          | batch AS (SELECT vec_id + $upsertOffset AS vec_id,
          |             list_transform(v, x -> x * 2.0) AS v
