@@ -956,6 +956,56 @@ object Similarity {
       }.toDF("qid", "cid")
   }
 
+  /** Streaming seams (st_nsw_upsert): the persisted base graph as a
+    * relation, the cogroup insert over an EXPLICIT graph relation
+    * (each micro-batch trigger calls this once — O(batch) insert work,
+    * the graph state accumulates), and beam-serve candidates over an
+    * explicit graph. Shared kernel with the batch paths, so the
+    * streamed graph is BY CONSTRUCTION the one-shot upsert's graph
+    * when batch ids arrive in id order across triggers (asserted in
+    * StNswUpsertSpec). */
+  private[graft] def nswBaseGraph(s: SparkSession, d: String): DataFrame = {
+    val idx = ensureNswIndex(s, d)
+    s.read.parquet(s"$idx/graph")
+  }
+
+  private[graft] def nswGraphInsert(s: SparkSession, graph: DataFrame,
+      batch: DataFrame): DataFrame = {
+    import s.implicits._
+    val gRows = graph.select(col("shard"), col("pos"), col("vec_id"), col("ven"), col("adj"))
+      .as[(Int, Int, Long, Seq[Double], Seq[Int])].groupByKey(_._1)
+    val bRows = batch
+      .select(pmod(hash(col("vec_id")), lit(nswShards)).cast("int").as("shard"),
+        col("vec_id"), col("ve"))
+      .as[(Int, Long, Seq[Double])].groupByKey(_._1)
+    gRows.cogroup(bRows) { (shard, git, bit) =>
+      val g = git.toArray.sortBy(_._2)
+      val b = bit.toArray.sortBy(_._2)
+      if (g.isEmpty && b.isEmpty) Iterator.empty
+      else {
+        val ids = g.map(_._3) ++ b.map(_._2)
+        val vecs = g.map(_._4.toArray) ++ b.map(r => NswKernel.normalize(r._3))
+        val adj = NswKernel.buildFrom(vecs, g.map(_._5.toArray), nswM, nswEfBuild)
+        ids.indices.iterator.map(p => (shard, p, ids(p), vecs(p).toSeq, adj(p).toSeq))
+      }
+    }.toDF("shard", "pos", "vec_id", "ven", "adj")
+  }
+
+  private[graft] def nswServeCandsOn(s: SparkSession, d: String,
+      graph: DataFrame, efS: Int = nswEfSearch): DataFrame = {
+    import s.implicits._
+    val emb = table(s, d, "embeddings").select(col("vec_id"), asDouble.as("ve"))
+    val bProbes = nswProbes(s, emb)
+    graph.select(col("shard"), col("pos"), col("vec_id"), col("ven"), col("adj"))
+      .as[(Int, Int, Long, Seq[Double], Seq[Int])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        NswKernel.serve(rows.map(_._3), rows.map(_._4.toArray),
+          rows.map(_._5.toArray), bProbes.value, efS)
+      }.toDF("qid", "cid")
+  }
+
   /** Graph-ANN top-k: beam-searched per-shard candidates, exact-cosine
     * re-rank. Same gate as the other ANN methods: the candidate set is
     * engine-specific, but GIVEN the dumped fixture the scoring and
@@ -1232,6 +1282,60 @@ object Similarity {
       .filter(col("rk") <= kNeighbors)
       .select(col("qid"), col("rk"), col("cid"), dround(col("sim"), 4).as("sim"))
       .orderBy("qid", "rk")
+  }
+
+  // -------------------------------------------------------------------
+  // ann_nsw_tune: the recall-vs-efSearch operating table for the GRAPH
+  // family — ann_tune's discipline applied to the persisted NSW index:
+  // serve the SAME probes through the SAME persisted graphs at ef ∈
+  // {1, 2, 4, 8, 32} and report served top-k volume + recall against
+  // the exact baseline per setting. The sweep is MEASURED to span the
+  // curve's knee on this corpus (sf0.01: ef=1 → 0.27, 2 → 0.40,
+  // 4 → 0.73, 6 → 0.93, 8 → 1.0 — an {8,16,32,64} sweep would gate a
+  // flat 1.0 line, the r3 cannot-fail lesson), ending at the tuned
+  // serving default (nswEfSearch = 32). Beam cost per probe is
+  // shards × ef distance evaluations (the analytically-priced knob,
+  // independent of table size), so this table is exactly the
+  // latency/recall curve a serving team sweeps before pinning ef. The
+  // build is read once (build-once/serve-many); fixtures per setting
+  // feed the ann_tune oracle shape. NswTuneSpec pins the measured
+  // floors and the moving low end.
+  // -------------------------------------------------------------------
+  private[llm] val nswTuneEfs = Seq(1, 2, 4, 8, 32)
+
+  /** Serve the persisted graph at an explicit beam width — candidates
+    * re-ranked by exact cosine and cut to kNeighbors. */
+  private def nswServeTopkAt(s: SparkSession, d: String, graph: DataFrame,
+      ef: Int): DataFrame = {
+    val emb = table(s, d, "embeddings").select(col("vec_id"), asDouble.as("ve"))
+    nswServeCandsOn(s, d, graph, ef)
+      .join(emb.select(col("vec_id").as("qid"), col("ve").as("qe")), Seq("qid"))
+      .join(emb.select(col("vec_id").as("cid"), col("ve").as("ce")), Seq("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))))
+      .filter(col("rk") <= kNeighbors)
+      .select("qid", "cid")
+  }
+
+  private val annNswTune: Q = (s, d) => {
+    val exact = knnCosine(s, d).select("qid", "cid").persist()
+    val nExact = exact.count()
+    val graph = nswBaseGraph(s, d)
+    val counted = nswTuneEfs.map { ef =>
+      val served = nswServeTopkAt(s, d, graph, ef).persist()
+      graft.io.Sinks.dumpFixture(served, s"annnswtune_$ef")
+      val nServed = served.count()
+      val hits = exact.join(served, Seq("qid", "cid"), "left_semi").count()
+      served.unpersist()
+      (ef.toLong, nServed, nExact, hits)
+    }
+    exact.unpersist()
+    import s.implicits._
+    counted.toDF("ef_search", "n_served", "n_exact", "hits")
+      .select(col("ef_search"), col("n_served"), col("n_exact"), col("hits"),
+        dround(col("hits").cast("double") / col("n_exact"), 4).as("recall"))
+      .orderBy("ef_search")
   }
 
   private val annPqRecall: Q = annRecall(annPq, "annpq_topk")
@@ -1769,6 +1873,7 @@ object Similarity {
     "ann_nsw_upsert" -> annNswUpsert,
     "ann_nsw_delete" -> annNswDelete,
     "ann_nsw_lifecycle" -> annNswLifecycle,
+    "ann_nsw_tune" -> annNswTune,
     "ann_nsw_recall" -> annNswRecall,
     "ann_hamming" -> annHamming,
     "dd_embcos" -> ddEmbCos,
@@ -2126,6 +2231,34 @@ object Similarity {
            |   / (SELECT count(*) FROM ex), 4) AS recall""".stripMargin
       }
       s"$ex\nSELECT * FROM (${blocks.mkString(" UNION ALL ")}) ORDER BY n_probe"
+    },
+    // per-ef recall re-derived from the per-setting top-k fixtures and
+    // the from-scratch exact baseline — the ann_tune twin for the
+    // graph family's beam-width knob
+    "ann_nsw_tune" -> {
+      val ex =
+        s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+           |           FROM embeddings WHERE vec_id < $nProbes),
+           | c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings),
+           | sims AS (
+           |  SELECT q.qid, c.cid,
+           |   list_dot_product(q.qe, c.ce)
+           |     / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.ce, c.ce))) AS sim
+           |  FROM q CROSS JOIN c WHERE q.qid <> c.cid),
+           | ranked AS (
+           |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+           |  FROM sims),
+           | ex AS MATERIALIZED (SELECT qid, cid FROM ranked WHERE rk <= $kNeighbors)""".stripMargin
+      val blocks = nswTuneEfs.map { ef =>
+        val fx = s"read_parquet('/tmp/graft_fixtures/annnswtune_$ef/*.parquet')"
+        s"""SELECT CAST($ef AS BIGINT) AS ef_search,
+           | (SELECT count(*) FROM $fx) AS n_served,
+           | (SELECT count(*) FROM ex) AS n_exact,
+           | (SELECT count(*) FROM ex JOIN $fx p USING (qid, cid)) AS hits,
+           | round((SELECT count(*) FROM ex JOIN $fx p USING (qid, cid))::DOUBLE
+           |   / (SELECT count(*) FROM ex), 4) AS recall""".stripMargin
+      }
+      s"$ex\nSELECT * FROM (${blocks.mkString(" UNION ALL ")}) ORDER BY ef_search"
     },
     // composed-lifecycle twin: twins re-derived from the ×2
     // arithmetic; tombstone AND label predicates re-applied to the

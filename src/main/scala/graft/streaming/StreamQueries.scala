@@ -658,6 +658,90 @@ object StreamQueries {
       .orderBy("qid", "rk")
   }
 
+  /** Streaming GRAPH-index maintenance under the gate (the NSW face of
+    * st_ann_upsert): vector ingest arrives as micro-batches; each
+    * trigger cogroup-INSERTS its batch into the live per-shard NSW
+    * graphs (O(batch) insert work — the persisted base is copied once
+    * and the graph state accumulates across triggers, versioned so a
+    * reader never races a writer), and the final enlarged graph serves
+    * the probes with the family's exact-cosine rerank. Because batch
+    * ids arrive in id order across triggers, sequential insertion
+    * yields BY CONSTRUCTION the one-shot ann_nsw_upsert graph —
+    * StNswUpsertSpec asserts candidate-set equality with that gate's
+    * fixture, and the ×2 twins (half upserted in trigger 1, half in
+    * trigger 2) must each surface at rank 1 at cosine exactly 1.0.
+    * Oracle: the ann_nsw_upsert candidate-fixture twin over this
+    * gate's own fixture. */
+  private val stNswUpsert: Q = (parent, d) => {
+    val s = scoped(parent)
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.expressions.Window
+    val (plantN, upsertOffset, _, _, kNeighbors) =
+      graft.llm.Similarity.upsertConsts
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.ArrayFns.vecDot(a, b)
+    def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    val batchRows = cachedRows(d, "nswup") {
+      graft.io.Sources.table(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+        .filter(col("vec_id") < plantN)
+        .select((col("vec_id") + upsertOffset).as("vec_id"),
+          transform(col("ve"), x => x * 2.0).as("ve"))
+        .as[VecRow].collect().sortBy(_.vec_id)
+    }
+    val root = s"$pidRoot/stnswup"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    graft.llm.Similarity.nswBaseGraph(s, d)
+      .write.mode("overwrite").parquet(s"$root/live_0")
+    val ver = new java.util.concurrent.atomic.AtomicInteger(0)
+    val source = MemoryStream[VecRow]
+    val name = s"st_nsw_upsert_${seq.incrementAndGet()}"
+    val q = source.toDS().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[VecRow], _: Long) =>
+        val rows = df.toDF().select(col("vec_id"), col("ve"))
+        if (!rows.isEmpty) {
+          val cur = ver.get()
+          val next = graft.llm.Similarity.nswGraphInsert(
+            s, s.read.parquet(s"$root/live_$cur"), rows)
+          next.write.mode("overwrite").parquet(s"$root/live_${cur + 1}")
+          ver.set(cur + 1)
+        }
+      }
+      .option("checkpointLocation", ckpt(name)).start()
+    try {
+      val half = math.max(1, (batchRows.length + 1) / 2)
+      source.addData(batchRows.take(half).toIndexedSeq)
+      q.processAllAvailable()
+      source.addData(batchRows.drop(half).toIndexedSeq)
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      dropCkpt(name)
+    }
+    require(ver.get() == 2, s"expected 2 insert triggers, saw ${ver.get()}")
+    val finalGraph = s.read.parquet(s"$root/live_${ver.get()}")
+    val cands = graft.llm.Similarity.nswServeCandsOn(s, d, finalGraph).persist()
+    graft.io.Sinks.dumpFixture(cands.select("qid", "cid"), "stnswup_cands")
+    val emb = graft.io.Sources.table(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+    val all = emb.unionByName(
+      emb.filter(col("vec_id") < plantN)
+        .select((col("vec_id") + upsertOffset).as("vec_id"),
+          transform(col("ve"), x => x * 2.0).as("ve")))
+    cands
+      .join(all.select(col("vec_id").as("qid"), col("ve").as("qe")), Seq("qid"))
+      .join(all.select(col("vec_id").as("cid"), col("ve").as("ce")), Seq("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))))
+      .filter(col("rk") <= kNeighbors)
+      .select(col("qid"), col("rk"), col("cid"),
+        graft.functions.Numeric.dround(col("sim"), 4).as("sim"))
+      .orderBy("qid", "rk")
+  }
+
   /** Stream-static broadcast enrichment under the gate: the J5 bounds
     * dim joined into every micro-batch (stateless — per-trigger cost is
     * batch × hash probe, zero streaming state), across two batches.
@@ -1449,6 +1533,7 @@ object StreamQueries {
     "st_enrich" -> stEnrich,
     "st_enrich_file" -> stEnrichFile,
     "st_ann_upsert" -> stAnnUpsert,
+    "st_nsw_upsert" -> stNswUpsert,
     "st_kmeans" -> stKmeans,
     "st_drift" -> stDrift,
     "st_anomaly" -> stAnomaly,
@@ -1548,6 +1633,28 @@ object StreamQueries {
     "st_ann_upsert" -> {
       val (plantN, upsertOffset, _, _, kNeighbors) = graft.llm.Similarity.upsertConsts
       s"""WITH p AS (SELECT qid, cid FROM read_parquet('/tmp/graft_fixtures/stannup_cands/*.parquet')),
+         | base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | batch AS (SELECT vec_id + $upsertOffset AS vec_id,
+         |             list_transform(v, x -> x * 2.0) AS v
+         |           FROM base WHERE vec_id < $plantN),
+         | e AS (SELECT * FROM base UNION ALL SELECT * FROM batch),
+         | sims AS (
+         |  SELECT p.qid, p.cid,
+         |   list_dot_product(q.v, c.v)
+         |     / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+         |  FROM p JOIN e q ON q.vec_id = p.qid JOIN e c ON c.vec_id = p.cid),
+         | ranked AS (
+         |  SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+         |  FROM sims)
+         |SELECT qid, rk, cid, round(sim, 4) AS sim FROM ranked WHERE rk <= $kNeighbors
+         |ORDER BY qid, rk""".stripMargin
+    },
+    // the ann_nsw_upsert batch-derivation twin over the streamed
+    // gate's own fixture (scoring + ranking hash-gated; the streamed-
+    // equals-one-shot graph claim is StNswUpsertSpec's)
+    "st_nsw_upsert" -> {
+      val (plantN, upsertOffset, _, _, kNeighbors) = graft.llm.Similarity.upsertConsts
+      s"""WITH p AS (SELECT qid, cid FROM read_parquet('/tmp/graft_fixtures/stnswup_cands/*.parquet')),
          | base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          | batch AS (SELECT vec_id + $upsertOffset AS vec_id,
          |             list_transform(v, x -> x * 2.0) AS v

@@ -77,7 +77,8 @@ object ExplainDump {
     "dd_ppjoin_capped" -> "df-capped prefix join: the width census broadcasts, hot prefixes anti-joined out BEFORE the pairwise join (collision lists bounded by the cap), overflow docs route through the linear md5-star aggregate — never copies × copies",
     "dq_tcloseness" -> "t-closeness audit: one user_id window family builds the profile, the (QI × sensitive-domain) cell grid comes from two broadcast relations (global distribution + one-row total), integer rule on a domain-bounded aggregate",
     "ann_nsw_delete" -> "tombstoned graph deletes: the persisted shards re-group by stored shard id, the mark-delete beam (dead nodes route, never surface) runs in-group, rerank joins live candidates only — no graph rewrite, no rebuild",
-    "mm_mjpeg_frames" -> "MJPEG decode audit: container demux + per-chunk ImageIO JPEG decode stay partition-local in one generator pass; the only exchange is the (media, frame)-keyed error aggregate over integer rows")
+    "mm_mjpeg_frames" -> "MJPEG decode audit: container demux + per-chunk ImageIO JPEG decode stay partition-local in one generator pass; the only exchange is the (media, frame)-keyed error aggregate over integer rows",
+    "ann_nsw_lifecycle" -> "composed graph maintenance: ONE cogroup of (persisted shards, upsert batch) on the stored shard id, mark-delete beam serves in-group (dead nodes route, never surface), rerank joins corpus ∪ batch — no rebuild, no second exchange")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
