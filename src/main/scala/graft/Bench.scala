@@ -42,17 +42,51 @@ object Bench {
     // nothing and benches the full suite).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
 
-    // Setup, NOT timed: the bucketed season table is built here
-    // explicitly so the exchange-free query times the same plan whether
-    // or not a warmup pass ran (VERDICT r4 wrong §2 — first-touch builds
-    // made its cost order-dependent). Skipped when an isolation
-    // selection contains no bucketed-season query — a micro-bench of an
-    // unrelated query should not pay the season kernel build.
+    // Prestage, NOT timed as queries (VERDICT r4 wrong §2; widened per
+    // VERDICT r16 next §3): every persisted on-disk artifact a gated
+    // query lazily builds on first touch — bucketed tables, the dedup
+    // index, the four ANN indexes, the snapshot base, the stored MV —
+    // is materialized HERE, per-artifact timed, and priced on its own
+    // line (`index_build_secs` in the headline JSON, the `prestage`
+    // map in bench_details). Runs regardless of SPARK_GRAFT_WARMUP, so
+    // a fresh host's pass 1 never pays an 80 s build inside a 5 s
+    // query's timing and the build cost stays visible instead of
+    // vanishing into warmup. Each stage is skipped when an isolation
+    // selection contains no query it serves — a micro-bench of an
+    // unrelated query should not pay the build.
     SparkEntry.queries // force object init before timing anything
-    if (only.forall(_.exists(_.contains("season_bucketed"))))
-      pipelines.NflQueries.ensureSeasonBucketed(spark)
-    if (only.forall(_.exists(_.contains("pagerank_bucketed"))))
-      ops.Graph.ensurePrEdgesBucketed(spark, sfDir)
+    val prestage = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def stage(idx: String)(serves: String => Boolean)(build: => Unit): Unit =
+      if (only.forall(_.exists(serves))) {
+        val t0 = System.nanoTime()
+        try build catch {
+          case e: Throwable => System.err.println(
+            s"[bench] prestage $idx failed: ${Option(e.getMessage).getOrElse(e.getClass.getName)}")
+        }
+        prestage(idx) = (System.nanoTime() - t0) / 1e9
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      }
+    stage("season_bucketed")(_.contains("season_bucketed"))(
+      pipelines.NflQueries.ensureSeasonBucketed(spark))
+    stage("pr_edges_bucketed")(_.contains("pagerank_bucketed"))(
+      ops.Graph.ensurePrEdgesBucketed(spark, sfDir))
+    stage("dedup_index")(Set("dd_incremental", "dd_cdc_incr",
+      "dd_substr_incr", "st_substr", "st_dedup_indexed"))(
+      llm.Dedup.ensureDedupIndexFor(spark, sfDir))
+    stage("ivf_index")(n => n.startsWith("ann_") && !n.startsWith("ann_nsw"))(
+      llm.Similarity.ensureIvfIndexFor(spark, sfDir))
+    stage("pq_index")(n => n.startsWith("ann_") && n.contains("pq"))(
+      llm.Similarity.ensurePqIndexFor(spark, sfDir))
+    stage("ivf_pq_index")(_.startsWith("ann_ivf_pq"))(
+      llm.Similarity.ensureIvfPqIndexFor(spark, sfDir))
+    stage("nsw_index")(n => n.startsWith("ann_nsw") || n == "st_nsw_upsert")(
+      llm.Similarity.ensureNswIndexFor(spark, sfDir))
+    stage("fs_table")(_.startsWith("fs_"))(
+      ops.Snapshot.ensureTable(spark, sfDir))
+    stage("mv_base")(_.startsWith("mv_"))(
+      ops.Materialized.ensureMvFor(spark, sfDir))
+    val indexBuildSecs = math.rint(prestage.values.sum * 10000) / 10000
     def selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
 
@@ -215,7 +249,13 @@ object Bench {
       }
       val selfDisagree = timings.toSeq.flatMap { case (n, t) =>
         val xs = samples.getOrElse(n, Nil)
-        if (xs.size >= 2 && t > 1.0 && xs.max > 2 * xs.min) Some((n, xs.max / xs.min))
+        // fires on a >2x spread when the min is over 1 s, OR on any
+        // absolute multi-second stray (xs.max > 5 s) even on a
+        // sub-second query (VERDICT r16 wrong §3: dq_kanon's
+        // [3.92, 0.33] spread deserves its confirming third sample
+        // even though the reported min was never at risk)
+        if (xs.size >= 2 && xs.max > 2 * xs.min && (t > 1.0 || xs.max > 5.0))
+          Some((n, xs.max / xs.min))
         else None
       }
       val outliers = (vsRef ++ selfDisagree.filterNot(x => vsRef.exists(_._1 == x._1)))
@@ -268,7 +308,8 @@ object Bench {
     }
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,""" +
-        s"""$canary"sf":${jstr(sfDir)},"n":${timings.size},"total":$total}"""
+        s"""$canary"index_build_secs":$indexBuildSecs,""" +
+        s""""sf":${jstr(sfDir)},"n":${timings.size},"total":$total}"""
     println(json)
     println(s"""{"metric":"total","value":$total,"unit":"sec","n":${timings.size},""" +
       s""""failed_n":${failed.size},$canary"sf":${jstr(sfDir)}}""")
@@ -297,7 +338,13 @@ object Bench {
     if ((only.isEmpty && sfMatchesPrior) || sys.env.contains("SPARK_GRAFT_BENCH_DETAILS")) {
       val pretty = new StringBuilder
       pretty ++= s"""{"metric":"total","value":$total,"unit":"sec","sf":${jstr(sfDir)},"""
-      pretty ++= s""""n":${timings.size},$canary"queries":{"""
+      pretty ++= s""""n":${timings.size},$canary"index_build_secs":$indexBuildSecs,"""
+      // untimed prestage builds, priced per artifact (VERDICT r16 next
+      // §3): what a fresh production run pays BEFORE the first query
+      pretty ++= "\"prestage\":{"
+      pretty ++= prestage.toSeq
+        .map { case (k, v) => s"\n ${jstr(k)}: ${r4(v)}" }.mkString(",")
+      pretty ++= "\n},\"queries\":{"
       pretty ++= timings.toSeq.sortBy(_._1)
         .map { case (k, v) => s"\n ${jstr(k)}: ${r4(v)}" }.mkString(",")
       pretty ++= "\n},\"failed\":{"

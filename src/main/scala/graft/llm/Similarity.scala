@@ -312,6 +312,16 @@ object Similarity {
     * oracle must mirror. */
   private[graft] def ensureIvfIndexFor(s: SparkSession, d: String): String =
     ensureIvfIndex(s, d)
+  // prestage seams (VERDICT r16 next §3): Bench materializes every
+  // lazily-built persisted index BEFORE the timed passes and prices
+  // the builds on their own artifact line, so a fresh host's pass 1
+  // never pays a build inside a query's timing
+  private[graft] def ensurePqIndexFor(s: SparkSession, d: String): String =
+    ensurePqIndex(s, d)
+  private[graft] def ensureIvfPqIndexFor(s: SparkSession, d: String): String =
+    ensureIvfPqIndex(s, d)
+  private[graft] def ensureNswIndexFor(s: SparkSession, d: String): String =
+    ensureNswIndex(s, d)
   private[graft] def upsertConsts: (Long, Long, Int, Int, Int) =
     (plantN.toLong, upsertOffset, nProbes, ivfNProbe, kNeighbors)
   /** NSW engine tuning (shards, M, efBuild, efSearch) for specs

@@ -93,6 +93,11 @@ object Materialized {
 
   private val mvRefresh: Q = (s, d) => refreshFrom(s, d, ensureMv(s, d))
 
+  /** Prestage seam (VERDICT r16 next §3): Bench builds the stored MV
+    * before the timed passes so first touch never lands in a timing. */
+  private[graft] def ensureMvFor(s: SparkSession, d: String): String =
+    ensureMv(s, d)
+
   val queries: Map[String, Q] = Map("mv_refresh" -> mvRefresh)
 
   val oracle: Map[String, String] = Map(

@@ -720,8 +720,17 @@ object StreamQueries {
       q.stop()
       dropCkpt(name)
     }
-    require(ver.get() == 2, s"expected 2 insert triggers, saw ${ver.get()}")
+    // How many micro-batches MemoryStream makes of two addData calls is
+    // a runtime detail (it may split a batch or prepend an empty one —
+    // ADVICE r16), so the gate is on the INSERTED ROWS, not the trigger
+    // count: at least one non-empty insert trigger fired, and the final
+    // live graph holds exactly base + batch vectors.
+    require(ver.get() >= 1, s"expected >=1 insert trigger, saw ${ver.get()}")
     val finalGraph = s.read.parquet(s"$root/live_${ver.get()}")
+    val baseCount = s.read.parquet(s"$root/live_0").count()
+    require(finalGraph.count() == baseCount + batchRows.length,
+      s"final graph ${finalGraph.count()} rows != base $baseCount + " +
+        s"batch ${batchRows.length}")
     val cands = graft.llm.Similarity.nswServeCandsOn(s, d, finalGraph).persist()
     graft.io.Sinks.dumpFixture(cands.select("qid", "cid"), "stnswup_cands")
     val emb = graft.io.Sources.table(s, d, "embeddings")

@@ -21,7 +21,15 @@ import org.apache.spark.sql.functions._
   *   - the viral plant (doc_id % 10 = 3, preserved by the 10⁶ offset)
   *     is the same literal text in every universe, so the viral class
   *     is 50,000 docs wide — 100× the 1× class — and must route
-  *     through the linear md5 star.
+  *     through the linear md5 star. The salting loop below touches
+  *     viral rows too, but that stored text is IMMATERIAL: the gated
+  *     pipeline's `viralDocs` re-plants the constant literal on
+  *     doc_id % 10 = 3 at READ time (Dedup.scala `viralDocs`), after
+  *     this parquet is scanned — so the cross-universe class survives
+  *     regardless of what the writer stored (ADVICE r16: the measured
+  *     census confirms it — 5 hot tokens and a 6.25e9 ≈ 5·C(50000,2)
+  *     uncapped bound are the cross-universe signature; a fragmented
+  *     per-universe plant would show 500 hot tokens and a ~62M bound).
   *
   * Reported per corpus (1× and 100×): natural-pair recall of the
   * capped join against the UNCAPPED exact join (run via the

@@ -59,6 +59,16 @@ class NswDeleteSpec extends AnyFunSuite {
   }
 
   test("delete-serve top-k == from-scratch rebuild over the live vectors") {
+    // PINNED MEASUREMENT, not a structural theorem (ADVICE r16): the
+    // mark-delete graph and the live-only rebuild are DIFFERENT graphs,
+    // so equal top-k is an empirical fact of the current nswTuning
+    // (small shards, near-exhaustive ef) + this corpus — exactly the
+    // configuration the gated query certifies. If a deliberate retune
+    // (smaller ef, larger M, bigger corpus) flips this, relax to the
+    // containment floor (rebuilt top-k ⊆ mark-delete candidates, which
+    // CandsSpec-style checks pin) rather than chasing exact equality;
+    // until then the exact pin is the strongest available regression
+    // tripwire for the delete path.
     served
     // independent plain-Scala rebuild: live vectors only, same shard
     // routing (pmod(hash(vec_id), shards) — the build partitioner),

@@ -41,9 +41,15 @@ class NswTuneSpec extends AnyFunSuite {
       "ef=1 recall is 1.0 - the sweep no longer spans the knee on this corpus")
   }
 
-  test("recall is nondecreasing in ef") {
+  test("recall is nondecreasing in ef (pinned measurement, ε-tolerant)") {
+    // Beam search carries no monotonicity theorem — a wider ring can
+    // admit a DIFFERENT live frontier, so strict nondecrease is a
+    // measured fact of this corpus + nswTuning, not an invariant
+    // (ADVICE r16). The ε admits parameter-retune wiggle while still
+    // tripping on real regressions (an order-of-magnitude tableau
+    // break drops recall by tenths, not hundredths).
     rows.sliding(2).foreach { case Array((e0, r0), (e1, r1)) =>
-      assert(r1 >= r0, s"recall fell from $r0 (ef=$e0) to $r1 (ef=$e1)")
+      assert(r1 >= r0 - 0.02, s"recall fell from $r0 (ef=$e0) to $r1 (ef=$e1)")
     }
   }
 
