@@ -269,20 +269,29 @@ object Multimodal {
     * OWN JPEG reader, so encoder and decoder are independent
     * implementations meeting on the published bitstream format. */
   private[llm] def encodeMjpegAvi(id: Long, w: Int, h: Int, nFrames: Int,
-      fps: Int = 10): Array[Byte] = {
+      fps: Int = 10, frameKey: Int => Int = identity): Array[Byte] = {
+    // frameKey maps a container frame to its SOURCE frame (the scene
+    // corpus repeats each scene's anchor) — encode each distinct
+    // source once and reuse the bytes, so repeated frames are
+    // byte-identical JPEG chunks and therefore decode bit-identically
+    // (the property mm_video_scenes' sum_zero gate rides)
+    val cache = scala.collection.mutable.HashMap[Int, Array[Byte]]()
     val jpegs = Array.tabulate(nFrames) { f =>
-      val px = new Array[Int](w * h * 3)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          var c = 0
-          while (c < 3) { px((y * w + x) * 3 + c) = videoPixel(id, f, x, y, c); c += 1 }
-          x += 1
+      val fk = frameKey(f)
+      cache.getOrElseUpdate(fk, {
+        val px = new Array[Int](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var c = 0
+            while (c < 3) { px((y * w + x) * 3 + c) = videoPixel(id, fk, x, y, c); c += 1 }
+            x += 1
+          }
+          y += 1
         }
-        y += 1
-      }
-      Jpeg.encodeFrame(px, w, h)
+        Jpeg.encodeFrame(px, w, h)
+      })
     }
     val chunkSizes = jpegs.map(j => 8 + j.length + (j.length & 1)) // word-aligned
     val maxFrame = jpegs.map(_.length).max
@@ -395,6 +404,41 @@ object Multimodal {
     walk(bytes.length)
     require(w > 0 && frames.nonEmpty, "no MJPEG stream found")
     (w, h, frames.toArray)
+  }
+
+  /** Codec-dispatching AVI decode: walk to the stream format's
+    * biCompression and route to the matching real decoder — 0 (BI_RGB,
+    * the uncompressed-DIB corpus) → [[decodeAvi]], 'MJPG' →
+    * [[decodeMjpegAvi]]. Lets the video operators (scene cuts, frame
+    * sampling, features) consume either corpus through one entry. */
+  private[llm] def decodeAnyAvi(bytes: Array[Byte]): (Int, Int, Array[Array[Int]]) = {
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    require(fourcc() == "RIFF", "not a RIFF container")
+    buf.getInt
+    require(fourcc() == "AVI ", "not an AVI")
+    var mjpg: Option[Boolean] = None
+    def walk(end: Int): Unit = {
+      while (buf.position() + 8 <= end && mjpg.isEmpty) {
+        val id = fourcc()
+        val size = buf.getInt
+        val next = buf.position() + size + (size & 1)
+        id match {
+          case "LIST" => fourcc(); walk(next)
+          case "strf" =>
+            require(buf.getInt == 40, "BITMAPINFOHEADER expected")
+            buf.getInt; buf.getInt; buf.getShort; buf.getShort
+            mjpg = Some(fourcc() == "MJPG") // biCompression: 0 = BI_RGB
+          case _ => ()
+        }
+        buf.position(next)
+      }
+    }
+    walk(bytes.length)
+    require(mjpg.nonEmpty, "no video stream format found")
+    if (mjpg.contains(true)) decodeMjpegAvi(bytes) else decodeAvi(bytes)
   }
 
   /** A real PNG payload over deterministic pixels: channel (x, y, c) of
@@ -574,17 +618,20 @@ object Multimodal {
   }
 
   /** Frame sampling for video rows: every k-th frame DECODED from the
-    * AVI container and fingerprinted from its actual pixels (md5 over
-    * the uppercase hex of the RGB values, row-major — the mm_resize
-    * fingerprint convention). 1 → n generator with fanout bounded by
-    * meta.nFrames / stride; the whole pattern (video-only, stride,
-    * fanout, pixel derivation) has a DuckDB twin that regenerates the
-    * frames from id arithmetic without touching the container. */
+    * AVI container (either codec via [[decodeAnyAvi]]) and
+    * fingerprinted from its actual pixels (md5 over the uppercase hex
+    * of the RGB values, row-major — the mm_resize fingerprint
+    * convention). 1 → n generator with fanout bounded by
+    * meta.nFrames / stride. The gated query runs the same sampling
+    * over the MJPEG corpus with the fixture-replay gate (decoded
+    * pixels are lossy, so the twin reads the dumped pixel relation and
+    * re-derives fingerprint + error algebra — the mm_mjpeg_frames
+    * split). */
   def sampleFrames(spark: SparkSession, media: Dataset[Media], stride: Int = 4): Dataset[FrameSample] = {
     import spark.implicits._
     media.filter(_.kind == "video").mapPartitions(_.flatMap { m =>
       val md = java.security.MessageDigest.getInstance("MD5")
-      val (_, _, frames) = decodeAvi(m.bytes)
+      val (_, _, frames) = decodeAnyAvi(m.bytes)
       (0 until frames.length by stride).map { f =>
         val hexStr = frames(f).map(v => f"$v%02X").mkString
         val hex = md.digest(hexStr.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -742,13 +789,20 @@ object Multimodal {
 
   final case class PHash(media_id: Long, phash: Long)
 
-  /** Demo videos with PLANTED scene structure: frame f of video i
-    * repeats the pixels of its scene's anchor frame f − f % len(i),
-    * len(i) = 3 + i % 3 — so within-scene frame pairs are
-    * bit-identical in the container and scene boundaries jump to fresh
-    * FNV noise (mean per-channel |Δ| ≈ 85 across a boundary, 0
-    * inside). Everything derives from id arithmetic, so the oracle is
-    * fully self-contained (the mm_phash pattern). */
+  /** Demo videos with PLANTED scene structure, MJPEG-compressed
+    * (VERDICT r16 next §1 — the scene operator consumes the real
+    * compressed codec end to end): frame f of video i repeats the
+    * pixels of its scene's anchor frame f − f % len(i), len(i) =
+    * 3 + i % 3. Repeated frames are byte-identical JPEG chunks
+    * (the encoder caches per anchor), so within-scene decoded pairs
+    * are bit-identical — sum_abs EXACTLY 0 — while scene boundaries
+    * jump to fresh FNV noise (mean per-channel |Δ| ≈ 85 across a
+    * boundary on the SOURCE pixels; JPEG decode error ≤ 8 per channel
+    * shifts a boundary's decoded mean by a few counts, ~20σ above the
+    * cut threshold of 30). The cut/scene structure therefore re-derives
+    * from id arithmetic alone and the oracle stays fully
+    * self-contained (the mm_phash pattern) even though the decoded
+    * pixel VALUES are lossy. */
   def demoMediaScenes(spark: SparkSession, n: Int = 24): Dataset[Media] = {
     import spark.implicits._
     spark.createDataset((0 until n).map { i =>
@@ -756,7 +810,21 @@ object Multimodal {
       val nFrames = 8 + i % 17
       val len = 3 + i % 3
       Media(i.toLong, "video",
-        encodeAvi(i.toLong, w, 12, nFrames, frameKey = f => f - f % len),
+        encodeMjpegAvi(i.toLong, w, 12, nFrames, frameKey = f => f - f % len),
+        MediaMeta(w, 12, 0, nFrames))
+    })
+  }
+
+  /** MJPEG corpus for frame SAMPLING (VERDICT r16 next §1): 16 videos,
+    * 8–16 frames each (so stride-4 sampling yields 2–4 frames per
+    * video), every frame distinct — the compressed-codec face of the
+    * sampling path. Same MCU-edge-exercising dims as [[demoMediaMjpeg]]. */
+  private[llm] def demoMediaMjpegLong(spark: SparkSession, n: Int = 16): Dataset[Media] = {
+    import spark.implicits._
+    spark.createDataset((0 until n).map { i =>
+      val w = 15 + i % 4
+      val nFrames = 8 + i % 9
+      Media(i.toLong, "video", encodeMjpegAvi(i.toLong, w, 12, nFrames),
         MediaMeta(w, 12, 0, nFrames))
     })
   }
@@ -778,25 +846,27 @@ object Multimodal {
   final case class SceneRow(media_id: Long, frame_idx: Int, sum_abs: Long,
       is_cut: Boolean, scene_id: Long)
 
-  /** Scene-cut detection + segmentation over the REAL AVI decode — the
-    * frame-sampling upgrade a video curation pipeline actually wants
-    * (sample per SCENE, not per fixed stride): per consecutive decoded
-    * frame pair, the integer sum of absolute channel differences; a
-    * cut fires when the mean per-channel jump exceeds 30 (compared as
-    * `sum_abs > 30·npx` — pure integer arithmetic, no float
-    * thresholding), and scene_id is the running cut count. Decode and
-    * the sequential scan stay whole-group local inside `mapPartitions`
-    * (the K4 tier: a codec has no Catalyst expression), fanout is
-    * bounded by nFrames. The oracle regenerates boundary-pair pixels
-    * from id arithmetic and may emit 0 for same-anchor pairs — if the
-    * engine's decode corrupted a within-scene frame, its nonzero
-    * sum_abs would diverge from that 0, so the shortcut still
-    * falsifies. */
+  /** Scene-cut detection + segmentation over the REAL decode (either
+    * codec via [[decodeAnyAvi]]; the gated query feeds it the MJPEG
+    * corpus) — the frame-sampling upgrade a video curation pipeline
+    * actually wants (sample per SCENE, not per fixed stride): per
+    * consecutive decoded frame pair, the integer sum of absolute
+    * channel differences; a cut fires when the mean per-channel jump
+    * exceeds 30 (compared as `sum_abs > 30·npx` — pure integer
+    * arithmetic, no float thresholding), and scene_id is the running
+    * cut count. Decode and the sequential scan stay whole-group local
+    * inside `mapPartitions` (the K4 tier: a codec has no Catalyst
+    * expression), fanout is bounded by nFrames. Over the MJPEG corpus
+    * the decoded values are lossy but the STRUCTURE is exact: repeated
+    * anchor chunks decode bit-identically (sum_abs exactly 0 inside a
+    * scene) and boundary jumps sit ~20σ above the threshold, so
+    * is_cut/scene_id — and sum_abs == 0 — replay from id arithmetic
+    * without touching the codec. */
   def sceneCuts(spark: SparkSession, media: Dataset[Media]): Dataset[SceneRow] = {
     import spark.implicits._
     media.filter(_.kind == "video").mapPartitions { it =>
       it.flatMap { m =>
-        val (w, h, frames) = decodeAvi(m.bytes)
+        val (w, h, frames) = decodeAnyAvi(m.bytes)
         val npx = w * h * 3
         var scene = 0L
         frames.indices.map { f =>
@@ -838,8 +908,47 @@ object Multimodal {
             x => graft.functions.Numeric.dround(x.cast("double"), 4).cast("string")), ",")
             .as("feature"))
         .orderBy("media_id")),
-    "mm_frame_sample" -> ((s, _) =>
-      sampleFrames(s, demoMedia(s)).toDF().orderBy("media_id", "frame_idx")),
+    // Frame sampling over the REAL COMPRESSED codec (VERDICT r16 next
+    // §1): every 4th frame of the MJPEG corpus decoded by ImageIO's
+    // independent JPEG reader, fingerprinted (md5 over uppercase hex,
+    // row-major — computed RELATIONALLY from the same per-pixel rows
+    // the fixture carries) and error-scored against the regenerated
+    // source. JPEG is lossy, so the gate is the mm_mjpeg_frames split:
+    // decoded pixels dump to /tmp/graft_fixtures/mjpeg_sample_pixels,
+    // the oracle re-derives the fingerprint AND the error algebra
+    // (source regenerated from id arithmetic, never the codec), while
+    // the fidelity claim itself (max_err ≤ 8 everywhere) is
+    // MjpegSpec's. A missing or extra fixture row diverges n_px; a
+    // corrupted decode diverges max_err against the engine's value.
+    "mm_frame_sample" -> ((s, _) => {
+      import s.implicits._
+      val rows = demoMediaMjpegLong(s).mapPartitions(_.flatMap { m =>
+        val (w, _, frames) = decodeMjpegAvi(m.bytes)
+        (0 until frames.length by 4).iterator.flatMap { f =>
+          val px = frames(f)
+          px.indices.iterator.map { j =>
+            val c = j % 3
+            val xy = j / 3
+            val x = xy % w
+            val y = xy / w
+            (m.media_id, f, x, y, c, px(j),
+              math.abs(px(j) - videoPixel(m.media_id, f, x, y, c)).toLong)
+          }
+        }
+      }).toDF("media_id", "frame_idx", "x", "y", "c", "v", "err").persist()
+      graft.io.Sinks.dumpFixture(
+        rows.select("media_id", "frame_idx", "x", "y", "c", "v"), "mjpeg_sample_pixels")
+      rows.groupBy("media_id", "frame_idx")
+        .agg(count(lit(1)).as("n_px"),
+          substring(md5(concat_ws("",
+            transform(array_sort(collect_list(struct(col("y"), col("x"),
+              col("c"), col("v")))),
+              r => lpad(hex(r.getField("v")), 2, "0"))).cast("binary")),
+            1, 16).as("frame_fp"),
+          max(col("err")).as("max_err"),
+          graft.functions.Numeric.dround(avg(col("err")), 4).as("mean_err"))
+        .orderBy("media_id", "frame_idx")
+    }),
     // windowed features over the REAL WAV decode; the oracle regenerates
     // every sample from id arithmetic and replays the windowing — rms is
     // sqrt over an EXACT integer sum of squares, peak/zcr pure integers,
@@ -884,8 +993,21 @@ object Multimodal {
         .orderBy("media_id", "seg_idx")
     }),
     "mm_meta_stats" -> ((s, _) => metaStats(demoMedia(s))),
+    // Scene segmentation over the REAL COMPRESSED codec (VERDICT r16
+    // next §1): sceneCuts decodes the MJPEG corpus through ImageIO's
+    // JPEG reader. The gated columns are the parts that replay from id
+    // arithmetic EXACTLY despite the lossy codec: sum_zero (within-
+    // scene pairs are byte-identical JPEG chunks → decoded sums are
+    // exactly 0; boundary pairs are independent noise → never 0),
+    // is_cut (boundary source sums sit ~20σ above the 30·npx
+    // threshold, far beyond the ≤8-per-channel decode error), and the
+    // running scene_id. The raw decoded sums stay available on the
+    // sceneCuts API; SceneMrlSpec pins their fidelity (0 inside
+    // scenes, above threshold at boundaries).
     "mm_video_scenes" -> ((s, _) =>
       sceneCuts(s, demoMediaScenes(s)).toDF()
+        .select(col("media_id"), col("frame_idx"),
+          (col("sum_abs") === 0L).as("sum_zero"), col("is_cut"), col("scene_id"))
         .orderBy("media_id", "frame_idx")),
     // COMPRESSED-codec video: MJPEG/AVI demuxed and every '00dc' chunk
     // decoded by ImageIO's own JPEG reader (our encoder, the JDK's
@@ -1179,13 +1301,16 @@ object Multimodal {
     // container) and fingerprinted in the decoder's (y, x, c) row-major
     // layout — a stride bug, a BGR swap, or a bottom-up slip all
     // diverge the fingerprints
-    // Self-contained end to end: video dims / frame counts / scene
-    // lengths all re-derive from id arithmetic; boundary-pair pixel
-    // diffs are exact BIGINT sums of regenerated FNV channels;
-    // same-anchor pairs are 0 by the generator's construction (an
-    // engine decode corrupting a within-scene frame would emit a
-    // nonzero sum_abs and diverge). scene_id replays as a running
-    // window sum of the cut flags.
+    // Self-contained end to end over the MJPEG corpus: video dims /
+    // frame counts / scene lengths all re-derive from id arithmetic;
+    // boundary-pair SOURCE sums are exact BIGINT sums of regenerated
+    // FNV channels and drive is_cut (the engine compares DECODED sums
+    // — the ~20σ margin above 30·npx makes the two decisions equal);
+    // sum_zero is exact both ways (same-anchor chunks decode
+    // bit-identically → engine sum exactly 0; boundary noise is never
+    // 0 — an engine decode corrupting a within-scene frame flips
+    // sum_zero and diverges). scene_id replays as a running window
+    // sum of the cut flags.
     "mm_video_scenes" -> {
       // two prefix chains per boundary frame (anchor + previous
       // anchor), staged with the same byte-sequential-fold identity as
@@ -1223,23 +1348,39 @@ object Multimodal {
          |            coalesce(s.sum_abs, 0) > 30 * fr.w * fr.h * 3 AS is_cut
          |          FROM fr LEFT JOIN sums s
          |            ON s.media_id = fr.media_id AND s.f = fr.f)
-         |SELECT media_id, CAST(f AS INT) AS frame_idx, sum_abs, is_cut,
+         |SELECT media_id, CAST(f AS INT) AS frame_idx,
+         | (sum_abs = 0) AS sum_zero, is_cut,
          | CAST(sum(is_cut::INT) OVER (PARTITION BY media_id ORDER BY f)
          |      AS BIGINT) AS scene_id
          |FROM allf ORDER BY media_id, frame_idx""".stripMargin
     },
+    // MJPEG frame sampling: the fixture carries the DECODED pixels
+    // (engine-specific lossy content); the twin regenerates the SOURCE
+    // grid from id arithmetic, inner-joins the fixture onto it (a
+    // missing fixture pixel shrinks n_px; a coordinate slip detaches
+    // from its source and corrupts err), and re-derives fingerprint +
+    // error algebra from scratch — the mm_mjpeg_frames split.
     "mm_frame_sample" ->
-      s"""WITH m AS (SELECT media_id, width AS w, height AS h, nFrames
-         |           FROM read_parquet('/tmp/graft_fixtures/demo_media_meta/*.parquet')
-         |           WHERE kind = 'video'),
+      s"""WITH ids AS (SELECT unnest(generate_series(0, 15)) AS i),
+         | m AS (SELECT i AS media_id, 15 + i % 4 AS w, 12 AS h,
+         |         8 + i % 9 AS nf FROM ids),
          | fr AS (SELECT m.media_id, m.w, m.h, g.f
-         |        FROM m, LATERAL unnest(generate_series(0, m.nFrames - 1, 4)) g(f)),
+         |        FROM m, LATERAL unnest(generate_series(0, m.nf - 1, 4)) g(f)),
          | ${pixelFoldCtes("fs", "fr", Seq("media_id", "f"),
             "'v:' || fr.media_id || ':' || fr.f || ':'", "fr.w", "fr.h")},
-         | px AS (SELECT media_id, f, y, x, c, (p)::BIGINT AS p FROM fspx)
-        |SELECT media_id, CAST(f AS INT) AS frame_idx,
-        |  substr(md5(string_agg(printf('%02X', p), '' ORDER BY y, x, c)), 1, 16) AS frame_fp
-        |FROM px GROUP BY media_id, f
+         | src AS (SELECT media_id, f, y, x, c, (p)::BIGINT AS p FROM fspx),
+         | fx AS (SELECT * FROM
+         |          read_parquet('/tmp/graft_fixtures/mjpeg_sample_pixels/*.parquet')),
+         | j AS (SELECT s.media_id, s.f, s.y, s.x, s.c, fx.v,
+         |         abs(fx.v - s.p) AS err
+         |       FROM src s JOIN fx ON fx.media_id = s.media_id
+         |         AND fx.frame_idx = s.f AND fx.x = s.x AND fx.y = s.y
+         |         AND fx.c = s.c)
+        |SELECT media_id, CAST(f AS INT) AS frame_idx, count(*)::BIGINT AS n_px,
+        |  substr(md5(string_agg(printf('%02X', v), '' ORDER BY y, x, c)), 1, 16)
+        |    AS frame_fp,
+        |  max(err) AS max_err, round(avg(err), 4) AS mean_err
+        |FROM j GROUP BY media_id, f
         |ORDER BY media_id, frame_idx""".stripMargin,
     // fully self-contained end to end: both populations (base + the
     // 8 perturbed plants at id+1000, black 3×3 origin patch) are

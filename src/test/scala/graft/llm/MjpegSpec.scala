@@ -69,6 +69,30 @@ class MjpegSpec extends AnyFunSuite {
     info(s"worst per-channel error across the corpus: $worst (tolerance $tol)")
   }
 
+  test("mm_frame_sample (MJPEG): stride fanout, fidelity, and the relational fingerprint") {
+    val res = Multimodal.queries("mm_frame_sample")(spark, "/root/testdata/sf0.001")
+      .collect()
+    val expected = (0 until 16).map(i => (8 + i % 9 + 3) / 4).sum
+    assert(res.length == expected, s"expected $expected sampled frames, got ${res.length}")
+    res.foreach { r =>
+      assert(r.getAs[Int]("frame_idx") % 4 == 0, r.toString)
+      assert(r.getAs[Long]("max_err") <= tol,
+        s"sampled frame fidelity breached: $r")
+      assert(r.getAs[Long]("n_px") > 0)
+    }
+    // the relational fingerprint (array_sort + lpad(hex) + md5) must
+    // equal the kernel-side convention: md5 over the uppercase hex of
+    // the decoded RGB values in row-major (y, x, c) order
+    val m = Multimodal.demoMediaMjpegLong(spark).collect().head
+    val (_, _, frames) = Multimodal.decodeMjpegAvi(m.bytes)
+    val hexStr = frames(0).map(v => f"$v%02X").mkString
+    val want = java.security.MessageDigest.getInstance("MD5")
+      .digest(hexStr.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 16)
+    val got = res.find(r => r.getAs[Long]("media_id") == m.media_id
+      && r.getAs[Int]("frame_idx") == 0).get.getAs[String]("frame_fp")
+    assert(got == want, s"relational fingerprint $got != kernel convention $want")
+  }
+
   test("the gated query reports the same fidelity: max_err <= tolerance") {
     val res = Multimodal.queries("mm_mjpeg_frames")(spark, "/root/testdata/sf0.001")
       .collect()

@@ -19,18 +19,46 @@ class SceneMrlSpec extends AnyFunSuite {
       val boundary = f > 0 && f % len == 0
       assert(r.getAs[Boolean]("is_cut") == boundary, r.toString)
       assert(r.getAs[Long]("scene_id") == f / len, r.toString)
-      if (f > 0 && !boundary)
-        assert(r.getAs[Long]("sum_abs") == 0L,
-          s"within-scene decoded frames must be identical: $r")
-      if (boundary) {
-        val npx = (15 + (id % 4).toInt) * 12 * 3
-        assert(r.getAs[Long]("sum_abs") > 30L * npx, r.toString)
-      }
+      assert(r.getAs[Boolean]("sum_zero") == !boundary,
+        s"within-scene MJPEG frames must decode bit-identically (and " +
+          s"boundaries must never sum to 0): $r")
     }
     // every planted video appears with its full frame fanout
     val byId = rows.groupBy(_.getAs[Long]("media_id"))
     assert(byId.size == 24)
     byId.foreach { case (id, rs) => assert(rs.length == 8 + (id % 17).toInt) }
+  }
+
+  test("decoded MJPEG sums: exactly 0 inside scenes, near source at boundaries") {
+    // the fidelity pin behind the sum_zero/is_cut gate: within-scene
+    // decoded pairs are bit-identical (byte-identical JPEG chunks);
+    // boundary DECODED sums stay within the ≤8-per-channel JPEG error
+    // of the exact SOURCE sums, and both sit far above the 30·npx cut
+    // threshold
+    val raw = Multimodal.sceneCuts(spark, Multimodal.demoMediaScenes(spark))
+      .collect()
+    assert(raw.nonEmpty)
+    raw.foreach { r =>
+      val len = 3 + (r.media_id % 3).toInt
+      val w = 15 + (r.media_id % 4).toInt
+      val npx = w * 12 * 3
+      val boundary = r.frame_idx > 0 && r.frame_idx % len == 0
+      if (!boundary) assert(r.sum_abs == 0L, r.toString)
+      else {
+        // exact source sum of the boundary pair from the generator
+        val anc = r.frame_idx
+        val panc = (r.frame_idx - 1) - (r.frame_idx - 1) % len
+        var src = 0L
+        for (y <- 0 until 12; x <- 0 until w; c <- 0 until 3)
+          src += math.abs(Multimodal.videoPixel(r.media_id, anc, x, y, c)
+            - Multimodal.videoPixel(r.media_id, panc, x, y, c)).toLong
+        assert(math.abs(r.sum_abs - src) <= 16L * npx,
+          s"decoded boundary sum ${r.sum_abs} drifted past the JPEG " +
+            s"tolerance from source $src: $r")
+        assert(r.sum_abs > 30L * npx && src > 30L * npx,
+          s"boundary sum under the cut threshold: $r (src $src)")
+      }
+    }
   }
 
   test("ann_mrl: both tiers replay in-JVM from the candidate fixture") {
