@@ -1009,6 +1009,25 @@ object Multimodal {
         .select(col("media_id"), col("frame_idx"),
           (col("sum_abs") === 0L).as("sum_zero"), col("is_cut"), col("scene_id"))
         .orderBy("media_id", "frame_idx")),
+    // Per-SCENE representative-frame sampling — the curation operator
+    // scene detection exists for (sample one frame per SCENE, not per
+    // fixed stride: a 2-frame cut-away and a 200-frame monologue each
+    // contribute one training frame). Composition of the MJPEG
+    // sceneCuts segmentation with a per-scene aggregate; the sampled
+    // frame is the scene's midpoint ((start+end) div 2). Every output
+    // column re-derives from id arithmetic because the scene STRUCTURE
+    // over the decoded pixels is margin-exact (the mm_video_scenes
+    // argument) — yet the gate runs through the real JPEG decode: a
+    // corrupted frame splits or merges a scene and every downstream
+    // row shifts.
+    "mm_scene_sample" -> ((s, _) =>
+      sceneCuts(s, demoMediaScenes(s)).toDF()
+        .groupBy("media_id", "scene_id")
+        .agg(min(col("frame_idx")).cast("long").as("start_f"),
+          max(col("frame_idx")).cast("long").as("end_f"),
+          count(lit(1)).as("n_frames"))
+        .withColumn("sampled_f", expr("(start_f + end_f) div 2"))
+        .orderBy("media_id", "scene_id")),
     // COMPRESSED-codec video: MJPEG/AVI demuxed and every '00dc' chunk
     // decoded by ImageIO's own JPEG reader (our encoder, the JDK's
     // decoder — independent implementations meeting on the published
@@ -1354,6 +1373,23 @@ object Multimodal {
          |      AS BIGINT) AS scene_id
          |FROM allf ORDER BY media_id, frame_idx""".stripMargin
     },
+    // per-scene sampling: fully self-contained — the scene partition of
+    // each video re-derives from the plant (scene s spans frames
+    // [s·len, min(nf, (s+1)·len) - 1], len = 3 + i % 3), and start/end/
+    // count/midpoint follow arithmetically; the engine must reproduce
+    // it from the DECODED MJPEG pixels via the margin-exact cut chain
+    "mm_scene_sample" ->
+      s"""WITH ids AS (SELECT unnest(generate_series(0, 23)) AS i),
+         | m AS (SELECT i AS media_id, 8 + i % 17 AS nf, 3 + i % 3 AS len FROM ids),
+         | sc AS (SELECT m.media_id, s.s AS scene_id,
+         |          (s.s * m.len)::BIGINT AS start_f,
+         |          (least(m.nf, (s.s + 1) * m.len) - 1)::BIGINT AS end_f
+         |        FROM m, LATERAL unnest(
+         |          generate_series(0, (m.nf + m.len - 1) // m.len - 1)) s(s))
+         |SELECT media_id, scene_id, start_f, end_f,
+         | (end_f - start_f + 1) AS n_frames,
+         | (start_f + end_f) // 2 AS sampled_f
+         |FROM sc ORDER BY media_id, scene_id""".stripMargin,
     // MJPEG frame sampling: the fixture carries the DECODED pixels
     // (engine-specific lossy content); the twin regenerates the SOURCE
     // grid from id arithmetic, inner-joins the fixture onto it (a
