@@ -843,6 +843,31 @@ object Multimodal {
     })
   }
 
+  /** MJPEG corpus with planted CONTAINER re-encodes (mm_video_dedup):
+    * the 12 base videos, plus — for every third base id — a twin at
+    * id + 1000 carrying the SAME JPEG frame chunks in a container
+    * with a different frame rate (fps 25 vs 10). The twin's bytes
+    * differ (the avih/strh headers carry fps), so byte-exact dedup
+    * (mm_dedup) cannot group them — only a decode-level content
+    * signature can, which is exactly what the operator claims to do. */
+  private[llm] def demoMediaVideoDups(spark: SparkSession): Dataset[Media] = {
+    import spark.implicits._
+    val base = (0 until 12).map { i =>
+      val w = 15 + i % 4
+      val nFrames = 4 + i % 5
+      Media(i.toLong, "video", encodeMjpegAvi(i.toLong, w, 12, nFrames),
+        MediaMeta(w, 12, 0, nFrames))
+    }
+    val twins = (0 until 12).filter(_ % 3 == 0).map { i =>
+      val w = 15 + i % 4
+      val nFrames = 4 + i % 5
+      // pixel source keyed by the BASE id — same chunks, new container
+      Media(1000L + i, "video", encodeMjpegAvi(i.toLong, w, 12, nFrames, fps = 25),
+        MediaMeta(w, 12, 0, nFrames))
+    }
+    spark.createDataset(base ++ twins)
+  }
+
   final case class SceneRow(media_id: Long, frame_idx: Int, sum_abs: Long,
       is_cut: Boolean, scene_id: Long)
 
@@ -1083,6 +1108,35 @@ object Multimodal {
         .groupBy(md5(hex(col("bytes")).cast("binary")).as("content_md5"))
         .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .orderBy("content_md5")),
+    // Cross-container video dedup — the near-dup face mm_dedup's
+    // byte-exact grouping cannot cover: the planted twins carry the
+    // SAME JPEG frame chunks in a container with a different frame
+    // rate, so their payload md5s differ while their decoded content
+    // is identical. Signature = md5 over every decoded frame's
+    // uppercase pixel hex in frame order, computed in ONE kernel pass
+    // per video (payloads never shuffle; only 16-byte signatures do —
+    // the dd_exact discipline). n_distinct_payloads pins that the
+    // groups really cross byte boundaries (2 for planted groups) — a
+    // byte-echoing fake decode would see the fps header, split the
+    // groups, and go red. Oracle: fully self-contained — the group
+    // structure follows from the plant arithmetic alone.
+    "mm_video_dedup" -> ((s, _) => {
+      import s.implicits._
+      val sigs = demoMediaVideoDups(s).mapPartitions(_.map { m =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val (_, _, frames) = decodeMjpegAvi(m.bytes)
+        frames.foreach(px => md.update(px.map(v => f"$v%02X").mkString.getBytes("UTF-8")))
+        val sig = md.digest().map("%02x".format(_)).mkString
+        val bmd = java.security.MessageDigest.getInstance("MD5")
+          .digest(m.bytes).map("%02x".format(_)).mkString
+        (m.media_id, sig, bmd)
+      }).toDF("media_id", "sig", "payload_md5")
+      sigs.groupBy("sig")
+        .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_copies"),
+          countDistinct(col("payload_md5")).as("n_distinct_payloads"))
+        .select("keep_id", "n_copies", "n_distinct_payloads")
+        .orderBy("keep_id")
+    }),
     // Perceptual near-dup over decoded pixels — the image face of the
     // near-dup family (mm_dedup only catches byte-exact copies; a
     // re-encoded or lightly edited image needs a perceptual hash).
@@ -1373,6 +1427,19 @@ object Multimodal {
          |      AS BIGINT) AS scene_id
          |FROM allf ORDER BY media_id, frame_idx""".stripMargin
     },
+    // fully self-contained: the dedup GROUP STRUCTURE follows from the
+    // plant arithmetic (base i groups with twin 1000+i iff i % 3 = 0;
+    // different base videos can never collide — different pixels), and
+    // the payload-distinctness column is 2 exactly on planted groups
+    // (fps differs in the container header). The engine must reproduce
+    // this through the real JPEG decode: a byte-echo or a broken
+    // demux splits the planted groups
+    "mm_video_dedup" ->
+      s"""WITH ids AS (SELECT unnest(generate_series(0, 11)) AS i)
+         |SELECT i::BIGINT AS keep_id,
+         | (CASE WHEN i % 3 = 0 THEN 2 ELSE 1 END)::BIGINT AS n_copies,
+         | (CASE WHEN i % 3 = 0 THEN 2 ELSE 1 END)::BIGINT AS n_distinct_payloads
+         |FROM ids ORDER BY keep_id""".stripMargin,
     // per-scene sampling: fully self-contained — the scene partition of
     // each video re-derives from the plant (scene s spans frames
     // [s·len, min(nf, (s+1)·len) - 1], len = 3 + i % 3), and start/end/

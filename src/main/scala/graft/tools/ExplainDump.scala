@@ -78,7 +78,11 @@ object ExplainDump {
     "dq_tcloseness" -> "t-closeness audit: one user_id window family builds the profile, the (QI × sensitive-domain) cell grid comes from two broadcast relations (global distribution + one-row total), integer rule on a domain-bounded aggregate",
     "ann_nsw_delete" -> "tombstoned graph deletes: the persisted shards re-group by stored shard id, the mark-delete beam (dead nodes route, never surface) runs in-group, rerank joins live candidates only — no graph rewrite, no rebuild",
     "mm_mjpeg_frames" -> "MJPEG decode audit: container demux + per-chunk ImageIO JPEG decode stay partition-local in one generator pass; the only exchange is the (media, frame)-keyed error aggregate over integer rows",
-    "ann_nsw_lifecycle" -> "composed graph maintenance: ONE cogroup of (persisted shards, upsert batch) on the stored shard id, mark-delete beam serves in-group (dead nodes route, never surface), rerank joins corpus ∪ batch — no rebuild, no second exchange")
+    "ann_nsw_lifecycle" -> "composed graph maintenance: ONE cogroup of (persisted shards, upsert batch) on the stored shard id, mark-delete beam serves in-group (dead nodes route, never surface), rerank joins corpus ∪ batch — no rebuild, no second exchange",
+    "ann_nsw_compact" -> "tombstone compaction ledger: ONE shard regroup sweeps above-average-garbage shards (exact integer ranking), the post census reads the WRITTEN files, pre/post censuses join on the 8-row shard key — no pair work, no second graph exchange",
+    "mm_frame_sample" -> "MJPEG frame sampling: decode + stride + error scoring scan-local in the kernel, ONE (media,frame) aggregate builds the relational fingerprint from sorted per-pixel structs — payloads never shuffle, only pixel rows",
+    "mm_scene_sample" -> "per-scene sampling: decoded scene walk scan-local in the kernel, ONE (media,scene) aggregate derives start/end/midpoint — no window, no join",
+    "mm_video_dedup" -> "cross-container video dedup: one decode pass per video builds the 16-byte content signature in the kernel, ONE signature aggregate groups — payloads never shuffle")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

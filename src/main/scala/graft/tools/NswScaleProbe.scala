@@ -62,18 +62,22 @@ object NswScaleProbe {
       val idx = graft.llm.Similarity.nswIndexPathFor(dir)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx))
       val build = time(graft.llm.Similarity.nswBuild(spark, dir))
-      val serve1 = time(graft.SparkEntry.queries("ann_nsw_serve")(spark, dir)
-        .write.format("noop").mode("overwrite").save())
-      val serve2 = time(graft.SparkEntry.queries("ann_nsw_serve")(spark, dir)
-        .write.format("noop").mode("overwrite").save())
-      val compact = if (doCompact)
-        f"${time(graft.SparkEntry.queries("ann_nsw_compact")(spark, dir)
-          .write.format("noop").mode("overwrite").save())}%.2f" else "-"
+      // steady state = min of three passes (the Bench discipline): a
+      // single pass pair measured serve2 > serve1 at 100×/1000× —
+      // post-build GC/JIT tails land on EITHER pass, min absorbs them
+      val serves = (1 to 3).map(_ =>
+        time(graft.SparkEntry.queries("ann_nsw_serve")(spark, dir)
+          .write.format("noop").mode("overwrite").save()))
+      val compacts = if (doCompact) (1 to 3).map(_ =>
+        time(graft.SparkEntry.queries("ann_nsw_compact")(spark, dir)
+          .write.format("noop").mode("overwrite").save())) else Seq.empty
+      val compact = if (doCompact) f"${compacts.min}%.2f" else "-"
       val perShard = copies * 2000 / 8
       println(f"[nsw-scale] $label%-7s nodes/shard=$perShard%-7d " +
-        f"build=$build%8.2f s  serve1=$serve1%7.2f s  serve2=$serve2%7.2f s  " +
+        f"build=$build%8.2f s  serve=${serves.min}%7.2f s " +
+        f"(samples ${serves.map(x => f"$x%.2f").mkString("/")})  " +
         f"compact=$compact s")
-      (perShard, serve2)
+      (perShard, serves.min)
     }
     // the growth-law line: steady serve vs shard population
     serveSteady.sliding(2).foreach { case Seq((n0, s0), (n1, s1)) =>

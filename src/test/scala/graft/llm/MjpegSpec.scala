@@ -93,6 +93,32 @@ class MjpegSpec extends AnyFunSuite {
     assert(got == want, s"relational fingerprint $got != kernel convention $want")
   }
 
+  test("mm_video_dedup: container twins differ as bytes, decode identically, group once") {
+    val media = Multimodal.demoMediaVideoDups(spark).collect()
+    val byId = media.map(m => m.media_id -> m).toMap
+    (0 until 12).filter(_ % 3 == 0).foreach { i =>
+      val a = byId(i.toLong)
+      val b = byId(1000L + i)
+      assert(!java.util.Arrays.equals(a.bytes, b.bytes),
+        s"twin $i is byte-identical — the container re-encode is vacuous")
+      val (wa, ha, fa) = Multimodal.decodeMjpegAvi(a.bytes)
+      val (wb, hb, fb) = Multimodal.decodeMjpegAvi(b.bytes)
+      assert(wa == wb && ha == hb && fa.length == fb.length)
+      fa.zip(fb).foreach { case (x, y) =>
+        assert(x.sameElements(y), s"twin $i decodes differently from its base")
+      }
+    }
+    val rows = Multimodal.queries("mm_video_dedup")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length == 12) // every group keeps its base id
+    rows.foreach { r =>
+      val keep = r.getAs[Long]("keep_id")
+      val want = if (keep % 3 == 0) 2L else 1L
+      assert(r.getAs[Long]("n_copies") == want, r.toString)
+      assert(r.getAs[Long]("n_distinct_payloads") == want, r.toString)
+    }
+  }
+
   test("the gated query reports the same fidelity: max_err <= tolerance") {
     val res = Multimodal.queries("mm_mjpeg_frames")(spark, "/root/testdata/sf0.001")
       .collect()
