@@ -85,6 +85,23 @@ object Multimodal {
     * lossless, so decoding MUST reproduce exactly these values — the
     * property the oracle exploits to verify the decode without trusting
     * it (the encodePng pattern). */
+  /** RIFF/WAVE payload over EXPLICIT samples (mm_audio_dedup plants a
+    * silence-prefixed twin; everything else generates from id). */
+  private[llm] def encodeWavFrom(samples: Array[Int], sampleRate: Int = 16000): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)
+      .putInt(sampleRate).putInt(sampleRate * 2).putShort(2)
+      .putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach(s => buf.putShort(s.toShort))
+    buf.array()
+  }
+
   private[llm] def encodeWav(id: Long, nSamples: Int, sampleRate: Int = 16000): Array[Byte] = {
     val dataSize = nSamples * 2
     val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
@@ -868,6 +885,29 @@ object Multimodal {
     spark.createDataset(base ++ twins)
   }
 
+  /** Audio corpus with planted LEAD-IN twins (mm_audio_dedup): 24 base
+    * clips of 8–11 full 256-sample windows, plus — for every third
+    * base id — a twin at id + 2000 whose samples are one full window
+    * of silence followed by the base clip's samples verbatim ("same
+    * track, different lead-in" — the shift equals the window size, so
+    * every base window reappears intact at window index + 1). Byte
+    * dedup can never group them (different lengths, different data);
+    * the decoded-window hash join must. */
+  private[llm] def demoMediaAudioDups(spark: SparkSession): Dataset[Media] = {
+    import spark.implicits._
+    val base = (0 until 24).map { i =>
+      val n = 2048 + (i * 137) % 1024
+      Media(i.toLong, "audio", encodeWav(i.toLong, n), MediaMeta(0, 0, 16000, n))
+    }
+    val twins = (0 until 24).filter(_ % 3 == 0).map { i =>
+      val n = 2048 + (i * 137) % 1024
+      val samples = Array.fill(256)(0) ++ audioSamples(i.toLong, n)
+      Media(2000L + i, "audio", encodeWavFrom(samples),
+        MediaMeta(0, 0, 16000, n + 256))
+    }
+    spark.createDataset(base ++ twins)
+  }
+
   final case class SceneRow(media_id: Long, frame_idx: Int, sum_abs: Long,
       is_cut: Boolean, scene_id: Long)
 
@@ -1108,6 +1148,46 @@ object Multimodal {
         .groupBy(md5(hex(col("bytes")).cast("binary")).as("content_md5"))
         .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .orderBy("content_md5")),
+    // Audio near-dup by decoded-window hashing — the audio face of the
+    // near-dup family (image: mm_phash; video: mm_video_dedup; audio
+    // had only byte-exact). Each REAL WAV decode splits into full
+    // 256-sample windows, each window keys by md5 over its
+    // comma-joined sample values, and clips sharing ≥ 75% of the
+    // smaller clip's windows pair — so the planted lead-in twins
+    // (silence-shifted by exactly one window) hit overlap 1.0 while
+    // twin-twin pairs, which share ONLY the silence window (~0.1),
+    // are filtered: the silence window is this operator's boilerplate
+    // token (every twin carries it — at corpus scale its collision
+    // list takes the dd_lines df-cap discipline; here it is bounded by
+    // the 8 plants). Only (media_id, 16-byte key) rows shuffle —
+    // payloads and samples stay scan-local. Oracle: END-TO-END, no
+    // fixture — samples, windows, keys, the join, and the threshold
+    // all replay from id arithmetic.
+    "mm_audio_dedup" -> ((s, _) => {
+      import s.implicits._
+      val wins = demoMediaAudioDups(s).mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { m =>
+          decodeWav(m.bytes).grouped(256).filter(_.length == 256).map { w =>
+            (m.media_id,
+              md.digest(w.mkString(",").getBytes("UTF-8"))
+                .map("%02x".format(_)).mkString)
+          }
+        }
+      }.toDF("media_id", "win_key").distinct()
+      val sizes = wins.groupBy("media_id").agg(count(lit(1)).as("nw"))
+      wins.select(col("media_id").as("id_a"), col("win_key"))
+        .join(wins.select(col("media_id").as("id_b"), col("win_key")), Seq("win_key"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+        .join(sizes.select(col("media_id").as("id_a"), col("nw").as("nw_a")), Seq("id_a"))
+        .join(sizes.select(col("media_id").as("id_b"), col("nw").as("nw_b")), Seq("id_b"))
+        .withColumn("overlap", graft.functions.Numeric.dround(
+          col("n_shared").cast("double") / least(col("nw_a"), col("nw_b")), 4))
+        .filter(col("n_shared").cast("double") / least(col("nw_a"), col("nw_b")) >= 0.75)
+        .select("id_a", "id_b", "n_shared", "overlap")
+        .orderBy("id_a", "id_b")
+    }),
     // Cross-container video dedup — the near-dup face mm_dedup's
     // byte-exact grouping cannot cover: the planted twins carry the
     // SAME JPEG frame chunks in a container with a different frame
@@ -1427,6 +1507,40 @@ object Multimodal {
          |      AS BIGINT) AS scene_id
          |FROM allf ORDER BY media_id, frame_idx""".stripMargin
     },
+    // END-TO-END audio near-dup replay: base and twin samples
+    // regenerate from id arithmetic (twin j = 0 under the shift, else
+    // the base sample at j − 256), windows re-key by md5 over the same
+    // comma-joined values, and the hash join + size join + threshold
+    // re-derive — the engine must arrive at the identical pair set
+    // through the real WAV decode
+    "mm_audio_dedup" ->
+      s"""WITH ids AS (SELECT unnest(generate_series(0, 23)) AS i),
+         | m AS (SELECT i::BIGINT AS media_id, i AS src, 0 AS shift,
+         |         2048 + (i * 137) % 1024 AS n FROM ids
+         |       UNION ALL
+         |       SELECT (2000 + i)::BIGINT, i, 256, 2048 + (i * 137) % 1024 + 256
+         |       FROM ids WHERE i % 3 = 0),
+         | s AS (SELECT m.media_id, t.j,
+         |        CASE WHEN t.j < m.shift THEN 0
+         |             ELSE ((${TextHashes.fnvFoldSql(
+                  "'a:' || m.src || ':' || (t.j - m.shift)")} % 65536) - 32768)::BIGINT
+         |        END AS v
+         |       FROM m, LATERAL unnest(generate_series(0, m.n - 1)) t(j)),
+         | w AS (SELECT media_id, j // 256 AS wi,
+         |         md5(string_agg(v::VARCHAR, ',' ORDER BY j)) AS win_key,
+         |         count(*) AS c
+         |       FROM s GROUP BY media_id, j // 256 HAVING count(*) = 256),
+         | wk AS (SELECT DISTINCT media_id, win_key FROM w),
+         | sz AS (SELECT media_id, count(*)::BIGINT AS nw FROM wk GROUP BY media_id),
+         | p AS (SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |         count(*)::BIGINT AS n_shared
+         |       FROM wk a JOIN wk b USING (win_key)
+         |       WHERE a.media_id < b.media_id GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_shared,
+         | round(n_shared::DOUBLE / least(x.nw, y.nw), 4) AS overlap
+         |FROM p JOIN sz x ON x.media_id = p.id_a JOIN sz y ON y.media_id = p.id_b
+         |WHERE n_shared::DOUBLE / least(x.nw, y.nw) >= 0.75
+         |ORDER BY id_a, id_b""".stripMargin,
     // fully self-contained: the dedup GROUP STRUCTURE follows from the
     // plant arithmetic (base i groups with twin 1000+i iff i % 3 = 0;
     // different base videos can never collide — different pixels), and

@@ -92,6 +92,36 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_audio_dedup: lead-in twins pair at overlap 1.0, silence-only overlap is filtered") {
+    val media = Multimodal.demoMediaAudioDups(spark).collect()
+    val byId = media.map(m => m.media_id -> m).toMap
+    (0 until 24).filter(_ % 3 == 0).foreach { i =>
+      val a = byId(i.toLong)
+      val b = byId(2000L + i)
+      assert(a.bytes.length != b.bytes.length, s"twin $i must differ as bytes")
+      val da = Multimodal.decodeWav(a.bytes)
+      val db = Multimodal.decodeWav(b.bytes)
+      assert(db.take(256).forall(_ == 0), s"twin $i lead-in is not silence")
+      assert(db.drop(256).sameElements(da), s"twin $i body diverged from base")
+    }
+    val rows = Multimodal.queries("mm_audio_dedup")(spark, "/root/testdata/sf0.001")
+      .collect()
+    val pairs = rows.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val want = (0 until 24).filter(_ % 3 == 0).map(i => (i.toLong, 2000L + i)).toSet
+    assert(pairs == want,
+      s"pair set diverged: extra ${(pairs -- want).take(3)}, missing ${(want -- pairs).take(3)}")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("overlap") == 1.0, r.toString)
+      // n_shared = the base clip's full window count
+      val fb = (2048 + (r.getAs[Long]("id_a").toInt * 137) % 1024) / 256
+      assert(r.getAs[Long]("n_shared") == fb, r.toString)
+    }
+    // the twin-twin silence window DID collide upstream (the operator's
+    // boilerplate token) — the threshold is what filtered it, so the
+    // filter is load-bearing, not vacuous
+    assert(media.count(m => m.media_id >= 2000) == 8)
+  }
+
   test("audio window features: window fanout, partial tail, and hand-checked zcr/peak") {
     val media = Multimodal.demoMedia(spark)
     val wins = Multimodal.audioWindowFeatures(spark, media).collect()
