@@ -80,7 +80,7 @@ object Bench {
       llm.Similarity.ensurePqIndexFor(spark, sfDir))
     stage("ivf_pq_index")(_.startsWith("ann_ivf_pq"))(
       llm.Similarity.ensureIvfPqIndexFor(spark, sfDir))
-    stage("nsw_index")(n => n.startsWith("ann_nsw") || n == "st_nsw_upsert")(
+    stage("nsw_index")(n => n.startsWith("ann_nsw") || n.startsWith("st_nsw"))(
       llm.Similarity.ensureNswIndexFor(spark, sfDir))
     stage("fs_table")(_.startsWith("fs_"))(
       ops.Snapshot.ensureTable(spark, sfDir))

@@ -1636,6 +1636,9 @@ object Similarity {
     * consistent in NswDeleteSpec. */
   private[llm] def tombstonedId(id: Long): Boolean =
     id < plantN && id % 3 == 0
+  /** The ONE tombstone predicate shared with the streaming CDC gate
+    * (st_nsw_compact) — the NswDeleteSpec one-definition discipline. */
+  private[graft] def tombstonedIdFor(id: Long): Boolean = tombstonedId(id)
 
   private val annIvfDelete: Q = (s, d) => {
     val idx = ensureIvfIndex(s, d)

@@ -381,6 +381,10 @@ object StreamQueries {
   /** A streamed vector arrival for the ANN index-maintenance gate. */
   case class VecRow(vec_id: Long, ve: Seq[Double])
 
+  /** A streamed CDC row for the graph-maintenance gate: op = "u"
+    * (upsert, ve carries the vector) or "d" (delete, ve empty). */
+  case class CdcVec(op: String, vec_id: Long, ve: Seq[Double])
+
   /** The st_ann_upsert per-batch body, factored to a seam so the
     * crash-replay spec (VERDICT r10 next §4) can drive it under a
     * kill/replay schedule: idempotent per-batch index growth (batch_id
@@ -750,6 +754,127 @@ object StreamQueries {
         graft.functions.Numeric.dround(col("sim"), 4).as("sim"))
       .orderBy("qid", "rk")
   }
+
+  /** Streaming CDC maintenance with threshold-triggered COMPACTION —
+    * the operational completion of the graph family under streaming:
+    * st_nsw_upsert handles inserts, but production churn also RETIRES
+    * vectors, and a high-churn shard must eventually compact
+    * (ann_nsw_compact is the batch sweep; this gate fires it from the
+    * stream). The CDC stream carries upserts (trigger 1: the ×2 twins)
+    * then deletes (trigger 2: the family's tombstone plant — the ONE
+    * predicate, via tombstonedIdFor). Each trigger folds into
+    * VERSIONED live state (graph parquet + the accumulated tombstone
+    * set, bounded driver metadata — the plant's 22 ids, never vector
+    * data); after any trigger that grew the tombstone set, the
+    * compaction sweep runs over the live graph (above-average-garbage
+    * shards rebuild over live vectors, spared shards keep routing
+    * their tombstones) and writes the next version. The final state
+    * serves mark-delete (spared shards still hold dead nodes). By
+    * compaction serve-neutrality (NswCompactSpec) composed with the
+    * insertion-order construction (StNswUpsertSpec), the served
+    * candidates equal ann_nsw_lifecycle's mark-delete serve over the
+    * UNSWEPT upserted graph — StNswCompactSpec asserts exactly that,
+    * plus streamed-swept ≡ one-shot insert+compact row-exact, plus
+    * real storage shrink. Oracle: the ann_nsw_lifecycle twin over
+    * this gate's own candidate fixture. */
+  private val stNswCompact: Q = (parent, d) => {
+    val s = scoped(parent)
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.expressions.Window
+    val (plantN, upsertOffset, _, _, kNeighbors) =
+      graft.llm.Similarity.upsertConsts
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.ArrayFns.vecDot(a, b)
+    def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    val upserts = cachedRows(d, "nswup") {
+      graft.io.Sources.table(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+        .filter(col("vec_id") < plantN)
+        .select((col("vec_id") + upsertOffset).as("vec_id"),
+          transform(col("ve"), x => x * 2.0).as("ve"))
+        .as[VecRow].collect().sortBy(_.vec_id)
+    }
+    val deletes = cachedRows(d, "nswdel") {
+      graft.io.Sources.table(s, d, "embeddings")
+        .select(col("vec_id")).as[Long].collect()
+        .filter(graft.llm.Similarity.tombstonedIdFor).sorted
+    }
+    val root = stNswCompactRoot
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    graft.llm.Similarity.nswBaseGraph(s, d)
+      .write.mode("overwrite").parquet(s"$root/live_0")
+    val ver = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var tomb: Set[Long] = Set.empty
+    val source = MemoryStream[CdcVec]
+    val name = s"st_nsw_compact_${seq.incrementAndGet()}"
+    val q = source.toDS().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[CdcVec], _: Long) =>
+        val ups = df.filter(col("op") === "u").select(col("vec_id"), col("ve"))
+        if (!ups.isEmpty) {
+          val cur = ver.get()
+          graft.llm.Similarity.nswGraphInsert(
+              s, s.read.parquet(s"$root/live_$cur"), ups)
+            .write.mode("overwrite").parquet(s"$root/live_${cur + 1}")
+          ver.set(cur + 1)
+        }
+        // delete ids are METADATA (the ann_ivf_delete O(1) discipline):
+        // bounded by the plant, safe to stage on the driver
+        val dels = df.filter(col("op") === "d").select(col("vec_id"))
+          .as[Long].collect()
+        if (dels.nonEmpty) {
+          tomb = tomb ++ dels
+          val dead = tomb // immutable snapshot for the kernel closure
+          val cur = ver.get()
+          val g = s.read.parquet(s"$root/live_$cur")
+          val tots = g.agg(count(lit(1)).as("n"),
+            sum(when(col("vec_id").isInCollection(dead), 1L).otherwise(0L)).as("nd"))
+            .collect()(0)
+          graft.llm.Similarity.nswCompact(
+              s, g, dead.contains, tots.getLong(0), tots.getLong(1))
+            .write.mode("overwrite").parquet(s"$root/live_${cur + 1}")
+          ver.set(cur + 1)
+        }
+      }
+      .option("checkpointLocation", ckpt(name)).start()
+    try {
+      source.addData(upserts.map(v => CdcVec("u", v.vec_id, v.ve)).toIndexedSeq)
+      q.processAllAvailable()
+      source.addData(deletes.map(id => CdcVec("d", id, Seq.empty)).toIndexedSeq)
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      dropCkpt(name)
+    }
+    require(ver.get() >= 2, s"expected insert+sweep versions, saw ${ver.get()}")
+    val dead = tomb
+    require(dead.nonEmpty, "the delete trigger never landed")
+    val finalGraph = s.read.parquet(s"$root/live_${ver.get()}")
+    val cands = graft.llm.Similarity.nswServeLiveCandsOn(
+      s, d, finalGraph, id => !dead.contains(id)).persist()
+    graft.io.Sinks.dumpFixture(cands.select("qid", "cid"), "stnswcomp_cands")
+    val emb = graft.io.Sources.table(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+    val all = emb.unionByName(
+      emb.filter(col("vec_id") < plantN)
+        .select((col("vec_id") + upsertOffset).as("vec_id"),
+          transform(col("ve"), x => x * 2.0).as("ve")))
+    cands
+      .join(all.select(col("vec_id").as("qid"), col("ve").as("qe")), Seq("qid"))
+      .join(all.select(col("vec_id").as("cid"), col("ve").as("ce")), Seq("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))))
+      .filter(col("rk") <= kNeighbors)
+      .select(col("qid"), col("rk"), col("cid"),
+        graft.functions.Numeric.dround(col("sim"), 4).as("sim"))
+      .orderBy("qid", "rk")
+  }
+
+  /** Versioned-state root for the CDC gate (spec seam: the shrink and
+    * one-shot-equality checks read the live_N versions directly). */
+  private[graft] def stNswCompactRoot: String = s"$pidRoot/stnswcomp"
 
   /** Stream-static broadcast enrichment under the gate: the J5 bounds
     * dim joined into every micro-batch (stateless — per-trigger cost is
@@ -1543,6 +1668,7 @@ object StreamQueries {
     "st_enrich_file" -> stEnrichFile,
     "st_ann_upsert" -> stAnnUpsert,
     "st_nsw_upsert" -> stNswUpsert,
+    "st_nsw_compact" -> stNswCompact,
     "st_kmeans" -> stKmeans,
     "st_drift" -> stDrift,
     "st_anomaly" -> stAnomaly,
@@ -1664,6 +1790,31 @@ object StreamQueries {
     "st_nsw_upsert" -> {
       val (plantN, upsertOffset, _, _, kNeighbors) = graft.llm.Similarity.upsertConsts
       s"""WITH p AS (SELECT qid, cid FROM read_parquet('/tmp/graft_fixtures/stnswup_cands/*.parquet')),
+         | base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | batch AS (SELECT vec_id + $upsertOffset AS vec_id,
+         |             list_transform(v, x -> x * 2.0) AS v
+         |           FROM base WHERE vec_id < $plantN),
+         | e AS (SELECT * FROM base UNION ALL SELECT * FROM batch),
+         | sims AS (
+         |  SELECT p.qid, p.cid,
+         |   list_dot_product(q.v, c.v)
+         |     / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+         |  FROM p JOIN e q ON q.vec_id = p.qid JOIN e c ON c.vec_id = p.cid),
+         | ranked AS (
+         |  SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+         |  FROM sims)
+         |SELECT qid, rk, cid, round(sim, 4) AS sim FROM ranked WHERE rk <= $kNeighbors
+         |ORDER BY qid, rk""".stripMargin
+    },
+    // the ann_nsw_lifecycle twin over the CDC gate's own fixture: live
+    // vectors = corpus ∪ ×2 batch, tombstoned cids excluded by the ONE
+    // predicate — a dead id surviving the sweep (or a swept-away live
+    // one) breaks the row sets; the streamed-equals-one-shot and
+    // storage-shrink claims are StNswCompactSpec's
+    "st_nsw_compact" -> {
+      val (plantN, upsertOffset, _, _, kNeighbors) = graft.llm.Similarity.upsertConsts
+      s"""WITH p AS (SELECT qid, cid FROM read_parquet('/tmp/graft_fixtures/stnswcomp_cands/*.parquet')
+         |           WHERE NOT (cid < $plantN AND cid % 3 = 0)),
          | base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          | batch AS (SELECT vec_id + $upsertOffset AS vec_id,
          |             list_transform(v, x -> x * 2.0) AS v
