@@ -20,6 +20,16 @@ class StNswCompactSpec extends AnyFunSuite {
   private lazy val served =
     StreamQueries.queries("st_nsw_compact")(spark, sf).collect()
   private lazy val root = StreamQueries.stNswCompactRoot
+  // resolve versions from the directory, NOT from a hard-coded trigger
+  // count (the ADVICE r16 st_nsw_upsert lesson: how many micro-batches
+  // MemoryStream makes of an addData call is a runtime detail)
+  private lazy val versions = {
+    served
+    new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("live_"))
+      .map(_.getName.stripPrefix("live_").toInt).sorted
+  }
+  private def live(v: Int) = spark.read.parquet(s"$root/live_$v")
 
   test("streamed swept graph == one-shot insert + compact, row-exact") {
     served // drive the stream; leaves live_0..live_2 behind
@@ -27,7 +37,7 @@ class StNswCompactSpec extends AnyFunSuite {
       df.select("shard", "pos", "vec_id", "ven", "adj").collect()
         .map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
           r.getSeq[Double](3), r.getSeq[Int](4))).toSet
-    val streamed = rowSet(spark.read.parquet(s"$root/live_2"))
+    val streamed = rowSet(live(versions.last))
     val (plantN, upsertOffset, _, _, _) = graft.llm.Similarity.upsertConsts
     val batch = graft.io.Sources.table(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
@@ -49,9 +59,11 @@ class StNswCompactSpec extends AnyFunSuite {
   }
 
   test("the sweep version really shrinks storage") {
-    served
-    val preSweep = spark.read.parquet(s"$root/live_1").count()
-    val postSweep = spark.read.parquet(s"$root/live_2").count()
+    // the last version is the sweep's output; its predecessor is the
+    // fully-upserted pre-sweep graph
+    assert(versions.length >= 3, s"expected base+insert+sweep, saw $versions")
+    val preSweep = live(versions(versions.length - 2)).count()
+    val postSweep = live(versions.last).count()
     assert(postSweep < preSweep,
       s"sweep did not shrink the live graph: $preSweep -> $postSweep")
   }
