@@ -776,7 +776,14 @@ object StreamQueries {
     * UNSWEPT upserted graph — StNswCompactSpec asserts exactly that,
     * plus streamed-swept ≡ one-shot insert+compact row-exact, plus
     * real storage shrink. Oracle: the ann_nsw_lifecycle twin over
-    * this gate's own candidate fixture. */
+    * this gate's own candidate fixture. Note the sweep is NOT
+    * idempotent across partial tombstone deliveries (sweeping at t1
+    * then at t1∪t2 rebuilds a swept shard from an already-rebuilt
+    * graph): the equality claims assume each addData block lands as
+    * one trigger — today's MemoryStream behavior and the same delivery
+    * assumption st_nsw_upsert documents; a runtime that split the
+    * delete batch would surface in StNswCompactSpec's one-shot pin,
+    * not as a silent wrong answer. */
   private val stNswCompact: Q = (parent, d) => {
     val s = scoped(parent)
     import s.implicits._
