@@ -72,7 +72,7 @@ object Bench {
     stage("pr_edges_bucketed")(_.contains("pagerank_bucketed"))(
       ops.Graph.ensurePrEdgesBucketed(spark, sfDir))
     stage("dedup_index")(Set("dd_incremental", "dd_cdc_incr",
-      "dd_substr_incr", "st_substr", "st_dedup_indexed"))(
+      "dd_substr_incr", "st_substr", "st_dedup_indexed", "dq_rtbf"))(
       llm.Dedup.ensureDedupIndexFor(spark, sfDir))
     stage("ivf_index")(n => n.startsWith("ann_") && !n.startsWith("ann_nsw"))(
       llm.Similarity.ensureIvfIndexFor(spark, sfDir))

@@ -1806,7 +1806,70 @@ object Dedup {
   // recall stage; minhash's verified Jaccard as the precision/verdict
   // stage over the survivors.
   // -------------------------------------------------------------------
+  // -------------------------------------------------------------------
+  // dq_rtbf: right-to-be-forgotten scrub + audit across the PERSISTED
+  // dedup index — the deletion-compliance face of the privacy ladder
+  // (dq_kanon/dq_ldiversity/dq_tcloseness audit what a RELEASE leaks;
+  // this audits what the pipeline's own derived artifacts RETAIN after
+  // a GDPR/CCPA erasure request). The deletion list (doc_id % 20 = 5
+  // within the index corpus — deterministic, disjoint from the other
+  // plants' semantics) broadcasts into anti-joins over the doc-keyed
+  // index relations (hashes / signatures / winnow), each scrubbed into
+  // a VERSIONED sibling under <index>/rtbf (the graph_compact
+  // discipline: the live index other gates byte-compare stays
+  // untouched). The chunk relation carries NO doc attribution (it is
+  // the distinct-chunk store), so without refcount metadata the only
+  // sound scrub is recompute-over-retained — one retained-corpus scan,
+  // exactly the cost a content-addressed store pays for erasure
+  // without refcounts, stated here as the measured design tradeoff.
+  // Output: the per-artifact compliance ledger (n_before,
+  // touching-before, n_after, touching-after — the engine RE-COUNTS
+  // touching rows on the relations it actually wrote, so a scrub that
+  // kept a deleted doc's rows reports itself). Oracle: fully
+  // self-contained — index relations, band caps, gear chunking, and
+  // the deletion arithmetic all replay from the raw corpus.
+  // Scale: anti-joins broadcast the deletion list; censuses are
+  // constant-width aggregates; the one scan is the chunk recompute.
+  // -------------------------------------------------------------------
+  private val dqRtbf: Q = (s, d) => {
+    import s.implicits._
+    val idx = ensureDedupIndex(s, d)
+    val delIds = incrCorpus(s, d).filter(col("doc_id") % 20 === 5)
+      .select("doc_id")
+    val root = s"$idx/rtbf"
+    val docKeyed = Seq("hashes", "signatures", "winnow")
+    val ledger = docKeyed.map { name =>
+      val rel = s.read.parquet(s"$idx/$name")
+      rel.join(broadcast(delIds), Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$root/$name")
+      val scrubbed = s.read.parquet(s"$root/$name")
+      (name, rel.count(),
+        rel.join(broadcast(delIds), Seq("doc_id"), "left_semi").count(),
+        scrubbed.count(),
+        scrubbed.join(broadcast(delIds), Seq("doc_id"), "left_semi").count())
+    }
+    val retained = incrCorpus(s, d)
+      .join(broadcast(delIds), Seq("doc_id"), "left_anti")
+    retained.select(explode(
+        graft.functions.TextHashes.cdcChunksCol(col("text"))).as("c"))
+      .select(col("c.ch").as("ch")).distinct()
+      .write.mode("overwrite").parquet(s"$root/chunks")
+    val chAll = s.read.parquet(s"$idx/chunks")
+    val chRet = s.read.parquet(s"$root/chunks")
+    val nB = chAll.count()
+    val nA = chRet.count()
+    // orphans = live chunks no retained doc carries (what erasure must
+    // remove); re-counted against the WRITTEN relation
+    val orphans = chAll.join(chRet, Seq("ch"), "left_anti")
+    val tA = chRet.join(orphans, Seq("ch"), "left_semi").count()
+    (ledger :+ ("chunks", nB, nB - nA, nA, tA))
+      .toDF("artifact", "n_before", "n_touching_before", "n_after",
+        "n_touching_after")
+      .orderBy("artifact")
+  }
+
   val queries: Map[String, Q] = Map(
+    "dq_rtbf" -> dqRtbf,
     "dd_substr" -> ddSubstr,
     "dd_substr_uni" -> ddSubstrUni,
     "dd_linkage" -> ddLinkage,
@@ -1944,9 +2007,9 @@ object Dedup {
     * gear value ONCE; the cut lambda is then 8 list reads plus the
     * 2⁶⁴-wrapped weighted window sum the engine's O(1) rolling update
     * maintains (identical by the rolling-recurrence algebra). */
-  private val cdcCkCtes: String =
+  private def cdcCkCtesFrom(baseBody: String): String =
     s"""WITH ${graft.functions.TextHashes.gearTableCtes},
-       | base AS (SELECT doc_id, text, length(text) AS n FROM documents),
+       | base AS ($baseBody),
        | cpc AS (SELECT doc_id, text, n,
        |    CASE WHEN n >= 9 THEN
        |      list_transform(string_split(text, ''), c -> gr[(ord(c) % 256) + 1])
@@ -1969,7 +2032,52 @@ object Dedup {
        |    ends[k] - starts[k] AS clen
        |  FROM se, LATERAL unnest(generate_series(1, len(starts))) u(k))""".stripMargin
 
+  private val cdcCkCtes: String = cdcCkCtesFrom(
+    "SELECT doc_id, text, length(text) AS n FROM documents")
+
   val oracle: Map[String, String] = Map(
+    // the compliance ledger replayed from the raw corpus alone: the
+    // index relations (doc counts, the cap-banded winnow rows, the
+    // distinct gear chunks) re-derive per deletion status, so a scrub
+    // that keeps a deleted doc's rows, drops a retained doc's, or
+    // leaves an orphaned chunk diverges some count
+    "dq_rtbf" -> {
+      s"""${cdcCkCtesFrom(
+           "SELECT doc_id, text, length(text) AS n FROM documents WHERE doc_id % 10 <> 7")},
+         | del AS (SELECT doc_id FROM base WHERE doc_id % 20 = 5),
+         | g AS (SELECT doc_id, n, CASE WHEN n >= 11 THEN
+         |     list_transform(range(1, n - 8 + 2), i -> md5(substr(text, CAST(i AS INT), 8)))
+         |   END AS hs FROM base),
+         | w AS MATERIALIZED (SELECT doc_id,
+         |   ${graft.functions.TextHashes.winnowWindowSql("hs")} AS sel
+         |   FROM g WHERE n >= 11),
+         | sel AS MATERIALIZED (SELECT DISTINCT doc_id,
+         |     CAST(substr(s, 1, 8) AS BIGINT) AS pos, substr(s, 10) AS fp
+         |   FROM w, unnest(w.sel) AS u(s)),
+         | band AS (SELECT fp FROM sel GROUP BY fp
+         |   HAVING count(DISTINCT doc_id) <= 32 AND count(*) <= 64),
+         | widx AS MATERIALIZED (SELECT sel.* FROM sel
+         |   WHERE fp IN (SELECT fp FROM band)),
+         | nC AS (SELECT count(*)::BIGINT AS c FROM base),
+         | nD AS (SELECT count(*)::BIGINT AS c FROM del),
+         | wA AS (SELECT count(*)::BIGINT AS c FROM widx),
+         | wD AS (SELECT count(*)::BIGINT AS c FROM widx
+         |        WHERE doc_id % 20 = 5),
+         | cA AS (SELECT count(DISTINCT ch)::BIGINT AS c FROM ck),
+         | cR AS (SELECT count(DISTINCT ch)::BIGINT AS c FROM ck
+         |        WHERE doc_id % 20 <> 5)
+         |SELECT * FROM (
+         | SELECT 'hashes' AS artifact, nC.c AS n_before,
+         |   nD.c AS n_touching_before, nC.c - nD.c AS n_after,
+         |   0::BIGINT AS n_touching_after FROM nC, nD
+         | UNION ALL
+         | SELECT 'signatures', nC.c, nD.c, nC.c - nD.c, 0::BIGINT FROM nC, nD
+         | UNION ALL
+         | SELECT 'winnow', wA.c, wD.c, wA.c - wD.c, 0::BIGINT FROM wA, wD
+         | UNION ALL
+         | SELECT 'chunks', cA.c, cA.c - cR.c, cR.c, 0::BIGINT FROM cA, cR
+         |) ORDER BY artifact""".stripMargin
+    },
     // same winnow selection as ts_winnow (positions kept), same 2..32
     // doc band + 64-occurrence cap; extension replayed per seed via
     // first-mismatch scans (list_position of the first false — O(span)

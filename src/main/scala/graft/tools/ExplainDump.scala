@@ -84,7 +84,8 @@ object ExplainDump {
     "mm_scene_sample" -> "per-scene sampling: decoded scene walk scan-local in the kernel, ONE (media,scene) aggregate derives start/end/midpoint — no window, no join",
     "mm_video_dedup" -> "cross-container video dedup: one decode pass per video builds the 16-byte content signature in the kernel, ONE signature aggregate groups — payloads never shuffle",
     "mm_audio_dedup" -> "audio near-dup: decoded 256-sample windows key by md5 scan-locally, the pair join carries (id, 16-byte key) rows only, size joins + threshold close it — samples never shuffle",
-    "st_nsw_compact" -> "streaming CDC graph maintenance: per-trigger cogroup insert then the compaction sweep over versioned live state, final serve re-groups by stored shard id with the mark-delete beam — no rebuild outside swept shards")
+    "st_nsw_compact" -> "streaming CDC graph maintenance: per-trigger cogroup insert then the compaction sweep over versioned live state, final serve re-groups by stored shard id with the mark-delete beam — no rebuild outside swept shards",
+    "dq_rtbf" -> "erasure compliance sweep: the deletion list broadcasts into anti-joins over the doc-keyed index relations, censuses are constant-width aggregates, the one scan is the no-refcount chunk recompute over retained docs")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
