@@ -56,14 +56,24 @@ object Bench {
     // unrelated query should not pay the build.
     SparkEntry.queries // force object init before timing anything
     val prestage = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val prestageFailed = scala.collection.mutable.LinkedHashMap[String, String]()
+    // NonFatal only (ADVICE r17): an OOM mid-prestage must abort the
+    // run, not silently hand the artifact build back to the first timed
+    // query. A failed stage records under prestage_failed — NOT in the
+    // timing map — so a fallback first-touch build in a later query is
+    // visible in that query's samples instead of double-counted here.
     def stage(idx: String)(serves: String => Boolean)(build: => Unit): Unit =
       if (only.forall(_.exists(serves))) {
         val t0 = System.nanoTime()
-        try build catch {
-          case e: Throwable => System.err.println(
-            s"[bench] prestage $idx failed: ${Option(e.getMessage).getOrElse(e.getClass.getName)}")
+        try {
+          build
+          prestage(idx) = (System.nanoTime() - t0) / 1e9
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            prestageFailed(idx) =
+              Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            System.err.println(s"[bench] prestage $idx failed: ${prestageFailed(idx)}")
         }
-        prestage(idx) = (System.nanoTime() - t0) / 1e9
         spark.sharedState.cacheManager.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       }
@@ -74,9 +84,17 @@ object Bench {
     stage("dedup_index")(Set("dd_incremental", "dd_cdc_incr",
       "dd_substr_incr", "st_substr", "st_dedup_indexed", "dq_rtbf"))(
       llm.Dedup.ensureDedupIndexFor(spark, sfDir))
-    stage("ivf_index")(n => n.startsWith("ann_") && !n.startsWith("ann_nsw"))(
+    // the queries that actually read the persisted IVF index (ADVICE
+    // r17: startsWith("ann_") both missed st_ann_upsert/dd_semantic and
+    // over-matched the non-IVF ann families in isolation runs) — the
+    // set is the ensureIvfIndex call-site inventory in Similarity.scala
+    stage("ivf_index")(Set("ann_ivf", "ann_tune", "ann_ivf_pq",
+      "ann_ivf_pq_recall", "ann_ivf_upsert", "ann_ivf_delete",
+      "ann_filtered", "ann_filtered_recall", "ann_mrl", "ann_lifecycle",
+      "ann_lifecycle_recall", "dd_semantic", "st_ann_upsert"))(
       llm.Similarity.ensureIvfIndexFor(spark, sfDir))
-    stage("pq_index")(n => n.startsWith("ann_") && n.contains("pq"))(
+    stage("pq_index")(Set("ann_pq", "ann_pq_recall", "pq_encode",
+      "ann_ivf_pq", "ann_ivf_pq_recall"))(
       llm.Similarity.ensurePqIndexFor(spark, sfDir))
     stage("ivf_pq_index")(_.startsWith("ann_ivf_pq"))(
       llm.Similarity.ensureIvfPqIndexFor(spark, sfDir))
@@ -306,9 +324,11 @@ object Bench {
         s""""canary_first":${r4(a)},"canary_second":${r4(b)},"""
       case _ => ""
     }
+    val pfail = if (prestageFailed.isEmpty) ""
+      else s""""prestage_failed":${prestageFailed.keys.map(jstr).mkString("[", ",", "]")},"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,""" +
-        s"""$canary"index_build_secs":$indexBuildSecs,""" +
+        s"""$canary$pfail"index_build_secs":$indexBuildSecs,""" +
         s""""sf":${jstr(sfDir)},"n":${timings.size},"total":$total}"""
     println(json)
     println(s"""{"metric":"total","value":$total,"unit":"sec","n":${timings.size},""" +
@@ -344,6 +364,9 @@ object Bench {
       pretty ++= "\"prestage\":{"
       pretty ++= prestage.toSeq
         .map { case (k, v) => s"\n ${jstr(k)}: ${r4(v)}" }.mkString(",")
+      pretty ++= "\n},\"prestage_failed\":{"
+      pretty ++= prestageFailed.toSeq
+        .map { case (k, v) => s"\n ${jstr(k)}: ${jstr(v)}" }.mkString(",")
       pretty ++= "\n},\"queries\":{"
       pretty ++= timings.toSeq.sortBy(_._1)
         .map { case (k, v) => s"\n ${jstr(k)}: ${r4(v)}" }.mkString(",")

@@ -1850,17 +1850,22 @@ object Dedup {
     }
     val retained = incrCorpus(s, d)
       .join(broadcast(delIds), Seq("doc_id"), "left_anti")
-    retained.select(explode(
+    def retainedChunks = retained.select(explode(
         graft.functions.TextHashes.cdcChunksCol(col("text"))).as("c"))
       .select(col("c.ch").as("ch")).distinct()
-      .write.mode("overwrite").parquet(s"$root/chunks")
+    retainedChunks.write.mode("overwrite").parquet(s"$root/chunks")
     val chAll = s.read.parquet(s"$idx/chunks")
     val chRet = s.read.parquet(s"$root/chunks")
     val nB = chAll.count()
     val nA = chRet.count()
     // orphans = live chunks no retained doc carries (what erasure must
-    // remove); re-counted against the WRITTEN relation
-    val orphans = chAll.join(chRet, Seq("ch"), "left_anti")
+    // remove), derived from an INDEPENDENT recompute of the retained
+    // set — NOT from the written relation (ADVICE r17: orphans = chAll
+    // ANTI chRet made the re-count tautologically 0). The written
+    // relation is then checked against those orphans, so a write that
+    // landed an orphan chunk on disk reports itself; a plan-level bug
+    // is the oracle's independent n_after check's to catch.
+    val orphans = chAll.join(retainedChunks, Seq("ch"), "left_anti")
     val tA = chRet.join(orphans, Seq("ch"), "left_semi").count()
     (ledger :+ ("chunks", nB, nB - nA, nA, tA))
       .toDF("artifact", "n_before", "n_touching_before", "n_after",

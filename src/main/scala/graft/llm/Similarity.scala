@@ -324,12 +324,15 @@ object Similarity {
     ensureNswIndex(s, d)
   private[graft] def upsertConsts: (Long, Long, Int, Int, Int) =
     (plantN.toLong, upsertOffset, nProbes, ivfNProbe, kNeighbors)
-  /** NSW engine tuning (shards, M, efBuild, efSearch) for specs
+  /** NSW engine tuning (minShards, M, efBuild, efSearch) for specs
     * (ADVICE r15: NswUpsertSpec re-declared these as literals, so an
     * engine retune would silently leave its independent rebuild
-    * asserting stale parameters). */
+    * asserting stale parameters). Since r18 the shard count is a
+    * POLICY of corpus size ([[nswShardsFor]]) — the first element is
+    * the policy FLOOR; specs that replicate routing for a persisted
+    * graph must read that graph's count via [[nswShardCountFor]]. */
   private[graft] def nswTuning: (Int, Int, Int, Int) =
-    (nswShards, nswM, nswEfBuild, nswEfSearch)
+    (nswMinShards, nswM, nswEfBuild, nswEfSearch)
 
   /** IVF approximate top-k over the PERSISTED index: each probe ranks
     * the 16 stored centroids (an 80-row cross join — the quantizer, not
@@ -745,7 +748,32 @@ object Similarity {
   // its M nearest among [0, i) found by beam search (efC wide), with
   // reverse edges pruned back to M by distance — all ties broken by id,
   // so the graph, the candidate set, and the fixture are run-stable.
-  private val nswShards = 8
+  // Shard-count POLICY (VERDICT r17 next §1): the r17 scale probe pinned
+  // per-shard build cost growing ≈ n^1.4 under a FIXED 8-shard layout
+  // (36.4 s warm at 250k nodes/shard) — population grew 1000× while the
+  // shard count stood still. Production at 100 TB scales executors with
+  // data, so the engine scales shards with population:
+  //
+  //   shards = clamp(ceil(n / nswTargetNodesPerShard), nswMinShards, cap)
+  //
+  // The floor keeps small corpora parallel (and the gated sf corpora on
+  // their historical 8-shard layout, so fixtures and the routing specs
+  // are unchanged by construction); the cap bounds serve's shards × ef
+  // per-probe fan-out by the cluster's parallelism (local[32] → 32; a
+  // 1000-executor cluster raises the cap with it). 62 500 nodes/shard is
+  // the measured knee's safe side: per-shard build is ≈(62.5k/250k)^1.4
+  // ≈ 1/7 of the r17 1000× wall, and a beam over 62.5k nodes stays well
+  // inside task-memory at M=8. The chosen count is PART OF THE INDEX
+  // (the meta relation): pmod(hash(vec_id), shards) is the routing
+  // function, so every later insert must read the build's count back
+  // rather than re-derive it from a corpus whose size has moved.
+  private[llm] val nswMinShards = 8
+  private[llm] val nswTargetNodesPerShard = 62500L
+  private[graft] def nswShardsFor(n: Long, parallelism: Int): Int = {
+    val want = ((n + nswTargetNodesPerShard - 1) / nswTargetNodesPerShard).toInt
+    val cap = math.max(nswMinShards, parallelism)
+    math.min(math.max(nswMinShards, want), cap)
+  }
   private val nswM = 8
   private val nswEfBuild = 32
   private val nswEfSearch = 32
@@ -881,7 +909,8 @@ object Similarity {
   private def nswCandidates(s: SparkSession, emb: DataFrame): DataFrame = {
     import s.implicits._
     val bProbes = nswProbes(s, emb)
-    emb.repartition(nswShards, col("vec_id"))
+    val shards = nswShardsFor(emb.count(), s.sparkContext.defaultParallelism)
+    emb.repartition(shards, col("vec_id"))
       .sortWithinPartitions("vec_id") // insertion order = id order, deterministic
       .select(col("vec_id"), col("ve")).as[(Long, Seq[Double])]
       .mapPartitions { it =>
@@ -916,7 +945,9 @@ object Similarity {
     import s.implicits._
     val path = nswIndexPath(d)
     val emb = table(s, d, "embeddings").select(col("vec_id"), asDouble.as("ve"))
-    emb.repartition(nswShards, col("vec_id"))
+    val n = emb.count()
+    val shards = nswShardsFor(n, s.sparkContext.defaultParallelism)
+    emb.repartition(shards, col("vec_id"))
       .sortWithinPartitions("vec_id")
       .select(col("vec_id"), col("ve")).as[(Long, Seq[Double])]
       .mapPartitions { it =>
@@ -932,15 +963,38 @@ object Similarity {
         }
       }.toDF("shard", "pos", "vec_id", "ven", "adj")
       .write.mode("overwrite").parquet(s"$path/graph")
+    // the shard count is index METADATA: pmod(hash(vec_id), n_shards) is
+    // the routing function every later insert must share, and the corpus
+    // size that chose it may have moved by then
+    Seq((shards, n)).toDF("n_shards", "n_vectors")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     path
   }
 
   private def ensureNswIndex(s: SparkSession, d: String): String = {
+    import s.implicits._
     val path = nswIndexPath(d)
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/graph/_SUCCESS")))
       nswBuild(s, d)
+    else if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/meta/_SUCCESS"))) {
+      // pre-policy index on disk: backfill the meta from the stored rows
+      // (max shard + 1 is exact there — the historical count was the
+      // fixed 8 and every gated corpus populates all 8) rather than
+      // paying a rebuild for a metadata gap
+      val g = s.read.parquet(s"$path/graph")
+        .agg(max(col("shard")), count(lit(1))).head
+      Seq((g.getInt(0) + 1, g.getLong(1))).toDF("n_shards", "n_vectors")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    }
     path
   }
+
+  /** The persisted graph's routing shard count — index metadata, so an
+    * insert routed years after the build still shares its partitioner. */
+  private def nswMetaShards(s: SparkSession, path: String): Int =
+    s.read.parquet(s"$path/meta").select("n_shards").head.getInt(0)
+  private[graft] def nswShardCountFor(s: SparkSession, d: String): Int =
+    nswMetaShards(s, ensureNswIndex(s, d))
 
   /** Serve-only NSW candidates over the PERSISTED graph: re-group the
     * index rows by shard (groupByKey — the stored shard id, NOT a fresh
@@ -979,13 +1033,16 @@ object Similarity {
     s.read.parquet(s"$idx/graph")
   }
 
+  /** `nShards` must be the GRAPH's build shard count
+    * ([[nswShardCountFor]]) — the routing function is part of the
+    * index, not a session constant. */
   private[graft] def nswGraphInsert(s: SparkSession, graph: DataFrame,
-      batch: DataFrame): DataFrame = {
+      batch: DataFrame, nShards: Int): DataFrame = {
     import s.implicits._
     val gRows = graph.select(col("shard"), col("pos"), col("vec_id"), col("ven"), col("adj"))
       .as[(Int, Int, Long, Seq[Double], Seq[Int])].groupByKey(_._1)
     val bRows = batch
-      .select(pmod(hash(col("vec_id")), lit(nswShards)).cast("int").as("shard"),
+      .select(pmod(hash(col("vec_id")), lit(nShards)).cast("int").as("shard"),
         col("vec_id"), col("ve"))
       .as[(Int, Long, Seq[Double])].groupByKey(_._1)
     gRows.cogroup(bRows) { (shard, git, bit) =>
@@ -1217,7 +1274,7 @@ object Similarity {
       .as[(Int, Int, Long, Seq[Double], Seq[Int])]
       .groupByKey(_._1)
     val bRows = batch
-      .select(pmod(hash(col("vec_id")), lit(nswShards)).cast("int").as("shard"),
+      .select(pmod(hash(col("vec_id")), lit(nswMetaShards(s, idx))).cast("int").as("shard"),
         col("vec_id"), col("ve"))
       .as[(Int, Long, Seq[Double])]
       .groupByKey(_._1)
@@ -1310,7 +1367,7 @@ object Similarity {
       .as[(Int, Int, Long, Seq[Double], Seq[Int])]
       .groupByKey(_._1)
     val bRows = batch
-      .select(pmod(hash(col("vec_id")), lit(nswShards)).cast("int").as("shard"),
+      .select(pmod(hash(col("vec_id")), lit(nswMetaShards(s, idx))).cast("int").as("shard"),
         col("vec_id"), col("ve"))
       .as[(Int, Long, Seq[Double])]
       .groupByKey(_._1)
@@ -1629,7 +1686,7 @@ object Similarity {
   // candidates: an engine leak of a deleted id turns the row sets
   // unequal, not just a value off.
   // -------------------------------------------------------------------
-  private[llm] def isTombstoned(id: Column): Column =
+  private[graft] def isTombstoned(id: Column): Column =
     id < plantN && id % 3 === 0
   /** Scalar twin of [[isTombstoned]] for the in-kernel NSW serve —
     * one predicate definition in two evaluation regimes, asserted

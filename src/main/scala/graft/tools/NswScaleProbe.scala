@@ -2,12 +2,16 @@ package graft.tools
 
 import org.apache.spark.sql.functions._
 
-/** NSW scale probe (VERDICT r16 next §2 + §6): the graph family's
-  * scale story says per-probe serve work is shards × ef — true PER
-  * PROBE, but beam PATH LENGTH grows with shard population, and the
-  * committed 100× rows stop at ~25k nodes/shard. This probe pins the
-  * serve-latency curve out to 1000× (2M vectors, 8 shards → 250k
-  * nodes/shard) and prices tombstone compaction at 1× and 100×:
+/** NSW scale probe (VERDICT r16 next §2 + §6; r17 next §1): the graph
+  * family's scale story says per-probe serve work is shards × ef —
+  * true PER PROBE, but beam PATH LENGTH grows with shard population.
+  * The r17 rows measured the FIXED 8-shard layout out to 1000× (2M
+  * vectors → 250k nodes/shard, build ≈ n^1.4 per shard); since r18 the
+  * build picks shards from population (62.5k-node target, parallelism
+  * cap — at 1000× on local[32] that is 32 shards → 62.5k nodes/shard),
+  * and this probe verifies the policy flattens the build curve while
+  * keeping steady serve within the fan-out budget. Compaction is
+  * priced at 1× and 100× (and 1000× with `compact1000`):
   *
   *   - corpora: sf0.1 (250 nodes/shard), 100× (/tmp/sf10emb, the
   *     EmbScaleProbe replication — 25k/shard), 1000× (/tmp/sfemb1000
@@ -72,8 +76,11 @@ object NswScaleProbe {
         time(graft.SparkEntry.queries("ann_nsw_compact")(spark, dir)
           .write.format("noop").mode("overwrite").save())) else Seq.empty
       val compact = if (doCompact) f"${compacts.min}%.2f" else "-"
-      val perShard = copies * 2000 / 8
-      println(f"[nsw-scale] $label%-7s nodes/shard=$perShard%-7d " +
+      // the r18 policy picks the shard count from population — report
+      // the count the build actually chose (read from the index meta)
+      val shards = graft.llm.Similarity.nswShardCountFor(spark, dir)
+      val perShard = copies * 2000 / shards
+      println(f"[nsw-scale] $label%-7s shards=$shards%-3d nodes/shard=$perShard%-7d " +
         f"build=$build%8.2f s  serve=${serves.min}%7.2f s " +
         f"(samples ${serves.map(x => f"$x%.2f").mkString("/")})  " +
         f"compact=$compact s")

@@ -19,7 +19,10 @@ import graft.TestSpark
 class NswDeleteSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
-  private val (shards, m, efB, efS) = Similarity.nswTuning
+  private val (_, m, efB, efS) = Similarity.nswTuning
+  // routing replicates the PERSISTED graph's build shard count (the
+  // r18 shard policy: count is index metadata, not a session constant)
+  private lazy val shards = Similarity.nswShardCountFor(spark, sf)
   private val (plantN, _, nProbes, _, kNeighbors) = Similarity.upsertConsts
 
   private lazy val served = Similarity.queries("ann_nsw_delete")(spark, sf).collect()

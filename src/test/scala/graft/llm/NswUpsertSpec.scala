@@ -19,7 +19,10 @@ class NswUpsertSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
   // engine constants read THROUGH the engine (ADVICE r15): a retune of
   // the NSW parameters or the plant must retune this rebuild with it
-  private val (shards, m, efB, efS) = Similarity.nswTuning
+  private val (_, m, efB, efS) = Similarity.nswTuning
+  // routing replicates the PERSISTED graph's build shard count (the
+  // r18 shard policy: count is index metadata, not a session constant)
+  private lazy val shards = Similarity.nswShardCountFor(spark, sf)
   private val (plantNL, upsertOffset, nProbes, _, _) = Similarity.upsertConsts
   private val plantN = plantNL
 

@@ -7,12 +7,15 @@ import graft.TestSpark
 /** The streaming CDC graph-maintenance gate (st_nsw_compact): the
   * streamed upsert→delete→sweep state equals the one-shot batch
   * pipeline (insert all, then the ann_nsw_compact sweep) row-exactly;
-  * storage really shrinks at the sweep version; and the served top-k
+  * storage really shrinks at the sweep output; the served top-k
   * equals ann_nsw_lifecycle's mark-delete serve over the UNSWEPT
   * upserted graph — compaction serve-neutrality (NswCompactSpec)
-  * composed with insertion-order construction (StNswUpsertSpec). Like
-  * those specs, the cross-gate equalities are PINNED MEASUREMENTS of
-  * this corpus + nswTuning. */
+  * composed with insertion-order construction (StNswUpsertSpec); and
+  * (r18, VERDICT r17 next §4) the sweep CONVERGES under split
+  * tombstone delivery: sweeping at t1 then at t1∪t2 yields the same
+  * graph as one-shot delivery, because every sweep recomputes from
+  * the unswept mainline. Like the sibling specs, the cross-gate
+  * equalities are PINNED MEASUREMENTS of this corpus + nswTuning. */
 class StNswCompactSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
@@ -23,49 +26,86 @@ class StNswCompactSpec extends AnyFunSuite {
   // resolve versions from the directory, NOT from a hard-coded trigger
   // count (the ADVICE r16 st_nsw_upsert lesson: how many micro-batches
   // MemoryStream makes of an addData call is a runtime detail)
-  private lazy val versions = {
+  private def versionsOf(prefix: String) = {
     served
     new java.io.File(root).listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("live_"))
-      .map(_.getName.stripPrefix("live_").toInt).sorted
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+      .map(_.getName.stripPrefix(prefix).toInt).sorted
   }
-  private def live(v: Int) = spark.read.parquet(s"$root/live_$v")
+  private lazy val mainVersions = versionsOf("live_")
+  private lazy val sweptVersions = versionsOf("swept_")
 
-  test("streamed swept graph == one-shot insert + compact, row-exact") {
-    served // drive the stream; leaves live_0..live_2 behind
-    def rowSet(df: org.apache.spark.sql.DataFrame) =
-      df.select("shard", "pos", "vec_id", "ven", "adj").collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
-          r.getSeq[Double](3), r.getSeq[Int](4))).toSet
-    val streamed = rowSet(live(versions.last))
+  private def rowSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("shard", "pos", "vec_id", "ven", "adj").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getSeq[Double](3), r.getSeq[Int](4))).toSet
+
+  private def upsertBatch = {
     val (plantN, upsertOffset, _, _, _) = graft.llm.Similarity.upsertConsts
-    val batch = graft.io.Sources.table(spark, sf, "embeddings")
+    graft.io.Sources.table(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
       .filter(col("vec_id") < plantN)
       .select((col("vec_id") + upsertOffset).as("vec_id"),
         transform(col("ve"), x => x * 2.0).as("ve"))
+  }
+
+  private def oneShotSwept = {
+    val nShards = graft.llm.Similarity.nswShardCountFor(spark, sf)
     val upserted = graft.llm.Similarity.nswGraphInsert(
-      spark, graft.llm.Similarity.nswBaseGraph(spark, sf), batch)
+      spark, graft.llm.Similarity.nswBaseGraph(spark, sf), upsertBatch, nShards)
     val tots = upserted.agg(count(lit(1)).as("n"),
-      sum(when(col("vec_id") < plantN && pmod(col("vec_id"), lit(3)) === 0, 1L)
+      sum(when(graft.llm.Similarity.isTombstoned(col("vec_id")), 1L)
         .otherwise(0L)).as("nd")).collect()(0)
-    val oneShot = rowSet(graft.llm.Similarity.nswCompact(
+    graft.llm.Similarity.nswCompact(
       spark, upserted, graft.llm.Similarity.tombstonedIdFor,
-      tots.getLong(0), tots.getLong(1)))
+      tots.getLong(0), tots.getLong(1))
+  }
+
+  test("streamed swept graph == one-shot insert + compact, row-exact") {
+    served // drive the stream; leaves live_* mainline + swept_* outputs
+    assert(sweptVersions.nonEmpty, "the stream never swept")
+    val streamed = rowSet(
+      spark.read.parquet(s"$root/swept_${sweptVersions.last}"))
+    val oneShot = rowSet(oneShotSwept)
     assert(streamed == oneShot,
       s"streamed sweep diverged from one-shot: only-streamed " +
         s"${(streamed -- oneShot).take(2).map(t => (t._1, t._2, t._3))}, " +
         s"only-one-shot ${(oneShot -- streamed).take(2).map(t => (t._1, t._2, t._3))}")
   }
 
-  test("the sweep version really shrinks storage") {
-    // the last version is the sweep's output; its predecessor is the
-    // fully-upserted pre-sweep graph
-    assert(versions.length >= 3, s"expected base+insert+sweep, saw $versions")
-    val preSweep = live(versions(versions.length - 2)).count()
-    val postSweep = live(versions.last).count()
-    assert(postSweep < preSweep,
-      s"sweep did not shrink the live graph: $preSweep -> $postSweep")
+  test("the sweep output really shrinks storage vs the mainline tip") {
+    assert(mainVersions.length >= 2, s"expected base+insert, saw $mainVersions")
+    val mainTip = spark.read.parquet(s"$root/live_${mainVersions.last}").count()
+    val sweptTip = spark.read.parquet(s"$root/swept_${sweptVersions.last}").count()
+    assert(sweptTip < mainTip,
+      s"sweep did not shrink the serving graph: $mainTip -> $sweptTip")
+  }
+
+  test("split tombstone delivery converges to the one-shot sweep") {
+    // drive the fold DIRECTLY with a deliberately split delete batch:
+    // sweep at t1, then at t1∪t2 — the r18 idempotence claim is that
+    // the second sweep recomputes from the unswept mainline, so the
+    // final graph equals one-shot delivery row-exactly
+    val deletes = graft.io.Sources.table(spark, sf, "embeddings")
+      .select(col("vec_id")).collect().map(_.getLong(0))
+      .filter(graft.llm.Similarity.tombstonedIdFor).sorted
+    assert(deletes.length >= 2, "need at least two tombstones to split")
+    val (t1, t2) = deletes.splitAt(deletes.length / 2)
+    val state = new StreamQueries.NswCdcState(spark,
+      s"$root-split", graft.llm.Similarity.nswBaseGraph(spark, sf),
+      graft.llm.Similarity.nswShardCountFor(spark, sf))
+    state.insert(upsertBatch)
+    state.delete(t1)
+    val afterT1 = rowSet(state.serving)
+    state.delete(t2)
+    val split = rowSet(state.serving)
+    val oneShot = rowSet(oneShotSwept)
+    assert(split == oneShot,
+      s"split delivery diverged from one-shot: only-split " +
+        s"${(split -- oneShot).take(2).map(t => (t._1, t._2, t._3))}, " +
+        s"only-one-shot ${(oneShot -- split).take(2).map(t => (t._1, t._2, t._3))}")
+    // and the intermediate sweep really was partial (the case is live)
+    assert(afterT1 != split, "the t1 sweep already equaled the full sweep")
   }
 
   test("no tombstoned id surfaces in the served top-k") {
