@@ -611,13 +611,17 @@ object Multimodal {
     * flips between consecutive samples WITHIN the window — boundary
     * pairs belong to no window, so the windowing is unambiguous). The
     * per-partition decode batches codec init exactly like the image
-    * paths; the fanout is bounded (nFrames / 256 windows per row). */
+    * paths; the fanout is bounded (nFrames / 256 windows per row).
+    * `decode` selects the codec — the gated queries feed the
+    * COMPRESSED corpus through [[Adpcm.decode]] (r18); PCM WAV via
+    * [[decodeWav]] remains for the uncompressed path. */
   def audioWindowFeatures(spark: SparkSession, media: Dataset[Media],
-      window: Int = 256): Dataset[AudioWindow] = {
+      window: Int = 256,
+      decode: Array[Byte] => Array[Int] = decodeWav): Dataset[AudioWindow] = {
     import spark.implicits._
     media.filter(_.kind == "audio").mapPartitions { it =>
       it.flatMap { m =>
-        val s = decodeWav(m.bytes)
+        val s = decode(m.bytes)
         s.indices.grouped(window).zipWithIndex.map { case (idx, w) =>
           var sumSq = 0L
           var peak = 0L
@@ -885,25 +889,65 @@ object Multimodal {
     spark.createDataset(base ++ twins)
   }
 
-  /** Audio corpus with planted LEAD-IN twins (mm_audio_dedup): 24 base
-    * clips of 8–11 full 256-sample windows, plus — for every third
-    * base id — a twin at id + 2000 whose samples are one full window
-    * of silence followed by the base clip's samples verbatim ("same
-    * track, different lead-in" — the shift equals the window size, so
-    * every base window reappears intact at window index + 1). Byte
+  /** COMPRESSED-audio corpus (mm_adpcm_err / mm_audio_features /
+    * mm_vad, VERDICT r17 next §3): 21 clips of ADPCM-friendly walk
+    * samples ([[Adpcm.walkSamples]]) encoded as IMA-ADPCM WAV — clip
+    * lengths span 2-6 full 256-byte blocks INCLUDING partial final
+    * blocks and partial final feature windows, so both tail paths stay
+    * exercised. meta.nFrames = true sample count (also in the payload's
+    * fact chunk). */
+  private[llm] def demoMediaAdpcm(spark: SparkSession): Dataset[Media] = {
+    import spark.implicits._
+    spark.createDataset((0 until 21).map { i =>
+      val n = 1500 + (i * 251) % 1200
+      Media(i.toLong, "audio", Adpcm.encode(Adpcm.walkSamples(i.toLong, n)),
+        MediaMeta(0, 0, 16000, n))
+    })
+  }
+
+  /** The decoded ADPCM corpus as a relation, dumped to the
+    * `adpcm_samples` fixture — the mm_mjpeg_frames split for the audio
+    * family: the codec is lossy, so the gated queries' oracles rebuild
+    * their algebra FROM these decoded samples (never from the codec),
+    * while the fidelity claim against the regenerated walk source is
+    * mm_adpcm_err's error algebra + AdpcmSpec's hard bound. Every
+    * gated consumer dumps the fixture itself (the annNsw discipline —
+    * queries run in any order). */
+  private def dumpAdpcmSamples(s: SparkSession): Unit = {
+    import s.implicits._
+    val dec = demoMediaAdpcm(s).mapPartitions(_.flatMap { m =>
+      Adpcm.decode(m.bytes).iterator.zipWithIndex.map { case (v, j) =>
+        (m.media_id, j, v.toLong)
+      }
+    }).toDF("media_id", "j", "v")
+    graft.io.Sinks.dumpFixture(dec, "adpcm_samples")
+  }
+
+  /** Audio corpus with planted LEAD-IN twins (mm_audio_dedup), since
+    * r18 COMPRESSED (IMA-ADPCM walk clips): 24 base clips of 4-6 full
+    * ADPCM blocks, plus — for every third base id — a twin at
+    * id + 2000 whose samples are one full BLOCK (505 samples) of
+    * silence followed by the base clip's samples verbatim ("same
+    * track, different lead-in"). Because the encoder resets state per
+    * block, the twin's shifted blocks are byte-identical to the
+    * base's, so the DECODED block windows match exactly even under
+    * the lossy codec — the shift equals the dedup window size, and
+    * every base window reappears intact at window index + 1. Byte
     * dedup can never group them (different lengths, different data);
     * the decoded-window hash join must. */
   private[llm] def demoMediaAudioDups(spark: SparkSession): Dataset[Media] = {
     import spark.implicits._
     val base = (0 until 24).map { i =>
       val n = 2048 + (i * 137) % 1024
-      Media(i.toLong, "audio", encodeWav(i.toLong, n), MediaMeta(0, 0, 16000, n))
+      Media(i.toLong, "audio", Adpcm.encode(Adpcm.walkSamples(i.toLong, n)),
+        MediaMeta(0, 0, 16000, n))
     }
     val twins = (0 until 24).filter(_ % 3 == 0).map { i =>
       val n = 2048 + (i * 137) % 1024
-      val samples = Array.fill(256)(0) ++ audioSamples(i.toLong, n)
-      Media(2000L + i, "audio", encodeWavFrom(samples),
-        MediaMeta(0, 0, 16000, n + 256))
+      val samples = Array.fill(Adpcm.samplesPerBlock)(0) ++
+        Adpcm.walkSamples(i.toLong, n)
+      Media(2000L + i, "audio", Adpcm.encode(samples),
+        MediaMeta(0, 0, 16000, n + Adpcm.samplesPerBlock))
     }
     spark.createDataset(base ++ twins)
   }
@@ -1014,16 +1058,43 @@ object Multimodal {
           graft.functions.Numeric.dround(avg(col("err")), 4).as("mean_err"))
         .orderBy("media_id", "frame_idx")
     }),
-    // windowed features over the REAL WAV decode; the oracle regenerates
-    // every sample from id arithmetic and replays the windowing — rms is
-    // sqrt over an EXACT integer sum of squares, peak/zcr pure integers,
-    // so only the final rounding touches floating point
-    "mm_audio_features" -> ((s, _) =>
-      audioWindowFeatures(s, demoMedia(s)).toDF()
+    // Decode-error ledger over the COMPRESSED audio corpus — the
+    // mm_mjpeg_frames analog for ADPCM (r18): decoded samples dump to
+    // the adpcm_samples fixture, the oracle regenerates each sample's
+    // SOURCE value from the walk arithmetic (a per-media cumulative
+    // sum — never touching the codec) and independently replays the
+    // per-media error aggregation. A missing or extra fixture row
+    // diverges n_samples; drifted error algebra diverges max/mean_err
+    // against the engine's values; the fidelity bound itself
+    // (max_err ≤ 1024 on this corpus) is AdpcmSpec's.
+    "mm_adpcm_err" -> ((s, _) => {
+      import s.implicits._
+      val rows = demoMediaAdpcm(s).mapPartitions(_.flatMap { m =>
+        val dec = Adpcm.decode(m.bytes)
+        val src = Adpcm.walkSamples(m.media_id, m.meta.nFrames)
+        dec.iterator.zipWithIndex.map { case (v, j) =>
+          (m.media_id, j, v.toLong, math.abs(v - src(j)).toLong)
+        }
+      }).toDF("media_id", "j", "v", "err").persist()
+      graft.io.Sinks.dumpFixture(rows.select("media_id", "j", "v"), "adpcm_samples")
+      rows.groupBy("media_id")
+        .agg(count(lit(1)).as("n_samples"), max(col("err")).as("max_err"),
+          graft.functions.Numeric.dround(avg(col("err")), 4).as("mean_err"))
+        .orderBy("media_id")
+    }),
+    // windowed features over the REAL COMPRESSED decode (r18: the
+    // ADPCM corpus replaces PCM — VERDICT r17 next §3); the oracle
+    // replays the windowing from the adpcm_samples fixture — rms is
+    // sqrt over an EXACT integer sum of squares, peak/zcr pure
+    // integers, so only the final rounding touches floating point
+    "mm_audio_features" -> ((s, _) => {
+      dumpAdpcmSamples(s)
+      audioWindowFeatures(s, demoMediaAdpcm(s), decode = Adpcm.decode).toDF()
         .select(col("media_id"), col("win_idx"), col("n_samples"),
           graft.functions.Numeric.dround(col("rms"), 4).as("rms"),
           col("peak"), col("zcr"))
-        .orderBy("media_id", "win_idx")),
+        .orderBy("media_id", "win_idx")
+    }),
     // VAD segmentation over the decoded windows: a window is ACTIVE
     // when its rms clears the media's own mean rms (relative threshold
     // — the adaptive-energy VAD baseline; an absolute threshold would
@@ -1035,7 +1106,8 @@ object Multimodal {
     // agg.
     "mm_vad" -> ((s, _) => {
       import org.apache.spark.sql.expressions.Window
-      val w = audioWindowFeatures(s, demoMedia(s)).toDF()
+      dumpAdpcmSamples(s)
+      val w = audioWindowFeatures(s, demoMediaAdpcm(s), decode = Adpcm.decode).toDF()
       val th = w.groupBy("media_id").agg(
         sum(floor(col("rms") * lit(10000.0))).as("qs"), count(lit(1)).as("nw"))
       val act = w.join(broadcast(th), "media_id")
@@ -1149,30 +1221,36 @@ object Multimodal {
         .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .orderBy("content_md5")),
     // Audio near-dup by decoded-window hashing — the audio face of the
-    // near-dup family (image: mm_phash; video: mm_video_dedup; audio
-    // had only byte-exact). Each REAL WAV decode splits into full
-    // 256-sample windows, each window keys by md5 over its
-    // comma-joined sample values, and clips sharing ≥ 75% of the
-    // smaller clip's windows pair — so the planted lead-in twins
-    // (silence-shifted by exactly one window) hit overlap 1.0 while
-    // twin-twin pairs, which share ONLY the silence window (~0.1),
-    // are filtered: the silence window is this operator's boilerplate
-    // token (every twin carries it — at corpus scale its collision
-    // list takes the dd_lines df-cap discipline; here it is bounded by
-    // the 8 plants). Only (media_id, 16-byte key) rows shuffle —
-    // payloads and samples stay scan-local. Oracle: END-TO-END, no
-    // fixture — samples, windows, keys, the join, and the threshold
-    // all replay from id arithmetic.
+    // near-dup family (image: mm_phash; video: mm_video_dedup), since
+    // r18 over the REAL COMPRESSED codec: each IMA-ADPCM decode splits
+    // into full BLOCK-sized windows (505 samples — the codec's own
+    // state-reset boundary, so decoded windows of shared content are
+    // EXACTLY equal even though the codec is lossy), each window keys
+    // by md5 over its comma-joined sample values, and clips sharing
+    // ≥ 75% of the smaller clip's windows pair — the planted lead-in
+    // twins (silence-shifted by exactly one block) hit overlap 1.0
+    // while twin-twin pairs, which share ONLY the silence window
+    // (~0.2), are filtered: the silence window is this operator's
+    // boilerplate token (every twin carries it — at corpus scale its
+    // collision list takes the dd_lines df-cap discipline; here it is
+    // bounded by the 8 plants). Only (media_id, 16-byte key) rows
+    // shuffle — payloads and samples stay scan-local. Oracle: the
+    // mm_video_dedup shape — the PAIR STRUCTURE replays from the plant
+    // arithmetic alone (pair (i, 2000+i) shares exactly base i's full
+    // windows), and only a genuine blockwise decode can reproduce it:
+    // base and twin have entirely different payload bytes, so a
+    // byte-echoing fake never aligns a single window.
     "mm_audio_dedup" -> ((s, _) => {
       import s.implicits._
       val wins = demoMediaAudioDups(s).mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { m =>
-          decodeWav(m.bytes).grouped(256).filter(_.length == 256).map { w =>
-            (m.media_id,
-              md.digest(w.mkString(",").getBytes("UTF-8"))
-                .map("%02x".format(_)).mkString)
-          }
+          Adpcm.decode(m.bytes).grouped(Adpcm.samplesPerBlock)
+            .filter(_.length == Adpcm.samplesPerBlock).map { w =>
+              (m.media_id,
+                md.digest(w.mkString(",").getBytes("UTF-8"))
+                  .map("%02x".format(_)).mkString)
+            }
         }
       }.toDF("media_id", "win_key").distinct()
       val sizes = wins.groupBy("media_id").agg(count(lit(1)).as("nw"))
@@ -1262,15 +1340,15 @@ object Multimodal {
   /** The decoded-audio window relation as a CTE chain ending in
     * `wins(media_id, win_idx, n_samples, rms_raw, peak, zcr)` — the ONE
     * definition both the mm_audio_features twin and the mm_vad twin
-    * build from (the perplexityCtes sharing rule). */
+    * build from (the perplexityCtes sharing rule). Since r18 the
+    * samples come from the adpcm_samples FIXTURE (the mm_mjpeg_frames
+    * split: the codec is lossy, so the oracle verifies the window
+    * algebra over the decoded values the engine dumped; the fixture's
+    * fidelity against the regenerated walk source is mm_adpcm_err's
+    * error ledger + AdpcmSpec's hard bound). */
   private def audioWinsSql: String =
-    s"""m AS (SELECT media_id, nFrames
-       |      FROM read_parquet('/tmp/graft_fixtures/demo_media_meta/*.parquet')
-       |      WHERE kind = 'audio'),
-       | s AS (
-       |  SELECT m.media_id, t.j,
-       |   ((${TextHashes.fnvFoldSql("'a:' || m.media_id || ':' || t.j")} % 65536) - 32768)::BIGINT AS v
-       |  FROM m, LATERAL unnest(generate_series(0, m.nFrames - 1)) t(j)),
+    s"""s AS (SELECT media_id, j, v
+       |      FROM read_parquet('/tmp/graft_fixtures/adpcm_samples/*.parquet')),
        | sl AS (SELECT *, (j // 256)::INT AS win_idx,
        |          lag(v) OVER (PARTITION BY media_id ORDER BY j) AS pv
        |        FROM s),
@@ -1365,10 +1443,34 @@ object Multimodal {
          |  max(err) AS max_err, round(avg(err), 4) AS mean_err
          |FROM e GROUP BY media_id, frame_idx
          |ORDER BY media_id, frame_idx""".stripMargin,
-    // sample-exact replay of the WAV decode + windowing: samples from
-    // the id arithmetic (low 16 FNV bits, signed offset), windows of
-    // 256, rms over the exact integer sum of squares, zero-crossings
-    // via lag bounded to the window (j % 256 <> 0)
+    // ADPCM decode-error twin (the mm_mjpeg_frames split): GIVEN the
+    // decoded samples the engine dumped, regenerate each sample's
+    // SOURCE value from the walk arithmetic alone — increments
+    // (fnv % 512) - 256, per-media cumulative sum (never touching the
+    // codec; exact because AdpcmSpec pins the walk inside int16, so no
+    // clamp enters the recursion) — inner-join the fixture onto it,
+    // and independently replay the per-media error aggregation.
+    "mm_adpcm_err" ->
+      s"""WITH ids AS (SELECT unnest(generate_series(0, 20)) AS i),
+         | m AS (SELECT i::BIGINT AS media_id, 1500 + (i * 251) % 1200 AS n FROM ids),
+         | d AS (SELECT m.media_id, t.j,
+         |   ((${TextHashes.fnvFoldSql("'w:' || m.media_id || ':' || t.j")} % 512) - 256)::BIGINT AS dv
+         |  FROM m, LATERAL unnest(generate_series(0, m.n - 1)) t(j)),
+         | src AS (SELECT media_id, j,
+         |   sum(dv) OVER (PARTITION BY media_id ORDER BY j
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sv
+         |  FROM d),
+         | fx AS (SELECT media_id, j, v
+         |        FROM read_parquet('/tmp/graft_fixtures/adpcm_samples/*.parquet')),
+         | e AS (SELECT s.media_id, abs(fx.v - s.sv)::BIGINT AS err
+         |       FROM src s JOIN fx ON fx.media_id = s.media_id AND fx.j = s.j)
+         |SELECT media_id, count(*)::BIGINT AS n_samples,
+         |  max(err) AS max_err, round(avg(err), 4) AS mean_err
+         |FROM e GROUP BY media_id ORDER BY media_id""".stripMargin,
+    // window-algebra replay of the COMPRESSED decode (r18): windows of
+    // 256 over the fixture samples, rms over the exact integer sum of
+    // squares, zero-crossings via lag bounded to the window
+    // (j % 256 <> 0)
     "mm_audio_features" ->
       s"""WITH $audioWinsSql
          |SELECT media_id, win_idx, n_samples,
@@ -1507,40 +1609,24 @@ object Multimodal {
          |      AS BIGINT) AS scene_id
          |FROM allf ORDER BY media_id, frame_idx""".stripMargin
     },
-    // END-TO-END audio near-dup replay: base and twin samples
-    // regenerate from id arithmetic (twin j = 0 under the shift, else
-    // the base sample at j − 256), windows re-key by md5 over the same
-    // comma-joined values, and the hash join + size join + threshold
-    // re-derive — the engine must arrive at the identical pair set
-    // through the real WAV decode
+    // Audio near-dup over the COMPRESSED codec (r18): the PAIR
+    // STRUCTURE replays from the plant arithmetic alone (the
+    // mm_video_dedup shape) — pair (i, 2000+i) for i % 3 = 0 shares
+    // exactly base i's full 505-sample block windows (the encoder's
+    // per-block state reset makes the twin's shifted blocks decode
+    // byte-identically), so n_shared = n_i // 505 and overlap = 1.0;
+    // twin-twin pairs share only the silence window (overlap <= 0.25,
+    // filtered at 0.75). The engine must reproduce this through the
+    // real blockwise ADPCM decode: base and twin payloads share no
+    // bytes at common offsets, so a byte-echoing fake never aligns a
+    // single window, and any decode drift breaks the exact window
+    // equality the pairing rides.
     "mm_audio_dedup" ->
-      s"""WITH ids AS (SELECT unnest(generate_series(0, 23)) AS i),
-         | m AS (SELECT i::BIGINT AS media_id, i AS src, 0 AS shift,
-         |         2048 + (i * 137) % 1024 AS n FROM ids
-         |       UNION ALL
-         |       SELECT (2000 + i)::BIGINT, i, 256, 2048 + (i * 137) % 1024 + 256
-         |       FROM ids WHERE i % 3 = 0),
-         | s AS (SELECT m.media_id, t.j,
-         |        CASE WHEN t.j < m.shift THEN 0
-         |             ELSE ((${TextHashes.fnvFoldSql(
-                  "'a:' || m.src || ':' || (t.j - m.shift)")} % 65536) - 32768)::BIGINT
-         |        END AS v
-         |       FROM m, LATERAL unnest(generate_series(0, m.n - 1)) t(j)),
-         | w AS (SELECT media_id, j // 256 AS wi,
-         |         md5(string_agg(v::VARCHAR, ',' ORDER BY j)) AS win_key,
-         |         count(*) AS c
-         |       FROM s GROUP BY media_id, j // 256 HAVING count(*) = 256),
-         | wk AS (SELECT DISTINCT media_id, win_key FROM w),
-         | sz AS (SELECT media_id, count(*)::BIGINT AS nw FROM wk GROUP BY media_id),
-         | p AS (SELECT a.media_id AS id_a, b.media_id AS id_b,
-         |         count(*)::BIGINT AS n_shared
-         |       FROM wk a JOIN wk b USING (win_key)
-         |       WHERE a.media_id < b.media_id GROUP BY 1, 2)
-         |SELECT id_a, id_b, n_shared,
-         | round(n_shared::DOUBLE / least(x.nw, y.nw), 4) AS overlap
-         |FROM p JOIN sz x ON x.media_id = p.id_a JOIN sz y ON y.media_id = p.id_b
-         |WHERE n_shared::DOUBLE / least(x.nw, y.nw) >= 0.75
-         |ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH ids AS (SELECT unnest(generate_series(0, 23)) AS i)
+         |SELECT i::BIGINT AS id_a, (2000 + i)::BIGINT AS id_b,
+         | ((2048 + (i * 137) % 1024) // 505)::BIGINT AS n_shared,
+         | 1.0 AS overlap
+         |FROM ids WHERE i % 3 = 0 ORDER BY id_a, id_b""".stripMargin,
     // fully self-contained: the dedup GROUP STRUCTURE follows from the
     // plant arithmetic (base i groups with twin 1000+i iff i % 3 = 0;
     // different base videos can never collide — different pixels), and

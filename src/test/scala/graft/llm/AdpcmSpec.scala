@@ -1,0 +1,113 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** The IMA-ADPCM codec gate (VERDICT r17 next §3 — the audio analog of
+  * MjpegSpec's worst-channel-error gate): container structure, the
+  * blockwise-determinism property the dedup plant rides, the walk
+  * source's int16 range (what makes the oracle's unclamped cumsum
+  * exact), and the measured round-trip fidelity bound over the whole
+  * gated corpus. */
+class AdpcmSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def corpusClips: Seq[(Long, Int)] =
+    (0 until 21).map(i => (i.toLong, 1500 + (i * 251) % 1200)) ++
+      (0 until 24).map(i => (i.toLong, 2048 + (i * 137) % 1024))
+
+  test("container: RIFF/WAVE with fmt 0x11, fact count, word-aligned chunks") {
+    val samples = Adpcm.walkSamples(3L, 1777)
+    val b = Adpcm.encode(samples)
+    val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(new String(b, 0, 4, "US-ASCII") == "RIFF")
+    assert(new String(b, 8, 4, "US-ASCII") == "WAVE")
+    assert(buf.getInt(4) == b.length - 8, "RIFF size field")
+    // fmt at the canonical offset: tag 0x11, mono, 4-bit, 256-byte
+    // blocks, 505 samples/block in the extended field
+    assert(new String(b, 12, 4, "US-ASCII") == "fmt ")
+    assert(buf.getShort(20) == 0x0011 && buf.getShort(22) == 1)
+    assert(buf.getShort(34) == 4)
+    assert((buf.getShort(32) & 0xffff) == Adpcm.blockAlign)
+    assert((buf.getShort(38) & 0xffff) == Adpcm.samplesPerBlock)
+    // fact carries the TRUE sample count (the partial final block's
+    // tail is not implied by the data size)
+    assert(new String(b, 40, 4, "US-ASCII") == "fact")
+    assert(buf.getInt(48) == 1777)
+  }
+
+  test("round-trip: decoded length exact, worst error bounded (measured gate)") {
+    // the fidelity claim the fixture-based oracles lean on: over EVERY
+    // clip of both gated corpora, the decode returns exactly n samples
+    // and tracks the walk source within a measured worst-sample bound.
+    // 1024 = 4x headroom over the observed worst (the step table needs
+    // a few samples to adapt after each block's index reset); a codec
+    // regression that loses track shoots past it immediately
+    var worst = 0
+    corpusClips.foreach { case (id, n) =>
+      val src = Adpcm.walkSamples(id, n)
+      val dec = Adpcm.decode(Adpcm.encode(src))
+      assert(dec.length == n, s"clip $id: decoded ${dec.length} of $n")
+      var j = 0
+      while (j < n) {
+        worst = math.max(worst, math.abs(dec(j) - src(j)))
+        j += 1
+      }
+    }
+    assert(worst <= 1024, s"worst round-trip error $worst exceeds the gate")
+    assert(worst > 0, "a zero error would mean the codec is echoing, not quantizing")
+  }
+
+  test("block header transmits the first sample exactly") {
+    val src = Adpcm.walkSamples(7L, Adpcm.samplesPerBlock * 3 + 100)
+    val dec = Adpcm.decode(Adpcm.encode(src))
+    (0 until 4).foreach { blk =>
+      val j = blk * Adpcm.samplesPerBlock
+      if (j < src.length)
+        assert(dec(j) == src(j), s"block $blk first sample not exact")
+    }
+  }
+
+  test("blockwise determinism: encode(a ++ b) == encode(a) ++ encode(b) at block splits") {
+    // the property mm_audio_dedup's window equality rides: per-block
+    // state reset makes each block a pure function of its samples
+    val a = Adpcm.walkSamples(11L, Adpcm.samplesPerBlock * 2)
+    val b = Adpcm.walkSamples(13L, Adpcm.samplesPerBlock * 2 + 77)
+    def dataOf(bytes: Array[Byte]): Array[Byte] = {
+      // data chunk payload only (headers differ by declared length)
+      val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var pos = 12
+      while (buf.getInt(pos) != 0x61746164) pos += 8 + buf.getInt(pos + 4)
+      bytes.slice(pos + 8, pos + 8 + buf.getInt(pos + 4))
+    }
+    val joint = dataOf(Adpcm.encode(a ++ b))
+    val parts = dataOf(Adpcm.encode(a)) ++ dataOf(Adpcm.encode(b))
+    assert(joint.sameElements(parts), "block encoding is not content-pure")
+    // and therefore decode concatenates too
+    assert(Adpcm.decode(Adpcm.encode(a ++ b))
+      .sameElements(Adpcm.decode(Adpcm.encode(a)) ++ Adpcm.decode(Adpcm.encode(b))))
+  }
+
+  test("walk source stays inside int16 for every corpus clip (oracle cumsum is exact)") {
+    corpusClips.foreach { case (id, n) =>
+      val s = Adpcm.walkSamples(id, n)
+      assert(s.forall(v => v >= -32768 && v <= 32767),
+        s"clip $id walks out of int16 — the oracle's unclamped cumsum would diverge")
+    }
+  }
+
+  test("partial final block: tail samples survive the truncated block") {
+    val n = Adpcm.samplesPerBlock + 5 // 4 nibble samples + header sample
+    val src = Adpcm.walkSamples(17L, n)
+    val dec = Adpcm.decode(Adpcm.encode(src))
+    assert(dec.length == n)
+    assert(dec(Adpcm.samplesPerBlock) == src(Adpcm.samplesPerBlock),
+      "partial block's header sample must be exact")
+  }
+
+  test("decoder rejects non-ADPCM payloads loudly") {
+    val pcm = Multimodal.demoMedia(spark).collect().find(_.kind == "audio").get
+    val e = intercept[IllegalArgumentException](Adpcm.decode(pcm.bytes))
+    assert(e.getMessage.contains("expected IMA ADPCM"))
+  }
+}

@@ -93,16 +93,21 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("mm_audio_dedup: lead-in twins pair at overlap 1.0, silence-only overlap is filtered") {
+    val spb = Adpcm.samplesPerBlock
     val media = Multimodal.demoMediaAudioDups(spark).collect()
     val byId = media.map(m => m.media_id -> m).toMap
     (0 until 24).filter(_ % 3 == 0).foreach { i =>
       val a = byId(i.toLong)
       val b = byId(2000L + i)
       assert(a.bytes.length != b.bytes.length, s"twin $i must differ as bytes")
-      val da = Multimodal.decodeWav(a.bytes)
-      val db = Multimodal.decodeWav(b.bytes)
-      assert(db.take(256).forall(_ == 0), s"twin $i lead-in is not silence")
-      assert(db.drop(256).sameElements(da), s"twin $i body diverged from base")
+      val da = Adpcm.decode(a.bytes)
+      val db = Adpcm.decode(b.bytes)
+      assert(db.take(spb).forall(_ == 0), s"twin $i lead-in is not silence")
+      // the load-bearing codec property (r18): the twin is shifted by
+      // exactly one BLOCK, and the encoder's per-block state reset
+      // makes the shared content's blocks byte-identical — so the
+      // DECODED bodies agree exactly even though ADPCM is lossy
+      assert(db.drop(spb).sameElements(da), s"twin $i body diverged from base")
     }
     val rows = Multimodal.queries("mm_audio_dedup")(spark, "/root/testdata/sf0.001")
       .collect()
@@ -112,8 +117,8 @@ class MultimodalSpec extends AnyFunSuite {
       s"pair set diverged: extra ${(pairs -- want).take(3)}, missing ${(want -- pairs).take(3)}")
     rows.foreach { r =>
       assert(r.getAs[Double]("overlap") == 1.0, r.toString)
-      // n_shared = the base clip's full window count
-      val fb = (2048 + (r.getAs[Long]("id_a").toInt * 137) % 1024) / 256
+      // n_shared = the base clip's full block-window count
+      val fb = (2048 + (r.getAs[Long]("id_a").toInt * 137) % 1024) / spb
       assert(r.getAs[Long]("n_shared") == fb, r.toString)
     }
     // the twin-twin silence window DID collide upstream (the operator's
@@ -197,8 +202,10 @@ class MultimodalSpec extends AnyFunSuite {
     val spark = graft.TestSpark.spark
     val segs = Multimodal.queries("mm_vad")(spark, "").collect()
     assert(segs.nonEmpty)
-    // independent recomputation of the per-media mean threshold
-    val wins = Multimodal.audioWindowFeatures(spark, Multimodal.demoMedia(spark))
+    // independent recomputation of the per-media mean threshold (r18:
+    // over the COMPRESSED corpus the gated query now decodes)
+    val wins = Multimodal.audioWindowFeatures(spark,
+        Multimodal.demoMediaAdpcm(spark), decode = Adpcm.decode)
       .collect().groupBy(_.media_id)
     val thr = wins.map { case (id, ws) =>
       id -> (ws.map(w => math.floor(w.rms * 10000.0).toLong).sum.toDouble / 10000.0) / ws.length
