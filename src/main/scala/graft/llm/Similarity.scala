@@ -1436,6 +1436,68 @@ object Similarity {
       .orderBy("shard")
   }
 
+  /** Right-to-be-forgotten across the PERSISTED ANN indexes (VERDICT
+    * r17 next §5 — dq_rtbf scrubs the dedup index; the embeddings of a
+    * forgotten document are as much personal data as its chunks). The
+    * deletion predicate (vec_id % 20 = 5 — the dq_rtbf plant applied
+    * to the vector corpus) broadcast-anti-joins out of the
+    * vec_id-keyed flat relations (IVF assignments, PQ codes), each
+    * scrubbed into the versioned sibling <index>/rtbf (the dq_rtbf
+    * discipline: the live artifacts every other gate byte-compares
+    * stay untouched). The NSW graph cannot be anti-joined — hard
+    * removal severs the paths a node's insertion created — and
+    * erasure is a LEGAL OBLIGATION, not a garbage-budget policy, so
+    * the scrub runs the compaction kernel with the budget test FORCED
+    * (totN=1, totDead=0 turns the integer cross-multiply into
+    * "rebuild every shard holding a deleted vector"; clean shards
+    * emit untouched). The written graph holds ZERO forgotten ids —
+    * stronger than mark-delete, which retains the vector bytes it
+    * promises not to serve. Ledger: per artifact
+    * (n_before, touching-before, n_after, touching-after) RE-COUNTED
+    * on the relations actually written, so a scrub that kept a
+    * forgotten vector reports itself and diverges the oracle's zero.
+    * Oracle: fully self-contained — every scrubbed relation is one
+    * row per corpus vector, so the ledger replays from the embeddings
+    * table alone. RtbfAnnSpec pins the serve claims (forgotten ids
+    * neither stored nor served post-scrub; live indexes untouched;
+    * idempotent re-scrub). Scale: two broadcast anti-joins plus one
+    * forced sweep — the same shapes the lifecycle gates already
+    * price. */
+  private def rtbfForgotten(id: Long): Boolean = id % 20 == 5
+  private val dqRtbfAnn: Q = (s, d) => {
+    import s.implicits._
+    val emb = table(s, d, "embeddings")
+    val delIds = emb.filter(col("vec_id") % 20 === 5).select("vec_id")
+    def scrubFlat(rel: DataFrame, out: String): (Long, Long, Long, Long) = {
+      rel.join(broadcast(delIds), Seq("vec_id"), "left_anti")
+        .write.mode("overwrite").parquet(out)
+      val w = s.read.parquet(out)
+      (rel.count(),
+        rel.join(broadcast(delIds), Seq("vec_id"), "left_semi").count(),
+        w.count(),
+        w.join(broadcast(delIds), Seq("vec_id"), "left_semi").count())
+    }
+    val ivf = ensureIvfIndex(s, d)
+    val pq = ensurePqIndex(s, d)
+    val nsw = ensureNswIndex(s, d)
+    val a = scrubFlat(s.read.parquet(s"$ivf/assignments"), s"$ivf/rtbf/assignments")
+    val p = scrubFlat(s.read.parquet(s"$pq/codes"), s"$pq/rtbf/codes")
+    val graph = s.read.parquet(s"$nsw/graph")
+    nswCompact(s, graph, rtbfForgotten, 1L, 0L) // forced: any dead shard rebuilds
+      .write.mode("overwrite").parquet(s"$nsw/rtbf/graph")
+    val wg = s.read.parquet(s"$nsw/rtbf/graph")
+    val g = (graph.count(),
+      graph.filter(col("vec_id") % 20 === 5).count(),
+      wg.count(),
+      wg.filter(col("vec_id") % 20 === 5).count())
+    Seq(("ivf_assignments", a._1, a._2, a._3, a._4),
+        ("nsw_graph", g._1, g._2, g._3, g._4),
+        ("pq_codes", p._1, p._2, p._3, p._4))
+      .toDF("artifact", "n_before", "n_touching_before", "n_after",
+        "n_touching_after")
+      .orderBy("artifact")
+  }
+
   // -------------------------------------------------------------------
   // ann_nsw_tune: the recall-vs-efSearch operating table for the GRAPH
   // family — ann_tune's discipline applied to the persisted NSW index:
@@ -2032,6 +2094,7 @@ object Similarity {
     "ann_nsw_tune" -> annNswTune,
     "ann_nsw_recall" -> annNswRecall,
     "ann_hamming" -> annHamming,
+    "dq_rtbf_ann" -> dqRtbfAnn,
     "dd_embcos" -> ddEmbCos,
     "dd_embcos_recall" -> ddEmbCosRecall,
     "dd_embcos_recall_planted" -> ddEmbCosRecallPlanted,
@@ -2070,6 +2133,21 @@ object Similarity {
        |         / (SELECT count(*) FROM ex), 4) AS recall""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the ANN erasure ledger replayed from the raw corpus alone: every
+    // scrubbed relation (IVF assignments, PQ codes, NSW graph nodes)
+    // is one row per corpus vector, so n_before / touching / n_after
+    // re-derive from the embeddings table and the deletion predicate;
+    // the engine's re-counts on the WRITTEN relations must land on
+    // exactly these numbers — a scrub that kept a forgotten vector
+    // reports a nonzero n_touching_after and diverges
+    "dq_rtbf_ann" ->
+      """WITH c AS (SELECT count(*)::BIGINT AS n,
+        |   sum(CASE WHEN vec_id % 20 = 5 THEN 1 ELSE 0 END)::BIGINT AS t
+        |  FROM embeddings)
+        |SELECT a.artifact, c.n AS n_before, c.t AS n_touching_before,
+        | (c.n - c.t) AS n_after, 0::BIGINT AS n_touching_after
+        |FROM (VALUES ('ivf_assignments'), ('nsw_graph'), ('pq_codes')) a(artifact), c
+        |ORDER BY artifact""".stripMargin,
     // the candidate-fixture pattern with the label carried through:
     // scoring + ranking + the query's own label re-derived from the raw
     // embeddings over exactly the candidates the engine scored
