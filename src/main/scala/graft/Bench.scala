@@ -91,14 +91,16 @@ object Bench {
     stage("ivf_index")(Set("ann_ivf", "ann_tune", "ann_ivf_pq",
       "ann_ivf_pq_recall", "ann_ivf_upsert", "ann_ivf_delete",
       "ann_filtered", "ann_filtered_recall", "ann_mrl", "ann_lifecycle",
-      "ann_lifecycle_recall", "dd_semantic", "st_ann_upsert"))(
+      "ann_lifecycle_recall", "dd_semantic", "st_ann_upsert",
+      "dq_rtbf_ann"))(
       llm.Similarity.ensureIvfIndexFor(spark, sfDir))
     stage("pq_index")(Set("ann_pq", "ann_pq_recall", "pq_encode",
-      "ann_ivf_pq", "ann_ivf_pq_recall"))(
+      "ann_ivf_pq", "ann_ivf_pq_recall", "dq_rtbf_ann"))(
       llm.Similarity.ensurePqIndexFor(spark, sfDir))
     stage("ivf_pq_index")(_.startsWith("ann_ivf_pq"))(
       llm.Similarity.ensureIvfPqIndexFor(spark, sfDir))
-    stage("nsw_index")(n => n.startsWith("ann_nsw") || n.startsWith("st_nsw"))(
+    stage("nsw_index")(n => n.startsWith("ann_nsw") || n.startsWith("st_nsw")
+        || n == "dq_rtbf_ann")(
       llm.Similarity.ensureNswIndexFor(spark, sfDir))
     stage("fs_table")(_.startsWith("fs_"))(
       ops.Snapshot.ensureTable(spark, sfDir))
