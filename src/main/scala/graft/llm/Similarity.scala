@@ -1130,6 +1130,76 @@ object Similarity {
       }.toDF("shard", "pos", "vec_id", "ven", "adj")
   }
 
+  /** RESHARD the persisted graph to a new shard count — the
+    * operational completion of the r18 shard policy: the policy picks
+    * the count at BUILD time, but a live index grows by upserts, and
+    * once nodes/shard drifts past the target the r17 n^1.4 per-shard
+    * wall starts rebuilding itself. The reshard job re-routes every
+    * stored vector by the same partitioner at the new count and
+    * rebuilds each new shard in vec_id order over the STORED
+    * unit-normalized vectors — which makes the output BY CONSTRUCTION
+    * the graph a from-scratch build at the new count produces
+    * (identical routing, identical insertion order, identical
+    * vectors), the equality NswReshardSpec pins. One shuffle of
+    * (vec_id, ven) rows — adjacency is discarded, not shipped — then
+    * the same embarrassingly-parallel per-shard kernel as the build. */
+  private[graft] def nswReshard(s: SparkSession, graph: DataFrame,
+      newShards: Int): DataFrame = {
+    import s.implicits._
+    graph.select(col("vec_id"), col("ven"))
+      .repartition(newShards, col("vec_id"))
+      .sortWithinPartitions("vec_id")
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val shard = org.apache.spark.TaskContext.getPartitionId()
+        val rows = it.toArray
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val ids = rows.map(_._1)
+          val vecs = rows.map(_._2.toArray) // already unit-normalized
+          val adj = NswKernel.build(vecs, nswM, nswEfBuild)
+          ids.indices.iterator.map(p =>
+            (shard, p, ids(p), vecs(p).toSeq, adj(p).toSeq))
+        }
+      }.toDF("shard", "pos", "vec_id", "ven", "adj")
+  }
+
+  /** The gated reshard query: double the persisted index's shard count
+    * (the policy's growth step — after 2× population growth the target
+    * implies 2× the shards; at the gated sf the POLICY itself would
+    * still floor at 8, so the gate drives the machinery with the
+    * explicit next step), write the resharded graph + meta to the
+    * versioned sibling <index>/reshard (the rtbf discipline — the live
+    * index stays untouched), and serve the probes through the
+    * READ-BACK resharded graph with the family's exact-cosine rerank.
+    * Oracle: the candidate-fixture pattern — scoring and ranking
+    * replay over exactly the candidates the resharded serve produced.
+    * NswReshardSpec pins reshard ≡ fresh-build-at-2× row-exactly, the
+    * preserved node set, and the untouched live index. */
+  private val annNswReshard: Q = (s, d) => {
+    import s.implicits._
+    val idx = ensureNswIndex(s, d)
+    val graph = s.read.parquet(s"$idx/graph")
+    val target = nswMetaShards(s, idx) * 2
+    nswReshard(s, graph, target)
+      .write.mode("overwrite").parquet(s"$idx/reshard/graph")
+    Seq((target, graph.count())).toDF("n_shards", "n_vectors")
+      .coalesce(1).write.mode("overwrite").parquet(s"$idx/reshard/meta")
+    val resharded = s.read.parquet(s"$idx/reshard/graph")
+    val cands = nswServeCandsOn(s, d, resharded).persist()
+    graft.io.Sinks.dumpFixture(cands.select("qid", "cid"), "annnswreshard_cands")
+    val emb = table(s, d, "embeddings").select(col("vec_id"), asDouble.as("ve"))
+    cands
+      .join(emb.select(col("vec_id").as("qid"), col("ve").as("qe")), Seq("qid"))
+      .join(emb.select(col("vec_id").as("cid"), col("ve").as("ce")), Seq("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("sim"))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))))
+      .filter(col("rk") <= kNeighbors)
+      .select(col("qid"), col("rk"), col("cid"), dround(col("sim"), 4).as("sim"))
+      .orderBy("qid", "rk")
+  }
+
   /** Graph-ANN top-k: beam-searched per-shard candidates, exact-cosine
     * re-rank. Same gate as the other ANN methods: the candidate set is
     * engine-specific, but GIVEN the dumped fixture the scoring and
@@ -2091,6 +2161,7 @@ object Similarity {
     "ann_nsw_delete" -> annNswDelete,
     "ann_nsw_lifecycle" -> annNswLifecycle,
     "ann_nsw_compact" -> annNswCompact,
+    "ann_nsw_reshard" -> annNswReshard,
     "ann_nsw_tune" -> annNswTune,
     "ann_nsw_recall" -> annNswRecall,
     "ann_hamming" -> annHamming,
@@ -2277,6 +2348,7 @@ object Similarity {
     "ann_ivf" -> annCandOracle("annivf_cands"),
     "ann_nsw" -> annCandOracle("annnsw_cands"),
     "ann_nsw_serve" -> annCandOracle("annnswserve_cands"),
+    "ann_nsw_reshard" -> annCandOracle("annnswreshard_cands"),
     // the ann_ivf_upsert oracle shape: batch vectors re-derived from
     // the same x2 arithmetic, candidates scored over corpus ∪ batch
     "ann_nsw_upsert" ->

@@ -83,7 +83,10 @@ object ExplainDump {
     "mm_frame_sample" -> "MJPEG frame sampling: decode + stride + error scoring scan-local in the kernel, ONE (media,frame) aggregate builds the relational fingerprint from sorted per-pixel structs — payloads never shuffle, only pixel rows",
     "mm_scene_sample" -> "per-scene sampling: decoded scene walk scan-local in the kernel, ONE (media,scene) aggregate derives start/end/midpoint — no window, no join",
     "mm_video_dedup" -> "cross-container video dedup: one decode pass per video builds the 16-byte content signature in the kernel, ONE signature aggregate groups — payloads never shuffle",
-    "mm_audio_dedup" -> "audio near-dup: decoded 256-sample windows key by md5 scan-locally, the pair join carries (id, 16-byte key) rows only, size joins + threshold close it — samples never shuffle",
+    "mm_audio_dedup" -> "audio near-dup over the compressed codec: decoded ADPCM block windows key by md5 scan-locally, the pair join carries (id, 16-byte key) rows only, size joins + threshold close it — samples never shuffle",
+    "mm_adpcm_err" -> "ADPCM decode audit: blockwise decode + walk-source error scoring scan-local in one generator pass; the only exchange is the media-keyed error aggregate over integer rows",
+    "dq_rtbf_ann" -> "ANN erasure sweep: the deletion predicate anti-joins broadcast out of the flat index relations, the NSW scrub is the forced compaction sweep in ONE shard regroup, ledger censuses re-count the written relations",
+    "ann_nsw_reshard" -> "graph reshard: ONE (vec_id, ven) shuffle at the new count — adjacency discarded, not shipped — then the embarrassingly-parallel per-shard rebuild kernel; serve re-groups the written sibling by its stored shard id",
     "st_nsw_compact" -> "streaming CDC graph maintenance: per-trigger cogroup insert then the compaction sweep over versioned live state, final serve re-groups by stored shard id with the mark-delete beam — no rebuild outside swept shards",
     "dq_rtbf" -> "erasure compliance sweep: the deletion list broadcasts into anti-joins over the doc-keyed index relations, censuses are constant-width aggregates, the one scan is the no-refcount chunk recompute over retained docs")
 
