@@ -40,9 +40,10 @@ class AdpcmSpec extends AnyFunSuite {
     // the fidelity claim the fixture-based oracles lean on: over EVERY
     // clip of both gated corpora, the decode returns exactly n samples
     // and tracks the walk source within a measured worst-sample bound.
-    // 1024 = 4x headroom over the observed worst (the step table needs
-    // a few samples to adapt after each block's index reset); a codec
-    // regression that loses track shoots past it immediately
+    // Measured: worst 557, mean 13.6 (the worst samples sit just after
+    // a block's index reset, where the step table is still adapting);
+    // the 1024 gate is ~1.8x headroom over that — a codec regression
+    // that loses track shoots past it immediately
     var worst = 0
     corpusClips.foreach { case (id, n) =>
       val src = Adpcm.walkSamples(id, n)
