@@ -836,7 +836,7 @@ object Dedup {
 
   /** The corpus side of the incremental regime: everything not in
     * today's batch (doc_id ≡ 7 mod 10 models the arriving crawl). */
-  private def incrCorpus(s: SparkSession, d: String): DataFrame =
+  private[graft] def incrCorpus(s: SparkSession, d: String): DataFrame =
     table(s, d, "documents").filter(col("doc_id") % 10 =!= 7)
 
   /** The banded near-dup signature both sides of the incremental near
@@ -1832,11 +1832,22 @@ object Dedup {
   // constant-width aggregates; the one scan is the chunk recompute.
   // -------------------------------------------------------------------
   private val dqRtbf: Q = (s, d) => {
-    import s.implicits._
     val idx = ensureDedupIndex(s, d)
     val delIds = incrCorpus(s, d).filter(col("doc_id") % 20 === 5)
       .select("doc_id")
-    val root = s"$idx/rtbf"
+    rtbfScrub(s, d, idx, s"$idx/rtbf", delIds)
+  }
+
+  /** The erasure scrub as a PURE FUNCTION of (live index, deletion
+    * relation) — shared by the batch gate ([[dqRtbf]]) and the
+    * streaming gate (st_rtbf, StreamQueries): every scrubbed relation
+    * is derived from the LIVE index and the FULL deletion set (never
+    * from an earlier scrub's output), so re-running with a grown set
+    * converges to exactly the one-shot scrub — the NswCdcState
+    * delivery-idempotence argument applied to the dedup index. */
+  private[graft] def rtbfScrub(s: SparkSession, d: String, idx: String,
+      root: String, delIds: DataFrame): DataFrame = {
+    import s.implicits._
     val docKeyed = Seq("hashes", "signatures", "winnow")
     val ledger = docKeyed.map { name =>
       val rel = s.read.parquet(s"$idx/$name")

@@ -914,6 +914,74 @@ object StreamQueries {
     * one-shot-equality checks read the live_N versions directly). */
   private[graft] def stNswCompactRoot: String = s"$pidRoot/stnswcomp"
 
+  /** Scrub root for the streaming erasure gate (spec seam). */
+  private[graft] def stRtbfRoot: String = s"$pidRoot/strtbf"
+
+  /** Streaming right-to-be-forgotten over the persisted dedup index —
+    * in production, GDPR art. 17 erasure REQUESTS are a stream (one
+    * ticket at a time), and compliance must converge however the
+    * runtime batches them. The deletion ids (the dq_rtbf plant, split
+    * across two addData blocks) fold into bounded driver metadata (the
+    * accumulated request set — ids only, never document data); each
+    * trigger that grew the set re-runs [[graft.llm.Dedup.rtbfScrub]]
+    * with the FULL set against the LIVE index. The scrub is a pure
+    * function of (live index, deletion set) — derived relations never
+    * read an earlier scrub's output — so split deliveries converge to
+    * the one-shot dq_rtbf scrub BY CONSTRUCTION (the NswCdcState
+    * idempotence argument applied to the dedup index; StRtbfSpec pins
+    * ledger equality with the batch gate, split-delivery convergence
+    * on the written relations, and the untouched live index). Output:
+    * the final trigger's compliance ledger, re-counted on the
+    * relations it actually wrote. Oracle: dq_rtbf's self-contained
+    * corpus twin verbatim — the streamed scrub must land on the
+    * identical ledger. */
+  private val stRtbf: Q = (parent, d) => {
+    val s = scoped(parent)
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val idx = graft.llm.Dedup.ensureDedupIndexFor(s, d)
+    val delAll = cachedRows(d, "rtbf_del") {
+      graft.llm.Dedup.incrCorpus(s, d).filter(col("doc_id") % 20 === 5)
+        .select(col("doc_id")).as[Long].collect().sorted
+    }
+    val root = stRtbfRoot
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    @volatile var acc: Set[Long] = Set.empty
+    @volatile var last: Array[org.apache.spark.sql.Row] = Array.empty
+    val source = MemoryStream[Long]
+    val name = s"st_rtbf_${seq.incrementAndGet()}"
+    val q = source.toDS().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Long], _: Long) =>
+        // request ids are METADATA (the tombstone discipline): bounded
+        // by the plant, safe to stage on the driver
+        val ids = df.collect()
+        if (ids.nonEmpty) {
+          acc = acc ++ ids
+          last = graft.llm.Dedup.rtbfScrub(s, d, idx, root,
+            acc.toSeq.sorted.toDF("doc_id")).collect()
+        }
+      }
+      .option("checkpointLocation", ckpt(name)).start()
+    try {
+      val half = math.max(1, (delAll.length + 1) / 2)
+      source.addData(delAll.take(half).toIndexedSeq)
+      q.processAllAvailable()
+      source.addData(delAll.drop(half).toIndexedSeq)
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      dropCkpt(name)
+    }
+    require(acc == delAll.toSet,
+      s"deletion stream lost requests: ${delAll.toSet -- acc}")
+    require(last.nonEmpty, "no scrub trigger ever fired")
+    last.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+      .toDF("artifact", "n_before", "n_touching_before", "n_after",
+        "n_touching_after")
+      .orderBy("artifact")
+  }
+
   /** Stream-static broadcast enrichment under the gate: the J5 bounds
     * dim joined into every micro-batch (stateless — per-trigger cost is
     * batch × hash probe, zero streaming state), across two batches.
@@ -1707,6 +1775,7 @@ object StreamQueries {
     "st_ann_upsert" -> stAnnUpsert,
     "st_nsw_upsert" -> stNswUpsert,
     "st_nsw_compact" -> stNswCompact,
+    "st_rtbf" -> stRtbf,
     "st_kmeans" -> stKmeans,
     "st_drift" -> stDrift,
     "st_anomaly" -> stAnomaly,
@@ -1730,6 +1799,10 @@ object StreamQueries {
     // the dd_substr_incr twin VERBATIM: the span probe is per-doc
     // independent, so the micro-batch split cannot change the union
     "st_substr" -> graft.llm.Dedup.oracle("dd_substr_incr"),
+    // the dq_rtbf twin VERBATIM: the streamed scrub's final ledger
+    // must equal the one-shot batch scrub's — the delivery-idempotence
+    // claim IS that the trigger split is invisible in the output
+    "st_rtbf" -> graft.llm.Dedup.oracle("dq_rtbf"),
     // the batch twin unions history + stream: corpus hashes from the
     // non-batch slice, both plants replayed, min-id winners per layer,
     // corpus > stream > unique precedence
