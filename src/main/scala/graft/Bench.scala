@@ -82,7 +82,8 @@ object Bench {
     stage("pr_edges_bucketed")(_.contains("pagerank_bucketed"))(
       ops.Graph.ensurePrEdgesBucketed(spark, sfDir))
     stage("dedup_index")(Set("dd_incremental", "dd_cdc_incr",
-      "dd_substr_incr", "st_substr", "st_dedup_indexed", "dq_rtbf"))(
+      "dd_substr_incr", "st_substr", "st_dedup_indexed", "dq_rtbf",
+      "st_rtbf"))(
       llm.Dedup.ensureDedupIndexFor(spark, sfDir))
     // the queries that actually read the persisted IVF index (ADVICE
     // r17: startsWith("ann_") both missed st_ann_upsert/dd_semantic and
