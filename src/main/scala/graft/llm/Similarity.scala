@@ -1130,6 +1130,97 @@ object Similarity {
       }.toDF("shard", "pos", "vec_id", "ven", "adj")
   }
 
+  /** Label-FILTERED graph serve — the ann_filtered semantics for the
+    * NSW family (filtered vector search is the production vector-store
+    * feature the graph family lacked): each probe retrieves only
+    * candidates sharing its label. The filtered-HNSW convention rides
+    * [[NswKernel.beamLive]]'s mark-delete machinery with a PER-PROBE
+    * predicate — nodes failing the filter still ROUTE the beam (hard
+    * excision would sever paths, the ann_nsw_delete lesson), they just
+    * never enter the result ring. The label attribute arrives
+    * CO-PARTITIONED with the index: a second relation cogrouped on the
+    * stored shard id — never a global broadcast, because at 100 TB the
+    * attribute map is as big as the corpus; shard-local attribute
+    * columns are exactly how production filtered-ANN stores serve
+    * this. Gate: candidates fixture-dump; the oracle RE-APPLIES the
+    * label predicate (the ann_ivf_delete discipline — stricter than
+    * ann_filtered's twin), so a wrong-label leak diverges the row set,
+    * not just the ranking. */
+  private val annNswFiltered: Q = (s, d) => {
+    import s.implicits._
+    val idx = ensureNswIndex(s, d)
+    val nShards = nswMetaShards(s, idx)
+    val emb = table(s, d, "embeddings")
+    val probes = emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id"), asDouble.as("ve"), col("label").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), NswKernel.normalize(r.getSeq[Double](1)), r.getLong(2)))
+      .sortBy(_._1)
+    val bProbes = s.sparkContext.broadcast(probes)
+    val gRows = s.read.parquet(s"$idx/graph")
+      .select(col("shard"), col("pos"), col("vec_id"), col("ven"), col("adj"))
+      .as[(Int, Int, Long, Seq[Double], Seq[Int])].groupByKey(_._1)
+    val lRows = emb
+      .select(pmod(hash(col("vec_id")), lit(nShards)).cast("int").as("shard"),
+        col("vec_id"), col("label").cast("long").as("label"))
+      .as[(Int, Long, Long)].groupByKey(_._1)
+    val cands = gRows.cogroup(lRows) { (_, git, labIt) =>
+      val g = git.toArray.sortBy(_._2)
+      if (g.isEmpty) Iterator.empty
+      else {
+        val lab = labIt.map(r => r._2 -> r._3).toMap // shard-local, bounded
+        val ids = g.map(_._3)
+        val vecs = g.map(_._4.toArray)
+        val adj = g.map(_._5.toArray)
+        bProbes.value.iterator.flatMap { case (qid, qv, qlabel) =>
+          NswKernel.beamLive(vecs,
+            p => scala.collection.immutable.ArraySeq.unsafeWrapArray(adj(p)),
+            qv, nswEfSearch, vecs.length,
+            p => lab.getOrElse(ids(p), Long.MinValue) == qlabel).iterator
+            .map { case (_, node) => (qid, ids(node)) }
+            .filter(_._2 != qid)
+        }
+      }
+    }.toDF("qid", "cid").persist()
+    graft.io.Sinks.dumpFixture(cands, "annnswfiltered_cands")
+    val lab = emb.select(col("vec_id"), col("label"))
+    val vec = emb.select(col("vec_id"), asDouble.as("ve"))
+    cands
+      .join(vec.select(col("vec_id").as("qid"), col("ve").as("qe")), Seq("qid"))
+      .join(lab.select(col("vec_id").as("qid"),
+        col("label").cast("long").as("qlabel")), Seq("qid"))
+      .join(vec.select(col("vec_id").as("cid"), col("ve").as("ce")), Seq("cid"))
+      .select(col("qid"), col("qlabel"), col("cid"),
+        cosine(col("qe"), col("ce")).as("sim"))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))))
+      .filter(col("rk") <= kNeighbors)
+      .select(col("qid"), col("qlabel"), col("rk"), col("cid"),
+        dround(col("sim"), 4).as("sim"))
+      .orderBy("qid", "rk")
+  }
+
+  private val annNswFilteredRecall: Q = (s, d) => {
+    val served = annNswFiltered(s, d).select("qid", "cid").persist()
+    graft.io.Sinks.dumpFixture(served, "annnswfiltered_topk")
+    val emb = table(s, d, "embeddings")
+    val q = emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("qid"), asDouble.as("qe"), col("label").as("qlabel"))
+    val c = emb.select(col("vec_id").as("cid"), asDouble.as("ce"), col("label"))
+    val exact = q.crossJoin(c)
+      .filter(col("label") === col("qlabel") && col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))))
+      .filter(col("rk") <= kNeighbors)
+      .select("qid", "cid")
+    val hits = exact.join(served, Seq("qid", "cid"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    exact.agg(count(lit(1)).as("n_exact")).crossJoin(hits)
+      .select(col("n_exact"), col("hits"),
+        dround(col("hits").cast("double") / col("n_exact"), 4).as("recall"))
+  }
+
   /** RESHARD the persisted graph to a new shard count — the
     * operational completion of the r18 shard policy: the policy picks
     * the count at BUILD time, but a live index grows by upserts, and
@@ -2162,6 +2253,8 @@ object Similarity {
     "ann_nsw_lifecycle" -> annNswLifecycle,
     "ann_nsw_compact" -> annNswCompact,
     "ann_nsw_reshard" -> annNswReshard,
+    "ann_nsw_filtered" -> annNswFiltered,
+    "ann_nsw_filtered_recall" -> annNswFilteredRecall,
     "ann_nsw_tune" -> annNswTune,
     "ann_nsw_recall" -> annNswRecall,
     "ann_hamming" -> annHamming,
@@ -2349,6 +2442,43 @@ object Similarity {
     "ann_nsw" -> annCandOracle("annnsw_cands"),
     "ann_nsw_serve" -> annCandOracle("annnswserve_cands"),
     "ann_nsw_reshard" -> annCandOracle("annnswreshard_cands"),
+    // filtered-serve twin with the label predicate RE-APPLIED to the
+    // fixture (c.label = q.label in the scoring join): an engine leak
+    // of a wrong-label candidate loses that row on the oracle side and
+    // the row sets diverge — the ann_ivf_delete oracle discipline
+    "ann_nsw_filtered" ->
+      s"""WITH p AS (SELECT qid, cid FROM read_parquet('/tmp/graft_fixtures/annnswfiltered_cands/*.parquet')),
+         | e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+         | sims AS (
+         |  SELECT p.qid, CAST(q.label AS BIGINT) AS qlabel, p.cid,
+         |   list_dot_product(q.v, c.v)
+         |     / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+         |  FROM p JOIN e q ON p.qid = q.vec_id JOIN e c ON p.cid = c.vec_id
+         |  WHERE c.label = q.label),
+         | ranked AS (
+         |  SELECT qid, qlabel, cid, sim,
+         |   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+         |  FROM sims)
+         |SELECT qid, qlabel, rk, cid, round(sim, 4) AS sim
+         |FROM ranked WHERE rk <= $kNeighbors ORDER BY qid, rk""".stripMargin,
+    "ann_nsw_filtered_recall" ->
+      s"""WITH p AS (SELECT qid, cid FROM read_parquet('/tmp/graft_fixtures/annnswfiltered_topk/*.parquet')),
+         | q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe, label AS qlabel
+         |       FROM embeddings WHERE vec_id < $nProbes),
+         | c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce, label FROM embeddings),
+         | sims AS (
+         |  SELECT q.qid, c.cid,
+         |   list_dot_product(q.qe, c.ce)
+         |     / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.ce, c.ce))) AS sim
+         |  FROM q CROSS JOIN c WHERE c.label = q.qlabel AND q.qid <> c.cid),
+         | ranked AS (
+         |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+         |  FROM sims),
+         | ex AS (SELECT qid, cid FROM ranked WHERE rk <= $kNeighbors)
+         |SELECT (SELECT count(*) FROM ex) AS n_exact,
+         |       (SELECT count(*) FROM ex JOIN p USING (qid, cid)) AS hits,
+         |       round((SELECT count(*) FROM ex JOIN p USING (qid, cid))::DOUBLE
+         |             / (SELECT count(*) FROM ex), 4) AS recall""".stripMargin,
     // the ann_ivf_upsert oracle shape: batch vectors re-derived from
     // the same x2 arithmetic, candidates scored over corpus ∪ batch
     "ann_nsw_upsert" ->
