@@ -251,23 +251,50 @@ object Similarity {
   // cells. At 100 TB: the index add is one ml.KMeans job + a narrow
   // (vec_id, cluster) relation co-partitioned with the vectors; probe
   // cost is nProbe/k of the corpus per query, tunable, never O(n).
-  private val ivfK = 16
+  // Cell-count POLICY (r18 — the nswShardsFor argument applied to the
+  // coarse quantizer): ivfK was a fixed 16, fine at the gated corpora,
+  // but a quantizer whose cell count stands still while the corpus
+  // grows makes per-probe cost LINEAR in n (each probed cell holds
+  // n/16 vectors forever). The FAISS sizing rule scales cells with
+  // sqrt(n), making a fixed probe ring cost nProbe·O(sqrt n):
+  //
+  //   nlist = clamp(pow2floor(sqrt(n / 8)), 16, 4096)
+  //
+  // The floor keeps every gated corpus on the historical 16-cell
+  // layout (fixtures, the ann_tune knee, and the recall-gate pins are
+  // unchanged by construction: sqrt(2000/8) ≈ 15.8 → pow2 8 → floor
+  // 16); the pow2 step keeps the count stable under small corpus
+  // drift; 4096 caps the per-probe quantizer ranking. Measured at
+  // 100× (200k vectors → 128 cells): see BASELINE.md's r18 rows. Like
+  // the NSW shard count, the choice is PART OF THE INDEX — the stored
+  // centroid relation is the persisted form, and every consumer reads
+  // whatever count was built rather than assuming a constant.
+  private[graft] def ivfCellsFor(n: Long): Int = {
+    val sq = math.sqrt(n.toDouble / 8).toLong
+    val pow2 = java.lang.Long.highestOneBit(math.max(1L, sq)).toInt
+    math.min(math.max(pow2, 16), 4096)
+  }
   /** Probe-ring width: the MEASURED knee of ann_tune's recall-vs-
     * nProbe curve (round 12; sf0.01: np=1→0.33, 2→0.40, 4→0.87,
     * 8→0.93 — doubling past 4 buys +0.07 recall for 2× scanned
     * cells), wired back into serving per VERDICT r11 next §2. The
     * recall-gate floors in LlmOpsSpec assert the tuned operating
     * point, not the old 0.2 house floor, so a serving regression
-    * fails the gate. */
+    * fails the gate. Under the cell policy the ring stays 4 cells
+    * while cells SHRINK with sqrt(n) — the scan fraction falls as the
+    * corpus grows, and recall at the new operating point is what
+    * ann_tune measures per corpus. */
   private val ivfNProbe = 4
 
-  /** (assignments, centroids): vec_id → cluster, and the k cluster
-    * centers as a 16-row relation (tiny, broadcast downstream). */
+  /** (assignments, centroids): vec_id → cluster, and the cluster
+    * centers as an nlist-row relation (tiny, broadcast downstream;
+    * nlist from [[ivfCellsFor]]). */
   private[llm] def ivfIndex(s: SparkSession, emb: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val feats = emb.withColumn("features", array_to_vector(col("ve")))
-    val model = new KMeans().setK(ivfK).setSeed(7L).setMaxIter(5).fit(feats)
+    val model = new KMeans().setK(ivfCellsFor(emb.count()))
+      .setSeed(7L).setMaxIter(5).fit(feats)
     val assigned = model.summary.predictions
       .select(col("vec_id"), col("ve"), col("prediction").as("cl"))
     val centroids = s.createDataFrame(
@@ -648,7 +675,7 @@ object Similarity {
   /** On-disk composed IVF-PQ index: the PQ code rows joined to their
     * IVF cell and written `partitionBy(cl)` — the inverted-list
     * layout. Each cell directory IS one inverted list of 4-bit codes;
-    * at 100 TB the routing join below prunes to nProbe/ivfK of the
+    * at 100 TB the routing join below prunes to nProbe/nlist of the
     * FILES, not just the rows. Build-once like its two parents. */
   private def ivfPqIndexPath(d: String): String = ivfIndexPath(d) + "-ivfpq"
 
@@ -676,7 +703,7 @@ object Similarity {
     * (quantizer, broadcast), keep nProbe cells, then ADC-score ONLY
     * code rows in those cells — the cells table is cl-partitioned, so
     * the broadcast routing join prunes partitions dynamically (DPP)
-    * and the scan reads nProbe/ivfK of the index files, each row
+    * and the scan reads nProbe/nlist of the index files, each row
     * costing 8 LUT lookups on 4 B of codes. Shortlist → exact rerank,
     * same gate shape as the other ANN ops: the candidate set is
     * fixture-dumped, and GIVEN that set scoring + ranking are
