@@ -34,26 +34,94 @@ object TextHashKernels {
     * hash order is lexicographic on the md5 hex string, both exactly
     * what the declarative DuckDB twin computes. Docs under 11
     * codepoints return an empty array (the 'short' branch). */
+  private val HEX = "0123456789abcdef".toCharArray
+
   def winnowSel(s: UTF8String, withPositions: Boolean): ArrayData = {
-    val cps = s.toString.codePoints().toArray
-    val n = cps.length
+    val str = s.toString
+    val sl = str.length
+    // one UTF-8 encode of the whole document + codepoint→byte offsets,
+    // replacing the r13-era per-gram `new String(cps, i, 8).getBytes`
+    // (string alloc + encoder per gram — the dominant cost at ~2 µs per
+    // gram, measured in OPTIMIZATION_r18.md). Unpaired surrogates
+    // encode as '?' exactly as Java's encoder does, so gram bytes are
+    // byte-identical to the per-gram encode.
+    var n = 0
+    var si = 0
+    while (si < sl) { si += Character.charCount(str.codePointAt(si)); n += 1 }
     if (n < 11) return new GenericArrayData(Array.empty[Any])
+    val off = new Array[Int](n + 1)
+    val bytes = new Array[Byte](sl * 3 + 8) // worst case 3B/char (4B cp = 2 chars)
+    var bi = 0
+    var ci = 0
+    si = 0
+    while (si < sl) {
+      val cp = str.codePointAt(si)
+      off(ci) = bi
+      if (cp < 0x80) { bytes(bi) = cp.toByte; bi += 1 }
+      else if (cp < 0x800) {
+        bytes(bi) = (0xc0 | (cp >> 6)).toByte
+        bytes(bi + 1) = (0x80 | (cp & 0x3f)).toByte
+        bi += 2
+      } else if (cp >= 0xd800 && cp <= 0xdfff) { bytes(bi) = '?'; bi += 1 }
+      else if (cp < 0x10000) {
+        bytes(bi) = (0xe0 | (cp >> 12)).toByte
+        bytes(bi + 1) = (0x80 | ((cp >> 6) & 0x3f)).toByte
+        bytes(bi + 2) = (0x80 | (cp & 0x3f)).toByte
+        bi += 3
+      } else {
+        bytes(bi) = (0xf0 | (cp >> 18)).toByte
+        bytes(bi + 1) = (0x80 | ((cp >> 12) & 0x3f)).toByte
+        bytes(bi + 2) = (0x80 | ((cp >> 6) & 0x3f)).toByte
+        bytes(bi + 3) = (0x80 | (cp & 0x3f)).toByte
+        bi += 4
+      }
+      si += Character.charCount(cp)
+      ci += 1
+    }
+    off(n) = bi
     val m = n - 7
+    // each gram's md5 packed into two longs (big-endian), compared
+    // UNSIGNED — which is exactly lexicographic order of the hex
+    // string the r13 kernel compared (byte b ↦ its two hex digits is
+    // monotone in the unsigned byte value), so every window selects
+    // the identical gram; hex is materialized only for SELECTED
+    // positions, memoized per position.
     val md = java.security.MessageDigest.getInstance("MD5")
-    val hs = new Array[String](m)
+    val dig = new Array[Byte](16)
+    val hhi = new Array[Long](m)
+    val hlo = new Array[Long](m)
     var i = 0
     while (i < m) {
-      val dig = md.digest(new String(cps, i, 8)
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val sb = new java.lang.StringBuilder(32)
+      md.update(bytes, off(i), off(i + 8) - off(i))
+      md.digest(dig, 0, 16)
+      var hi = 0L
+      var lo = 0L
       var b = 0
-      while (b < 16) {
-        sb.append(Character.forDigit((dig(b) >> 4) & 0xf, 16))
-        sb.append(Character.forDigit(dig(b) & 0xf, 16))
-        b += 1
-      }
-      hs(i) = sb.toString
+      while (b < 8) { hi = (hi << 8) | (dig(b) & 0xffL); b += 1 }
+      while (b < 16) { lo = (lo << 8) | (dig(b) & 0xffL); b += 1 }
+      hhi(i) = hi
+      hlo(i) = lo
       i += 1
+    }
+    // <= 0 keeps the RIGHTMOST minimum, as before
+    def leq(x: Int, y: Int): Boolean = {
+      val c = java.lang.Long.compareUnsigned(hhi(x), hhi(y))
+      if (c != 0) c < 0 else java.lang.Long.compareUnsigned(hlo(x), hlo(y)) <= 0
+    }
+    def hex32(p: Int, outb: Array[Byte], o: Int): Unit = {
+      var b = 0
+      var q = o
+      while (b < 8) {
+        val v = ((hhi(p) >>> ((7 - b) * 8)) & 0xffL).toInt
+        outb(q) = HEX(v >> 4).toByte; outb(q + 1) = HEX(v & 0xf).toByte
+        b += 1; q += 2
+      }
+      b = 0
+      while (b < 8) {
+        val v = ((hlo(p) >>> ((7 - b) * 8)) & 0xffL).toInt
+        outb(q) = HEX(v >> 4).toByte; outb(q + 1) = HEX(v & 0xf).toByte
+        b += 1; q += 2
+      }
     }
     val nw = m - 3
     if (withPositions) {
@@ -67,31 +135,50 @@ object TextHashKernels {
           s"winnowSel(withPositions): document has $n codepoints; positions past " +
             "99,999,999 cannot be encoded in the 8-digit fingerprint prefix — " +
             "split or truncate the document upstream")
+      val cache = new Array[UTF8String](m) // one "%08d:hex" per selected pos
       val out = new Array[Any](nw)
       var j = 0
       while (j < nw) {
-        var minv = hs(j)
         var pos = j
         var x = j + 1
-        while (x <= j + 3) { // <= keeps the RIGHTMOST minimum
-          if (hs(x).compareTo(minv) <= 0) { minv = hs(x); pos = x }
+        while (x <= j + 3) {
+          if (leq(x, pos)) pos = x
           x += 1
         }
-        out(j) = UTF8String.fromString(f"${pos + 1}%08d:$minv")
+        var u = cache(pos)
+        if (u == null) {
+          val ob = new Array[Byte](41)
+          var v = pos + 1
+          var dI = 7
+          while (dI >= 0) { ob(dI) = ('0' + v % 10).toByte; v /= 10; dI -= 1 }
+          ob(8) = ':'
+          hex32(pos, ob, 9)
+          u = UTF8String.fromBytes(ob)
+          cache(pos) = u
+        }
+        out(j) = u
         j += 1
       }
       new GenericArrayData(out)
     } else {
       val seen = new java.util.LinkedHashSet[String]()
+      val cache = new Array[String](m)
       var j = 0
       while (j < nw) {
-        var minv = hs(j)
+        var pos = j
         var x = j + 1
         while (x <= j + 3) {
-          if (hs(x).compareTo(minv) <= 0) minv = hs(x)
+          if (leq(x, pos)) pos = x
           x += 1
         }
-        seen.add(minv)
+        var hx = cache(pos)
+        if (hx == null) {
+          val ob = new Array[Byte](32)
+          hex32(pos, ob, 0)
+          hx = new String(ob, java.nio.charset.StandardCharsets.US_ASCII)
+          cache(pos) = hx
+        }
+        seen.add(hx)
         j += 1
       }
       val out = new Array[Any](seen.size)
