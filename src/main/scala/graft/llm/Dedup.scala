@@ -658,12 +658,17 @@ object Dedup {
     // the optimizer re-plans an O(4^k) tree — lineage truncation keeps
     // every round's plan constant-size. (On a real cluster this would be
     // a reliable `checkpoint` to survive executor loss mid-loop.)
-    var edges = canon(pairs).localCheckpoint()
+    // LAZY checkpoints (r18 opt round): the checksum action both
+    // materializes the round's edges and returns the convergence
+    // scalars, so each round is ONE job instead of two — on the
+    // near-dup pair sets the edge relation is tiny and the round cost
+    // is job latency, not bytes.
+    var edges = canon(pairs).localCheckpoint(false)
     var sig = checksum(edges)
     var it = 0
-    var converged = edges.isEmpty
+    var converged = sig._1 == 0L
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
       val nextSig = checksum(next)
       converged = nextSig == sig
       edges = next
@@ -1849,35 +1854,56 @@ object Dedup {
       root: String, delIds: DataFrame): DataFrame = {
     import s.implicits._
     val docKeyed = Seq("hashes", "signatures", "winnow")
+    // each census is ONE left-join aggregation pass (total + matched in
+    // the same scan) instead of a count job + a semi-join count job —
+    // still counted on the live relation / the WRITTEN relation, never
+    // assumed from the anti-join (r18 opt round)
+    def census(rel: DataFrame): (Long, Long) = {
+      val row = rel
+        .join(broadcast(delIds.select(col("doc_id").as("del_id"))),
+          col("doc_id") === col("del_id"), "left")
+        .agg(count(lit(1)).as("n"), count(col("del_id")).as("touching"))
+        .head
+      (row.getLong(0), row.getLong(1))
+    }
     val ledger = docKeyed.map { name =>
       val rel = s.read.parquet(s"$idx/$name")
       rel.join(broadcast(delIds), Seq("doc_id"), "left_anti")
         .write.mode("overwrite").parquet(s"$root/$name")
-      val scrubbed = s.read.parquet(s"$root/$name")
-      (name, rel.count(),
-        rel.join(broadcast(delIds), Seq("doc_id"), "left_semi").count(),
-        scrubbed.count(),
-        scrubbed.join(broadcast(delIds), Seq("doc_id"), "left_semi").count())
+      val (nB, tB) = census(rel)
+      val (nA, tA) = census(s.read.parquet(s"$root/$name"))
+      (name, nB, tB, nA, tA)
     }
     val retained = incrCorpus(s, d)
       .join(broadcast(delIds), Seq("doc_id"), "left_anti")
-    def retainedChunks = retained.select(explode(
+    // persisted, not a def: the independent retained-chunk recompute
+    // (one full CDC pass over the retained corpus) feeds BOTH the write
+    // and the orphan check — unpersisted it ran twice (r18 opt round);
+    // persistence keeps the orphan side an independent COMPUTE, never a
+    // read-back of the written relation (the ADVICE r17 rule)
+    val retainedChunks = retained.select(explode(
         graft.functions.TextHashes.cdcChunksCol(col("text"))).as("c"))
       .select(col("c.ch").as("ch")).distinct()
+      .persist()
     retainedChunks.write.mode("overwrite").parquet(s"$root/chunks")
     val chAll = s.read.parquet(s"$idx/chunks")
     val chRet = s.read.parquet(s"$root/chunks")
     val nB = chAll.count()
-    val nA = chRet.count()
     // orphans = live chunks no retained doc carries (what erasure must
-    // remove), derived from an INDEPENDENT recompute of the retained
+    // remove), derived from the INDEPENDENT recompute of the retained
     // set — NOT from the written relation (ADVICE r17: orphans = chAll
     // ANTI chRet made the re-count tautologically 0). The written
     // relation is then checked against those orphans, so a write that
     // landed an orphan chunk on disk reports itself; a plan-level bug
     // is the oracle's independent n_after check's to catch.
     val orphans = chAll.join(retainedChunks, Seq("ch"), "left_anti")
-    val tA = chRet.join(orphans, Seq("ch"), "left_semi").count()
+    val chRow = chRet
+      .join(orphans.select(col("ch").as("och")), col("ch") === col("och"), "left")
+      .agg(count(lit(1)).as("n"), count(col("och")).as("t"))
+      .head
+    val nA = chRow.getLong(0)
+    val tA = chRow.getLong(1)
+    retainedChunks.unpersist()
     (ledger :+ ("chunks", nB, nB - nA, nA, tA))
       .toDF("artifact", "n_before", "n_touching_before", "n_after",
         "n_touching_after")

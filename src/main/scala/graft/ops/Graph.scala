@@ -208,8 +208,18 @@ object Graph {
         pmod(col("src") * col("src") + col("j") * 17 + 7, col("n_nodes")).as("dst"))
       .persist()
     val tele = expr(s"(15 * ($rankUnit div n_nodes)) div 100")
+    // ranks carries n_nodes (for tele) AND, after each round, the
+    // previous rank — so the Δmax convergence scalar reads the
+    // checkpointed frame directly instead of re-joining next⋈ranks.
+    // The checkpoint is LAZY: the Δmax action both materializes it and
+    // returns the convergence scalar, so each round is ONE job — the
+    // r17 shape paid two (eager checkpoint, then a join + count).
+    // Measured and kept: batching convBatch rounds into one lazy plan
+    // was 2× WORSE — each round's frame feeds two consumers and Spark
+    // duplicates the unmaterialized subtree per use (~2^B work), see
+    // OPTIMIZATION_r18.md "what didn't work".
     var ranks = nodes
-      .select(col("doc_id"), expr(s"$rankUnit div n_nodes").as("r"))
+      .select(col("doc_id"), col("n_nodes"), expr(s"$rankUnit div n_nodes").as("r"))
       .localCheckpoint()
     var rounds = convMaxRounds.toLong
     var converged = false
@@ -219,16 +229,16 @@ object Graph {
         .join(edges, ranks("doc_id") === edges("src"))
         .select(col("dst").as("doc_id"), expr("r div 3").as("c"))
         .groupBy("doc_id").agg(sum(col("c")).as("contrib"))
-      val next = nodes
+      val next = ranks
         .join(contribs, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          (tele + expr("(85 * coalesce(contrib, 0)) div 100")).as("r"))
-        .localCheckpoint()
+        .select(col("doc_id"), col("n_nodes"),
+          (tele + expr("(85 * coalesce(contrib, 0)) div 100")).as("r"),
+          col("r").as("pr"))
+        .localCheckpoint(false)
       val dmax = next
-        .join(ranks.select(col("doc_id"), col("r").as("pr")), Seq("doc_id"))
         .agg(max(abs(col("r") - col("pr"))).as("dmax"))
         .head.getLong(0)
-      ranks = next
+      ranks = next.select(col("doc_id"), col("n_nodes"), col("r"))
       if (dmax < convEps) { rounds = i.toLong; converged = true }
       i += 1
     }
@@ -301,6 +311,28 @@ object Graph {
   // -------------------------------------------------------------------
   private val lpaMaxRounds = 30
 
+  /** Most-frequent label with ties broken by SMALLEST label, computed
+    * from a SORTED label array by a linear run scan — the
+    * single-exchange replacement for the (node, lbl) count +
+    * per-node argmax Window the r17 LPA rounds paid two shuffles and a
+    * sort for (guide §2.4). Equal labels are adjacent in the sorted
+    * array, so the longest run is the max count; runs arrive in
+    * ascending label order and only a STRICTLY longer run replaces the
+    * best, so ties keep the smallest label — exactly the
+    * (desc(c), asc(lbl)) row_number()=1 selection. Sentinel -1 is
+    * outside the doc_id label domain. */
+  private def modeSmallestSql(arr: String): String =
+    s"""aggregate($arr,
+       |  named_struct('bl', CAST(-1 AS BIGINT), 'bc', CAST(0 AS BIGINT),
+       |               'cl', CAST(-1 AS BIGINT), 'cc', CAST(0 AS BIGINT)),
+       |  (a, x) -> IF(a.cc > CAST(0 AS BIGINT) AND x = a.cl,
+       |    named_struct('bl', a.bl, 'bc', a.bc, 'cl', a.cl,
+       |                 'cc', a.cc + CAST(1 AS BIGINT)),
+       |    named_struct('bl', IF(a.cc > a.bc, a.cl, a.bl),
+       |                 'bc', IF(a.cc > a.bc, a.cc, a.bc),
+       |                 'cl', x, 'cc', CAST(1 AS BIGINT))),
+       |  a -> IF(a.cc > a.bc, a.cl, a.bl))""".stripMargin
+
   private val grLpaConv: Q = (s, d) => {
     val docs = table(s, d, "documents").select(col("doc_id"))
     val n = docs.agg(count(lit(1)).as("n_nodes"))
@@ -322,25 +354,30 @@ object Graph {
     var rounds = lpaMaxRounds.toLong
     var converged = false
     // per-round ledger (VERDICT r13 next §3): each round materializes
-    // through localCheckpoint + the convergence-scalar count, so the
-    // body's wall-clock is the round's true cost
+    // through the lazily-checkpointed frame + the convergence-scalar
+    // count, so the body's wall-clock is the round's true cost.
+    // Measured and kept: batching convBatch rounds into one lazy plan
+    // was 2× WORSE (19.7 s vs 10.0 s at sf0.1) — each round's frame
+    // feeds two consumers (the mode aggregate and the join-back), and
+    // Spark duplicates the unmaterialized subtree per use, ~2^B work —
+    // see OPTIMIZATION_r18.md "what didn't work".
     var i = 1
     while (i <= lpaMaxRounds && !converged) graft.RoundClock.time("gr_lpa_conv", i) {
-      val counts = adj
+      val best = adj
         .join(labels.select(col("doc_id").as("nbr"), col("lbl")), Seq("nbr"))
-        .groupBy("node", "lbl").agg(count(lit(1)).as("c"))
-      val best = counts.withColumn("rk", row_number().over(
-          Window.partitionBy("node").orderBy(desc("c"), asc("lbl"))))
-        .filter(col("rk") === 1)
-        .select(col("node").as("doc_id"), col("lbl"))
-      val next = docs.join(best, Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("lbl"))
-        .localCheckpoint()
-      val changes = next
-        .join(labels.select(col("doc_id"), col("lbl").as("pl")), Seq("doc_id"))
-        .filter(col("lbl") =!= col("pl"))
-        .count()
-      labels = next
+        .groupBy("node")
+        .agg(sort_array(collect_list(col("lbl"))).as("ls"))
+        .select(col("node").as("doc_id"), expr(modeSmallestSql("ls")).as("nl"))
+      // the new label AND the changed flag ride ONE lazily-checkpointed
+      // frame: the convergence count materializes the checkpoint and
+      // returns the scalar in a single job — the r17 shape paid an
+      // eager checkpoint job plus a join + count job every round
+      val next = labels.join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("nl"), col("doc_id")).as("lbl"),
+          (coalesce(col("nl"), col("doc_id")) =!= col("lbl")).as("changed"))
+        .localCheckpoint(false)
+      val changes = next.filter(col("changed")).count()
+      labels = next.select(col("doc_id"), col("lbl"))
       if (changes == 0L) { rounds = i.toLong; converged = true }
       i += 1
     }
@@ -417,15 +454,16 @@ object Graph {
       .persist()
     var labels = docs.select(col("doc_id"), col("doc_id").as("lbl"))
     for (_ <- 1 to lpaRounds) {
-      val counts = adj
+      // one node-keyed exchange per round: sorted-run mode scan instead
+      // of the (node, lbl) count + argmax Window (two exchanges + a
+      // sort) — same selection, see modeSmallestSql
+      val best = adj
         .join(labels.select(col("doc_id").as("nbr"), col("lbl")), Seq("nbr"))
-        .groupBy("node", "lbl").agg(count(lit(1)).as("c"))
-      val best = counts.withColumn("rk", row_number().over(
-          Window.partitionBy("node").orderBy(desc("c"), asc("lbl"))))
-        .filter(col("rk") === 1)
-        .select(col("node").as("doc_id"), col("lbl"))
+        .groupBy("node")
+        .agg(sort_array(collect_list(col("lbl"))).as("ls"))
+        .select(col("node").as("doc_id"), expr(modeSmallestSql("ls")).as("nl"))
       labels = docs.join(best, Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("lbl"))
+        .select(col("doc_id"), coalesce(col("nl"), col("doc_id")).as("lbl"))
     }
     labels.orderBy("doc_id")
   }
@@ -480,7 +518,14 @@ object Graph {
     * the giant-SCC scale probe drives directly. Returns
     * (doc_id, scc_id). Edges must live on the node set. */
   private[graft] def colorScc(nodesIn: DataFrame, edgesIn: DataFrame): DataFrame = {
-    var active = nodesIn.select(col("doc_id")).localCheckpoint()
+    // LAZY checkpoints throughout (r18 opt round): every checkpointed
+    // relation below is materialized by the scalar action that
+    // immediately follows it (count / sum fixpoint probes), so each
+    // fixpoint round costs ONE job instead of two — the round cost on
+    // these label relations is job latency, not bytes. `parts` stays
+    // EAGER: its consumers run only at the end, and lazy parts would
+    // stack un-truncated lineage into the final union's planning.
+    var active = nodesIn.select(col("doc_id")).localCheckpoint(false)
     val edges = edgesIn.select(col("src"), col("dst")).persist()
     val parts = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var nActive = active.count()
@@ -492,10 +537,10 @@ object Graph {
       val edgesA = edges
         .join(active.select(col("doc_id").as("src")), Seq("src"), "left_semi")
         .join(active.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
-        .localCheckpoint()
+        .localCheckpoint(false)
       // forward pass: color = max id reaching v, to fixpoint
       var colors = active.select(col("doc_id"), col("doc_id").as("color"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       var prevSum = -1L
       var curSum = colors.agg(sum(col("color"))).head.getLong(0)
       var inner = 0
@@ -508,7 +553,7 @@ object Graph {
         colors = colors.join(contrib, Seq("doc_id"), "left")
           .select(col("doc_id"),
             greatest(col("color"), coalesce(col("mc"), col("color"))).as("color"))
-          .localCheckpoint()
+          .localCheckpoint(false)
         prevSum = curSum
         curSum = colors.agg(sum(col("color"))).head.getLong(0)
       }
@@ -517,9 +562,9 @@ object Graph {
         .join(colors.select(col("doc_id").as("src"), col("color").as("cs")), Seq("src"))
         .join(colors.select(col("doc_id").as("dst"), col("color").as("cd")), Seq("dst"))
         .filter(col("cs") === col("cd"))
-        .select("src", "dst").localCheckpoint()
+        .select("src", "dst").localCheckpoint(false)
       var reached = colors.filter(col("doc_id") === col("color"))
-        .select(col("doc_id")).localCheckpoint()
+        .select(col("doc_id")).localCheckpoint(false)
       var prevN = -1L
       var curN = reached.count()
       inner = 0
@@ -529,7 +574,7 @@ object Graph {
         val newFrom = edgesC
           .join(reached.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
           .select(col("src").as("doc_id"))
-        reached = reached.unionByName(newFrom).distinct().localCheckpoint()
+        reached = reached.unionByName(newFrom).distinct().localCheckpoint(false)
         prevN = curN
         curN = reached.count()
       }
@@ -538,7 +583,7 @@ object Graph {
       val ids = members.groupBy(col("color")).agg(min(col("doc_id")).as("scc_id"))
       parts += members.join(ids, Seq("color"))
         .select(col("doc_id"), col("scc_id")).localCheckpoint()
-      active = active.join(reached, Seq("doc_id"), "left_anti").localCheckpoint()
+      active = active.join(reached, Seq("doc_id"), "left_anti").localCheckpoint(false)
       nActive = active.count()
     }
     edges.unpersist()
@@ -676,10 +721,11 @@ object Graph {
         .select(col("dst").as("doc_id")).distinct()
         .join(levels, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), lit(i.toLong).as("lvl"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       if (nxt.count() == 0L) done = true
       else {
-        levels = levels.unionByName(nxt).localCheckpoint()
+        // lazy: materialized by the next round's anti-join/count (r18)
+        levels = levels.unionByName(nxt).localCheckpoint(false)
         frontier = nxt
         i += 1
       }
