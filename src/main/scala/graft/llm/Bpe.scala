@@ -114,9 +114,24 @@ object Bpe {
     // per-round wall-clock ledger (VERDICT r13 next §3): each round ends
     // in eager localCheckpoints, so the loop body's time IS the round's
     for (i <- 1 to rounds) graft.RoundClock.time(label, i) {
+      // The exploded symbol stream feeds 2 consumers per round (pair
+      // count + rewrite) — 3 in likelihood mode (symbol totals) — and
+      // each consumer re-ran the posexplode + lead window subtree
+      // (VERDICT r18 next §1: up to 3 stream passes per round). LAZY
+      // localCheckpoint shares ONE pass: the batch checkpoint below is
+      // the first action and computes every partition (its global
+      // row_number ranks the whole pair table), so it materializes the
+      // stream; the rewrite and the likelihood totals then read the
+      // stored rows. localCheckpoint, not cache(): the r18 round
+      // measured the columnar cache encode costing more than the
+      // recompute on these vocab-sized rounds; the checkpoint stores
+      // the internal rows directly. Invariant (ADVICE r18): the next
+      // action after a lazy checkpoint must compute ALL partitions —
+      // here that is the batch checkpoint's global sort.
       val ex = seqs.select(col("word"), col("n"),
           posexplode(split(trim(col("seq")), " ")).as(Seq("pos", "sym")))
         .withColumn("nxt", lead(col("sym"), 1).over(wWord))
+        .localCheckpoint(false)
       val pairs = ex.filter(col("nxt").isNotNull)
         .groupBy(col("sym").as("lsym"), col("nxt").as("rsym"))
         .agg(sum(col("n")).as("cnt"))
