@@ -311,27 +311,26 @@ object Graph {
   // -------------------------------------------------------------------
   private val lpaMaxRounds = 30
 
-  /** Most-frequent label with ties broken by SMALLEST label, computed
-    * from a SORTED label array by a linear run scan — the
-    * single-exchange replacement for the (node, lbl) count +
-    * per-node argmax Window the r17 LPA rounds paid two shuffles and a
-    * sort for (guide §2.4). Equal labels are adjacent in the sorted
-    * array, so the longest run is the max count; runs arrive in
-    * ascending label order and only a STRICTLY longer run replaces the
-    * best, so ties keep the smallest label — exactly the
-    * (desc(c), asc(lbl)) row_number()=1 selection. Sentinel -1 is
-    * outside the doc_id label domain. */
-  private def modeSmallestSql(arr: String): String =
-    s"""aggregate($arr,
-       |  named_struct('bl', CAST(-1 AS BIGINT), 'bc', CAST(0 AS BIGINT),
-       |               'cl', CAST(-1 AS BIGINT), 'cc', CAST(0 AS BIGINT)),
-       |  (a, x) -> IF(a.cc > CAST(0 AS BIGINT) AND x = a.cl,
-       |    named_struct('bl', a.bl, 'bc', a.bc, 'cl', a.cl,
-       |                 'cc', a.cc + CAST(1 AS BIGINT)),
-       |    named_struct('bl', IF(a.cc > a.bc, a.cl, a.bl),
-       |                 'bc', IF(a.cc > a.bc, a.cc, a.bc),
-       |                 'cl', x, 'cc', CAST(1 AS BIGINT))),
-       |  a -> IF(a.cc > a.bc, a.cl, a.bl))""".stripMargin
+  /** Per-node most-frequent neighbor label, ties broken by SMALLEST
+    * label — the skew-safe zero-exchange round argmax (r19; VERDICT
+    * r18 wrong §1): the r18 sort_array(collect_list) shape buffered
+    * the FULL neighbor-label multiset per aggregation key, an
+    * O(degree) reduce buffer that blows on a power-law hub. This shape
+    * pre-aggregates to (node, lbl) counts first — HashAggregate
+    * buffers are one long per DISTINCT label, never per neighbor —
+    * then argmaxes with max_by(lbl, (c, -lbl)): max count first, and
+    * on count ties max(-lbl) = smallest label, exactly the
+    * (desc(c), asc(lbl)) row_number()=1 selection. Both aggregations
+    * cluster on subsets of {node, lbl}, so an input already hash-
+    * partitioned by node (the persisted adjacency below) satisfies
+    * both and the whole round runs WITHOUT an exchange. */
+  private def bestLabel(joined: DataFrame): DataFrame =
+    joined
+      .groupBy(col("node"), col("lbl"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("node"))
+      .agg(max_by(col("lbl"), struct(col("c"), (-col("lbl")).as("nl"))).as("nl"))
+      .select(col("node").as("doc_id"), col("nl"))
 
   private val grLpaConv: Q = (s, d) => {
     val docs = table(s, d, "documents").select(col("doc_id"))
@@ -346,8 +345,13 @@ object Graph {
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+    // persisted HASH-PARTITIONED BY NODE (r19; VERDICT r18 next §3):
+    // the per-round labels side broadcasts, so the join output keeps
+    // this layout and both round aggregations (see bestLabel) reuse it
+    // — zero exchanges per round instead of one, paid once at build.
     val adj = u.select(col("a").as("node"), col("b").as("nbr"))
       .unionByName(u.select(col("b").as("node"), col("a").as("nbr")))
+      .repartition(col("node"))
       .persist()
     var labels = docs.select(col("doc_id"), col("doc_id").as("lbl"))
       .localCheckpoint()
@@ -363,11 +367,9 @@ object Graph {
     // see OPTIMIZATION_r18.md "what didn't work".
     var i = 1
     while (i <= lpaMaxRounds && !converged) graft.RoundClock.time("gr_lpa_conv", i) {
-      val best = adj
-        .join(labels.select(col("doc_id").as("nbr"), col("lbl")), Seq("nbr"))
-        .groupBy("node")
-        .agg(sort_array(collect_list(col("lbl"))).as("ls"))
-        .select(col("node").as("doc_id"), expr(modeSmallestSql("ls")).as("nl"))
+      val best = bestLabel(adj
+        .join(broadcast(labels.select(col("doc_id").as("nbr"), col("lbl"))),
+          Seq("nbr")))
       // the new label AND the changed flag ride ONE lazily-checkpointed
       // frame: the convergence count materializes the checkpoint and
       // returns the scalar in a single job — the r17 shape paid an
@@ -449,19 +451,17 @@ object Graph {
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+    // node-partitioned like grLpaConv's: zero exchanges per round
     val adj = u.select(col("a").as("node"), col("b").as("nbr"))
       .unionByName(u.select(col("b").as("node"), col("a").as("nbr")))
+      .repartition(col("node"))
       .persist()
     var labels = docs.select(col("doc_id"), col("doc_id").as("lbl"))
     for (_ <- 1 to lpaRounds) {
-      // one node-keyed exchange per round: sorted-run mode scan instead
-      // of the (node, lbl) count + argmax Window (two exchanges + a
-      // sort) — same selection, see modeSmallestSql
-      val best = adj
-        .join(labels.select(col("doc_id").as("nbr"), col("lbl")), Seq("nbr"))
-        .groupBy("node")
-        .agg(sort_array(collect_list(col("lbl"))).as("ls"))
-        .select(col("node").as("doc_id"), expr(modeSmallestSql("ls")).as("nl"))
+      // skew-safe zero-exchange round argmax — see bestLabel
+      val best = bestLabel(adj
+        .join(broadcast(labels.select(col("doc_id").as("nbr"), col("lbl"))),
+          Seq("nbr")))
       labels = docs.join(best, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("nl"), col("doc_id")).as("lbl"))
     }
@@ -646,7 +646,24 @@ object Graph {
       .groupBy("doc_id").agg(count(lit(1)).as("deg0"))
     var active = docs
     var peeled: DataFrame = null
-    for (r <- 1 to kcoreRounds) {
+    // r19 round shape (VERDICT r18 next §4): the r18 loop eagerly
+    // checkpointed `active` but left each round's `low` as un-
+    // checkpointed lineage — the final output re-executed every
+    // round's two semi-joins + degree agg a SECOND time, and a fifth
+    // full degree pass ran just for the residual assertion. Now the
+    // per-round degree table is checkpointed ONCE (lazily; the paired
+    // peel-count scalar materializes it — a full-scan action, the
+    // ADVICE r18 lazy-checkpoint invariant) and both `low` and
+    // `active` read the stored rows. The peel count doubles as the
+    // convergence scalar: a round that peels ZERO is a fixed point —
+    // every later round peels zero and the round-(kcoreRounds+1)
+    // residual is zero BY that fixed point, so the loop exits early
+    // and the explicit residual pass only runs when all kcoreRounds
+    // rounds genuinely peeled. Output identical: zero-peel rounds
+    // contribute no peeled rows and `active` is unchanged.
+    var fixedPoint = false
+    var r = 1
+    while (r <= kcoreRounds && !fixedPoint) {
       val e2 = und
         .join(active.select(col("doc_id").as("a")), "a")
         .join(active.select(col("doc_id").as("b")), "b")
@@ -655,28 +672,34 @@ object Graph {
         .groupBy("doc_id").agg(count(lit(1)).as("deg"))
       val degAll = active.join(deg, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("deg"), lit(0L)).as("deg"))
+        .localCheckpoint(false)
+      val nLow = degAll.filter(col("deg") < kcoreK).count()
       val low = degAll.filter(col("deg") < kcoreK)
         .select(col("doc_id"), lit(r.toLong).as("peel_round"))
       peeled = if (peeled == null) low else peeled.union(low)
-      active = degAll.filter(col("deg") >= kcoreK)
-        .select(col("doc_id")).localCheckpoint()
+      active = degAll.filter(col("deg") >= kcoreK).select(col("doc_id"))
+      if (nLow == 0L) fixedPoint = true
+      r += 1
     }
     // convergence guard: the fixed round count is only correct if the
     // peel cascade has actually died out — a corpus needing a further
     // round would otherwise silently label non-core nodes in_core=true
-    // on BOTH engines (the oracle replays the same bounded loop). One
-    // extra degree pass asserts round kcoreRounds+1 would peel zero.
-    val eChk = und
-      .join(active.select(col("doc_id").as("a")), "a")
-      .join(active.select(col("doc_id").as("b")), "b")
-    val degChk = eChk.select(col("a").as("doc_id"))
-      .union(eChk.select(col("b").as("doc_id")))
-      .groupBy("doc_id").agg(count(lit(1)).as("deg"))
-    val residual = active.join(degChk, Seq("doc_id"), "left")
-      .filter(coalesce(col("deg"), lit(0L)) < kcoreK).count()
-    require(residual == 0L,
-      s"gr_kcore: peel cascade not converged after $kcoreRounds rounds " +
-        s"($residual nodes still peelable) — raise kcoreRounds")
+    // on BOTH engines (the oracle replays the same bounded loop). A
+    // zero-peel round above proved it already; otherwise one extra
+    // degree pass asserts round kcoreRounds+1 would peel zero.
+    if (!fixedPoint) {
+      val eChk = und
+        .join(active.select(col("doc_id").as("a")), "a")
+        .join(active.select(col("doc_id").as("b")), "b")
+      val degChk = eChk.select(col("a").as("doc_id"))
+        .union(eChk.select(col("b").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+      val residual = active.join(degChk, Seq("doc_id"), "left")
+        .filter(coalesce(col("deg"), lit(0L)) < kcoreK).count()
+      require(residual == 0L,
+        s"gr_kcore: peel cascade not converged after $kcoreRounds rounds " +
+          s"($residual nodes still peelable) — raise kcoreRounds")
+    }
     docs
       .join(deg0, Seq("doc_id"), "left")
       .join(peeled, Seq("doc_id"), "left")
