@@ -1851,8 +1851,34 @@ object Dedup {
     * converges to exactly the one-shot scrub — the NswCdcState
     * delivery-idempotence argument applied to the dedup index. */
   private[graft] def rtbfScrub(s: SparkSession, d: String, idx: String,
-      root: String, delIds: DataFrame): DataFrame = {
+      root: String, delIds: DataFrame): DataFrame =
+    rtbfScrubIncr(s, d, idx, root, delIds, None)._1
+
+  /** [[rtbfScrub]] plus the retained (doc_id, ch) chunk-attribution
+    * relation it derived — the incremental seam for callers that scrub
+    * REPEATEDLY with a GROWING deletion set (st_rtbf; r19, VERDICT r18
+    * next §5). Chunking is per-doc deterministic, so the retained chunk
+    * set under a grown deletion set is EXACTLY the prior trigger's
+    * pairs anti-joined with the new deletions: the full retained-corpus
+    * CDC re-chunk (the 100 TB-dominant term of the scrub) runs once per
+    * stream instead of once per trigger. `pairsIn`, when given, MUST be
+    * the pair relation a prior call returned for a deletion set that
+    * was a subset of `delIds` over the same corpus. Every written
+    * relation and every ledger number is identical to the from-scratch
+    * scrub (StRtbfSpec pins written-relation equality with the
+    * one-shot); the orphan audit's independent recompute is then the
+    * PRIOR trigger's pair compute rather than this trigger's — still
+    * never a read-back of the written chunks relation (ADVICE r17).
+    * Returned pairs are persisted iff `keepPairs`; the caller owns the
+    * unpersist when it replaces them. */
+  private[graft] def rtbfScrubIncr(s: SparkSession, d: String, idx: String,
+      root: String, delIds: DataFrame, pairsIn: Option[DataFrame],
+      keepPairs: Boolean = false): (DataFrame, DataFrame) = {
     import s.implicits._
+    // dupe-immune by construction (ADVICE r18): a duplicate id in the
+    // deletion relation would inflate the left-join censuses below;
+    // persisted because every lane broadcasts it
+    val del = delIds.select("doc_id").distinct().persist()
     val docKeyed = Seq("hashes", "signatures", "winnow")
     // each census is ONE left-join aggregation pass (total + matched in
     // the same scan) instead of a count job + a semi-join count job —
@@ -1860,54 +1886,83 @@ object Dedup {
     // assumed from the anti-join (r18 opt round)
     def census(rel: DataFrame): (Long, Long) = {
       val row = rel
-        .join(broadcast(delIds.select(col("doc_id").as("del_id"))),
+        .join(broadcast(del.select(col("doc_id").as("del_id"))),
           col("doc_id") === col("del_id"), "left")
         .agg(count(lit(1)).as("n"), count(col("del_id")).as("touching"))
         .head
       (row.getLong(0), row.getLong(1))
     }
-    val ledger = docKeyed.map { name =>
-      val rel = s.read.parquet(s"$idx/$name")
-      rel.join(broadcast(delIds), Seq("doc_id"), "left_anti")
-        .write.mode("overwrite").parquet(s"$root/$name")
-      val (nB, tB) = census(rel)
-      val (nA, tA) = census(s.read.parquet(s"$root/$name"))
-      (name, nB, tB, nA, tA)
+    // the four artifact lanes are INDEPENDENT jobs (distinct relations,
+    // distinct output dirs) — submit them from futures so each lane's
+    // straggler tail back-fills the others (guide §2.6 overlap); the
+    // dozen small sequential jobs were the scrub's fixed-latency floor
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val ledgerF = docKeyed.map { name =>
+      Future {
+        val rel = s.read.parquet(s"$idx/$name")
+        rel.join(broadcast(del), Seq("doc_id"), "left_anti")
+          .write.mode("overwrite").parquet(s"$root/$name")
+        val (nB, tB) = census(rel)
+        val (nA, tA) = census(s.read.parquet(s"$root/$name"))
+        (name, nB, tB, nA, tA)
+      }
     }
-    val retained = incrCorpus(s, d)
-      .join(broadcast(delIds), Seq("doc_id"), "left_anti")
-    // persisted, not a def: the independent retained-chunk recompute
-    // (one full CDC pass over the retained corpus) feeds BOTH the write
-    // and the orphan check — unpersisted it ran twice (r18 opt round);
-    // persistence keeps the orphan side an independent COMPUTE, never a
-    // read-back of the written relation (the ADVICE r17 rule)
-    val retainedChunks = retained.select(explode(
-        graft.functions.TextHashes.cdcChunksCol(col("text"))).as("c"))
-      .select(col("c.ch").as("ch")).distinct()
-      .persist()
-    retainedChunks.write.mode("overwrite").parquet(s"$root/chunks")
-    val chAll = s.read.parquet(s"$idx/chunks")
-    val chRet = s.read.parquet(s"$root/chunks")
-    val nB = chAll.count()
-    // orphans = live chunks no retained doc carries (what erasure must
-    // remove), derived from the INDEPENDENT recompute of the retained
-    // set — NOT from the written relation (ADVICE r17: orphans = chAll
-    // ANTI chRet made the re-count tautologically 0). The written
-    // relation is then checked against those orphans, so a write that
-    // landed an orphan chunk on disk reports itself; a plan-level bug
-    // is the oracle's independent n_after check's to catch.
-    val orphans = chAll.join(retainedChunks, Seq("ch"), "left_anti")
-    val chRow = chRet
-      .join(orphans.select(col("ch").as("och")), col("ch") === col("och"), "left")
-      .agg(count(lit(1)).as("n"), count(col("och")).as("t"))
-      .head
-    val nA = chRow.getLong(0)
-    val tA = chRow.getLong(1)
-    retainedChunks.unpersist()
-    (ledger :+ ("chunks", nB, nB - nA, nA, tA))
+    val chunkF = Future {
+      // the retained-chunk derivation: one CDC pass over the retained
+      // corpus when fresh; the prior pairs anti-join when incremental.
+      // keepPairs carries the (doc_id, ch) attribution through the
+      // distinct so the NEXT trigger can subtract its delta exactly.
+      val pairsBase = pairsIn match {
+        // prior pairs are already (doc_id, ch)-distinct; the anti-join
+        // preserves that, so no re-distinct
+        case Some(p) => p.join(broadcast(del), Seq("doc_id"), "left_anti")
+        case None =>
+          val fresh = incrCorpus(s, d)
+            .join(broadcast(del), Seq("doc_id"), "left_anti")
+            .select(col("doc_id"), explode(
+              graft.functions.TextHashes.cdcChunksCol(col("text"))).as("c"))
+            .select(col("doc_id"), col("c.ch").as("ch"))
+          if (keepPairs) fresh.distinct() else fresh
+      }
+      val retainedPairs = if (keepPairs) pairsBase.persist() else pairsBase
+      // persisted, not a def: the independent retained-chunk recompute
+      // feeds BOTH the write and the orphan check — unpersisted it ran
+      // twice (r18 opt round); persistence keeps the orphan side an
+      // independent COMPUTE, never a read-back of the written relation
+      // (the ADVICE r17 rule)
+      val retainedChunks = retainedPairs.select(col("ch")).distinct()
+        .persist()
+      retainedChunks.write.mode("overwrite").parquet(s"$root/chunks")
+      val chAll = s.read.parquet(s"$idx/chunks")
+      val chRet = s.read.parquet(s"$root/chunks")
+      val nB = chAll.count()
+      // orphans = live chunks no retained doc carries (what erasure must
+      // remove), derived from the INDEPENDENT recompute of the retained
+      // set — NOT from the written relation (ADVICE r17: orphans = chAll
+      // ANTI chRet made the re-count tautologically 0). The written
+      // relation is then checked against those orphans, so a write that
+      // landed an orphan chunk on disk reports itself; a plan-level bug
+      // is the oracle's independent n_after check's to catch.
+      val orphans = chAll.join(retainedChunks, Seq("ch"), "left_anti")
+      val chRow = chRet
+        .join(orphans.select(col("ch").as("och")), col("ch") === col("och"), "left")
+        .agg(count(lit(1)).as("n"), count(col("och")).as("t"))
+        .head
+      val nA = chRow.getLong(0)
+      val tA = chRow.getLong(1)
+      retainedChunks.unpersist()
+      (("chunks", nB, nB - nA, nA, tA), retainedPairs)
+    }
+    val ledger = ledgerF.map(Await.result(_, Duration.Inf))
+    val (chunkRow, retainedPairs) = Await.result(chunkF, Duration.Inf)
+    del.unpersist(false)
+    val out = (ledger :+ chunkRow)
       .toDF("artifact", "n_before", "n_touching_before", "n_after",
         "n_touching_after")
       .orderBy("artifact")
+    (out, retainedPairs)
   }
 
   val queries: Map[String, Q] = Map(

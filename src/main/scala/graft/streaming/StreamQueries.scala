@@ -948,6 +948,13 @@ object StreamQueries {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     @volatile var acc: Set[Long] = Set.empty
     @volatile var last: Array[org.apache.spark.sql.Row] = Array.empty
+    // retained (doc_id, ch) chunk attribution carried across triggers
+    // (r19): the first trigger pays the one retained-corpus CDC pass;
+    // every later trigger derives its retained chunk set by anti-
+    // joining the delta off these pairs — exact (chunking is per-doc),
+    // so the written relations and the ledger are unchanged
+    // (rtbfScrubIncr doc; StRtbfSpec pins one-shot equality)
+    @volatile var pairs: Option[org.apache.spark.sql.DataFrame] = None
     val source = MemoryStream[Long]
     val name = s"st_rtbf_${seq.incrementAndGet()}"
     val q = source.toDS().writeStream
@@ -957,8 +964,11 @@ object StreamQueries {
         val ids = df.collect()
         if (ids.nonEmpty) {
           acc = acc ++ ids
-          last = graft.llm.Dedup.rtbfScrub(s, d, idx, root,
-            acc.toSeq.sorted.toDF("doc_id")).collect()
+          val (ledger, newPairs) = graft.llm.Dedup.rtbfScrubIncr(s, d, idx,
+            root, acc.toSeq.sorted.toDF("doc_id"), pairs, keepPairs = true)
+          last = ledger.collect()
+          pairs.foreach(_.unpersist(false))
+          pairs = Some(newPairs)
         }
       }
       .option("checkpointLocation", ckpt(name)).start()
@@ -971,6 +981,7 @@ object StreamQueries {
     } finally {
       q.stop()
       dropCkpt(name)
+      pairs.foreach(_.unpersist(false))
     }
     require(acc == delAll.toSet,
       s"deletion stream lost requests: ${delAll.toSet -- acc}")
