@@ -54,14 +54,19 @@ object Adpcm {
     * it, or encoder state drifts from what the decoder will compute):
     * given the 4-bit code and the current (predictor, index), produce
     * the next (predictor, index). */
-  private def reconstruct(code: Int, predictor: Int, index: Int): (Int, Int) = {
+  /** The reconstruction step with the next (predictor, index) packed as
+    * (predictor << 8) | index — predictor is int16 (sign survives the
+    * arithmetic unpack shift), index is 0..88. Removes the per-nibble
+    * pair allocation from the two-samples-per-byte decode loop (r19 mm
+    * pass). */
+  private def reconstructPacked(code: Int, predictor: Int, index: Int): Int = {
     val step = stepTable(index)
     var diff = step >> 3
     if ((code & 4) != 0) diff += step
     if ((code & 2) != 0) diff += step >> 1
     if ((code & 1) != 0) diff += step >> 2
     val p = clamp16(if ((code & 8) != 0) predictor - diff else predictor + diff)
-    (p, clampIdx(index + indexTable(code & 7)))
+    (p << 8) | clampIdx(index + indexTable(code & 7))
   }
 
   /** Quantize one sample against the current state — the canonical IMA
@@ -109,13 +114,13 @@ object Adpcm {
       var j = 1
       while (j < g.length) {
         val lo = encodeNibble(g(j), predictor, index)
-        val st1 = reconstruct(lo, predictor, index)
-        predictor = st1._1; index = st1._2
+        val st1 = reconstructPacked(lo, predictor, index)
+        predictor = st1 >> 8; index = st1 & 0xff
         var byte = lo
         if (j + 1 < g.length) {
           val hi = encodeNibble(g(j + 1), predictor, index)
-          val st2 = reconstruct(hi, predictor, index)
-          predictor = st2._1; index = st2._2
+          val st2 = reconstructPacked(hi, predictor, index)
+          predictor = st2 >> 8; index = st2 & 0xff
           byte |= hi << 4
         }
         buf.put(byte.toByte)
@@ -177,14 +182,14 @@ object Adpcm {
       var bo = off + 4
       while (j < inBlock) {
         val byte = buf.get(bo) & 0xff
-        val st1 = reconstruct(byte & 0xf, predictor, index)
-        predictor = st1._1; index = st1._2
+        val st1 = reconstructPacked(byte & 0xf, predictor, index)
+        predictor = st1 >> 8; index = st1 & 0xff
         out(produced) = predictor
         produced += 1
         j += 1
         if (j < inBlock) {
-          val st2 = reconstruct(byte >> 4, predictor, index)
-          predictor = st2._1; index = st2._2
+          val st2 = reconstructPacked(byte >> 4, predictor, index)
+          predictor = st2 >> 8; index = st2 & 0xff
           out(produced) = predictor
           produced += 1
           j += 1
@@ -208,11 +213,39 @@ object Adpcm {
     * inside int16 for every corpus clip — pinned by AdpcmSpec, so the
     * oracle's unclamped cumsum is exact. */
   def walkSamples(id: Long, n: Int): Array[Int] = {
-    var acc = 0
-    Array.tabulate(n) { j =>
-      acc += walkStep(id, j)
-      acc
+    // FNV-1a is byte-sequential, so the constant "w:<id>:" prefix folds
+    // ONCE per clip and each sample folds only j's decimal digits —
+    // byte-identical to hashing the full "w:<id>:<j>" string (ASCII =
+    // UTF-8 here) without the per-sample String + UTF8String + full
+    // re-hash the r18 shape paid (r19 mm pass; the winnowSel
+    // one-encode discipline). walkStep stays as the one-sample
+    // reference implementation (AdpcmSpec pins their equality).
+    val prefix = s"w:$id:".getBytes("US-ASCII")
+    var hp = 0xcbf29ce484222325L
+    var i = 0
+    while (i < prefix.length) {
+      hp = (hp ^ (prefix(i) & 0xffL)) * 0x100000001b3L
+      i += 1
     }
+    val digits = new Array[Byte](10)
+    val out = new Array[Int](n)
+    var acc = 0
+    var j = 0
+    while (j < n) {
+      var h = hp
+      var k = digits.length
+      var m = j
+      if (m == 0) { k -= 1; digits(k) = '0' }
+      while (m > 0) { k -= 1; digits(k) = ('0' + m % 10).toByte; m /= 10 }
+      while (k < digits.length) {
+        h = (h ^ (digits(k) & 0xffL)) * 0x100000001b3L
+        k += 1
+      }
+      acc += ((h & 0x1ff) - 256).toInt
+      out(j) = acc
+      j += 1
+    }
+    out
   }
   def walkStep(id: Long, j: Int): Int =
     ((graft.functions.TextHashKernels.rollingHash(

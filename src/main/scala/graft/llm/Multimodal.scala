@@ -622,17 +622,27 @@ object Multimodal {
     media.filter(_.kind == "audio").mapPartitions { it =>
       it.flatMap { m =>
         val s = decode(m.bytes)
-        s.indices.grouped(window).zipWithIndex.map { case (idx, w) =>
+        // direct index loop over the decoded array (r19 mm pass): same
+        // windows as indices.grouped(window) — the last window may be
+        // short — without the per-window Range allocations
+        val nWin = (s.length + window - 1) / window
+        (0 until nWin).iterator.map { w =>
+          val st = w * window
+          val en = math.min(st + window, s.length)
           var sumSq = 0L
           var peak = 0L
           var zcr = 0L
-          idx.foreach { j =>
-            sumSq += s(j).toLong * s(j)
-            peak = math.max(peak, math.abs(s(j)).toLong)
-            if (j > idx.head && s(j - 1) * s(j) < 0) zcr += 1
+          var j = st
+          while (j < en) {
+            val v = s(j)
+            sumSq += v.toLong * v
+            val av = math.abs(v).toLong
+            if (av > peak) peak = av
+            if (j > st && s(j - 1) * v < 0) zcr += 1
+            j += 1
           }
-          AudioWindow(m.media_id, w, idx.size.toLong,
-            math.sqrt(sumSq.toDouble / idx.size), peak, zcr)
+          AudioWindow(m.media_id, w, (en - st).toLong,
+            math.sqrt(sumSq.toDouble / (en - st)), peak, zcr)
         }
       }
     }

@@ -111,4 +111,20 @@ class AdpcmSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](Adpcm.decode(pcm.bytes))
     assert(e.getMessage.contains("expected IMA ADPCM"))
   }
+
+  test("walkSamples' incremental FNV fold equals the per-sample walkStep reference") {
+    // the r19 kernel folds the "w:<id>:" prefix once and only j's
+    // decimal digits per sample; walkStep hashes the full string —
+    // they must agree at every position (including multi-digit
+    // boundaries 9→10, 99→100, 999→1000)
+    for (id <- Seq(0L, 3L, 17L, 2000L, 2023L)) {
+      val n = 1100
+      val fast = Adpcm.walkSamples(id, n)
+      var acc = 0
+      for (j <- 0 until n) {
+        acc += Adpcm.walkStep(id, j)
+        assert(fast(j) == acc, s"walkSamples($id)($j) diverged from walkStep")
+      }
+    }
+  }
 }
