@@ -160,6 +160,73 @@ object ArrayKernels {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** Per-thread memo of the parsed BPE merge set, keyed by CONTENT
+    * equality of the newline-joined merge string (the same broadcast
+    * value rides every row of a round's rewrite, but the per-row
+    * UTF8String is a fresh view over the shared bytes, so identity
+    * would miss; a ~10 KB memcmp per row is cheap and exact). */
+  private val bpeSetCache =
+    new ThreadLocal[(org.apache.spark.unsafe.types.UTF8String, java.util.HashSet[String])]
+
+  /** One left-to-right BPE merge scan over a space-delimited symbol
+    * sequence " a b c " against the ACCUMULATED merge set (newline-
+    * joined "lsym rsym" keys): position i merges with i+1 iff the pair
+    * is in the set and position i-1 did not itself merge — the
+    * canonical greedy scan, identical to the islands-parity relational
+    * rewrite (within a run of k consecutive matched positions, merges
+    * land at even offsets from the run start; this scan consumes
+    * exactly those). Replaces the per-round posexplode + lead window +
+    * 4-window chain + collect_list reassembly with one map-only pass
+    * (r19; guide §2.4 — two word-keyed exchanges per merge round
+    * removed). Output format matches the relational rebuild exactly:
+    * leading space, single-space-joined symbols, trailing space. */
+  def bpeRewrite(seq: org.apache.spark.unsafe.types.UTF8String,
+      mset: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    var cached = bpeSetCache.get()
+    if (cached == null || !cached._1.equals(mset)) {
+      val set = new java.util.HashSet[String]()
+      val s = mset.toString
+      if (s.nonEmpty) s.split("\n").foreach(set.add)
+      cached = (mset.clone(), set)
+      bpeSetCache.set(cached)
+    }
+    val set = cached._2
+    val toks = seq.toString.trim.split(" ")
+    val sb = new java.lang.StringBuilder(seq.numBytes + 2)
+    sb.append(' ')
+    var i = 0
+    while (i < toks.length) {
+      if (i + 1 < toks.length && set.contains(toks(i) + " " + toks(i + 1))) {
+        sb.append(toks(i)).append(toks(i + 1))
+        i += 2
+      } else {
+        sb.append(toks(i))
+        i += 1
+      }
+      sb.append(' ')
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+}
+
+/** `bpe_rewrite(seq, mset)` — one codegen'd left-to-right merge scan
+  * per word (see [[ArrayKernels.bpeRewrite]]). */
+case class BpeRewrite(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"needs two strings, got $other")
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ArrayKernels.bpeRewrite(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ArrayKernels.bpeRewrite($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** `sorted_intersect_count(a, b)` over sorted distinct array<string>. */
@@ -296,6 +363,10 @@ object ArrayFns {
 
   def ophDensify(m: Column): Column =
     ColumnBridge.column(OphDensify(ColumnBridge.expression(m)))
+
+  def bpeRewrite(seq: Column, mset: Column): Column =
+    ColumnBridge.column(BpeRewrite(
+      ColumnBridge.expression(seq), ColumnBridge.expression(mset)))
 
   def sortedLongIntersectCount(a: Column, b: Column): Column =
     ColumnBridge.column(SortedLongIntersectCount(

@@ -31,24 +31,26 @@ import graft.io.Sources.table
   * selects nothing and leaves the table unchanged — exhaustion is a
   * structural no-op, not a vocab-destroying edge case.
   *
-  * The scan is expressed relationally (identically in Spark and the
-  * DuckDB oracle): explode each word into (pos, sym), pair with
-  * lead(sym), mark matches against the broadcast merge table, then
-  * gaps-and-islands + parity picks the left-to-right winners — runs of
-  * k consecutive matched positions merge at even offsets from the run
-  * start, exactly what the sequential scan does — and a sort-ordered
-  * re-concat rebuilds the sequence.
+  * The engine runs the scan as a map-only codegen'd kernel per word
+  * ([[graft.functions.ArrayKernels.bpeRewrite]], r19); the DuckDB
+  * oracle replays the same selection relationally — explode each word
+  * into (pos, sym), pair with lead(sym), mark matches against the
+  * merge table, then gaps-and-islands + parity picks the left-to-right
+  * winners. The two are the same function: runs of k consecutive
+  * matched positions merge at even offsets from the run start, exactly
+  * what the sequential scan consumes (r8–r18 ran the islands form on
+  * both engines; the hash gate pins the equivalence every round).
   *
   * Scale shape: the ONLY corpus-wide operation is the initial word
   * count (one shuffle on word, map-side combined). Each round's pair
-  * count, ranking, and rewrite shuffle keys bounded by the VOCABULARY
-  * (words × word length), never corpus bytes; the merge table rides as
-  * a broadcast (a BPE vocab is bounded by construction). Encoding
-  * joins corpus word instances against the trained vocab — broadcast —
-  * and aggregates one integer per doc. localCheckpoint per round (the
-  * dd_cluster CC-loop idiom) truncates the otherwise round-nested
-  * lineage; without it plan stringification alone dominates (measured
-  * in the round-6 string-replace version).
+  * count and ranking shuffle keys bounded by the VOCABULARY
+  * (words × word length), never corpus bytes; the rewrite is map-only;
+  * the merge table rides as a broadcast (a BPE vocab is bounded by
+  * construction). Encoding joins corpus word instances against the
+  * trained vocab — broadcast — and aggregates one integer per doc.
+  * localCheckpoint per round (the dd_cluster CC-loop idiom) truncates
+  * the otherwise round-nested lineage; without it plan stringification
+  * alone dominates (measured in the round-6 string-replace version).
   *
   * Two corpora are trained: `bpe_train`/`bpe_encode` run the documents
   * table to pair exhaustion (31-word synthetic vocab saturates at
@@ -90,8 +92,6 @@ object Bpe {
       .select(substring(md5(col("event_id").cast("string")), 1, 12).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
 
-  private val wWord = Window.partitionBy("word").orderBy("pos")
-
   /** Run the batched merge loop; returns (merges, finalVocab) where
     * merges is (merge_round, rank, lsym, rsym, cnt, score_q) — cnt is
     * the pair's weighted count at selection time — and finalVocab is
@@ -114,93 +114,74 @@ object Bpe {
     // per-round wall-clock ledger (VERDICT r13 next §3): each round ends
     // in eager localCheckpoints, so the loop body's time IS the round's
     for (i <- 1 to rounds) graft.RoundClock.time(label, i) {
-      // The exploded symbol stream feeds 2 consumers per round (pair
-      // count + rewrite) — 3 in likelihood mode (symbol totals) — and
-      // each consumer re-ran the posexplode + lead window subtree
-      // (VERDICT r18 next §1: up to 3 stream passes per round). LAZY
-      // localCheckpoint shares ONE pass: the batch checkpoint below is
-      // the first action and computes every partition (its global
-      // row_number ranks the whole pair table), so it materializes the
-      // stream; the rewrite and the likelihood totals then read the
-      // stored rows. localCheckpoint, not cache(): the r18 round
-      // measured the columnar cache encode costing more than the
-      // recompute on these vocab-sized rounds; the checkpoint stores
-      // the internal rows directly. Invariant (ADVICE r18): the next
-      // action after a lazy checkpoint must compute ALL partitions —
-      // here that is the batch checkpoint's global sort.
-      val ex = seqs.select(col("word"), col("n"),
-          posexplode(split(trim(col("seq")), " ")).as(Seq("pos", "sym")))
-        .withColumn("nxt", lead(col("sym"), 1).over(wWord))
-        .localCheckpoint(false)
-      val pairs = ex.filter(col("nxt").isNotNull)
+      // Adjacent pairs derived ARRAY-LOCALLY (r19; guide §2.4): the r18
+      // shape posexploded every symbol and ran a lead() window — a
+      // word-keyed exchange + sort per round just to pair neighbors
+      // that already sit adjacent in the word's own array. zip_with
+      // over the split array pairs them inside the scan; the ONLY
+      // exchange left in pair counting is the (lsym, rsym) aggregation
+      // itself (map-side combined).
+      val withPairs = seqs.select(col("word"), col("n"),
+        posexplode(split(trim(col("seq")), " ")).as(Seq("pos", "sym")))
+        .withColumn("nxt", lead(col("sym"), 1).over(
+          Window.partitionBy("word").orderBy("pos")))
+      val pairs = withPairs.filter(col("nxt").isNotNull)
         .groupBy(col("sym").as("lsym"), col("nxt").as("rsym"))
         .agg(sum(col("n")).as("cnt"))
       // fresh candidates only: a pair already in the merge table keeps
       // merging via the cumulative rewrite but is never re-selected
       val cand =
         if (merges == null) pairs
-        else pairs.join(merges.select("lsym", "rsym"), Seq("lsym", "rsym"), "left_anti")
+        else pairs.join(broadcast(merges.select("lsym", "rsym")),
+          Seq("lsym", "rsym"), "left_anti")
       val scored =
         if (!likelihood) cand.withColumn("score_q", lit(0L))
         else {
-          val symCnt = ex.groupBy(col("sym")).agg(sum(col("n")).as("sc"))
+          val symCnt = withPairs
+            .groupBy(col("sym")).agg(sum(col("n")).as("sc"))
           cand
             .join(symCnt.select(col("sym").as("lsym"), col("sc").as("lc")), Seq("lsym"))
             .join(symCnt.select(col("sym").as("rsym"), col("sc").as("rc")), Seq("rsym"))
             .withColumn("score_q", expr("(cnt * 1000000000) div (lc * rc)"))
         }
-      val order =
-        if (likelihood) Window.orderBy(desc("score_q"), asc("lsym"), asc("rsym"))
-        else Window.orderBy(desc("cnt"), asc("lsym"), asc("rsym"))
-      // global rank over the candidate pairs — a single-partition sort
-      // of a VOCAB-bounded relation (symbol-pair universe, a few
-      // thousand rows), the same driver-adjacent cost every BPE
-      // trainer pays to argmax the count table
+      val ordCols =
+        if (likelihood) Seq(desc("score_q"), asc("lsym"), asc("rsym"))
+        else Seq(desc("cnt"), asc("lsym"), asc("rsym"))
+      // top-k FIRST via orderBy+limit (TakeOrderedAndProject: parallel
+      // per-partition top-k, no single-partition sort of the whole
+      // candidate relation — r19, guide §2.4/§5), THEN rank the k
+      // survivors with the same total order (ties are impossible under
+      // a total order, so the rank is exactly the old global
+      // row_number's). The r18 shape exchanged every candidate pair to
+      // one partition and sorted it per round.
       val batch = scored
-        .withColumn("rank", row_number().over(order))
-        .filter(col("rank") <= k)
+        .orderBy(ordCols: _*)
+        .limit(k)
+        .withColumn("rank", row_number().over(Window.orderBy(ordCols: _*)))
         .select(lit(i).cast("long").as("merge_round"),
           col("rank").cast("long").as("rank"), col("lsym"), col("rsym"),
           col("cnt"), col("score_q"))
         .localCheckpoint()
       merges = if (merges == null) batch else merges.unionByName(batch)
-      // One left-to-right scan applying the ACCUMULATED merge table.
-      // Every window below shares ONE partitioning family — (word)
-      // ordered by pos — so the whole rewrite costs a single exchange
-      // (the r8 first cut used (word, m) and (word, m, isl) island
-      // windows: three different partition keys = three shuffles per
-      // round, measured 3 s/round on the rich corpus). Islands are
-      // re-derived order-locally instead: a run starts where m turns
-      // true, the run's start position rides forward as a prefix max,
-      // and the sequential scan merges at even offsets from it — the
-      // same st the oracle's islands-and-parity CTEs compute.
-      val mAll = merges.select(col("lsym"), col("rsym"))
-      val wPrefix = wWord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val rewritten = ex.join(broadcast(mAll),
-          ex("sym") === mAll("lsym") && ex("nxt") === mAll("rsym"), "left")
-        .select(col("word"), col("n"), col("pos"), col("sym"), col("nxt"),
-          col("lsym").isNotNull.as("m"))
-        .withColumn("run_start",
-          col("m") && !coalesce(lag(col("m"), 1).over(wWord), lit(false)))
-        .withColumn("run_pos", max(when(col("run_start"), col("pos"))).over(wPrefix))
-        .withColumn("st", col("m") && ((col("pos") - col("run_pos")) % 2 === 0))
-        .withColumn("prev_st", lag(col("st"), 1).over(wWord))
-        .select(col("word"), col("n"), col("pos"),
-          when(col("st"), concat(col("sym"), col("nxt")))
-            .when(col("prev_st"), lit(null))
-            .otherwise(col("sym")).as("sym2"))
-      // group on word alone (n is functionally dependent — max() carries
-      // it) so the aggregation reuses the window exchange instead of
-      // re-shuffling on the composite key
-      seqs = rewritten.filter(col("sym2").isNotNull)
-        .groupBy("word")
-        .agg(max(col("n")).as("n"),
-          concat(lit(" "),
-            array_join(
-              expr("transform(array_sort(collect_list(struct(pos, sym2))), x -> x.sym2)"),
-              " "),
-            lit(" ")).as("seq"))
-        .select(col("word"), col("n"), col("seq"))
+      // One left-to-right scan applying the ACCUMULATED merge table —
+      // as a MAP-ONLY codegen'd kernel per word (r19; guide §2.4). The
+      // r8→r18 relational form (broadcast match join + a 4-window
+      // lag/prefix-max chain + collect_list reassembly) spent a
+      // word-keyed exchange, a sort, and an O(word) aggregation buffer
+      // per round to express what is a linear scan over one word's
+      // symbol array; BpeRewrite runs that scan inside the row
+      // projection (identical selection: within a run of consecutive
+      // matched positions, merges land at even offsets from the run
+      // start — the islands-parity CTEs the oracle still replays). The
+      // merge table rides as ONE newline-joined broadcast string
+      // (vocab-bounded by construction), parsed once per task via a
+      // content-keyed memo.
+      val msetRow = merges.agg(array_join(
+        sort_array(collect_list(concat(col("lsym"), lit(" "), col("rsym")))),
+        "\n").as("mset"))
+      seqs = seqs.crossJoin(broadcast(msetRow))
+        .select(col("word"), col("n"),
+          graft.functions.ArrayFns.bpeRewrite(col("seq"), col("mset")).as("seq"))
         .localCheckpoint()
     }
     (merges, seqs)
