@@ -34,6 +34,18 @@ object Bench {
       // measured 7.67 vs 1.49 s, i.e. a ~6 s compile tail per evicted
       // execution). Size the cache to hold the whole suite.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // let AQE apply its data-size-adaptive partition coalescing UNDER
+      // cached plans too (Spark defaults this off): the dedup-LSH
+      // family persists signature/band relations, and with the flag off
+      // every stage over the cached data is pinned to the full shuffle
+      // partition count regardless of size — measured at sf0.1/32
+      // cores: dd_minhash 3.09→1.65 s, dd_oph 1.61→1.00, dd_ppjoin
+      // _capped 2.45→1.73, dd_cluster_lsh 3.48→2.68, dd_embcos
+      // 1.64→1.24, dq_tcloseness 0.89→0.70, and the 8-vs-32-core
+      // inversion those queries showed disappears (LshContentionProbe,
+      // OPTIMIZATION_r19.md). Scale-adaptive by construction — AQE
+      // sizes partitions from bytes, not from the local core count.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

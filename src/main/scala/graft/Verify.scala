@@ -17,6 +17,10 @@ object Verify {
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // same engine config the bench runs under (see Bench.scala): AQE
+      // partition coalescing applies under cached plans — row content
+      // is partitioning-independent everywhere (the hash gate pins it)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
