@@ -161,6 +161,23 @@ object ArrayKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Count of array elements strictly below `v` — the equi-depth
+    * bucket index against a cut array (r19): the HOF form
+    * `size(filter(cuts, c -> v > c))` is CodegenFallback (interpreted
+    * per row, per lambda step), measured ~1.5 s over 600k rows at
+    * sf0.1; this loop stays inside whole-stage codegen like every
+    * kernel here. Null elements don't occur (cuts are computed). */
+  def countBelow(arr: ArrayData, v: Double): Int = {
+    var i = 0
+    var n = 0
+    val len = arr.numElements()
+    while (i < len) {
+      if (arr.getDouble(i) < v) n += 1
+      i += 1
+    }
+    n
+  }
+
   /** Per-thread memo of the parsed BPE merge set, keyed by CONTENT
     * equality of the newline-joined merge string (the same broadcast
     * value rides every row of a round's rewrite, but the per-row
@@ -208,6 +225,23 @@ object ArrayKernels {
     }
     org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
   }
+}
+
+/** `count_below(arr, v)` — codegen'd strict-below count over
+  * array<double> (see [[ArrayKernels.countBelow]]). */
+case class CountBelow(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), DoubleType) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"needs (array<double>, double), got $other")
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ArrayKernels.countBelow(a.asInstanceOf[ArrayData], b.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ArrayKernels.countBelow($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** `bpe_rewrite(seq, mset)` — one codegen'd left-to-right merge scan
@@ -363,6 +397,10 @@ object ArrayFns {
 
   def ophDensify(m: Column): Column =
     ColumnBridge.column(OphDensify(ColumnBridge.expression(m)))
+
+  def countBelow(arr: Column, v: Column): Column =
+    ColumnBridge.column(CountBelow(
+      ColumnBridge.expression(arr), ColumnBridge.expression(v)))
 
   def bpeRewrite(seq: Column, mset: Column): Column =
     ColumnBridge.column(BpeRewrite(

@@ -309,16 +309,91 @@ object Report {
     * rounded to cents on BOTH sides so bucket assignment can't flip on
     * a last-ulp interpolation difference between engines. */
   private val a15Equidepth: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
     val li = graft.io.Sources.table(s, d, "lineitem").select(col("l_extendedprice").as("v"))
     val qs = (1 to 9).map(_ / 10.0)
-    // floor(x·100 + 0.5)/100 = dround's half-away-from-zero in expr form
-    // (prices are positive); Spark's round() would HALF_UP via
-    // BigDecimal and can disagree with DuckDB's C rounding
-    val cuts = li.agg(expr(
-      s"transform(percentile(v, array(${qs.mkString(", ")})), c -> floor(c * 100 + 0.5) / 100)")
-      .as("cuts"))
+    // The nine EXACT interpolated cut points, computed by two-pass
+    // distributed SELECTION instead of Spark's `percentile` aggregate
+    // (r19, guide §1.2/§4): that aggregate is a
+    // TypedImperativeAggregate — per-partition OpenHashMap buffers,
+    // serialized between partial and final, all interpreted — and
+    // profiled as 2.67 s of the query's 2.71 s at sf0.1 (and a
+    // groupBy(v) + cumulative-window variant was no better: 583k of
+    // the 600k prices are distinct, so a window over distinct values
+    // is a near-global single-partition sort). The selection shape is
+    // scale-correct by construction: (1) one agg gets (min, max, n);
+    // (2) values bucket into 1,024 deterministic fixed-width bins —
+    // a codegen'd map-side-combined count per bin, BOUNDED at any
+    // corpus size; (3) a trivial cumulative over the 1,024-row bin
+    // histogram locates, for each of the 18 bracketing order
+    // statistics (lo/hi of pos = q·(n-1)), which bin holds it;
+    // (4) ONLY those ≤18 bins' rows (~n/1024 each) are re-scanned,
+    // locally ranked, and the exact order statistics picked.
+    // Interpolation replicates Spark's Percentile.getPercentile
+    // exactly — cut = (hi-pos)·lowerKey + (pos-lo)·higherKey — and
+    // was checked bit-equal to `percentile(v, ...)` at sf0.001/0.01/
+    // 0.1 before the cent rounding (floor(c·100+0.5)/100 — dround's
+    // half-away-from-zero; Spark's round() would HALF_UP via
+    // BigDecimal and can disagree with DuckDB's C rounding), which
+    // absorbs last-ulp differences exactly as before.
+    val nBins = 1024
+    import s.implicits._
+    val statsRow = li.agg(min(col("v")), max(col("v")), count(lit(1))).head
+    val (mn, mx, n) = (statsRow.getDouble(0), statsRow.getDouble(1), statsRow.getLong(2))
+    def binOf(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      if (mx == mn) lit(0L)
+      else least(greatest(floor((v - mn) / ((mx - mn) / nBins)).cast("long"),
+        lit(0L)), lit(nBins - 1L))
+    // bin histogram: ≤1,024 rows BY CONSTRUCTION — a scalar-class
+    // driver fetch (the convergence-count discipline), never data
+    val hist = li.groupBy(binOf(col("v")).as("bin")).agg(count(lit(1)).as("c"))
+      .orderBy("bin").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cumStart = { // bin -> count of rows in earlier bins
+      var acc = 0L
+      hist.map { case (b, c) => val s0 = acc; acc += c; (b, s0) }.toMap
+    }
+    def binFor(idx: Long): Long = {
+      var acc = 0L
+      hist.find { case (_, c) => acc += c; acc > idx }.get._1
+    }
+    // the ≤18 bracketing order statistics (lo/hi of pos = q·(n-1)),
+    // located in their bins by plain arithmetic on the histogram
+    val located = qs.flatMap { q =>
+      val pos = q * (n - 1).toDouble
+      Seq(math.floor(pos).toLong, math.ceil(pos).toLong).distinct.map { idx =>
+        val b = binFor(idx)
+        (pos, idx, b, cumStart(b))
+      }
+    }.distinct
+    val locDf = located.toDF("pos", "idx", "bin", "cum_start")
+    val neededBins = located.map(_._3).distinct
+    // refine pass: rank rows inside the ≤18 needed bins only (~n/1024
+    // rows each); equal values rank arbitrarily among themselves, but
+    // any index inside a run of equals selects the same VALUE, so the
+    // pick is exact
+    val picked = li.select(col("v"), binOf(col("v")).as("bin"))
+      .filter(col("bin").isin(neededBins: _*))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("bin").orderBy("v")).cast("long"))
+      .join(broadcast(locDf.withColumnRenamed("bin", "lbin")),
+        col("rn") - 1L === col("idx") - col("cum_start") && col("bin") === col("lbin"))
+      .select(col("pos"), col("idx"), col("v"))
+    val cuts = picked
+      .groupBy(col("pos"))
+      .agg(min(when(col("idx") === floor(col("pos")).cast("long"), col("v")))
+          .as("lower_key"),
+        min(when(col("idx") === ceil(col("pos")).cast("long"), col("v")))
+          .as("higher_key"))
+      .select(when(ceil(col("pos")) === floor(col("pos")), col("lower_key"))
+        .otherwise((ceil(col("pos")).cast("double") - col("pos")) * col("lower_key") +
+          (col("pos") - floor(col("pos"))) * col("higher_key")).as("cut"))
+      .agg(expr("transform(array_sort(collect_list(cut)), c -> floor(c * 100 + 0.5) / 100)")
+        .as("cuts"))
     li.crossJoin(broadcast(cuts))
-      .select(col("v"), size(filter(col("cuts"), c => col("v") > c)).as("bucket"))
+      // codegen'd strict-below count — the HOF filter/size pair was
+      // interpreted per row (see ArrayKernels.countBelow); identical
+      // value: #cuts < v == #cuts with v > c
+      .select(col("v"), graft.functions.ArrayFns.countBelow(col("cuts"), col("v")).as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),
         dround(min(col("v")), 2).as("min_v"), dround(max(col("v")), 2).as("max_v"))
