@@ -89,11 +89,14 @@ class PivotRollupSpec extends AnyFunSuite {
     sorted.sliding(2).foreach { case Array(a, b) =>
       assert(a.getAs[Double]("max_v") <= b.getAs[Double]("min_v") + 1e-9)
     }
-    // the ntile form would range-sort the full data through a Window;
-    // here the only sort is the 10-row output ordering AFTER the agg
+    // the ntile form would range-sort the full data through a
+    // GLOBAL-order Window; the r19 selection shape's only window is
+    // the per-BIN rank inside the ≤18 refine bins — every Window in
+    // the plan must carry a bin partition spec (a global window's
+    // spec is empty: windowspecdefinition(v ASC ...))
     val p = df.queryExecution.executedPlan.toString
-    // (can't grep for "ntile" — "percentile" contains it)
-    assert(!p.contains("Window"),
+    val windows = p.split("\n").filter(_.contains("windowspecdefinition"))
+    assert(windows.forall(_.contains("windowspecdefinition(bin#")),
       s"equi-depth must not use a global-order window:\n$p")
     val preAgg = p.substring(p.length - p.split("HashAggregate").last.length)
     assert(!preAgg.contains("rangepartitioning"),
