@@ -149,8 +149,18 @@ object Dedup {
     * self-join, and without the pin the df-count + regroup + explode
     * pipeline runs twice (measured cold: candidate stage 8.3 → 6.6 s;
     * the duplicated subtree also doubles the janino surface). */
-  private[llm] def ppjoinMatches(t: DataFrame): DataFrame =
-    ppjoinCollisions(ppjoinPrefixes(t).persist())
+  private[llm] def ppjoinMatches(t: DataFrame): DataFrame = {
+    // partitionedCheckpoint BY TOK, not persist (r19): the cached
+    // prefix relation coalesced to one partition under the engine's
+    // cached-plan-AQE config (it is KB-sized — the EXPLOSION happens in
+    // the self-join downstream, which AQE's input-size estimate cannot
+    // see), serializing the whole collision join; the declared tok
+    // layout keeps the self-join exchange-free AND wide.
+    val pr = ppjoinPrefixes(t)
+    ppjoinCollisions(org.apache.spark.sql.graft.PlanBridge.partitionedCheckpoint(
+      pr.sparkSession, pr, "tok",
+      pr.sparkSession.sessionState.conf.numShufflePartitions))
+  }
 
   /** The collision join + length/position filters over a prefix
     * relation (tok, doc_id, sz, pos) — shared by the lossless join and
@@ -200,6 +210,15 @@ object Dedup {
       .withColumn("sz", size(col("tk")))
       .persist() // read by df-count, prefix regroup, and both verify sides
     ppjoinMatches(t)
+      // REBALANCE before the verify walks (r19, guide §2.5): the match
+      // stream explodes ~230× past its prefix input and is SKEWED by
+      // hot prefix tokens, so the tok-layout partitions it arrives in
+      // are uneven exactly where the per-pair intersect walks (the
+      // query's real CPU) run. REPARTITION_BY_NUM is never AQE-
+      // coalesced; the exchange carries 16-byte id pairs. Measured
+      // (min-of-3, sf0.1/32c): 3.47 s without → 2.37 s with.
+      .repartition(s.sessionState.conf.numShufflePartitions,
+        col("doc_a"), col("doc_b"))
       .join(t.select(col("doc_id").as("doc_a"),
         col("tk").as("tk_a"), col("sz").as("sa")), Seq("doc_a"))
       .join(t.select(col("doc_id").as("doc_b"),

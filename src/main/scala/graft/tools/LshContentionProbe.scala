@@ -15,8 +15,10 @@ import org.apache.spark.sql.SparkSession
   *
   * Run: sbt 'runMain graft.tools.LshContentionProbe <cpus> <sfDir>' */
 object LshContentionProbe {
-  private val set = Seq("dd_minhash", "dd_oph", "dd_ppjoin_capped",
-    "dd_cluster_lsh", "dd_embcos", "dq_tcloseness")
+  private val set: Seq[String] =
+    sys.env.get("LSH_PROBE_SET").map(_.split(",").toSeq).getOrElse(Seq(
+      "dd_minhash", "dd_oph", "dd_ppjoin_capped",
+      "dd_cluster_lsh", "dd_embcos", "dq_tcloseness"))
 
   def main(args: Array[String]): Unit = {
     val cpus = if (args.nonEmpty) args(0) else "32"
