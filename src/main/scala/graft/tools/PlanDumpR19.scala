@@ -22,7 +22,8 @@ object PlanDumpR19 {
     "dq_rtbf",
     "mm_audio_features", "mm_video_scenes", "mm_scene_sample",
     "mm_adpcm_err",
-    "dd_minhash", "dd_oph", "dd_ppjoin_capped", "dd_cluster_lsh")
+    "dd_minhash", "dd_oph", "dd_ppjoin", "dd_ppjoin_capped",
+    "dd_cluster_lsh", "a15_equidepth")
 
   def main(args: Array[String]): Unit = {
     val outDir = args(0)
